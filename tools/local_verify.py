@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py <sfDir> <outDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each <outDir>/<name> parquet dir, runs <outDir>/oracle_sql.json[name]
+in DuckDB with views named after the tables in <sfDir>, then compares:
+columns sorted by name, rows sorted by all columns, values canonicalized
+(floats via repr of float64, timestamps via ISO string), hashed.
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel):
+    cols = sorted(rel.columns)
+    quoted = ', '.join(f'"{c}"' for c in cols)
+    rows = con.sql(f"SELECT {quoted} FROM rel ORDER BY ALL").fetchall()
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(repr(v))
+            elif isinstance(v, list):
+                vals.append(json.dumps([repr(x) if isinstance(x, float) else str(x) for x in v]))
+            else:
+                vals.append(str(v))
+        out.append("\x01".join(vals))
+    h = hashlib.sha256("\n".join(out).encode()).hexdigest()
+    return cols, len(rows), h, out
+
+
+def main(sf_dir, out_dir):
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(oracle):
+        res_path = os.path.join(out_dir, name)
+        if not glob.glob(os.path.join(res_path, "*.parquet")):
+            results[name] = "MISSING_RESULT"
+            continue
+        con = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{res_path}/*.parquet'")
+            rel = spark_rel
+            s_cols, s_n, s_h, s_rows = canon(con, rel)
+            rel = con.sql(oracle[name])
+            o_cols, o_n, o_h, o_rows = canon(con, rel)
+        except Exception as e:
+            results[name] = f"ERROR: {e}"
+            continue
+        if s_cols != o_cols:
+            results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
+        elif s_n != o_n:
+            results[name] = f"ROWCOUNT_MISMATCH spark={s_n} oracle={o_n}"
+        elif s_h != o_h:
+            diff = next((i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b), -1)
+            detail = ""
+            if diff >= 0:
+                detail = f" first_diff_row={diff} spark={s_rows[diff][:300]!r} oracle={o_rows[diff][:300]!r}"
+            results[name] = "HASH_MISMATCH" + detail
+        else:
+            results[name] = f"OK rows={s_n}"
+        con.close()
+    # queries without an oracle: rows-only
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracle:
+            try:
+                con = duckdb.connect()
+                n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+                results[d] = f"ROWS_ONLY rows={n}" + (" (EMPTY!)" if n == 0 else "")
+                con.close()
+            except Exception as e:
+                results[d] = f"ROWS_ONLY ERROR: {e}"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in results.items():
+        print(f"{'PASS' if v.startswith('OK') or 'ROWS_ONLY rows' in v and 'EMPTY' not in v else 'FAIL':4} {k}: {v}")
+    print(f"\n{ok}/{len(oracle)} oracle-checked OK, {len(results)} total")
+    return 0 if ok == len(oracle) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
