@@ -1,24 +1,76 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Runs every SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and emits ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Harness fixes from the round-2 verdict:
+  *  - the JSON line is ALSO written to a file — `SPARK_GRAFT_BENCH_OUT`
+  *    if set, else /tmp/graft_bench.json — so the driver never has to
+  *    fish it out of sbt log noise;
+  *  - failures are recorded per-query in `"failed"` instead of being
+  *    swallowed as a fake timing;
+  *  - the measured action hashes every column of every row
+  *    (xxhash64 → sum), so pure projections are materialized rather
+  *    than pruned to a row count;
+  *  - two timed iterations per query, best-of reported, to damp
+  *    JIT/page-cache noise.
+  */
 object Bench {
+
+  /** Content-touching action: forces full evaluation of every column. */
+  private def touch(df: DataFrame): Unit = {
+    val h = xxhash64(df.columns.map(col).toSeq: _*)
+    df.select(h.as("h")).agg(sum("h")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val best = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { touch(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Double.NaN
+        }
+      }.min
+      if (best.isNaN) failed += name else timings(name) = best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timings.values.sum
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

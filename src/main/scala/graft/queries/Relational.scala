@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism rules (DuckDB oracle hash-compares):
   *  - sums of integer-valued doubles (quantities) are exact — no round;
-  *  - sums of 2-dp monetary doubles: `round(sum(x), 2)` recovers the
-  *    exact decimal in both engines;
+  *  - sums of 2-dp monetary doubles: NEVER `round(sum(x), 2)` — Spark
+  *    and DuckDB accumulate the per-group double sum in different
+  *    orders and the 2-dp round can't absorb the difference at scale
+  *    (q11 failed exactly this way at sf0.1 in rounds 1-2). Instead
+  *    integer-scale to cents and sum exactly:
+  *    `sum(round(x*100,0).cast("long"))` / the `sumE2` helper;
   *  - sums of derived products (price × discount): scale to integer
   *    first (`cast(round(x*1e4) as long)`) and sum exactly;
   *  - scalar math over identical inputs is IEEE-deterministic — emit
@@ -26,6 +30,9 @@ object Relational {
 
   /** Exact integer sum of a 4-dp-valued double expression. */
   private def sumE4(c: Column): Column = sum(round(c * lit(10000.0), 0).cast("long"))
+
+  /** Exact integer (cents) sum of a 2-dp monetary double expression. */
+  private def sumE2(c: Column): Column = sum(round(c * lit(100.0), 0).cast("long"))
 
   // ---------------------------------------------------------------
   // Scans / filters / projections (SURVEY §2.1-2.2)
@@ -94,15 +101,27 @@ object Relational {
       .select(c("c_custkey"), dim("nation_code"))
   }
 
-  /** J3: multi-way left-join fan-out denormalization (gold.sql:75-81). */
+  /** J3: multi-way left-join fan-out denormalization (gold.sql:75-81).
+    *
+    * Scale plan: the preserved left side is a 2%-filtered dim, so a
+    * naive chain plans SMJ and shuffles both fact tables (the round-1/2
+    * bench's most expensive query). Instead the facts are semi-
+    * prefiltered down to the 2% of rows that can match (broadcast key
+    * sets), after which every join is a BroadcastHashJoin — zero
+    * shuffles. Identical results: rows dropped by the semi-prefilter
+    * could never survive the equi-joins. */
   val q08JoinMultiwayFanout: Q = (s, d) => {
     val c = Tables.customer(s, d).filter(col("c_custkey") % 50 === 0)
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .join(l, o("o_orderkey") === l("l_orderkey"), "left")
-      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"),
-        l("l_linenumber"), l("l_quantity"))
+    val o2 = o.join(broadcast(c.select(c("c_custkey").as("k"))),
+      o("o_custkey") === col("k"), "left_semi")
+    val l2 = l.join(broadcast(o2.select(o("o_orderkey").as("k"))),
+      l("l_orderkey") === col("k"), "left_semi")
+    c.join(broadcast(o2), c("c_custkey") === o2("o_custkey"), "left")
+      .join(broadcast(l2), o2("o_orderkey") === l2("l_orderkey"), "left")
+      .select(c("c_custkey"), c("c_name"), o2("o_orderkey"), o2("o_totalprice"),
+        l2("l_linenumber"), l2("l_quantity"))
   }
 
   /** Semi join (EXISTS) — §2.3 noted-absent kind, covered natively. */
@@ -133,7 +152,7 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(coalesce(col("l_quantity"), lit(0.0))).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        sumE2(col("l_extendedprice")).as("sum_base_price_e2"),
         sumE4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue_e4"),
         count(lit(1)).as("count_order"))
 
@@ -147,18 +166,19 @@ object Relational {
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
         countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey"))).as("n_filled"),
-        round(sum(col("o_totalprice")), 2).as("gross"))
+        sumE2(col("o_totalprice")).as("gross_e2"))
       .withColumn("fill_rate",
         col("n_filled").cast("double") /
           when(col("n_orders") === 0, lit(null)).otherwise(col("n_orders").cast("double")))
 
-  /** A4: grouped AVG — computed as exact-sum / count so both engines
-    * divide identical operands (IEEE-deterministic). */
+  /** A4: grouped AVG — computed as exact cents-sum / count so both
+    * engines divide identical operands (IEEE-deterministic). */
   val q13AggAvg: Q = (s, d) =>
     Tables.customer(s, d)
       .groupBy("c_mktsegment")
-      .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n"))
-      .withColumn("avg_bal", col("total_bal") / col("n").cast("double"))
+      .agg(sumE2(col("c_acctbal")).as("total_bal_e2"), count(lit(1)).as("n"))
+      .withColumn("avg_bal",
+        col("total_bal_e2").cast("double") / (lit(100.0) * col("n").cast("double")))
 
   /** A6/J5: ungrouped MAX — the audit-watermark lookup shape. */
   val q14WatermarkMax: Q = (s, d) =>
@@ -242,7 +262,7 @@ object Relational {
       .filter(sup("s_name").isNotNull)
       .groupBy(sup("s_name").as("provider_name"), n("n_name").as("dept_name"))
       .agg(
-        round(sum(coalesce(l("l_extendedprice"), lit(0.0))), 2).as("total_charge"),
+        sumE2(coalesce(l("l_extendedprice"), lit(0.0))).as("total_charge_e2"),
         count(lit(1)).as("n_tx"))
   }
 
@@ -308,7 +328,7 @@ object Relational {
     "q11_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(coalesce(l_quantity, 0.0)) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS sum_base_price_e2,
         |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS revenue_e4,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -317,13 +337,15 @@ object Relational {
         |  count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers,
         |  count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS n_filled,
-        |  round(sum(o_totalprice), 2) AS gross,
+        |  sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS gross_e2,
         |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS DOUBLE)
         |    / CASE WHEN count(*) = 0 THEN NULL ELSE CAST(count(*) AS DOUBLE) END AS fill_rate
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q13_agg_avg" ->
-      """SELECT c_mktsegment, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n,
-        |  round(sum(c_acctbal), 2) / CAST(count(*) AS DOUBLE) AS avg_bal
+      """SELECT c_mktsegment,
+        |  sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)) AS total_bal_e2, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)) AS DOUBLE)
+        |    / (100.0 * CAST(count(*) AS DOUBLE)) AS avg_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q14_watermark_max" ->
       "SELECT max(o_orderdate) AS wm, count(*) AS n FROM orders",
@@ -386,7 +408,7 @@ object Relational {
         |FROM unioned""".stripMargin,
     "q19_gold_charge_summary" ->
       """SELECT s.s_name AS provider_name, n.n_name AS dept_name,
-        |  round(sum(coalesce(l.l_extendedprice, 0.0)), 2) AS total_charge,
+        |  sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS total_charge_e2,
         |  count(*) AS n_tx
         |FROM lineitem l
         |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -83,10 +83,13 @@ def main(sf_dir, out_dir):
             except Exception as e:
                 results[d] = f"ROWS_ONLY ERROR: {e}"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
+    def passed(v):
+        return v.startswith("OK") or ("ROWS_ONLY rows" in v and "EMPTY" not in v)
     for k, v in results.items():
-        print(f"{'PASS' if v.startswith('OK') or 'ROWS_ONLY rows' in v and 'EMPTY' not in v else 'FAIL':4} {k}: {v}")
+        print(f"{'PASS' if passed(v) else 'FAIL':4} {k}: {v}")
     print(f"\n{ok}/{len(oracle)} oracle-checked OK, {len(results)} total")
-    return 0 if ok == len(oracle) else 1
+    # rows-only EMPTY/ERROR results are failures too, not just oracle misses
+    return 0 if all(passed(v) for v in results.values()) and ok == len(oracle) else 1
 
 
 if __name__ == "__main__":
