@@ -16,12 +16,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q19GoldChargeSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-data-pipeline extension surface (dedup / ANN / text stats /
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++ graft.queries.LlmPipeline.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++ graft.queries.LlmPipeline.oracles
 }

@@ -1,0 +1,467 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` testdata tables: deduplication (exact, MinHash-LSH,
+  * SimHash fingerprints, n-gram Jaccard verification), similarity
+  * search (brute-force cosine top-k baseline + hyperplane-LSH bucketed
+  * scale path), text analysis (length/token/charset stats, BPE-ish
+  * token counts, stopword language ID), and multimodal binary-column
+  * plumbing.
+  *
+  * Scale design (the 100 TB story):
+  *  - NO all-pairs `crossJoin` anywhere. Near-dup candidates come from
+  *    an LSH band-bucket equi-join (shuffle on band signature; bucket
+  *    sizes are bounded because 64-char signatures are selective);
+  *    ANN candidates come from hyperplane-bucket equi-joins. The only
+  *    intentionally-quadratic query is the brute-force cosine BASELINE
+  *    (q23), and even there the query side is a broadcast so the big
+  *    side streams without a shuffle.
+  *  - All hashing is engine-side (`md5`, codegen'd string ops) — no
+  *    UDFs, so whole-stage codegen spans the hot paths.
+  *  - Cross-engine determinism: every float aggregate is either an
+  *    exact integer sum (quantized e4 embeddings, shingle counts) or a
+  *    single IEEE operation over identical operands (one divide /
+  *    sqrt / round at the end). MinHash signatures are min() over md5
+  *    hex strings — total order, engine-independent.
+  *
+  * Reference anchor: the reference pipeline has no LLM surface (it is
+  * a healthcare ETL, SURVEY.md §2.9) — these operators are the
+  * BASELINE.json north-star extensions (SURVEY §7.5 b).
+  */
+object LlmPipeline {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // -- shared text primitives ---------------------------------------
+
+  /** Whitespace-normalized lowercase tokens of `text`. */
+  private def tokens(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+
+  /** Word n-gram shingles as space-joined strings; empty below n tokens. */
+  private def shingles(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, sh) distinct shingle set of the documents table. */
+  private def shingleSet(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 3)).as("sh"))
+      .distinct()
+
+  // -- q20: exact deduplication -------------------------------------
+
+  /** Exact dedup: hash-groupBy on normalized content. One shuffle on
+    * the content hash; at 100 TB this is the cheapest possible dedup
+    * (map-side partial aggregation collapses copies early). */
+  val q20DedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  // -- q21: MinHash-LSH near-duplicate detection --------------------
+
+  private val NumHashes = 16
+  private val NumBands = 8 // r = 2 rows/band → catches Jaccard ≳ 0.35
+
+  /** MinHash signatures: one row per doc, h0..h15 = min over the
+    * shingle set of md5(seed|shingle). */
+  private def minhashSignatures(ex: DataFrame): DataFrame =
+    ex.groupBy("doc_id").agg(
+      min(md5(concat(lit("0|"), col("sh")))).as("h0"),
+      (1 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i")): _*)
+
+  /** MinHash-LSH near-dup pairs: banded signatures → in-bucket
+    * candidate pairs → exact n-gram-Jaccard verification ≥ 0.5.
+    * Never an all-pairs join: candidates come only from band-signature
+    * bucket equality. */
+  val q21DedupMinhashLsh: Q = (s, d) => {
+    val ex = shingleSet(s, d)
+    val sig = minhashSignatures(ex)
+    val bands = (0 until NumBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(ex.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("sa.n") + col("sb.n") - col("n_inter")).as("n_union"),
+        round(lit(1e6) * col("n_inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_inter")).cast("double"), 0)
+          .cast("long").as("jaccard_e6"))
+      .filter(col("jaccard_e6") >= 500000L)
+  }
+
+  // -- q22: text analysis -------------------------------------------
+
+  private val StopEn = Seq("the", "a", "of", "to", "and")
+  private val StopDe = Seq("der", "die", "und", "ist", "das")
+  private val StopFr = Seq("le", "la", "et", "les", "un")
+  private val StopEs = Seq("el", "los", "y", "en", "que")
+
+  /** Per-document text statistics: char/token/charset counts, BPE-ish
+    * token count, stopword-based language ID, quality flag. All
+    * integer arithmetic + one exact division — fully codegen'd, no
+    * shuffle at all (narrow map over the scan). */
+  val q22TextStats: Q = (s, d) => {
+    def scoreIn(tk: Column, words: Seq[String]): Column =
+      size(filter(tk, t => t.isin(words: _*)))
+    val base = Tables.documents(s, d)
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("lo", lower(col("text")))
+    base.select(
+      col("doc_id"), col("lang"),
+      length(col("text")).as("n_chars"),
+      size(col("tk")).as("n_tokens"),
+      size(array_distinct(col("tk"))).as("n_uniq_tokens"),
+      aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .as("sum_token_len"),
+      length(regexp_replace(col("lo"), "[^0-9]", "")).as("n_digits"),
+      length(regexp_replace(col("lo"), "[a-z0-9 ]", "")).as("n_punct"),
+      size(regexp_extract_all(col("lo"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+        .as("n_bpe_tokens"),
+      scoreIn(col("tk"), StopEn).as("score_en"),
+      scoreIn(col("tk"), StopDe).as("score_de"),
+      scoreIn(col("tk"), StopFr).as("score_fr"),
+      scoreIn(col("tk"), StopEs).as("score_es"))
+      .withColumn("avg_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("lang_guess",
+        when(col("score_en") > 0 && col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") > 0 && col("score_de") >= col("score_fr") &&
+            col("score_de") >= col("score_es"), "de")
+          .when(col("score_fr") > 0 && col("score_fr") >= col("score_es"), "fr")
+          .when(col("score_es") > 0, "es")
+          .otherwise("unknown"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 5 && col("n_chars") <= 10000 &&
+          col("n_punct") * 10 <= col("n_chars"))
+  }
+
+  // -- q23: brute-force cosine top-k (ANN baseline) -----------------
+
+  /** e4-quantized integer copy of a float embedding: makes dot/norm
+    * sums exact integers — order-independent, hence identical across
+    * engines and shuffle schedules. */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosE6(dot: Column, sa: Column, sb: Column): Column =
+    round(lit(1e6) * dot.cast("double") /
+      (sqrt(sa.cast("double")) * sqrt(sb.cast("double"))), 0).cast("long")
+
+  /** Brute-force cosine top-5 for query vectors (vec_id % 25 == 0)
+    * against the full table. The query side is broadcast, so the big
+    * side is one shuffle-free streaming pass; quadratic work is the
+    * POINT of the baseline (q24 is the scale path). */
+  val q23AnnBruteForce: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("sq", dotL(col("q"), col("q")))
+    val queries = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("sq").as("qsq"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+  }
+
+  // -- q24: hyperplane-LSH bucketed ANN (the scale path) ------------
+
+  private val LshTables = 4
+  private val LshPlanesPerTable = 4
+  private val EmbeddingDim = 64 // testdata embeddings dim (TESTDATA.md tables)
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1], derived
+    * from md5 so runs and engines agree without a seeded RNG. */
+  private[queries] def planeWeights(table: Int, plane: Int): Seq[Double] =
+    (0 until EmbeddingDim).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$table-$plane-$j".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md, 0, 4).getInt.toDouble / Int.MaxValue
+    }
+
+  /** Bucketed ANN: L=4 hash tables × 4 hyperplanes → 16 buckets per
+    * table; candidates are same-bucket pairs in ANY table (union +
+    * distinct), then exact cosine + top-5. At 100 TB: the per-table
+    * join is a shuffle on (table, bucket) — bounded buckets, no
+    * quadratic blow-up; recall tuned by L and planes/table.
+    * No SQL oracle (LSH plane algebra isn't reasonably expressible in
+    * DuckDB SQL) → driver records a rows-only check; AnnLshSpec pins
+    * recall against the q23 baseline. */
+  val q24AnnLshBucketed: Q = (s, d) => {
+    def dotPlane(v: Column, w: Seq[Double]): Column =
+      aggregate(zip_with(v, typedlit(w), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def bucket(t: Int): Column =
+      (0 until LshPlanesPerTable).map { p =>
+        when(dotPlane(col("v"), planeWeights(t, p)) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        quant(col("embedding")).as("q"))
+      .withColumn("sq", dotL(col("q"), col("q")))
+    val bucketed = (0 until LshTables).map { t =>
+      e.select(col("vec_id"), col("q"), col("sq"), lit(t).as("t"), bucket(t).as("b"))
+    }.reduce(_ unionByName _)
+    val qs = bucketed.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("sq").as("qsq"),
+        col("t").as("qt"), col("b").as("qb"))
+    val cand = bucketed
+      .join(qs, col("t") === col("qt") && col("b") === col("qb") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("q"), col("qq"), col("sq"), col("qsq"))
+      .dropDuplicates("q_id", "neighbor_id")
+    val scored = cand.select(col("q_id"), col("neighbor_id"),
+      cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+  }
+
+  // -- q25: document fingerprints (min-hash + SimHash) --------------
+
+  /** Per-doc fingerprints: minhash_fp = min md5 over the shingle set
+    * (winnowing-style content fingerprint), simhash16 = 16-bit SimHash
+    * over token hashes (frequency-weighted). Docs with <3 tokens have
+    * no shingle fingerprint and are excluded — mirrored in the oracle. */
+  val q25DocFingerprint: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("tk"))
+    val fp = docs
+      .select(col("doc_id"), explode(shingles(col("tk"), 3)).as("sh"))
+      .distinct()
+      .groupBy("doc_id").agg(min(md5(col("sh"))).as("minhash_fp"))
+    val toks = docs.select(col("doc_id"), explode(col("tk")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long"))
+    val bitAgg = toks.groupBy("doc_id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
+      (1 until 16).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")): _*)
+    val simhash = (0 until 16)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    fp.join(bitAgg, "doc_id")
+      .select(col("doc_id"), col("minhash_fp"), simhash.as("simhash16"))
+  }
+
+  // -- q26: multimodal binary-column plumbing -----------------------
+
+  /** Multimodal columns: text re-encoded as an opaque `binary` payload
+    * with a typed metadata struct, then byte-level feature extraction
+    * (header hex, strided frame samples, sampled byte features) — the
+    * Spark-side plumbing for image/audio decode, with the codec itself
+    * stubbed (see [[graft.multimodal.MultimodalOps]]); narrow map, no
+    * shuffle. */
+  val q26MultimodalFeatures: Q = (s, d) => {
+    val assets = Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      col("text"), col("n_chars"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(lit("text/plain").as("mime"), col("source").as("source")).as("meta"))
+    val outCols: Seq[Column] = Seq(
+      col("asset_id"),
+      col("meta.mime").as("mime"),
+      length(col("bytes")).as("n_bytes"),
+      hex(substring(col("bytes"), 1, 8)).as("header_hex"),
+      concat_ws("-", (0 until 4).map(i =>
+        hex(substring(col("bytes"), 1 + 100 * i, 1))): _*).as("frame_sample")) ++
+      (0 until 4).map(i =>
+        when(col("n_chars") > 31 * i, ascii(substring(col("text"), 1 + 31 * i, 1)))
+          .otherwise(lit(-1)).as(s"f$i"))
+    assets.select(outCols: _*)
+  }
+
+  // -- registry ------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "q20_dedup_exact" -> q20DedupExact,
+    "q21_dedup_minhash_lsh" -> q21DedupMinhashLsh,
+    "q22_text_stats" -> q22TextStats,
+    "q23_ann_brute_force" -> q23AnnBruteForce,
+    "q24_ann_lsh_bucketed" -> q24AnnLshBucketed,
+    "q25_doc_fingerprint" -> q25DocFingerprint,
+    "q26_multimodal_features" -> q26MultimodalFeatures)
+
+  // -- DuckDB oracles ------------------------------------------------
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents
+      |)""".stripMargin
+
+  private val exCte =
+    """ex AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+2], ' ') AS sh
+      |  FROM toks, LATERAL unnest(generate_series(1, len(tk)-2)) u(i)
+      |  WHERE len(tk) >= 3
+      |)""".stripMargin
+
+  private val hexVal: String => String = c =>
+    s"(strpos('0123456789abcdef', substr(md5($c),1,1))-1)*4096 + " +
+      s"(strpos('0123456789abcdef', substr(md5($c),2,1))-1)*256 + " +
+      s"(strpos('0123456789abcdef', substr(md5($c),3,1))-1)*16 + " +
+      s"(strpos('0123456789abcdef', substr(md5($c),4,1))-1)"
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "q21_dedup_minhash_lsh" -> {
+      val hs = (0 until NumHashes)
+        .map(i => s"min(md5(concat('$i|', sh))) AS h$i").mkString(",\n    ")
+      val bands = (0 until NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS sig FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $toksCte, $exCte, sig AS (
+         |  SELECT doc_id,
+         |    $hs
+         |  FROM ex GROUP BY doc_id
+         |), bands AS (
+         |  $bands
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+         |), inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN ex ea ON doc_a = ea.doc_id
+         |  JOIN ex eb ON doc_b = eb.doc_id AND ea.sh = eb.sh
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT doc_a, doc_b, n_inter,
+         |    sa.n + sb.n - n_inter AS n_union,
+         |    CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |      / CAST(sa.n + sb.n - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |)
+         |SELECT * FROM scored WHERE jaccard_e6 >= 500000""".stripMargin
+    },
+    "q22_text_stats" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      s"""WITH $toksCte, base AS (
+         |  SELECT d.doc_id, d.lang, d.text, lower(d.text) AS lo, t.tk
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+         |), stats AS (
+         |  SELECT doc_id, lang,
+         |    length(text) AS n_chars,
+         |    len(tk) AS n_tokens,
+         |    len(list_distinct(tk)) AS n_uniq_tokens,
+         |    CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS sum_token_len,
+         |    length(regexp_replace(lo, '[^0-9]', '', 'g')) AS n_digits,
+         |    length(regexp_replace(lo, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |    len(regexp_extract_all(lo, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         |    len(list_filter(tk, t -> t IN (${inList(StopEn)}))) AS score_en,
+         |    len(list_filter(tk, t -> t IN (${inList(StopDe)}))) AS score_de,
+         |    len(list_filter(tk, t -> t IN (${inList(StopFr)}))) AS score_fr,
+         |    len(list_filter(tk, t -> t IN (${inList(StopEs)}))) AS score_es
+         |  FROM base
+         |)
+         |SELECT *,
+         |  CAST(sum_token_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CASE
+         |    WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |    WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |    WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
+         |    WHEN score_es > 0 THEN 'es'
+         |    ELSE 'unknown' END AS lang_guess,
+         |  n_tokens >= 5 AND n_chars <= 10000 AND n_punct * 10 <= n_chars AS is_quality
+         |FROM stats""".stripMargin
+    },
+    "q23_ann_brute_force" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sq AS (
+        |  SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS s2 FROM q
+        |), pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |         a.qv AS qa, b.qv AS qb, a.s2 AS sa, b.s2 AS sb
+        |  FROM sq a JOIN sq b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id % 25 = 0
+        |), dots AS (
+        |  SELECT q_id, neighbor_id, CAST(sum(qa[u.i] * qb[u.i]) AS BIGINT) AS dot
+        |  FROM pairs, LATERAL unnest(generate_series(1, len(qa))) u(i)
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.q_id, p.neighbor_id,
+        |    CAST(round(1e6 * CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(p.sa AS DOUBLE)) * sqrt(CAST(p.sb AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+        |  FROM pairs p JOIN dots d ON p.q_id = d.q_id AND p.neighbor_id = d.neighbor_id
+        |)
+        |SELECT q_id, neighbor_id, cos_e6, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+    // q24 intentionally has no oracle (rows-only check): LSH plane
+    // algebra is pinned by AnnLshSpec against the q23 baseline instead.
+    "q25_doc_fingerprint" -> {
+      val bitSums = (0 until 16)
+        .map(i => s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(",\n    ")
+      val simhash = (0 until 16)
+        .map(i => s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $toksCte, $exCte, fp AS (
+         |  SELECT doc_id, min(md5(sh)) AS minhash_fp FROM ex GROUP BY doc_id
+         |), tok AS (
+         |  SELECT doc_id, ${hexVal("u.t")} AS hv
+         |  FROM toks, LATERAL unnest(tk) u(t)
+         |), bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT fp.doc_id, fp.minhash_fp, CAST($simhash AS BIGINT) AS simhash16
+         |FROM fp JOIN bits ON fp.doc_id = bits.doc_id""".stripMargin
+    },
+    "q26_multimodal_features" -> {
+      val frames = (0 until 4)
+        .map(i => s"hex(encode(substr(text, ${1 + 100 * i}, 1)))").mkString(", ")
+      val feats = (0 until 4)
+        .map(i => s"CASE WHEN n_chars > ${31 * i} THEN ascii(substr(text, ${1 + 31 * i}, 1)) ELSE -1 END AS f$i")
+        .mkString(",\n  ")
+      s"""SELECT doc_id AS asset_id,
+         |  'text/plain' AS mime,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  hex(encode(substr(text, 1, 8))) AS header_hex,
+         |  concat_ws('-', $frames) AS frame_sample,
+         |  $feats
+         |FROM documents""".stripMargin
+    })
+}
