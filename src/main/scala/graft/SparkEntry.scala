@@ -20,10 +20,12 @@ object SparkEntry {
     * LLM-data-pipeline extension surface (dedup / ANN / text stats /
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.defs ++ graft.queries.LlmPipeline.defs
+    graft.queries.Relational.defs ++ graft.queries.GoldMarts.defs ++
+      graft.queries.LlmPipeline.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.LlmPipeline.oracles
+    graft.queries.Relational.oracles ++ graft.queries.GoldMarts.oracles ++
+      graft.queries.LlmPipeline.oracles
 }
