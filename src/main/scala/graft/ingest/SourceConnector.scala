@@ -1,0 +1,39 @@
+package graft.ingest
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable source abstraction replacing the reference's JDBC extract
+  * (SURVEY §2.1 S1, hospitalA_mysqlToLanding.py:155-163). The
+  * incremental path reproduces the pushdown sub-select
+  * (`WHERE {watermark_col} > '{last_watermark}'`, :149-152) as a
+  * `Column` predicate on the scan — for parquet/CSV sources Catalyst
+  * pushes it into the reader (PushedFilters), which is the same
+  * engine-side pruning the JDBC sub-select achieves; a real JDBC impl
+  * would get it via the `dbtable` sub-select automatically.
+  */
+trait SourceConnector {
+
+  /** Full-table scan (S1 full-load branch). */
+  def read(spark: SparkSession, table: String): DataFrame
+
+  /** Incremental scan: rows strictly newer than `since` (P8). */
+  def readIncremental(
+      spark: SparkSession, table: String, watermarkCol: String, since: Timestamp): DataFrame =
+    read(spark, table).filter(col(watermarkCol) > lit(since))
+}
+
+/** Header-CSV source — stringly-typed like the reference's claims/CPT
+  * reads (S2, claims.py:16, cpt_codes.py:15: `header=True`, no schema).
+  */
+final class CsvSource(dir: String) extends SourceConnector {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.option("header", "true").csv(s"$dir/$table.csv")
+}
+
+/** Parquet-backed source (the driver testdata layout). */
+final class ParquetSource(dir: String) extends SourceConnector {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+}

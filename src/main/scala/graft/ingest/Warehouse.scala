@@ -1,0 +1,42 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Catalog-backed warehouse sinks (SURVEY §2.1 S5-S7; reference
+  * claims.py:28-33 / cpt_codes.py:23-28 bronze writes,
+  * silver.sql:6-16 / gold.sql:5-13 DDL + truncate/insert reloads).
+  *
+  * S7's `TRUNCATE TABLE` + `INSERT INTO … SELECT` pair is replaced by a
+  * single atomic `SaveMode.Overwrite` — one job, no window where the
+  * table is empty, and at 100 TB no second pass over the data.
+  */
+final class Warehouse(spark: SparkSession, db: String) {
+
+  def init(): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  private def qualified(table: String): String = s"$db.$table"
+
+  /** S6: idempotent `CREATE TABLE IF NOT EXISTS` from an explicit schema. */
+  def createIfNotExists(table: String, schema: StructType): Boolean = {
+    if (spark.catalog.tableExists(qualified(table))) false
+    else {
+      spark.catalog.createTable(qualified(table), "parquet", schema, Map.empty[String, String])
+      true
+    }
+  }
+
+  /** S5: bronze-style managed-table save (overwrite, like the
+    * reference's `mode("overwrite")` BigQuery load). */
+  def save(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(qualified(table))
+
+  /** S7: full reload of a type-1 dim / gold mart — atomic overwrite
+    * replaces the truncate+insert pair. */
+  def reload(df: DataFrame, table: String): Unit = save(df, table)
+
+  def table(name: String): DataFrame = spark.table(qualified(name))
+
+  def exists(name: String): Boolean = spark.catalog.tableExists(qualified(name))
+}
