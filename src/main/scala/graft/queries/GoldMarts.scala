@@ -158,8 +158,8 @@ object GoldMarts {
       """SELECT s.s_name AS provider_name,
         |  count(DISTINCT l.l_orderkey) AS n_encounters,
         |  count(*) AS n_tx,
-        |  sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS total_charge_e2,
-        |  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0, 0) AS BIGINT)) AS total_paid_e4,
+        |  CAST(sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_charge_e2,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_paid_e4,
         |  count(DISTINCT CASE WHEN l.l_returnflag = 'N' THEN l.l_orderkey END) AS n_approved,
         |  count(DISTINCT CASE WHEN l.l_returnflag = 'R' THEN l.l_orderkey END) AS n_returned,
         |  CAST(count(DISTINCT CASE WHEN l.l_returnflag = 'N' THEN l.l_orderkey END) AS DOUBLE)
@@ -179,7 +179,7 @@ object GoldMarts {
         |SELECT d.dept_id, d.dept_name,
         |  count(DISTINCT s.s_suppkey) AS n_providers,
         |  count(l.l_orderkey) AS n_tx,
-        |  sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS total_charge_e2,
+        |  CAST(sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_charge_e2,
         |  count(DISTINCT l.l_partkey) AS n_procedures,
         |  CAST(sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS DOUBLE)
         |    / CASE WHEN count(l.l_orderkey) = 0 THEN NULL

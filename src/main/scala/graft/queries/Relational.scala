@@ -328,8 +328,8 @@ object Relational {
     "q11_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(coalesce(l_quantity, 0.0)) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS sum_base_price_e2,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS revenue_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q12_agg_kpi_dashboard" ->
@@ -337,13 +337,13 @@ object Relational {
         |  count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers,
         |  count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS n_filled,
-        |  sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS gross_e2,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS gross_e2,
         |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS DOUBLE)
         |    / CASE WHEN count(*) = 0 THEN NULL ELSE CAST(count(*) AS DOUBLE) END AS fill_rate
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q13_agg_avg" ->
       """SELECT c_mktsegment,
-        |  sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)) AS total_bal_e2, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_bal_e2, count(*) AS n,
         |  CAST(sum(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)) AS DOUBLE)
         |    / (100.0 * CAST(count(*) AS DOUBLE)) AS avg_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
@@ -408,7 +408,7 @@ object Relational {
         |FROM unioned""".stripMargin,
     "q19_gold_charge_summary" ->
       """SELECT s.s_name AS provider_name, n.n_name AS dept_name,
-        |  sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS total_charge_e2,
+        |  CAST(sum(CAST(round(coalesce(l.l_extendedprice, 0.0) * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_charge_e2,
         |  count(*) AS n_tx
         |FROM lineitem l
         |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey

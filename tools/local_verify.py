@@ -17,22 +17,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(con, rel):
+    # Go through pandas (arrow-style typed conversion), NOT fetchall():
+    # fetchall() collapses DuckDB HUGEINT and BIGINT both to Python int,
+    # which hid the r3 oracle-type bug (driver canonicalizes typed, so
+    # HUGEINT rendered as float64 against Spark's int64). With .df(),
+    # a sum(BIGINT)->HUGEINT oracle column becomes float64/object here
+    # too and the mismatch surfaces locally.
     cols = sorted(rel.columns)
     quoted = ', '.join(f'"{c}"' for c in cols)
-    rows = con.sql(f"SELECT {quoted} FROM rel ORDER BY ALL").fetchall()
+    df = con.sql(f"SELECT {quoted} FROM rel ORDER BY ALL").df()
+    # Compare dtype KINDS (int/float/object), not exact widths: int32 vs
+    # int64 renders identically on both sides (driver passes it), while
+    # HUGEINT->float64 vs int64 renders '3.0' vs '3' (driver fails it).
+    dtypes = [f"{df[c].dtype.kind}" for c in cols]
     out = []
-    for row in rows:
+    for row in df.itertuples(index=False, name=None):
         vals = []
         for v in row:
             if isinstance(v, float):
                 vals.append(repr(v))
-            elif isinstance(v, list):
-                vals.append(json.dumps([repr(x) if isinstance(x, float) else str(x) for x in v]))
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                vals.append(json.dumps(
+                    [repr(x) if isinstance(x, float) else str(x) for x in list(v)]))
             else:
                 vals.append(str(v))
         out.append("\x01".join(vals))
     h = hashlib.sha256("\n".join(out).encode()).hexdigest()
-    return cols, len(rows), h, out
+    return cols, dtypes, len(df), h, out
 
 
 def main(sf_dir, out_dir):
@@ -52,14 +63,17 @@ def main(sf_dir, out_dir):
             spark_rel = con.sql(
                 f"SELECT * FROM '{res_path}/*.parquet'")
             rel = spark_rel
-            s_cols, s_n, s_h, s_rows = canon(con, rel)
+            s_cols, s_t, s_n, s_h, s_rows = canon(con, rel)
             rel = con.sql(oracle[name])
-            o_cols, o_n, o_h, o_rows = canon(con, rel)
+            o_cols, o_t, o_n, o_h, o_rows = canon(con, rel)
         except Exception as e:
             results[name] = f"ERROR: {e}"
             continue
         if s_cols != o_cols:
             results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
+        elif s_t != o_t:
+            d = [(c, a, b) for c, a, b in zip(s_cols, s_t, o_t) if a != b]
+            results[name] = f"TYPE_MISMATCH (spark,oracle)={d}"
         elif s_n != o_n:
             results[name] = f"ROWCOUNT_MISMATCH spark={s_n} oracle={o_n}"
         elif s_h != o_h:
