@@ -39,7 +39,12 @@ final class LandingZone(spark: SparkSession, root: String) {
 
   /** S10: move current landing files to the dated archive prefix
     * (yyyy/MM/dd path per hospitalA_mysqlToLanding.py:109-114);
-    * rename-based, no data copy. */
+    * rename-based, no data copy.
+    *
+    * Destination collisions (a second run on the same day archives
+    * files with the same names) are uniquified with a numeric suffix,
+    * and every rename's result is checked BEFORE the source dir is
+    * deleted — an unmoved file must never be silently dropped. */
   def archive(datasource: String, table: String, runDate: LocalDate): Int = {
     val src = new Path(tableDir(datasource, table))
     if (!fs.exists(src)) return 0
@@ -47,7 +52,15 @@ final class LandingZone(spark: SparkSession, root: String) {
     val dst = new Path(s"$root/$datasource/archive/$table/$datePath")
     fs.mkdirs(dst)
     val files = fs.listStatus(src).filter(_.isFile)
-    files.foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+    files.foreach { f =>
+      val name = f.getPath.getName
+      val dest = Iterator.single(new Path(dst, name))
+        .concat(Iterator.from(1).map(i => new Path(dst, s"$name.$i")))
+        .find(!fs.exists(_)).get
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(
+          s"archive: rename ${f.getPath} -> $dest failed; aborting before source delete")
+    }
     fs.delete(src, true)
     files.length
   }

@@ -37,3 +37,28 @@ final class ParquetSource(dir: String) extends SourceConnector {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 }
+
+/** Real JDBC source (S1; reference hospitalA_mysqlToLanding.py:155-163,
+  * query built :148-152). The incremental path pushes the watermark
+  * predicate down as a `dbtable` sub-select, exactly like the
+  * reference's `(SELECT * FROM t WHERE wm > '…') AS t` — the database
+  * scans only post-watermark rows, nothing streams to Spark first.
+  *
+  * Untestable in this offline environment (no database, no JDBC
+  * driver jar); the CSV/Parquet connectors above are the test
+  * substitutes behind the same trait.
+  *
+  * @param url   JDBC URL, e.g. jdbc:mysql://host:3306/db
+  * @param props connection properties (user/password/driver)
+  */
+final class JdbcSource(url: String, props: java.util.Properties) extends SourceConnector {
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  override def readIncremental(
+      spark: SparkSession, table: String, watermarkCol: String, since: Timestamp): DataFrame = {
+    val sub = s"(SELECT * FROM $table WHERE $watermarkCol > '$since') AS ${table}_inc"
+    spark.read.jdbc(url, sub, props)
+  }
+}

@@ -37,13 +37,27 @@ object QualityStage {
     * @param naturalKey     column whose null/sentinel state quarantines
     * @param criticalCols   extra columns checked for NULL / "null" text
     * @param surrogateKeyCol name of the minted key column
+    * @param keep           post-conciliation projection: columns to
+    *                       retain (empty = all) — the per-branch SELECT
+    *                       lists of silver.sql:110-121
+    * @param quarantineRule custom quarantine predicate overriding the
+    *                       default key+critical rule (the reference's
+    *                       per-entity CASE blocks differ: departments
+    *                       check plain NULLs only, silver.sql:22-25;
+    *                       encounters add a sentinel on EncounterType,
+    *                       silver.sql:399-402)
+    * @param mintKey        false = no surrogate key (providers keep the
+    *                       raw ProviderID, silver.sql:35-44)
     */
   final case class EntitySpec(
       sources: Seq[Source],
       casts: Map[String, DataType] = Map.empty,
       naturalKey: String,
       criticalCols: Seq[String] = Seq.empty,
-      surrogateKeyCol: String = "entity_key")
+      surrogateKeyCol: String = "entity_key",
+      keep: Seq[String] = Seq.empty,
+      quarantineRule: Option[Column] = None,
+      mintKey: Boolean = true)
 
   val DatasourceCol = "datasource"
   val QuarantinedCol = "is_quarantined"
@@ -60,20 +74,30 @@ object QualityStage {
     }
     val unioned = conciliated.reduce(_.unionByName(_, allowMissingColumns = true))
 
-    val typed = spec.casts.foldLeft(unioned) { case (d, (c, t)) =>
+    val projected =
+      if (spec.keep.isEmpty) unioned
+      else unioned.select((spec.keep :+ DatasourceCol).map(col): _*)
+
+    val keyed =
+      if (!spec.mintKey) projected
+      else projected.withColumn(
+        spec.surrogateKeyCol,
+        concat(col(spec.naturalKey).cast("string"), lit("-"), col(DatasourceCol)))
+
+    // Quarantine evaluates PRE-cast values: BigQuery same-level SELECT
+    // aliases are not visible to sibling expressions, so the
+    // reference's CASE sees the raw (stringly-typed) columns
+    // (silver.sql:105-108) — the rule must run before type
+    // normalization here too.
+    val quarantine = spec.quarantineRule.getOrElse(
+      (spec.naturalKey +: spec.criticalCols).map(c => badValue(col(c))).reduce(_ || _))
+    val flagged = keyed
+      .withColumn(QuarantinedCol, when(quarantine, lit(true)).otherwise(lit(false)))
+
+    val typed = spec.casts.foldLeft(flagged) { case (d, (c, t)) =>
       d.withColumn(c, d(c).try_cast(t))
     }
 
-    val keyed = typed.withColumn(
-      spec.surrogateKeyCol,
-      concat(col(spec.naturalKey).cast("string"), lit("-"), col(DatasourceCol)))
-
-    val quarantine = (spec.naturalKey +: spec.criticalCols)
-      .map(c => badValue(col(c)))
-      .reduce(_ || _)
-
-    keyed
-      .withColumn(QuarantinedCol, when(quarantine, lit(true)).otherwise(lit(false)))
-      .distinct()
+    typed.distinct()
   }
 }
