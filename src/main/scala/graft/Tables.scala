@@ -21,7 +21,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright — the legacy conf reads
+    * it as a nanosecond LONG instead, and we rebuild a microsecond
+    * timestamp with integer floor-division (`div`, not `/`: double
+    * division loses precision above 2^53 ns). The driver's DuckDB
+    * oracle reads the same file as TIMESTAMP_NS and truncates via
+    * CAST(ts AS TIMESTAMP), so both engines agree exactly. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: tumbling-window
+  * aggregation with JSON property extraction (q34) and gap-based
+  * sessionization (q35). These are the batch expressions of the two
+  * canonical streaming shapes — the SAME `window()` aggregation runs
+  * under Structured Streaming in [[graft.streaming.StreamingEvents]],
+  * and EventStreamSpec pins batch/stream equality, so the batch oracle
+  * here transitively verifies the streaming path.
+  *
+  * Scale notes:
+  *  - q34 is one shuffle on (window, event_type) with map-side partial
+  *    aggregation; countDistinct(user_id) adds the usual Catalyst
+  *    Expand (x2) — the honest exact-distinct plan (approx_count_
+  *    distinct would break the oracle by design).
+  *  - q35's session assignment is lag + running-sum over
+  *    (user_id, ts) — ONE shuffle on user_id; both window functions
+  *    share the same sort order so Catalyst evaluates them in a
+  *    single Window node, and the session groupBy re-uses the
+  *    user_id partitioning (no second full shuffle of raw events).
+  *  - Monetary sums follow the repo cents convention (sum of
+  *    round(x*100) as BIGINT; see Relational.scala float rules);
+  *    durations are integer microseconds (unix_micros) — no float
+  *    time math on either engine.
+  */
+object EventAnalytics {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // -- q34: tumbling-window aggregation + JSON extraction -------------
+
+  /** Hourly event KPIs per event_type: counts, distinct users, cents
+    * value sum, and the sum of the JSON `k` property
+    * (get_json_object — the JSON path operator; the testdata props are
+    * single-key objects, oracle-matched via regexp extraction). */
+  val q34EventsWindowed: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_sum_e2"),
+        sum(col("k")).as("k_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("value_sum_e2"), col("k_sum"))
+
+  // -- q35: gap-based sessionization ----------------------------------
+
+  private val SessionGapMicros = 30L * 60 * 1000000 // 30 minutes
+
+  /** Per-user sessions split on >30-minute inactivity gaps: session id
+    * = running count of gap-openers over (user_id, ts, event_id), then
+    * one aggregate per session (bounds, duration in microseconds,
+    * event count, cents value sum). Exposed over a plain DataFrame so
+    * EventStreamSpec can pin the streaming sessionizer against it on
+    * the same input. */
+  private[graft] def sessionizeBatch(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapMicros, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_sum_e2"))
+  }
+
+  val q35Sessionize: Q = (s, d) => sessionizeBatch(Tables.events(s, d))
+
+  // -- registry --------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "q34_events_windowed" -> q34EventsWindowed,
+    "q35_sessionize" -> q35Sessionize)
+
+  // -- DuckDB oracles ---------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP
+    // truncates to the same microseconds Spark reconstructs (see
+    // Tables.events).
+    "q34_events_windowed" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_e2,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q35_sessionize" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR date_diff('microsecond', lag(ts) OVER w, ts) > ${30L * 60 * 1000000}
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sess AS (
+         |  SELECT *, CAST(sum(new_session) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_seq,
+         |  min(ts) AS session_start,
+         |  max(ts) AS session_end,
+         |  date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_e2
+         |FROM sess
+         |GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection and ANN variants beyond LlmPipeline's
+  * MinHash-LSH (q21) and hyperplane-LSH (q24): a banded SimHash
+  * near-dup join (q31), an embedding-cosine near-dup with
+  * sign-pattern LSH blocking (q32), and an IVF-style cell-probed ANN
+  * (q33) — the three remaining dedup/similarity modalities of a
+  * training-data pipeline.
+  *
+  * Scale design (the 100 TB story):
+  *  - q31's banding is EXACT, not approximate: 4 bands × 15 bits over
+  *    a 60-bit SimHash guarantee (pigeonhole) that any pair within
+  *    hamming distance 3 shares at least one intact band — so the
+  *    banded plan provably equals the all-pairs filter, and the DuckDB
+  *    oracle can be the INDEPENDENT quadratic restatement rather than
+  *    a re-run of the same algorithm.
+  *  - q32's sign-LSH is approximate (like q24); the oracle therefore
+  *    replicates the banding, and the approximation is the documented
+  *    contract. Recall rises steeply with similarity (per band of 8
+  *    sign agreements, P ≈ (1-θ/π)^8; OR over 4 bands).
+  *  - q33 assigns every vector to its nearest of K=16 deterministic
+  *    centroids (the vectors with vec_id < K), probes the query's 2
+  *    nearest cells. Candidate generation is an equi-join on cell id —
+  *    shuffle on a bounded key, no quadratic blow-up; at real scale K
+  *    grows ~√N and centroids come from a sampled k-means, but the
+  *    plan shape (broadcast centroids → cell equi-join → windowed
+  *    top-k) is exactly this one.
+  *  - Bucket-width knobs: the band/bit and K constants here are sized
+  *    for the testdata; at 100 TB you widen bands (more bits) and K so
+  *    per-bucket cardinality stays bounded — the plans are unchanged.
+  *  - All verification math is integer (quantized e4 dots, bit_count)
+  *    or a single IEEE op over identical operands — cross-engine
+  *    deterministic, same rules as LlmPipeline.
+  */
+object NearDup {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // -- q31: SimHash near-duplicate join ------------------------------
+
+  private val SimBits = 60 // 4 bands x 15 bits, sign-safe in an INT64
+  private val SimBands = 4
+  private val BandBits = SimBits / SimBands
+  private val MaxHamming = 3 // < SimBands, so banding is lossless
+
+  /** Whitespace-normalized lowercase tokens (same contract as
+    * LlmPipeline.tokens — duplicated privately to keep the two files
+    * independently readable). */
+  private def tokens(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+
+  /** Per-doc 60-bit SimHash: token hash = two 30-bit halves of
+    * md5(token); bit i of the fingerprint is the sign of the
+    * frequency-weighted sum of (±1) votes from bit i of the token
+    * hashes. One narrow map + ONE shuffle (the groupBy); the 60
+    * bit-sums are a single partial-aggregated pass. */
+  private[graft] def simhash60(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % (1L << 30)).as("h1"),
+        (conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long") % (1L << 30)).as("h2"))
+    val bitSums = (0 until SimBits).map { i =>
+      val src = if (i < 30) col("h1") else col("h2")
+      sum(when(shiftright(src, i % 30).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val sh = (0 until SimBits)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance <= 3. Banded plan:
+    * explode each doc into 4 (band, 15-bit-slice) keys, collect
+    * same-key docs, expand i<j pairs in-row (the q21 pattern), verify
+    * with bit_count(xor). Lossless by pigeonhole — see object doc. */
+  val q31DedupSimhash: Q = (s, d) => {
+    val sim = simhash60(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val bandKeys = array((0 until SimBands).map(b =>
+      concat_ws("|", lit(b),
+        shiftright(col("simhash"), b * BandBits).bitwiseAND(lit((1L << BandBits) - 1)))): _*)
+    val buckets = sim.select(col("doc_id"), explode(bandKeys).as("bkey"))
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = buckets
+      .groupBy("bkey").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val a = sim.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
+    val b = sim.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
+    broadcast(cand)
+      .join(a, col("doc_a") === col("a_id"))
+      .join(b, col("doc_b") === col("b_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  // -- shared quantized-embedding primitives (q23/q24 conventions) ---
+
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosE6(dot: Column, sa: Column, sb: Column): Column =
+    round(lit(1e6) * dot.cast("double") /
+      (sqrt(sa.cast("double")) * sqrt(sb.cast("double"))), 0).cast("long")
+
+  /** (vec_id, q, s2) quantized embeddings with integer self-dot. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("s2", dotL(col("q"), col("q")))
+
+  // -- q32: embedding-cosine near-dup (sign-LSH blocked) -------------
+
+  private val SignBands = 4
+  private val SignBitsPerBand = 8 // components 0..31 -> 4 bands x 8 signs
+  private val CosDupThresholdE6 = 350000L
+
+  /** Embedding near-dup pairs: candidates share the full sign pattern
+    * of at least one 8-component band (sign-random-projection LSH on
+    * the coordinate axes), verified by exact quantized cosine >=
+    * 0.35. Same collect-expand candidate plan as q21/q31; per-band
+    * key space is 2^8 per band id. */
+  val q32DedupEmbedCosine: Q = (s, d) => {
+    val e = quantized(s, d)
+    val bandKeys = array((0 until SignBands).map { b =>
+      val sig = (0 until SignBitsPerBand).map { j =>
+        when(element_at(col("q"), b * SignBitsPerBand + j + 1) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      concat_ws("|", lit(b), sig)
+    }: _*)
+    val buckets = e.select(col("vec_id"), explode(bandKeys).as("bkey"))
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = buckets
+      .groupBy("bkey").agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
+    val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("s2").as("sa"))
+    val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("s2").as("sb"))
+    broadcast(cand)
+      .join(a, col("vec_a") === col("a_id"))
+      .join(b, col("vec_b") === col("b_id"))
+      .select(col("vec_a"), col("vec_b"),
+        cosE6(dotL(col("qa"), col("qb")), col("sa"), col("sb")).as("cos_e6"))
+      .filter(col("cos_e6") >= CosDupThresholdE6)
+  }
+
+  // -- q33: IVF cell-probed ANN (oracle-checked scale path) ----------
+
+  private val IvfCells = 16
+  private val IvfProbes = 2
+
+  /** IVF ANN: every vector is assigned to its nearest of K=16
+    * deterministic centroids (the vectors with vec_id < K); each query
+    * (vec_id % 25 == 0) probes its 2 nearest cells and takes the exact
+    * cosine top-5 among their members. Unlike q24 this is fully
+    * SQL-expressible (centroids are data, not code), so it carries a
+    * real DuckDB oracle.
+    *
+    * Plan: centroids are a broadcast nested-loop against the table
+    * (K rows — bounded), assignment picked by a per-vector window;
+    * candidates come from an equi-join on cell id. */
+  val q33AnnIvf: Q = (s, d) => {
+    val e = quantized(s, d)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
+    val scoredCells = e.join(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("s2"), col("c_id"),
+        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val ranked = scoredCells.withColumn("crank", row_number().over(w))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("q"), col("s2"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("s2").as("qs2"),
+        col("c_id").as("cell"))
+    val scored = assign.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosE6(dotL(col("q"), col("qq")), col("s2"), col("qs2")).as("cos_e6"))
+      .dropDuplicates("q_id", "neighbor_id")
+    val wq = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wq)).filter(col("rank") <= 5)
+  }
+
+  // -- registry ------------------------------------------------------
+
+  val defs: Map[String, Q] = Map(
+    "q31_dedup_simhash" -> q31DedupSimhash,
+    "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
+    "q33_ann_ivf" -> q33AnnIvf)
+
+  // -- DuckDB oracles ------------------------------------------------
+
+  /** Quantized embeddings + self-dot, shared by q32/q33 oracles. */
+  private val quantCte =
+    """qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), ev AS (
+      |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS s2 FROM qv
+      |)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS DOUBLE)"
+
+  private def cosSql(dot: String, sa: String, sb: String): String =
+    s"CAST(round(1e6 * $dot / (sqrt(CAST($sa AS DOUBLE)) * sqrt(CAST($sb AS DOUBLE))), 0) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    // Independent quadratic restatement — provably equal to the banded
+    // plan because 4x15-bit banding is lossless at hamming <= 3.
+    "q31_dedup_simhash" -> {
+      val bitSums = (0 until SimBits).map { i =>
+        val src = if (i < 30) "h1" else "h2"
+        s"sum(CASE WHEN ($src >> ${i % 30}) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(",\n    ")
+      val sh = (0 until SimBits)
+        .map(i => s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(u.t), 1, 8) AS BIGINT) % ${1L << 30} AS h1,
+         |    CAST('0x' || substr(md5(u.t), 9, 8) AS BIGINT) % ${1L << 30} AS h2
+         |  FROM toks, LATERAL unnest(tk) u(t)
+         |), bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM tok GROUP BY doc_id
+         |), sim AS (
+         |  SELECT doc_id, CAST($sh AS BIGINT) AS sh FROM bits
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= $MaxHamming""".stripMargin
+    },
+    // Replicates the sign-band blocking (approximate by contract).
+    "q32_dedup_embed_cosine" -> {
+      val bands = (0 until SignBands).map { b =>
+        val sig = (0 until SignBitsPerBand)
+          .map(j => s"CASE WHEN q[${b * SignBitsPerBand + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"SELECT vec_id, concat_ws('|', $b, $sig) AS bkey FROM qv"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $quantCte, bands AS (
+         |  $bands
+         |), cand AS (
+         |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+         |  FROM bands l JOIN bands r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |)
+         |SELECT vec_a, vec_b,
+         |  ${cosSql(dotSql("a.q", "b.q"), "a.s2", "b.s2")} AS cos_e6
+         |FROM cand
+         |JOIN ev a ON vec_a = a.vec_id
+         |JOIN ev b ON vec_b = b.vec_id
+         |WHERE ${cosSql(dotSql("a.q", "b.q"), "a.s2", "b.s2")} >= $CosDupThresholdE6""".stripMargin
+    },
+    "q33_ann_ivf" ->
+      s"""WITH $quantCte, cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
+         |), cell_scores AS (
+         |  SELECT e.vec_id, e.q, e.s2, c.c_id,
+         |    ${cosSql(dotSql("e.q", "c.cq"), "e.s2", "c.cs2")} AS c_cos
+         |  FROM ev e CROSS JOIN cents c
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crank
+         |  FROM cell_scores
+         |), assign AS (
+         |  SELECT vec_id, q, s2, c_id AS cell FROM ranked WHERE crank = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, q AS qq, s2 AS qs2, c_id AS cell
+         |  FROM ranked WHERE vec_id % 25 = 0 AND crank <= $IvfProbes
+         |), scored AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id,
+         |    ${cosSql(dotSql("a.q", "p.qq"), "a.s2", "p.qs2")} AS cos_e6
+         |  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |)
+         |SELECT q_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5""".stripMargin)
+}

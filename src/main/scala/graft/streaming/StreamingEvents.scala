@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surfaces for the event/document pipelines.
+  *
+  * The reference pipeline is daily batch (SURVEY §2.8 — no streaming
+  * needed for parity); these are the scale extensions a continuous
+  * training-data pipeline needs, built so the BATCH and STREAMING
+  * paths share one transformation:
+  *
+  *  - [[windowedKpis]] is written against a plain DataFrame and works
+  *    unchanged over `spark.read` and `spark.readStream` input — the
+  *    batch q34 oracle therefore transitively verifies the streaming
+  *    plan (EventStreamSpec pins the equality).
+  *  - [[dedupByKey]] is `dropDuplicates` with a watermark: streaming
+  *    state is bounded by event time, so an unbounded run cannot
+  *    accumulate unbounded dedup state (the q20 exact-dedup contract,
+  *    continuous form).
+  *  - [[sessionize]] is the q35 gap-session operator as explicit
+  *    `flatMapGroupsWithState` state: sessions close when the event-
+  *    time watermark passes the 30-minute gap, which is exactly the
+  *    batch semantics of "next event more than 30 minutes later" —
+  *    with bounded per-user state (one open session each).
+  *
+  * At scale: all three are keyed state — shuffle on (window/key/user),
+  * state store partitioned the same way; no operator holds more than
+  * watermark-bounded state, so a 1000-executor cluster runs them
+  * indefinitely.
+  */
+object StreamingEvents {
+
+  /** The events-table schema (TESTDATA.md), declared explicitly:
+    * streaming file sources do not infer schemas. */
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** JSON-lines streaming source over a landing-style directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** Hourly KPIs per event_type — the q34 aggregation minus the
+    * distinct-user count (DISTINCT aggregation is unsupported over
+    * streams; the batch q34 keeps it). Works on batch and streaming
+    * inputs alike; callers of the streaming form must set a watermark
+    * upstream for append-mode output. */
+  def windowedKpis(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_sum_e2"),
+        sum(col("k")).as("k_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum_e2"), col("k_sum"))
+
+  /** Exact streaming dedup on `keyCols`, state bounded by a watermark
+    * on `tsCol`: duplicates arriving within the watermark horizon are
+    * dropped; state for older keys is evicted. */
+  def dedupByKey(events: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicates(keyCols :+ tsCol)
+
+  // -- stateful sessionization ----------------------------------------
+
+  /** One input event (mirrors eventSchema). */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionState(start: Long, end: Long, nEvents: Long, valueE2: Long)
+
+  /** A closed session (same shape as batch q35 minus session_seq,
+    * which is a run-relative ordinal the streaming form replaces with
+    * the session start time). */
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, duration_us: Long, n_events: Long, value_sum_e2: Long)
+
+  private val GapMicros = 30L * 60 * 1000000
+
+  private def micros(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+
+  private def toSession(uid: Long, st: SessionState): Session =
+    Session(uid, new Timestamp(st.start / 1000), new Timestamp(st.end / 1000),
+      st.end - st.start, st.nEvents, st.valueE2)
+
+  /** flatMapGroupsWithState kernel: folds a user's micro-batch events
+    * into the open session, emitting sessions whose gap has closed.
+    * Also called directly by the unit spec (pure function). */
+  private[graft] def foldUser(
+      uid: Long, events: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toSession(uid, _))
+      state.remove()
+      return out.iterator
+    }
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      val v = math.round(e.value * 100)
+      open match {
+        case Some(st) if t - st.end <= GapMicros =>
+          open = Some(SessionState(st.start, math.max(st.end, t), st.nEvents + 1, st.valueE2 + v))
+        case Some(st) =>
+          closed += toSession(uid, st)
+          open = Some(SessionState(t, t, 1, v))
+        case None =>
+          open = Some(SessionState(t, t, 1, v))
+      }
+    }
+    open.foreach { st =>
+      state.update(st)
+      state.setTimeoutTimestamp(st.end / 1000 + GapMicros / 1000)
+    }
+    closed.result().iterator
+  }
+
+  /** Streaming gap-sessionization: per-user open-session state with an
+    * event-time timeout at (last event + 30 min); a session is emitted
+    * once the watermark proves no event can extend it. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(foldUser)
+  }
+}
