@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Scd2Merge
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Pins the streaming SCD2 ingest (foreachBatch merge-and-swap)
+  * against the batch Scd2Merge semantics across micro-batches: close
+  * on change, insert-on-next-batch (quirk b), and equality with the
+  * batch kernel applied to the same snapshots in sequence.
+  */
+class StreamingIngestSpec extends SparkSpec {
+
+  import StreamingIngestSpec._
+
+  private def clockAt(s: String) = to_timestamp(lit(s))
+
+  test("scd2Stream merges micro-batches into the target with batch semantics") {
+    import spark.implicits._
+    val target = tmpDir("scd2-stream-target") + "/silver"
+    val checkpoint = tmpDir("scd2-stream-ckpt")
+    val merge = Scd2Merge(Seq("id"), Seq("name"), clockAt("2024-01-15 05:00:00"))
+
+    val input = MemoryStream[Rec](spark)
+    val q = StreamingIngest.scd2Stream(input.toDF(), merge, target, checkpoint)
+    try {
+      input.addData(Rec(1, "a"), Rec(2, "b"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(target)
+      after1.count() shouldBe 2
+      after1.filter(col(Scd2Merge.IsCurrent)).count() shouldBe 2
+
+      // batch 2: id=1 changes, id=3 is new, id=2 absent (untouched)
+      input.addData(Rec(1, "a2"), Rec(3, "c"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(target)
+      after2.count() shouldBe 3
+      after2.filter(col("id") === 1 && !col(Scd2Merge.IsCurrent)).count() shouldBe 1
+      after2.filter(col("id") === 3 && col(Scd2Merge.IsCurrent))
+        .select("name").as[String].collect() shouldBe Array("c")
+
+      // batch 3: id=1 re-arrives -> NOT MATCHED insert (quirk b)
+      input.addData(Rec(1, "a2"))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(target)
+      after3.filter(col("id") === 1).count() shouldBe 2
+      after3.filter(col("id") === 1 && col(Scd2Merge.IsCurrent))
+        .select("name").as[String].collect() shouldBe Array("a2")
+    } finally q.stop()
+  }
+
+  test("streaming state equals the batch kernel applied to the same snapshots") {
+    import spark.implicits._
+    val target = tmpDir("scd2-equiv-target") + "/silver"
+    val merge = Scd2Merge(Seq("id"), Seq("name"), clockAt("2024-02-01 05:00:00"))
+    val snapshots = Seq(
+      Seq(Rec(1, "x"), Rec(2, "y")),
+      Seq(Rec(1, "x2")),
+      Seq(Rec(1, "x2"), Rec(2, "y")))
+
+    // streaming path: one foreachBatch invocation per snapshot
+    snapshots.foreach(s => StreamingIngest.mergeBatch(s.toDF(), merge, target))
+    val streamed = spark.read.parquet(target)
+      .select("id", "name", Scd2Merge.IsCurrent)
+      .as[(Long, String, Boolean)].collect().sorted
+
+    // batch path: fold the same snapshots through the kernel directly
+    val empty = Seq.empty[Rec].toDF()
+      .withColumn(Scd2Merge.InsertedDate, lit(null).cast("timestamp"))
+      .withColumn(Scd2Merge.ModifiedDate, lit(null).cast("timestamp"))
+      .withColumn(Scd2Merge.IsCurrent, lit(true))
+    val folded = snapshots.foldLeft(empty)((t, s) => merge(t, s.toDF()))
+      .select("id", "name", Scd2Merge.IsCurrent)
+      .as[(Long, String, Boolean)].collect().sorted
+
+    streamed shouldBe folded
+    streamed.length shouldBe 3 // 1:x closed, 1:x2 current, 2:y current
+  }
+}
+
+object StreamingIngestSpec {
+  final case class Rec(id: Long, name: String)
+}
