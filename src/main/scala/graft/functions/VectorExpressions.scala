@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §7.5 —
+  * the first genuinely custom Expression work; everything else in the
+  * engine composes built-ins on purpose).
+  *
+  * The ANN/near-dup family (q23/q24/q32/q33) computes integer dot
+  * products per CANDIDATE PAIR — the quadratic inner loop of the whole
+  * bench. Composed as `aggregate(zip_with(a, b, _*_), 0, _+_)` that
+  * loop materializes a 64-element intermediate array per pair and
+  * walks the fold through Catalyst's higher-order-function machinery.
+  * These expressions fuse it into a single codegen'd multiply-add
+  * loop: no intermediate array, stays inside WholeStageCodegen.
+  *
+  * Both evaluate strictly left-to-right, the same order as the
+  * `aggregate` fold they replace, so results are bit-identical (the
+  * integer form is order-free anyway; the double form matters for
+  * q24's plane projections).
+  *
+  * Exposure is the public path end to end: expressions are registered
+  * in the session `FunctionRegistry` (directly via
+  * [[VectorFunctions.register]], or at session build via
+  * [[GraftExtensions]]) and invoked with `call_function` — no use of
+  * Spark-private Column internals.
+  */
+abstract class DotProductBase extends BinaryExpression with Serializable {
+  protected def elemType: DataType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _)) if l == elemType && r == elemType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two ARRAY<$elemType> arguments, " +
+            s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullIntolerant: Boolean = true
+}
+
+/** dot(a, b) over ARRAY<BIGINT> → BIGINT. Array elements are assumed
+  * non-null (every producer in this engine is a `transform` over
+  * non-null input); a null ARRAY yields null. */
+case class DotProductLong(left: Expression, right: Expression) extends DotProductBase {
+  protected def elemType: DataType = LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0L; // nullSafeCodeGen pre-inits to the -1 placeholder
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) over ARRAY<DOUBLE> → DOUBLE, strict left-to-right IEEE
+  * accumulation (deterministic: same operands, same order, every run). */
+case class DotProductDouble(left: Expression, right: Expression) extends DotProductBase {
+  protected def elemType: DataType = DoubleType
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_double"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0.0; // nullSafeCodeGen pre-inits to the -1 placeholder
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL-registry surface for the expressions above. */
+object VectorFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot_long" -> (es => DotProductLong(es(0), es(1))),
+    "graft_dot_double" -> (es => DotProductDouble(es(0), es(1))))
+
+  /** Idempotently register the functions on an existing session
+    * (createOrReplace); callers that build their own session can use
+    * [[GraftExtensions]] instead. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Fused integer dot product (codegen'd; see [[DotProductLong]]).
+    * Requires [[register]] (or [[GraftExtensions]]) on the session. */
+  def dotLong(a: Column, b: Column): Column = call_function("graft_dot_long", a, b)
+
+  /** Fused double dot product (codegen'd; see [[DotProductDouble]]). */
+  def dotDouble(a: Column, b: Column): Column = call_function("graft_dot_double", a, b)
+}
+
+/** `spark.sql.extensions` injection point: sessions built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` get the
+  * vector functions out of the box. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
+      (es: Seq[Expression]) => DotProductLong(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_double"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_double"),
+      (es: Seq[Expression]) => DotProductDouble(es(0), es(1))))
+  }
+}

@@ -206,8 +206,12 @@ object LlmPipeline {
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
 
+  /** Fused codegen'd integer dot (graft.functions.DotProductLong) —
+    * same value as the aggregate(zip_with(...)) composition it
+    * replaced, minus the per-pair intermediate array. Callers must
+    * VectorFunctions.register the session first. */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotLong(a, b)
 
   private def cosE6(dot: Column, sa: Column, sb: Column): Column =
     round(lit(1e6) * dot.cast("double") /
@@ -218,6 +222,7 @@ object LlmPipeline {
     * side is one shuffle-free streaming pass; quadratic work is the
     * POINT of the baseline (q24 is the scale path). */
   val q23AnnBruteForce: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant(col("embedding")).as("q"))
       .withColumn("sq", dotL(col("q"), col("q")))
@@ -255,8 +260,9 @@ object LlmPipeline {
     * DuckDB SQL) → driver records a rows-only check; AnnLshSpec pins
     * recall against the q23 baseline. */
   val q24AnnLshBucketed: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
     def dotPlane(v: Column, w: Seq[Double]): Column =
-      aggregate(zip_with(v, typedlit(w), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      graft.functions.VectorFunctions.dotDouble(v, typedlit(w))
     def bucket(t: Int): Column =
       (0 until LshPlanesPerTable).map { p =>
         when(dotPlane(col("v"), planeWeights(t, p)) >= 0, lit(1 << p)).otherwise(lit(0))

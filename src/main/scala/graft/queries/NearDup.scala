@@ -110,18 +110,22 @@ object NearDup {
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
 
+  /** Fused codegen'd integer dot — see graft.functions.DotProductLong;
+    * callers must VectorFunctions.register the session first. */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotLong(a, b)
 
   private def cosE6(dot: Column, sa: Column, sb: Column): Column =
     round(lit(1e6) * dot.cast("double") /
       (sqrt(sa.cast("double")) * sqrt(sb.cast("double"))), 0).cast("long")
 
   /** (vec_id, q, s2) quantized embeddings with integer self-dot. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), quant(col("embedding")).as("q"))
       .withColumn("s2", dotL(col("q"), col("q")))
+  }
 
   // -- q32: embedding-cosine near-dup (sign-LSH blocked) -------------
 
