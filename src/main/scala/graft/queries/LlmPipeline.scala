@@ -137,7 +137,10 @@ object LlmPipeline {
       .distinct()
     val a = sig.select(col("doc_id").as("a_id"), col("n").as("na"), col("hs").as("hs_a"))
     val b = sig.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hs").as("hs_b"))
-    broadcast(cand)
+    // No forced broadcast of cand: the pair set grows with the data, so
+    // at scale these must stay keyed shuffle joins — AQE still picks a
+    // broadcast at runtime whenever cand measures small.
+    cand
       .join(a, col("doc_a") === col("a_id"))
       .join(b, col("doc_b") === col("b_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -268,24 +271,35 @@ object LlmPipeline {
         when(dotPlane(col("v"), planeWeights(t, p)) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
 
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
-        quant(col("embedding")).as("q"))
-      .withColumn("sq", dotL(col("q"), col("q")))
-    val bucketed = (0 until LshTables).map { t =>
-      e.select(col("vec_id"), col("q"), col("sq"), lit(t).as("t"), bucket(t).as("b"))
-    }.reduce(_ unionByName _)
-    val qs = bucketed.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("sq").as("qsq"),
-        col("t").as("qt"), col("b").as("qb"))
-    val cand = bucketed
+    // One pass computes all 6 tables' buckets as an exploded array
+    // (the q21 pattern — the r3 shape was a 6-way union that rescanned
+    // and re-quantized the embeddings per table). Pair generation is
+    // KEY-ONLY: the 64-element arrays never ride the (t, b) shuffle;
+    // they attach by vec_id equi-join after the pair dedup, so each
+    // array crosses exactly two shuffles regardless of L.
+    val tb = array((0 until LshTables).map(t =>
+      struct(lit(t).as("t"), bucket(t).as("b"))): _*)
+    val buckets = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), explode(tb).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val qs = buckets.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("t").as("qt"), col("b").as("qb"))
+    val pairs = buckets
       .join(qs, col("t") === col("qt") && col("b") === col("qb") &&
         col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        col("q"), col("qq"), col("sq"), col("qsq"))
-      .dropDuplicates("q_id", "neighbor_id")
-    val scored = cand.select(col("q_id"), col("neighbor_id"),
-      cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("sq", dotL(col("q"), col("q")))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("n_id"), col("q"), col("sq")),
+        col("neighbor_id") === col("n_id"))
+      .join(e.select(col("vec_id").as("e_qid"), col("q").as("qq"), col("sq").as("qsq")),
+        col("q_id") === col("e_qid"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
   }

@@ -97,7 +97,9 @@ object NearDup {
       .distinct()
     val a = sim.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
     val b = sim.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
-    broadcast(cand)
+    // cand grows with the data — keyed shuffle joins at scale; AQE
+    // broadcasts at runtime when it measures small.
+    cand
       .join(a, col("doc_a") === col("a_id"))
       .join(b, col("doc_b") === col("b_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -160,7 +162,9 @@ object NearDup {
       .distinct()
     val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("s2").as("sa"))
     val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("s2").as("sb"))
-    broadcast(cand)
+    // cand grows with the data — keyed shuffle joins at scale; AQE
+    // broadcasts at runtime when it measures small.
+    cand
       .join(a, col("vec_a") === col("a_id"))
       .join(b, col("vec_b") === col("b_id"))
       .select(col("vec_a"), col("vec_b"),
