@@ -1,0 +1,81 @@
+package graft
+
+/** Plan-quality regression gate: the scale properties the engine is
+  * designed around, asserted on the ACTUAL physical plans so a future
+  * edit that silently breaks pushdown, reintroduces an all-pairs join,
+  * or splits a shared window sort fails a test instead of a 100 TB run.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Queries whose plans INTENTIONALLY contain a nested-loop join
+    * against a broadcast side that is bounded by design: q23's
+    * brute-force baseline (declared quadratic), q33's K=16 centroid
+    * assignment. Everything else must be hash/sort-merge equi-joins. */
+  private val nestedLoopAllowed = Set("q23_ann_brute_force", "q33_ann_ivf")
+
+  test("no cartesian products anywhere; nested-loop joins only where declared") {
+    assume(haveData, s"$sfDir not present")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should not include "CartesianProduct"
+        if (!nestedLoopAllowed(name))
+          p should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  test("q01 scan prunes columns and pushes filters down to parquet") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q01_pruned_scan")
+    p should include("PushedFilters: [")
+    p should include("IsNotNull")
+    // projection reaches the scan: ReadSchema carries only the query's
+    // three columns, not all 16 lineitem columns
+    val readSchema = p.substring(p.indexOf("ReadSchema:"))
+      .takeWhile(_ != '>')
+    readSchema.count(_ == ',') should be <= 3 // <= 4 cols read of 16
+  }
+
+  test("q08 multiway fan-out runs on broadcast joins, no shuffle joins") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q08_join_multiway_fanout")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+  }
+
+  test("q35 sessionization shuffles once: both window frames share one sort") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q35_sessionize")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    // the session aggregate reuses the window's user_id partitioning —
+    // no second shuffle between Window and the final HashAggregate
+  }
+
+  test("q38 evaluates all three window columns in a single Window node") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q38_moving_window")
+    p.linesIterator.count(_.trim.startsWith("Window ")) +
+      p.linesIterator.count(_.trim.contains("- Window ")) should be <= 2
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("dimension joins broadcast the dimension, never the fact") {
+    assume(haveData, s"$sfDir not present")
+    // q19 gold mart: lineitem fact joined to supplier + nation dims
+    val p = plan("q19_gold_charge_summary")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+}
