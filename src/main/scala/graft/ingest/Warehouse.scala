@@ -36,6 +36,29 @@ final class Warehouse(spark: SparkSession, db: String) {
     * replaces the truncate+insert pair. */
   def reload(df: DataFrame, table: String): Unit = save(df, table)
 
+  /** Bucketed save: pre-shuffles the table into `nBuckets` by
+    * `bucketCols` at WRITE time so every later equi-join or aggregate
+    * on those columns is exchange-free — the 100 TB play for fact⋈fact
+    * joins that would otherwise shuffle both sides every run (pay the
+    * shuffle once at ingest, not per query). Joining two tables
+    * bucketed the same way produces a zero-Exchange sort-merge join
+    * (WarehouseLayoutSpec pins this on the actual plan). */
+  def saveBucketed(df: DataFrame, table: String, nBuckets: Int, bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(qualified(table))
+
+  /** Partitioned save: directory-partitions the table by `partCols` so
+    * selective reads prune whole partitions at planning time (gold
+    * marts read by date/department; the scan shows PartitionFilters,
+    * not a full-table pass). Keep partition columns low-cardinality —
+    * one directory per value. */
+  def savePartitioned(df: DataFrame, table: String, partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partCols: _*)
+      .saveAsTable(qualified(table))
+
   def table(name: String): DataFrame = spark.table(qualified(name))
 
   def exists(name: String): Boolean = spark.catalog.tableExists(qualified(name))
