@@ -107,6 +107,82 @@ object NearDup {
       .filter(col("hamming") <= MaxHamming)
   }
 
+  // -- q39: exact n-gram Jaccard join via prefix filtering -----------
+
+  private val JaccardThresholdE6 = 500000L // t = 0.5
+
+  /** Word 3-gram shingles as space-joined strings (same contract as
+    * LlmPipeline.shingles). */
+  private def shingles3(tk: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ", slice(tk, i + lit(1), lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** EXACT Jaccard ≥ 0.5 near-dup join over hashed 3-gram shingle sets
+    * — the lossless complement to q21's MinHash (which can miss pairs
+    * whose bands never collide). Blocking is PPJoin-style prefix
+    * filtering: with each doc's shingle set sorted by a global total
+    * order, two sets with Jaccard ≥ t MUST share an element within
+    * each one's first `n - ceil(t·n) + 1` elements — so candidates
+    * sharing any prefix element are a provable superset of all
+    * qualifying pairs, and the DuckDB oracle replicating the same
+    * algebra is exhaustive, not approximate.
+    *
+    * At scale: candidate generation is a keyed equi-join on prefix
+    * shingle hash (bounded per-shingle buckets — no all-pairs), and
+    * the canonical order is ASCENDING GLOBAL DOCUMENT FREQUENCY
+    * (true PPJoin): prefixes hold each doc's rarest shingles, so a
+    * shingle shared by many docs almost never lands in a prefix and
+    * hot buckets vanish. The (df, h) order is encoded as one sortable
+    * BIGINT `min(df, 2^15-1)·2^48 + h` — identical in both engines;
+    * capping df only reorders among very-common shingles, and ANY
+    * total order keeps the filter lossless. */
+  val q39DedupNgramJaccard: Q = (s, d) => {
+    val exh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(shingles3(col("tk"))).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+    val freq = exh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sets = exh.join(freq, "h")
+      .select(col("doc_id"),
+        (least(col("df"), lit(32767L)) * lit(1L << 48) + col("h")).as("k"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
+      .select(col("doc_id"),
+        transform(col("ks"), k => k.bitwiseAND(lit((1L << 48) - 1))).as("hs"),
+        size(col("ks")).cast("long").as("n"))
+      // prefix length n - ceil(t*n) + 1 at t=0.5, in exact integer math
+      .withColumn("plen", expr("cast(n - (n + 1) div 2 + 1 as int)"))
+    val buckets = sets
+      .select(col("doc_id"), explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = buckets
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("a_id"), col("n").as("na"), col("hs").as("hs_a"))
+    val b = sets.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hs").as("hs_b"))
+    cand
+      .join(a, col("doc_a") === col("a_id"))
+      .join(b, col("doc_b") === col("b_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_inter"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        round(lit(1e6) * col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 0)
+          .cast("long").as("jaccard_e6"))
+      .filter(col("jaccard_e6") >= JaccardThresholdE6)
+  }
+
   // -- shared quantized-embedding primitives (q23/q24 conventions) ---
 
   private def quant(c: Column): Column =
@@ -215,7 +291,8 @@ object NearDup {
   val defs: Map[String, Q] = Map(
     "q31_dedup_simhash" -> q31DedupSimhash,
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
-    "q33_ann_ivf" -> q33AnnIvf)
+    "q33_ann_ivf" -> q33AnnIvf,
+    "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -287,6 +364,49 @@ object NearDup {
          |JOIN ev b ON vec_b = b.vec_id
          |WHERE ${cosSql(dotSql("a.q", "b.q"), "a.s2", "b.s2")} >= $CosDupThresholdE6""".stripMargin
     },
+    // Same prefix-filter algebra restated in SQL (lossless at t=0.5, so
+    // this is the complete answer, not a candidate approximation).
+    "q39_dedup_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |  FROM documents
+         |), ex AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+2], ' ') AS sh
+         |  FROM toks, LATERAL unnest(generate_series(1, len(tk)-2)) u(i)
+         |  WHERE len(tk) >= 3
+         |), exh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h
+         |  FROM ex
+         |), freq AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM exh GROUP BY h
+         |), sets AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_sort(list(least(df, 32767) * ${1L << 48} + exh.h)),
+         |      k -> k & ${(1L << 48) - 1}) AS hs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM exh JOIN freq ON exh.h = freq.h
+         |  GROUP BY doc_id
+         |), pre AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sets
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM pre l JOIN pre r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+         |    a.n AS na, b.n AS nb
+         |  FROM cand
+         |  JOIN sets a ON doc_a = a.doc_id
+         |  JOIN sets b ON doc_b = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_inter,
+         |  na + nb - n_inter AS n_union,
+         |  CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+         |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= $JaccardThresholdE6""".stripMargin,
     "q33_ann_ivf" ->
       s"""WITH $quantCte, cents AS (
          |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
