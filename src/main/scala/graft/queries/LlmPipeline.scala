@@ -234,8 +234,9 @@ object LlmPipeline {
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    // map-side top-k: the shuffle carries <= 5 rows per query per input
+    // partition instead of the full |queries|x|table| score stream
+    graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
   }
 
   // -- q24: hyperplane-LSH bucketed ANN (the scale path) ------------
@@ -300,8 +301,7 @@ object LlmPipeline {
         col("q_id") === col("e_qid"))
       .select(col("q_id"), col("neighbor_id"),
         cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
   }
 
   // -- q25: document fingerprints (min-hash + SimHash) --------------

@@ -282,8 +282,7 @@ object NearDup {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosE6(dotL(col("q"), col("qq")), col("s2"), col("qs2")).as("cos_e6"))
       .dropDuplicates("q_id", "neighbor_id")
-    val wq = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(wq)).filter(col("rank") <= 5)
+    graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
   }
 
   // -- registry ------------------------------------------------------
