@@ -27,6 +27,11 @@ final case class AssetFeatures(
   */
 trait Codec extends Serializable {
   def decode(a: Asset): AssetFeatures
+
+  /** Re-encode the payload at the target raster size (a real codec
+    * decodes → resamples → re-encodes; the stub nearest-neighbors the
+    * byte stream). Metadata (id/mime/source) is preserved. */
+  def resize(a: Asset, width: Int, height: Int): Asset
 }
 
 /** STUB codec — this container has no image/audio libraries, so the
@@ -65,6 +70,15 @@ object StubCodec extends Codec {
       n_frames = if (a.mime.startsWith("video/")) 1 + math.floorMod(h >> 16, 32L).toInt else 1,
       features = feats)
   }
+
+  /** Deterministic fake resize: nearest-neighbor byte sampling down (or
+    * identity up) to `width*height` payload bytes. */
+  def resize(a: Asset, width: Int, height: Int): Asset = {
+    val target = math.max(1, math.min(a.bytes.length, width * height))
+    val stride = a.bytes.length.toDouble / target
+    a.copy(bytes = Array.tabulate(target)(i =>
+      a.bytes(math.min(a.bytes.length - 1, (i * stride).toInt))))
+  }
 }
 
 /** Distributed multimodal plumbing (SURVEY §7.5 b; no reference
@@ -88,6 +102,13 @@ object MultimodalOps {
     * partitioning (narrow map, no shuffle). */
   def decodeFeatures(assets: Dataset[Asset], codec: Codec = StubCodec): Dataset[AssetFeatures] =
     assets.mapPartitions(_.map(codec.decode))
+
+  /** Batch resize through the codec, same narrow `mapPartitions`
+    * plumbing as decode (one codec per task, no shuffle). */
+  def resizeAssets(
+      assets: Dataset[Asset], width: Int, height: Int,
+      codec: Codec = StubCodec): Dataset[Asset] =
+    assets.mapPartitions(_.map(codec.resize(_, width, height)))
 
   /** Strided frame/byte sampling: every `stride`-th byte, up to `k`
     * samples — the byte-level analog of video frame sampling. */

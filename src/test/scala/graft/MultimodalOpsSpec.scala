@@ -37,6 +37,25 @@ class MultimodalOpsSpec extends SparkSpec {
     a.map(_.features.toSeq).toSeq shouldBe b.map(_.features.toSeq).toSeq
   }
 
+  test("resizeAssets is a narrow distributed map that bounds the payload") {
+    val ds = spark.createDataset(mkAssets)(MultimodalOps.assetEncoder).repartition(5)
+    val out = MultimodalOps.resizeAssets(ds, 4, 4)
+    out.rdd.getNumPartitions shouldBe 5 // no shuffle
+    val rows = out.collect().sortBy(_.asset_id)
+    rows should have length 100
+    rows.foreach { a =>
+      a.bytes.length should be <= 16
+      a.bytes.length should be >= 1
+    }
+    // metadata unchanged; resize only touches the payload
+    rows.map(_.mime).toSeq shouldBe mkAssets.sortBy(_.asset_id).map(_.mime)
+    // deterministic, and an up-"resize" never invents bytes
+    val again = MultimodalOps.resizeAssets(ds, 4, 4).collect().sortBy(_.asset_id)
+    again.map(_.bytes.toSeq).toSeq shouldBe rows.map(_.bytes.toSeq).toSeq
+    val big = MultimodalOps.resizeAssets(ds, 1000, 1000).collect().sortBy(_.asset_id)
+    big.map(_.bytes.length).toSeq shouldBe mkAssets.sortBy(_.asset_id).map(_.bytes.length)
+  }
+
   test("frameSample strides bytes with a cap") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     MultimodalOps.frameSample(bytes, 10, 5).toSeq shouldBe Seq[Byte](0, 10, 20, 30, 40)
