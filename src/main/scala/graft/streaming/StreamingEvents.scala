@@ -67,6 +67,36 @@ object StreamingEvents {
   def dedupByKey(events: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicates(keyCols :+ tsCol)
 
+  // -- stream-stream interval join (attribution) -----------------------
+
+  /** Watermarked stream-stream interval join: attribute each `action`
+    * event to the `trigger` events of the same user in the preceding
+    * `withinSeconds` (e.g. click→view attribution). Works identically
+    * on batch inputs — the join condition is pure column algebra — so
+    * the spec pins stream output against the batch join on the same
+    * data. State is bounded: each side holds only rows inside its
+    * watermark horizon, and the interval condition lets Spark evict
+    * trigger rows once `action.ts` can no longer reach them.
+    *
+    * At scale this is a keyed shuffle on user_id with range pruning in
+    * the state store — no unbounded buffering, no cross product. */
+  def attributeWithin(
+      triggers: DataFrame, actions: DataFrame, withinSeconds: Long,
+      delay: String = "0 seconds"): DataFrame = {
+    val t = triggers.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("trigger_id"),
+        col("ts").as("trigger_ts"), col("event_type").as("trigger_type"))
+    val a = actions.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("action_id"),
+        col("ts").as("action_ts"), col("event_type").as("action_type"))
+    t.join(a,
+      t("user_id") === a("user_id") &&
+        col("action_ts") >= col("trigger_ts") &&
+        col("action_ts") <= col("trigger_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(t("user_id"), col("trigger_id"), col("action_id"),
+        col("trigger_ts"), col("action_ts"))
+  }
+
   // -- stateful sessionization ----------------------------------------
 
   /** One input event (mirrors eventSchema). */

@@ -92,6 +92,41 @@ class EventStreamSpec extends SparkSpec {
     st2.isRemoved shouldBe true
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    val views = Seq(
+      Ev(1, ts(0), 1, "view", 0, "{}"),
+      Ev(2, ts(40), 1, "view", 0, "{}"),
+      Ev(3, ts(5), 2, "view", 0, "{}"))
+    val clicks = Seq(
+      Ev(10, ts(8), 1, "click", 0, "{}"),   // within 10min of view 1
+      Ev(11, ts(45), 1, "click", 0, "{}"),  // within 10min of view 2 only
+      Ev(12, ts(300), 2, "click", 0, "{}")) // no view within 10min
+
+    val vStream = MemoryStream[Ev](spark)
+    val cStream = MemoryStream[Ev](spark)
+    val q = StreamingEvents.attributeWithin(vStream.toDF(), cStream.toDF(), 600)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      vStream.addData(views); cStream.addData(clicks)
+      q.processAllAvailable()
+      // advance both watermarks so all joinable pairs are emitted
+      vStream.addData(Ev(99, ts(100000), 9, "view", 0, "{}"))
+      cStream.addData(Ev(98, ts(100000), 9, "click", 0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("attrib")
+      .filter($"user_id" =!= 9L)
+      .select("user_id", "trigger_id", "action_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = StreamingEvents.attributeWithin(views.toDF(), clicks.toDF(), 600)
+      .select("user_id", "trigger_id", "action_id")
+      .as[(Long, Long, Long)].collect().toSet
+    expected shouldBe Set((1L, 1L, 10L), (1L, 2L, 11L))
+    got shouldBe expected
+  }
+
   test("end-to-end streaming sessionize equals batch sessionizeBatch") {
     import spark.implicits._
     val users = Seq(
