@@ -139,6 +139,14 @@ object NearDup {
     * capping df only reorders among very-common shingles, and ANY
     * total order keeps the filter lossless. */
   val q39DedupNgramJaccard: Q = (s, d) => {
+    // df comes from a count-aggregate + keyed re-join, NOT from a
+    // collect_set(doc_id) per shingle: a stop-shingle at corpus scale
+    // would put millions of doc_ids into a single array row (the exact
+    // skew PPJoin ordering exists to dodge), while groupBy(count) +
+    // equi-join keeps every row bounded. `sets` is persisted because it
+    // feeds three plan branches (prefix buckets, a-side, b-side) that
+    // would otherwise each recompute the whole shingle pipeline (the
+    // q21 lesson).
     val exh = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(shingles3(col("tk"))).as("sh"))
@@ -155,6 +163,7 @@ object NearDup {
         size(col("ks")).cast("long").as("n"))
       // prefix length n - ceil(t*n) + 1 at t=0.5, in exact integer math
       .withColumn("plen", expr("cast(n - (n + 1) div 2 + 1 as int)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sets
       .select(col("doc_id"), explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
     val pairsArr = flatten(transform(col("ids"), (x, i) =>
