@@ -63,23 +63,36 @@ object GoldMarts {
     * safe ratio (gold.sql:118-120; a single IEEE divide of exact
     * integer operands, like q12's fill_rate).
     *
-    * Scale plan: supplier is a broadcast dim; the aggregate's
-    * multi-distinct plans via Catalyst Expand with partial aggregation,
-    * so the only shuffle carries one row per (provider, distinct-group)
-    * — no raw-fact shuffle. */
+    * Scale plan: supplier is a broadcast dim. The three DISTINCT
+    * counts all key on l_orderkey, so instead of Catalyst's
+    * multi-distinct Expand (which quadruples every fact row before
+    * partial aggregation and shuffles one row per distinct-group ×
+    * order), the aggregate runs in two exact phases: groupBy
+    * (provider, order) folds each order to one row with per-order
+    * flags and partial integer sums, then groupBy(provider) counts
+    * rows and sums flags — n_encounters = rows, n_approved/returned =
+    * sum of max-flags, identical algebra, one fact-side shuffle of
+    * distinct (provider, order) pairs and zero Expand. */
   val q28GoldProviderPerformance: Q = (s, d) => {
     val l = Tables.lineitem(s, d)
     val sup = Tables.supplier(s, d)
-    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
+    val perOrder = l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"), "left")
       .filter(sup("s_name").isNotNull)
-      .groupBy(sup("s_name").as("provider_name"))
+      .groupBy(sup("s_name").as("provider_name"), l("l_orderkey").as("ok"))
       .agg(
-        countDistinct(l("l_orderkey")).as("n_encounters"),
-        count(lit(1)).as("n_tx"),
-        sumE2(coalesce(l("l_extendedprice"), lit(0.0))).as("total_charge_e2"),
-        sumE4(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("total_paid_e4"),
-        countDistinct(when(l("l_returnflag") === "N", l("l_orderkey"))).as("n_approved"),
-        countDistinct(when(l("l_returnflag") === "R", l("l_orderkey"))).as("n_returned"))
+        count(lit(1)).as("tx"),
+        sumE2(coalesce(l("l_extendedprice"), lit(0.0))).as("charge_e2"),
+        sumE4(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("paid_e4"),
+        max(when(l("l_returnflag") === "N", 1L).otherwise(0L)).as("has_n"),
+        max(when(l("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+    perOrder.groupBy("provider_name")
+      .agg(
+        count(col("ok")).as("n_encounters"),
+        sum("tx").as("n_tx"),
+        sum("charge_e2").as("total_charge_e2"),
+        sum("paid_e4").as("total_paid_e4"),
+        sum("has_n").as("n_approved"),
+        sum("has_r").as("n_returned"))
       .withColumn("approval_rate",
         col("n_approved").cast("double") /
           when(col("n_encounters") === 0, lit(null))
