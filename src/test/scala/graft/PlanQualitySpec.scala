@@ -71,6 +71,17 @@ class PlanQualitySpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning") shouldBe 1
   }
 
+  test("q28's distinct counts stay two-phase: no Expand in the plan") {
+    assume(haveData, s"$sfDir not present")
+    // The three DISTINCT counts share the l_orderkey key, so the
+    // aggregate is written as groupBy(provider, order) -> groupBy
+    // (provider); a regression to plain countDistinct would resurface
+    // as a Catalyst Expand that quadruples fact rows pre-shuffle.
+    val p = plan("q28_gold_provider_performance")
+    p should not include "Expand"
+    p should include("BroadcastHashJoin")
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
