@@ -80,11 +80,56 @@ object EventAnalytics {
 
   val q35Sessionize: Q = (s, d) => sessionizeBatch(Tables.events(s, d))
 
+  // -- q40: as-of join (last-touch attribution) ------------------------
+
+  /** AS-OF JOIN: each purchase picks the same user's most recent click
+    * at-or-before its timestamp (last-touch attribution — the
+    * point-in-time lookup of feature-store and CDC pipelines).
+    *
+    * Spark-first plan: instead of a range join (whose equi-key +
+    * inequality candidate set explodes quadratically on active users),
+    * both sides are UNIONED and attributed in ONE window pass — clicks
+    * sort before purchases at equal ts (side 0 < 1, "at-or-before"),
+    * and `last(click_id, ignoreNulls)` over the running frame carries
+    * the latest click forward to every later purchase. One shuffle of
+    * clicks+purchases on user_id, both attribution columns in a single
+    * Window node, linear in events at any scale. The DuckDB oracle is
+    * the independent per-row LATERAL restatement of the same contract.
+    * Gap is integer microseconds (no float time math); purchase value
+    * follows the cents convention. */
+  val q40AsofJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      // both attribution columns in ONE select so they land in a single
+      // Window node (chained withColumns defeat CollapseWindow here)
+      .select(col("*"),
+        last(col("click_id"), ignoreNulls = true).over(w).as("attr_click_id"),
+        last(when(col("side") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w)
+          .as("attr_click_us"))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("attr_click_id"),
+        (unix_micros(col("ts")) - col("attr_click_us")).as("gap_micros"),
+        round(col("value") * 100, 0).cast("long").as("value_e2"))
+  }
+
   // -- registry --------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
     "q34_events_windowed" -> q34EventsWindowed,
-    "q35_sessionize" -> q35Sessionize)
+    "q35_sessionize" -> q35Sessionize,
+    "q40_asof_attribution" -> q40AsofJoin)
 
   // -- DuckDB oracles ---------------------------------------------------
 
@@ -123,5 +168,24 @@ object EventAnalytics {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_e2
          |FROM sess
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    // Independent restatement: per-purchase LATERAL top-1 lookup with
+    // the same at-or-before + largest-event_id tie-break contract as
+    // the union+window plan.
+    "q40_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |), p AS (
+        |  SELECT * FROM ev WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT * FROM ev WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  l.event_id AS attr_click_id,
+        |  date_diff('microsecond', l.ts, p.ts) AS gap_micros,
+        |  CAST(round(p.value * 100, 0) AS BIGINT) AS value_e2
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, c.ts FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON true""".stripMargin)
 }

@@ -82,6 +82,17 @@ class PlanQualitySpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("q40 as-of join is one union + one window pass, not a range join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q40_asof_attribution")
+    // no join operator at all — attribution rides a single user_id
+    // shuffle, and both attribution columns share one Window node
+    p should not include "Join"
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p.linesIterator.count(_.contains("Window ")) shouldBe 1
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
