@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++ graft.queries.GoldMarts.defs ++
       graft.queries.LlmPipeline.defs ++ graft.queries.NearDup.defs ++
-      graft.queries.EventAnalytics.defs ++ graft.queries.Analytics.defs
+      graft.queries.EventAnalytics.defs ++ graft.queries.Analytics.defs ++
+      graft.queries.Profiling.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.GoldMarts.oracles ++
       graft.queries.LlmPipeline.oracles ++ graft.queries.NearDup.oracles ++
-      graft.queries.EventAnalytics.oracles ++ graft.queries.Analytics.oracles
+      graft.queries.EventAnalytics.oracles ++ graft.queries.Analytics.oracles ++
+      graft.queries.Profiling.oracles
 }

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based column profiling — the scale path for "what is in this
+  * table" over 100 TB, where exact DISTINCT/percentile would shuffle
+  * every value. One aggregation pass computes, per profiled column:
+  *
+  *   - `n` / `n_null`: exact counts (cheap partials),
+  *   - `approx_distinct`: HyperLogLog++ (`approx_count_distinct`,
+  *     rsd 2%) — fixed-size register sketch, order-insensitive merge,
+  *   - `p50/p90/p99`: `percentile_approx` (rank-error sketch,
+  *     accuracy 10000) returning actual data values.
+  *
+  * Plan: a single partial-aggregated pass over the fact table; the
+  * shuffle carries ONE sketch row per partition (registers + quantile
+  * summaries), never raw values — constant shuffle volume at any data
+  * size. The wide single-row aggregate is then unpivoted driver-free
+  * via `stack` into one row per profiled column.
+  *
+  * Sketches are approximate by contract, so the driver gate records a
+  * rows-only check; ProfilingSpec pins both estimates against exact
+  * answers on the testdata (HLL within 3×rsd, percentiles within rank
+  * tolerance) — same verification pattern as q24's AnnLshSpec.
+  */
+object Profiling {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private[graft] val Rsd = 0.02
+  private[graft] val PctAccuracy = 10000
+
+  /** Metric block for one numeric column, tagged with its name. */
+  private def metrics(c: String): Seq[Column] = Seq(
+    count(col(c)).as(s"${c}_n"),
+    (count(lit(1)) - count(col(c))).as(s"${c}_null"),
+    approx_count_distinct(col(c), Rsd).as(s"${c}_dist"),
+    percentile_approx(col(c), lit(0.5), lit(PctAccuracy)).as(s"${c}_p50"),
+    percentile_approx(col(c), lit(0.9), lit(PctAccuracy)).as(s"${c}_p90"),
+    percentile_approx(col(c), lit(0.99), lit(PctAccuracy)).as(s"${c}_p99"))
+
+  private val Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  private[graft] def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap(metrics)
+    val wide = df.agg(exprs.head, exprs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', ${c}_n, ${c}_null, ${c}_dist, CAST(${c}_p50 AS DOUBLE), " +
+        s"CAST(${c}_p90 AS DOUBLE), CAST(${c}_p99 AS DOUBLE)"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n, n_null, approx_distinct, p50, p90, p99)")
+  }
+
+  val q41ProfileSketch: Q = (s, d) => profile(Tables.lineitem(s, d), Cols)
+
+  val defs: Map[String, Q] = Map("q41_profile_sketch" -> q41ProfileSketch)
+
+  /** Sketch outputs are approximate by contract — no DuckDB oracle;
+    * ProfilingSpec is the correctness pin. */
+  val oracles: Map[String, String] = Map.empty
+}
