@@ -56,9 +56,39 @@ object Profiling {
 
   val q41ProfileSketch: Q = (s, d) => profile(Tables.lineitem(s, d), Cols)
 
-  val defs: Map[String, Q] = Map("q41_profile_sketch" -> q41ProfileSketch)
+  // -- q42: deterministic train/val/test split -------------------------
 
-  /** Sketch outputs are approximate by contract — no DuckDB oracle;
-    * ProfilingSpec is the correctness pin. */
-  val oracles: Map[String, String] = Map.empty
+  /** Leakage-free dataset splitting: each document's split is a pure
+    * function of a content-stable key hash (md5 of doc_id, first 16
+    * bits, mod 10 → 80/10/10), NOT of row order, partitioning, or a
+    * seeded RNG — so re-sharding, re-partitioning, or incrementally
+    * re-running the pipeline can never move a document across splits
+    * (the train/test-contamination failure mode of `randomSplit` at
+    * scale). Plan: a narrow map over the scan, ZERO shuffles; the
+    * assignment parallelizes embarrassingly at any data size. */
+  val q42TrainTestSplit: Q = (s, d) => {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 10
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q41_profile_sketch" -> q41ProfileSketch,
+    "q42_train_test_split" -> q42TrainTestSplit)
+
+  /** q41's sketch outputs are approximate by contract — no DuckDB
+    * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
+  val oracles: Map[String, String] = Map(
+    "q42_train_test_split" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin)
 }
