@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   * behavior (reference hospitalA_mysqlToLanding.py:96-257,
   * parent_dag.py/bq_dag.py retry defaults).
   */
+class BootstrapSpec extends SparkSpec {
+
+  test("ensureTables creates both stores once and never clobbers existing data") {
+    val audit = tmpDir("boot") + "/audit"
+    val logs = tmpDir("boot") + "/logs"
+    Bootstrap.ensureTables(spark, audit, logs) shouldBe ((true, true))
+    // seed a row, then re-init: second call reports existing and keeps it
+    new AuditLog(spark, audit)
+      .append(AuditRecord("db", "t", "Full", 1, Timestamp.valueOf("2024-01-01 00:00:00"), "SUCCESS"))
+    Bootstrap.ensureTables(spark, audit, logs) shouldBe ((false, false))
+    spark.read.parquet(audit).count() shouldBe 1
+  }
+}
+
 class AuditLogSpec extends SparkSpec {
 
   private def fixed(s: String) = Timestamp.valueOf(s)
