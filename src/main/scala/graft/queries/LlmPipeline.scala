@@ -360,6 +360,60 @@ object LlmPipeline {
     assets.select(outCols: _*)
   }
 
+  // -- q43: curated-corpus composition -------------------------------
+
+  /** The end-to-end curation run the individual operators exist for,
+    * composed as ONE declarative plan: per-doc stats + stopword
+    * lang-ID (q22 rules — narrow map) → quality gate → exact content
+    * dedup keeping the lowest doc_id (q20's hash; the keeper's stats
+    * survive via min_by) → deterministic split tag (q42's pure hash)
+    * → per-(lang, split) corpus inventory. TWO shuffles at any scale:
+    * the content-hash dedup and the final tiny (lang × split)
+    * aggregate — the filter runs before the dedup shuffle so junk
+    * never ships. */
+  val q43CuratedCorpus: Q = (s, d) => {
+    def scoreIn(tk: Column, words: Seq[String]): Column =
+      size(filter(tk, t => t.isin(words: _*)))
+    val st = Tables.documents(s, d)
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("lo", lower(col("text")))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        length(regexp_replace(col("lo"), "[a-z0-9 ]", "")).as("n_punct"),
+        scoreIn(col("tk"), StopEn).as("score_en"),
+        scoreIn(col("tk"), StopDe).as("score_de"),
+        scoreIn(col("tk"), StopFr).as("score_fr"),
+        scoreIn(col("tk"), StopEs).as("score_es"),
+        md5(trim(regexp_replace(col("lo"), "\\s+", " "))).as("content_hash"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10).as("bucket"))
+      .withColumn("lang_guess",
+        when(col("score_en") > 0 && col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") > 0 && col("score_de") >= col("score_fr") &&
+            col("score_de") >= col("score_es"), "de")
+          .when(col("score_fr") > 0 && col("score_fr") >= col("score_es"), "fr")
+          .when(col("score_es") > 0, "es")
+          .otherwise("unknown"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .filter(col("n_tokens") >= 5 && col("n_chars") <= 10000 &&
+        col("n_punct") * 10 <= col("n_chars"))
+    st.groupBy("content_hash")
+      .agg(min_by(
+        struct(col("lang_guess"), col("split"), col("n_tokens"), col("n_chars")),
+        col("doc_id")).as("k"))
+      .select(col("k.lang_guess").as("lang_guess"), col("k.split").as("split"),
+        col("k.n_tokens").as("n_tokens"), col("k.n_chars").as("n_chars"))
+      .groupBy("lang_guess", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+  }
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -369,7 +423,8 @@ object LlmPipeline {
     "q23_ann_brute_force" -> q23AnnBruteForce,
     "q24_ann_lsh_bucketed" -> q24AnnLshBucketed,
     "q25_doc_fingerprint" -> q25DocFingerprint,
-    "q26_multimodal_features" -> q26MultimodalFeatures)
+    "q26_multimodal_features" -> q26MultimodalFeatures,
+    "q43_curated_corpus" -> q43CuratedCorpus)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -528,5 +583,46 @@ object LlmPipeline {
          |  concat_ws('-', $frames) AS frame_sample,
          |  $feats
          |FROM documents""".stripMargin
+    },
+    // Same curation algebra restated: stats -> quality gate -> arg_min
+    // dedup on the content hash -> hash split -> (lang, split) rollup.
+    "q43_curated_corpus" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      s"""WITH $toksCte, st AS (
+         |  SELECT d.doc_id,
+         |    len(t.tk) AS n_tokens,
+         |    length(d.text) AS n_chars,
+         |    length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopEn)}))) AS score_en,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopDe)}))) AS score_de,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopFr)}))) AS score_fr,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopEs)}))) AS score_es,
+         |    md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS content_hash,
+         |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS bucket
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+         |), tagged AS (
+         |  SELECT *,
+         |    CASE
+         |      WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |      WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |      WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
+         |      WHEN score_es > 0 THEN 'es'
+         |      ELSE 'unknown' END AS lang_guess,
+         |    CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM st
+         |  WHERE n_tokens >= 5 AND n_chars <= 10000 AND n_punct * 10 <= n_chars
+         |), dedup AS (
+         |  SELECT content_hash,
+         |    arg_min(lang_guess, doc_id) AS lang_guess,
+         |    arg_min(split, doc_id) AS split,
+         |    arg_min(n_tokens, doc_id) AS n_tokens,
+         |    arg_min(n_chars, doc_id) AS n_chars
+         |  FROM tagged GROUP BY content_hash
+         |)
+         |SELECT lang_guess, split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM dedup GROUP BY 1, 2""".stripMargin
     })
 }
