@@ -31,14 +31,15 @@ object Profiling {
   private[graft] val Rsd = 0.02
   private[graft] val PctAccuracy = 10000
 
-  /** Metric block for one numeric column, tagged with its name. */
+  /** Metric block for one numeric column, tagged with its name. All
+    * three quantiles come out of ONE percentile_approx sketch (array
+    * form) — one summary per column per partition, not three. */
   private def metrics(c: String): Seq[Column] = Seq(
     count(col(c)).as(s"${c}_n"),
     (count(lit(1)) - count(col(c))).as(s"${c}_null"),
     approx_count_distinct(col(c), Rsd).as(s"${c}_dist"),
-    percentile_approx(col(c), lit(0.5), lit(PctAccuracy)).as(s"${c}_p50"),
-    percentile_approx(col(c), lit(0.9), lit(PctAccuracy)).as(s"${c}_p90"),
-    percentile_approx(col(c), lit(0.99), lit(PctAccuracy)).as(s"${c}_p99"))
+    percentile_approx(col(c), array(lit(0.5), lit(0.9), lit(0.99)), lit(PctAccuracy))
+      .as(s"${c}_pct"))
 
   private val Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
@@ -46,8 +47,8 @@ object Profiling {
     val exprs = cols.flatMap(metrics)
     val wide = df.agg(exprs.head, exprs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', ${c}_n, ${c}_null, ${c}_dist, CAST(${c}_p50 AS DOUBLE), " +
-        s"CAST(${c}_p90 AS DOUBLE), CAST(${c}_p99 AS DOUBLE)"
+      s"'$c', ${c}_n, ${c}_null, ${c}_dist, CAST(element_at(${c}_pct, 1) AS DOUBLE), " +
+        s"CAST(element_at(${c}_pct, 2) AS DOUBLE), CAST(element_at(${c}_pct, 3) AS DOUBLE)"
     }.mkString(", ")
     wide.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS " +
