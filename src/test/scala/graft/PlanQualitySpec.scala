@@ -93,6 +93,19 @@ class PlanQualitySpec extends SparkSpec {
     p.linesIterator.count(_.contains("Window ")) shouldBe 1
   }
 
+  test("q42 split assignment is a pure narrow map: zero exchanges") {
+    assume(haveData, s"$sfDir not present")
+    plan("q42_train_test_split") should not include "Exchange"
+  }
+
+  test("q43 curation composes in exactly two shuffles: dedup + final rollup") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q43_curated_corpus")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p should not include "Join" // dedup keeps keeper stats via min_by, no re-join
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
