@@ -414,6 +414,25 @@ object LlmPipeline {
         sum(col("n_chars").cast("long")).as("sum_chars"))
   }
 
+  // -- q44: vocabulary heavy hitters ----------------------------------
+
+  /** Corpus-wide top-20 tokens by document frequency (vocabulary/
+    * stopword discovery). Plan: explode → distinct (doc, token) →
+    * groupBy(token) with map-side partial counts, then Spark's
+    * sort+limit lowers to TakeOrderedAndProject — every partition
+    * keeps only its own top 20 and the driver merges 20×partitions
+    * rows, so there is NO global sort of the vocabulary (which at
+    * 100 TB is billions of junk-heavy tokens). Tie-break (df desc,
+    * token asc) makes the cut deterministic in both engines. */
+  val q44VocabTopDf: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(20)
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -424,7 +443,8 @@ object LlmPipeline {
     "q24_ann_lsh_bucketed" -> q24AnnLshBucketed,
     "q25_doc_fingerprint" -> q25DocFingerprint,
     "q26_multimodal_features" -> q26MultimodalFeatures,
-    "q43_curated_corpus" -> q43CuratedCorpus)
+    "q43_curated_corpus" -> q43CuratedCorpus,
+    "q44_vocab_top_df" -> q44VocabTopDf)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -624,5 +644,13 @@ object LlmPipeline {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM dedup GROUP BY 1, 2""".stripMargin
-    })
+    },
+    "q44_vocab_top_df" ->
+      s"""WITH $toksCte, ex AS (
+         |  SELECT DISTINCT doc_id, u.t AS token
+         |  FROM toks, LATERAL unnest(tk) u(t)
+         |)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df
+         |FROM ex GROUP BY token
+         |ORDER BY df DESC, token LIMIT 20""".stripMargin)
 }

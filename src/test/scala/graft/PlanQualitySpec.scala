@@ -106,6 +106,13 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Join" // dedup keeps keeper stats via min_by, no re-join
   }
 
+  test("q44 top-k lowers to TakeOrderedAndProject, not a global sort") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q44_vocab_top_df")
+    p should include("TakeOrderedAndProject")
+    p.linesIterator.count(_.trim.contains("Sort ")) shouldBe 0
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
