@@ -414,6 +414,36 @@ object LlmPipeline {
         sum(col("n_chars").cast("long")).as("sum_chars"))
   }
 
+  // -- q45: winnowing-style rolling-hash fingerprints ------------------
+
+  private val WinK = 8      // char k-gram width
+  private val WinW = 64     // selection block width
+  private val WinPrefix = 2048 // fingerprint the document prefix
+
+  /** Winnowing-style substring fingerprints: hash every char 8-gram of
+    * the document prefix, then keep the MINIMUM hash per aligned
+    * 64-position block — any substring two documents share across a
+    * full block yields the same (blk-relative) fingerprint, at a
+    * guaranteed 1/64 density (the content-overlap primitive behind
+    * plagiarism/contamination detection, complementing q25's whole-doc
+    * MinHash). Plan: the explode is map-side only — the per-block min
+    * collapses 64× in the partial aggregate, so the single shuffle
+    * carries fingerprints, not k-grams. */
+  val q45WinnowFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, WinPrefix).as("t"))
+      .select(col("doc_id"),
+        explode(when(length(col("t")) >= WinK,
+          sequence(lit(1), length(col("t")) - (WinK - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        expr(s"cast((i - 1) div $WinW as bigint)").as("blk"),
+        conv(substring(md5(expr(s"substr(t, i, $WinK)")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("doc_id", "blk")
+      .agg(min(col("h")).as("fp_hash"))
+
   // -- q44: vocabulary heavy hitters ----------------------------------
 
   /** Corpus-wide top-20 tokens by document frequency (vocabulary/
@@ -444,7 +474,8 @@ object LlmPipeline {
     "q25_doc_fingerprint" -> q25DocFingerprint,
     "q26_multimodal_features" -> q26MultimodalFeatures,
     "q43_curated_corpus" -> q43CuratedCorpus,
-    "q44_vocab_top_df" -> q44VocabTopDf)
+    "q44_vocab_top_df" -> q44VocabTopDf,
+    "q45_winnow_fingerprint" -> q45WinnowFingerprint)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -652,5 +683,17 @@ object LlmPipeline {
          |)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM ex GROUP BY token
-         |ORDER BY df DESC, token LIMIT 20""".stripMargin)
+         |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    "q45_winnow_fingerprint" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id, substr(text, 1, $WinPrefix) AS t FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    (u.i - 1) // $WinW AS blk,
+         |    CAST('0x' || substr(md5(substr(t, u.i, $WinK)), 1, 12) AS BIGINT) AS h
+         |  FROM pre, LATERAL unnest(generate_series(1, length(t) - ${WinK - 1})) u(i)
+         |  WHERE length(t) >= $WinK
+         |)
+         |SELECT doc_id, blk, CAST(min(h) AS BIGINT) AS fp_hash
+         |FROM g GROUP BY doc_id, blk""".stripMargin)
 }
