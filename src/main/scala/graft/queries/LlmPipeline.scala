@@ -42,12 +42,20 @@ object LlmPipeline {
   private def tokens(c: Column): Column =
     split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
 
-  /** Word n-gram shingles as space-joined strings; empty below n tokens. */
-  private def shingles(tk: Column, n: Int): Column =
-    when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Word n-gram shingles as space-joined strings; empty below n
+    * tokens. zip_with chain over shifted slices (Curation.ngrams
+    * convention): every `tk` reference is a HOF argument evaluated
+    * once per row — the transform+slice form re-ran the tokenizer
+    * per shingle after CollapseProject inlining (3.5× slower across
+    * q21/q25/q39/q45's shared shingle scan). Short docs zip against
+    * null, null-propagate through `concat`, and are filtered out. */
+  private def shingles(tk: Column, n: Int): Column = {
+    val chained = (1 until n).foldLeft(tk) { (g, k) =>
+      zip_with(g, slice(tk, lit(k + 1), greatest(size(tk) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(chained, x => x.isNotNull)
+  }
 
   /** (doc_id, h1, h2) hashed shingle occurrences: ONE md5 per shingle,
     * sliced into two 48-bit longs. Shingle identity downstream is h1

@@ -111,13 +111,17 @@ object NearDup {
 
   private val JaccardThresholdE6 = 500000L // t = 0.5
 
-  /** Word 3-gram shingles as space-joined strings (same contract as
-    * LlmPipeline.shingles). */
-  private def shingles3(tk: Column): Column =
-    when(size(tk) >= 3,
-      transform(sequence(lit(0), size(tk) - 3),
-        i => concat_ws(" ", slice(tk, i + lit(1), lit(3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Word 3-gram shingles as space-joined strings (same contract and
+    * zip_with-chain shape as LlmPipeline.shingles — `tk` references
+    * stay HOF arguments so the tokenizer is never inlined into a
+    * per-element lambda). */
+  private def shingles3(tk: Column): Column = {
+    val chained = (1 until 3).foldLeft(tk) { (g, k) =>
+      zip_with(g, slice(tk, lit(k + 1), greatest(size(tk) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(chained, x => x.isNotNull)
+  }
 
   /** EXACT Jaccard ≥ 0.5 near-dup join over hashed 3-gram shingle sets
     * — the lossless complement to q21's MinHash (which can miss pairs

@@ -113,6 +113,46 @@ class PlanQualitySpec extends SparkSpec {
     p.linesIterator.count(_.trim.contains("Sort ")) shouldBe 0
   }
 
+  test("q49 stratified sample is a pure narrow filter: zero exchanges") {
+    assume(haveData, s"$sfDir not present")
+    plan("q49_stratified_sample") should not include "Exchange"
+  }
+
+  test("q50/q52 deterministic orderings ride one shuffle + one window sort") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q50_token_shards", "q52_corpus_shuffle").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p.sliding("Exchange hashpartitioning".length)
+          .count(_ == "Exchange hashpartitioning") shouldBe 1
+        p.linesIterator.count(_.contains("Window ")) shouldBe 1
+        p should not include "Join"
+      }
+    }
+  }
+
+  test("q51 pivot stays two-phase cell aggregates, no Expand, no per-cell pass") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q51_mix_pivot")
+    p should not include "Expand"
+    // (lang, sg) cell aggregate + PivotFirst rotation — both shuffles
+    // carry aggregated cells only, and both phases are map-side partial
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p should include("partial_pivotfirst")
+  }
+
+  test("q47 decontamination joins gram hashes, never document text") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q47_decontaminate")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the join keys are the 48-bit gram hashes — no `text`/`g` string
+    // column survives into any Exchange above the gram projection
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
