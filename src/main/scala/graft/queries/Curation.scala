@@ -114,7 +114,10 @@ object Curation {
       .withColumn("is_repetitive",
         col("dup_token_frac_e6") > 600000L ||
           col("dup_2gram_frac_e6") > 50000L ||
-          col("top_token_frac_e6") > 130000L)
+          // top-token share only judges docs long enough for the
+          // share to be meaningful (a 6-token all-distinct doc is
+          // 1/6 = 17% "top token" by arithmetic, not by repetition)
+          (col("n_tokens") >= 10 && col("top_token_frac_e6") > 130000L))
   }
 
   // -- q47: benchmark decontamination --------------------------------
@@ -304,7 +307,7 @@ object Curation {
          |  CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) AS top_token_frac_e6,
          |  (CAST(round(1e6 * CAST(n_tokens - n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 600000
          |   OR (CASE WHEN n_2grams > 0 THEN CAST(round(1e6 * CAST(n_2grams - n_uniq_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE), 0) AS BIGINT) ELSE 0 END) > 50000
-         |   OR CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000) AS is_repetitive
+         |   OR (n_tokens >= 10 AND CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000)) AS is_repetitive
          |FROM m JOIN top ON m.doc_id = top.doc_id""".stripMargin,
     "q47_decontaminate" ->
       s"""WITH $toksCte, grams AS (

@@ -436,7 +436,11 @@ object LlmPipeline {
     * plagiarism/contamination detection, complementing q25's whole-doc
     * MinHash). Plan: the explode is map-side only — the per-block min
     * collapses 64× in the partial aggregate, so the single shuffle
-    * carries fingerprints, not k-grams. */
+    * carries fingerprints, not k-grams. The hex→long `conv` runs AFTER
+    * the min, not per position: fixed-width lowercase hex orders
+    * lexicographically exactly as its numeric value, so
+    * min(conv(h)) = conv(min(h)) — one conv per emitted fingerprint
+    * instead of one per character position (~64× fewer). */
   val q45WinnowFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), substring(col("text"), 1, WinPrefix).as("t"))
@@ -447,10 +451,9 @@ object LlmPipeline {
         col("t"))
       .select(col("doc_id"),
         expr(s"cast((i - 1) div $WinW as bigint)").as("blk"),
-        conv(substring(md5(expr(s"substr(t, i, $WinK)")), 1, 12), 16, 10)
-          .cast("long").as("h"))
+        substring(md5(expr(s"substr(t, i, $WinK)")), 1, 12).as("h"))
       .groupBy("doc_id", "blk")
-      .agg(min(col("h")).as("fp_hash"))
+      .agg(conv(min(col("h")), 16, 10).cast("long").as("fp_hash"))
 
   // -- q44: vocabulary heavy hitters ----------------------------------
 
