@@ -43,10 +43,16 @@ final class ParquetSource(dir: String) extends SourceConnector {
   * predicate down as a `dbtable` sub-select, exactly like the
   * reference's `(SELECT * FROM t WHERE wm > '…') AS t` — the database
   * scans only post-watermark rows, nothing streams to Spark first.
+  * The watermark literal uses the JDBC `{ts '…'}` escape so the same
+  * sub-select runs on MySQL, Derby, Postgres, … (a bare quoted string
+  * fails on engines that don't implicitly cast to TIMESTAMP).
   *
-  * Untestable in this offline environment (no database, no JDBC
-  * driver jar); the CSV/Parquet connectors above are the test
-  * substitutes behind the same trait.
+  * Tested against embedded Derby (JdbcSourceSpec), including an
+  * IngestionRunner run-over-run watermark cycle; the CSV/Parquet
+  * connectors remain the driver-testdata substitutes behind the same
+  * trait. Derby has no sub-select alias keyword quirks, and Spark
+  * wraps `dbtable` as `SELECT * FROM <dbtable> WHERE 1=0` for schema
+  * probing, so the alias is mandatory.
   *
   * @param url   JDBC URL, e.g. jdbc:mysql://host:3306/db
   * @param props connection properties (user/password/driver)
@@ -58,7 +64,7 @@ final class JdbcSource(url: String, props: java.util.Properties) extends SourceC
 
   override def readIncremental(
       spark: SparkSession, table: String, watermarkCol: String, since: Timestamp): DataFrame = {
-    val sub = s"(SELECT * FROM $table WHERE $watermarkCol > '$since') AS ${table}_inc"
+    val sub = s"(SELECT * FROM $table WHERE $watermarkCol > {ts '$since'}) AS ${table}_inc"
     spark.read.jdbc(url, sub, props)
   }
 }
