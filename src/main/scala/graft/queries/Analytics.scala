@@ -90,9 +90,35 @@ object Analytics {
       .drop("o_orderdate")
   }
 
+  // -- q54: CUBE over (lang, source-group) -----------------------------
+
+  /** Corpus totals at ALL FOUR grouping levels — (lang, src_grp),
+    * (lang), (src_grp), grand — in one pass: `cube` completes the
+    * grouping-sets family next to q36's `rollup`. Catalyst compiles it
+    * to one Expand (4 rows per input group here) feeding ONE
+    * partial-aggregated hash aggregate — a single shuffle carrying
+    * aggregated cells; the Expand multiplier is the honest cost of
+    * exact multi-dimensional totals and scales linearly. NULL grouping
+    * markers are coalesced to sentinels ('ALL' / -1) so both engines
+    * agree on the marker representation (q36 convention; lang and the
+    * source suffix are never NULL in the data). */
+  val q54CubeComposition: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(
+      col("lang"),
+      (substring(col("source"), 4, 10).cast("int") % 4).cast("long").as("src_grp"),
+      col("n_chars"))
+    base.cube(col("lang"), col("src_grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("src_grp"), lit(-1L)).as("src_grp_g"),
+        col("n_docs"), col("chars_sum"))
+  }
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "q54_cube_composition" -> q54CubeComposition,
     "q36_rollup_revenue" -> q36RollupRevenue,
     "q37_window_topk" -> q37WindowTopk,
     "q38_moving_window" -> q38MovingWindow)
@@ -100,6 +126,17 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q54_cube_composition" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(CAST(substr(source, 4) AS INT) % 4 AS BIGINT) AS src_grp, n_chars
+        |  FROM documents
+        |)
+        |SELECT coalesce(lang, 'ALL') AS lang_g,
+        |  coalesce(src_grp, -1) AS src_grp_g,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM base
+        |GROUP BY CUBE (lang, src_grp)""".stripMargin,
     "q36_rollup_revenue" ->
       """WITH base AS (
         |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice

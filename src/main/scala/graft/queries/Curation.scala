@@ -258,7 +258,31 @@ object Curation {
       .select("doc_id", "shard", "pos")
   }
 
+  // -- q53: exact-k per-stratum sample -------------------------------
+
+  private val SampleK = 40
+
+  /** Fixed-SIZE stratified sample (eval-set construction): the k
+    * documents with the smallest salted hash per language — exact k
+    * per stratum (vs q49's fixed-RATE Bernoulli), still content-stable
+    * and re-shard-proof. Runs through the map-side-combining TopK
+    * `Aggregator` (functions.TopK): each input partition forwards at
+    * most k rows per stratum into the shuffle, so picking 40 docs per
+    * language from 100 TB shuffles k·partitions rows — NOT a window
+    * row_number sort of the whole corpus. Ordering (hash asc, doc_id
+    * asc) is total, so both engines agree on every ranked row. */
+  val q53ExactKSample: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        // TopK keeps the LARGEST scores; negate so smallest hash wins
+        (-hash16("evalk", col("doc_id"))).as("neg_h"))
+    graft.functions.TopK.topKPerGroup(scored, "lang", "doc_id", "neg_h", SampleK)
+      .select(col("lang"), col("doc_id"), (-col("neg_h")).as("samp_h"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q53_exact_k_sample" -> q53ExactKSample,
     "q46_repetition_stats" -> q46RepetitionStats,
     "q47_decontaminate" -> q47Decontaminate,
     "q48_incremental_dedup" -> q48IncrementalDedup,
@@ -289,6 +313,16 @@ object Curation {
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q53_exact_k_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, ${hash16Sql("evalk", "doc_id")} AS samp_h
+         |  FROM documents
+         |), r AS (
+         |  SELECT lang, doc_id, samp_h,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY samp_h, doc_id) AS BIGINT) AS rank
+         |  FROM h
+         |)
+         |SELECT lang, doc_id, samp_h, rank FROM r WHERE rank <= $SampleK""".stripMargin,
     "q46_repetition_stats" ->
       s"""WITH $toksCte, m AS (
          |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq,

@@ -153,6 +153,25 @@ class PlanQualitySpec extends SparkSpec {
     exchanges should not include "text"
   }
 
+  test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q53_exact_k_sample")
+    // map-side-combining Aggregator path: two ObjectHashAggregate
+    // phases, no Window node, no whole-corpus sort before the shuffle
+    p should include("ObjectHashAggregate")
+    p should not include "Window"
+    p.linesIterator.count(_.trim.contains("Sort ")) shouldBe 0
+  }
+
+  test("q54 cube is one Expand into one partial-aggregated shuffle") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q54_cube_composition")
+    p should include("Expand")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("partial_count")
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
