@@ -1,0 +1,49 @@
+package graft
+
+/** The driver-gate contract, asserted so it cannot silently erode:
+  * every query in `SparkEntry.queries` must either carry a DuckDB
+  * oracle or be on the EXPLICIT rows-only allowlist (operators whose
+  * outputs are approximate by contract, each pinned by its own spec
+  * instead). A new query added without an oracle — or an oracle key
+  * that doesn't match any query — fails here instead of surfacing as
+  * a weak/orphaned check in the next round's CORRECTNESS report.
+  */
+class GateContractSpec extends SparkSpec {
+
+  /** Approximate-by-contract operators: q24 hyperplane-LSH ANN
+    * (AnnLshSpec pins recall vs the exact q23 baseline), q41 sketch
+    * profiling (ProfilingSpec pins HLL/quantile error bounds). */
+  private val rowsOnlyAllowed = Set("q24_ann_lsh_bucketed", "q41_profile_sketch")
+
+  test("every query has an oracle unless explicitly allowlisted rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    missing shouldBe rowsOnlyAllowed
+  }
+
+  test("no orphaned oracle entries") {
+    (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
+  }
+
+  test("rows-only queries have a pinning spec on the classpath") {
+    // the allowlist is only honest while the pinning specs exist
+    Seq("graft.AnnLshSpec", "graft.ProfilingSpec").foreach { cls =>
+      noException should be thrownBy Class.forName(cls)
+    }
+  }
+
+  test("oracle SQL references only driver-provided tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromPat = """(?i)(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // strip CTE names declared in this statement; they are legal targets
+      val ctePat = """(?i)([a-z_][a-z0-9_]*)\s+as\s*\(""".r
+      val ctes = ctePat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = fromPat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      withClue(s"$name references unknown relations:") {
+        // `lateral` is a join keyword, not a relation name
+        (refs -- ctes -- tables - "lateral") shouldBe empty
+      }
+    }
+  }
+}
