@@ -64,9 +64,15 @@ object LlmPipeline {
     * downstream consumer (min, collect_set) is duplicate-insensitive,
     * so the per-occurrence stream goes straight into one per-doc
     * aggregate — the narrow map + a single shuffle. */
-  private def hashedShingleSet(s: SparkSession, d: String): DataFrame = {
+  private def hashedShingleSet(s: SparkSession, d: String): DataFrame =
+    hashedShingles(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text, …) DataFrame — shared with the
+    * streaming near-dup index (StreamingNearDup), which computes
+    * signatures per micro-batch with exactly the batch definition. */
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame = {
     val md = md5(col("sh"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(shingles(col("tk"), 3)).as("sh"))
       .select(col("doc_id"),
@@ -88,12 +94,12 @@ object LlmPipeline {
 
   // -- q21: MinHash-LSH near-duplicate detection --------------------
 
-  private val NumHashes = 16
-  private val NumBands = 8 // r = 2 rows/band → catches Jaccard ≳ 0.35
+  private[graft] val NumHashes = 16
+  private[graft] val NumBands = 8 // r = 2 rows/band → catches Jaccard ≳ 0.35
 
   /** Modulus for the double-hashing family: the prime 2^48 - 59. With
     * h1, h2 < 2^48 and i < 16, `h1 + i*h2 < 2^52` — no 64-bit overflow. */
-  private val MinhashPrime = 281474976710597L
+  private[graft] val MinhashPrime = 281474976710597L
 
   /** MinHash signatures + per-doc Jaccard state in ONE aggregate: the
     * 16-value double-hashing family `(h1 + i*h2) mod p` (r3 computed 16
@@ -102,7 +108,7 @@ object LlmPipeline {
     * shingle-hash array used for in-row exact-intersection later. One
     * shuffle over the hashed shingle set, after which everything about
     * a doc lives in a single sig row. */
-  private def minhashSignatures(exh: DataFrame): DataFrame =
+  private[graft] def minhashSignatures(exh: DataFrame): DataFrame =
     exh.groupBy("doc_id").agg(
       min(col("h1") % MinhashPrime).as("h0"),
       ((1 until NumHashes).map(i =>
@@ -126,12 +132,16 @@ object LlmPipeline {
     * so the heavy subtree is computed once per run — intra-query CTE
     * materialization, the same thing a SQL engine does for a reused
     * WITH block. */
+  /** The 8 banded signatures of a sig row (2 minhashes per band),
+    * as one array column — shared with StreamingNearDup's index. */
+  private[graft] def bandSigArray: Column =
+    array((0 until NumBands).map(b =>
+      concat_ws("|", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)
+
   val q21DedupMinhashLsh: Q = (s, d) => {
     val sig = minhashSignatures(hashedShingleSet(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandSigs = array((0 until NumBands).map(b =>
-      concat_ws("|", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)
-    val buckets = sig.select(col("doc_id"), explode(bandSigs).as("bsig"))
+    val buckets = sig.select(col("doc_id"), explode(bandSigArray).as("bsig"))
     // per-bucket sorted doc list -> all i<j pairs, expanded in-row
     val pairsArr = flatten(transform(col("ids"), (x, i) =>
       transform(
