@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++ graft.queries.GoldMarts.defs ++
       graft.queries.LlmPipeline.defs ++ graft.queries.NearDup.defs ++
       graft.queries.EventAnalytics.defs ++ graft.queries.Analytics.defs ++
-      graft.queries.Profiling.defs ++ graft.queries.Curation.defs
+      graft.queries.Profiling.defs ++ graft.queries.Curation.defs ++
+      graft.queries.Graph.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.GoldMarts.oracles ++
       graft.queries.LlmPipeline.oracles ++ graft.queries.NearDup.oracles ++
       graft.queries.EventAnalytics.oracles ++ graft.queries.Analytics.oracles ++
-      graft.queries.Profiling.oracles ++ graft.queries.Curation.oracles
+      graft.queries.Profiling.oracles ++ graft.queries.Curation.oracles ++
+      graft.queries.Graph.oracles
 }

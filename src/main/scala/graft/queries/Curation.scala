@@ -281,8 +281,43 @@ object Curation {
         col("rank").cast("long").as("rank"))
   }
 
+  // -- q56: fixed-context training-sequence packing ------------------
+
+  private val SeqLen = 64L
+
+  /** Concat-and-chunk training prep (the step AFTER q50's shard
+    * packing): documents are laid end-to-end in a deterministic hash
+    * order per language stream and cut into fixed-length 64-token
+    * training sequences; a document straddling a sequence boundary is
+    * SPLIT, emitting one row per (doc, sequence) overlap with the
+    * in-document token span [tok_begin, tok_end). The running token
+    * offset is a per-stratum window running sum (one shuffle + one
+    * in-partition sort — the q50 shape); chunk expansion is an in-row
+    * explode over the doc's own span — integer math end-to-end, so
+    * both engines agree exactly. At 100 TB the stratum key becomes
+    * (lang, shard) so each stream's sort stays bounded; sequence ids
+    * are stream-local, exactly how a multi-host tokenizer run works. */
+  val q56SequencePack: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(concat(lit("seqpack"), col("doc_id").cast("string"))).as("hk"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("tok_off", col("cum") - col("n_tok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tok_off div $SeqLen"), expr(s"(cum - 1) div $SeqLen"))))
+      .select(col("doc_id"), col("lang"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * SeqLen - col("tok_off")).as("tok_begin"),
+        least(col("n_tok"), (col("seq_id") + lit(1L)) * SeqLen - col("tok_off")).as("tok_end"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q53_exact_k_sample" -> q53ExactKSample,
+    "q56_sequence_pack" -> q56SequencePack,
     "q46_repetition_stats" -> q46RepetitionStats,
     "q47_decontaminate" -> q47Decontaminate,
     "q48_incremental_dedup" -> q48IncrementalDedup,
@@ -323,6 +358,26 @@ object Curation {
          |  FROM h
          |)
          |SELECT lang, doc_id, samp_h, rank FROM r WHERE rank <= $SampleK""".stripMargin,
+    "q56_sequence_pack" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+         |    md5('seqpack' || CAST(doc_id AS VARCHAR)) AS hk
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM b WHERE n_tok > 0
+         |), e AS (
+         |  SELECT doc_id, lang, n_tok, cum - n_tok AS tok_off,
+         |    unnest(generate_series((cum - n_tok) // $SeqLen, (cum - 1) // $SeqLen)) AS seq_id
+         |  FROM c
+         |)
+         |SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(greatest(0, seq_id * $SeqLen - tok_off) AS BIGINT) AS tok_begin,
+         |  CAST(least(n_tok, (seq_id + 1) * $SeqLen - tok_off) AS BIGINT) AS tok_end
+         |FROM e""".stripMargin,
     "q46_repetition_stats" ->
       s"""WITH $toksCte, m AS (
          |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq,

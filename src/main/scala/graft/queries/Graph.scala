@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster graph analytics — the stage AFTER pair-emitting
+  * near-dup detection. q21/q31/q32/q39 all end at "pairs (a, b) are
+  * near-duplicates", but a curation pipeline must act on CLUSTERS:
+  * if a~b and b~c, keeping "one of each pair" would still keep two
+  * copies of the cluster {a,b,c}. q55 closes that gap: connected
+  * components over the near-dup pair graph, one keeper per component.
+  *
+  * Algorithm: min-label propagation with pointer doubling. Each node
+  * starts labeled with itself; every round a node takes the min of its
+  * own label, its neighbors' labels, and its LABEL'S label (the
+  * pointer-doubling hop that short-circuits long chains: label paths
+  * halve every round, so convergence is O(log diameter) rounds, not
+  * O(diameter) — the property that makes this runnable on a 100 TB
+  * pair graph where a plain flood fill on a chain-shaped component
+  * would need thousands of barriers). Each round is two keyed
+  * equi-joins + one min-aggregate — all partial-aggregated shuffles on
+  * bounded keys, nothing quadratic, nothing driver-side except the
+  * O(1) convergence counter. `localCheckpoint` truncates lineage per
+  * round so the plan does not grow with iterations (the standard
+  * iterative-algorithm discipline on Spark; at cluster scale it would
+  * be `checkpoint` to durable storage for executor-loss recovery).
+  *
+  * The driver-side loop is control plane, not data plane: the number
+  * of rounds is ~log2 of the largest component's diameter (2-3 in
+  * practice for dedup graphs), and the only values crossing the
+  * driver are per-round change counts.
+  *
+  * Oracle: an independent DuckDB restatement — WITH RECURSIVE
+  * min-label reachability over the same pair relation (q21's oracle
+  * CTEs, mounted unchanged) — so the Spark fixpoint is checked against
+  * a different algorithm, not a re-run of itself.
+  */
+object Graph {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components of an undirected graph given as (a, b)
+    * pairs; returns (id, lbl) with lbl = min node id reachable. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // symmetric edge list, materialized ONCE — every round re-reads it
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var lbl = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdge = sym.join(lbl, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val ptr = lbl.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val viaPtr = lbl.join(ptr, col("lbl") === col("pid"))
+        .select(col("id"), col("plbl").as("lbl"))
+      val next = lbl.union(viaEdge).union(viaPtr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      lbl = next
+    }
+    lbl
+  }
+
+  /** q55: near-duplicate clusters over the q21 MinHash-verified pair
+    * graph. One row per clustered document: its component id (= the
+    * smallest doc_id in the component — the canonical keeper), the
+    * component size, and the keep/drop verdict. Documents in no pair
+    * are implicitly singleton keepers and are not emitted (at corpus
+    * scale they are the overwhelming majority; emitting them would be
+    * an O(corpus) append of trivial rows). */
+  val q55DupClusters: Q = (s, d) => {
+    val pairs = LlmPipeline.q21DedupMinhashLsh(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val lbl = connectedComponents(pairs)
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("lbl")).as("is_keeper"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q55_dup_clusters" -> q55DupClusters)
+
+  val oracles: Map[String, String] = Map(
+    // Reachability fixpoint per node (recursive CTE), then min label —
+    // algorithmically independent of the Spark pointer-doubling loop.
+    "q55_dup_clusters" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+         |  c.doc_id = c.cluster_id AS is_keeper
+         |FROM comp c JOIN (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+         |) s ON s.cluster_id = c.cluster_id""".stripMargin)
+}

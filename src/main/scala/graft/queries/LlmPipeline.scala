@@ -513,6 +513,50 @@ object LlmPipeline {
       |  WHERE len(tk) >= 3
       |)""".stripMargin
 
+  /** q21's oracle, factored as CTE-chain + final SELECT so q55's
+    * duplicate-cluster oracle (queries/Graph.scala) can mount the pair
+    * relation as one more CTE under its own WITH RECURSIVE. */
+  private[queries] val minhashPairCtes: String = {
+    val hs = (0 until NumHashes)
+      .map(i => s"min((h1 + $i * h2) % $MinhashPrime) AS h$i").mkString(",\n    ")
+    val bands = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, concat_ws('|', h${2 * b}, h${2 * b + 1}) AS sig FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$toksCte, $exCte, exh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 17, 12) AS BIGINT) AS h2
+       |  FROM ex
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $hs,
+       |    CAST(len(list_distinct(list(h1))) AS BIGINT) AS n,
+       |    list_distinct(list(h1)) AS hs
+       |  FROM exh GROUP BY doc_id
+       |), bands AS (
+       |  $bands
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |), scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+       |    a.n AS na, b.n AS nb
+       |  FROM cand
+       |  JOIN sig a ON doc_a = a.doc_id
+       |  JOIN sig b ON doc_b = b.doc_id
+       |)""".stripMargin
+  }
+
+  private[queries] val minhashPairSelect: String =
+    """SELECT doc_a, doc_b, n_inter,
+      |  na + nb - n_inter AS n_union,
+      |  CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+      |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+      |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+      |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= 500000""".stripMargin
+
   private val hexVal: String => String = c =>
     s"(strpos('0123456789abcdef', substr(md5($c),1,1))-1)*4096 + " +
       s"(strpos('0123456789abcdef', substr(md5($c),2,1))-1)*256 + " +
@@ -525,44 +569,8 @@ object LlmPipeline {
         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
-    "q21_dedup_minhash_lsh" -> {
-      val hs = (0 until NumHashes)
-        .map(i => s"min((h1 + $i * h2) % $MinhashPrime) AS h$i").mkString(",\n    ")
-      val bands = (0 until NumBands)
-        .map(b => s"SELECT doc_id, $b AS band, concat_ws('|', h${2 * b}, h${2 * b + 1}) AS sig FROM sig")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH $toksCte, $exCte, exh AS (
-         |  SELECT DISTINCT doc_id,
-         |    CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h1,
-         |    CAST('0x' || substr(md5(sh), 17, 12) AS BIGINT) AS h2
-         |  FROM ex
-         |), sig AS (
-         |  SELECT doc_id,
-         |    $hs,
-         |    CAST(len(list_distinct(list(h1))) AS BIGINT) AS n,
-         |    list_distinct(list(h1)) AS hs
-         |  FROM exh GROUP BY doc_id
-         |), bands AS (
-         |  $bands
-         |), cand AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-         |), scored AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
-         |    a.n AS na, b.n AS nb
-         |  FROM cand
-         |  JOIN sig a ON doc_a = a.doc_id
-         |  JOIN sig b ON doc_b = b.doc_id
-         |)
-         |SELECT doc_a, doc_b, n_inter,
-         |  na + nb - n_inter AS n_union,
-         |  CAST(round(1e6 * CAST(n_inter AS DOUBLE)
-         |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
-         |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
-         |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= 500000""".stripMargin
-    },
+    "q21_dedup_minhash_lsh" ->
+      s"WITH $minhashPairCtes\n$minhashPairSelect",
     "q22_text_stats" -> {
       def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
       s"""WITH $toksCte, base AS (

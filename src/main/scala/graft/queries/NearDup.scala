@@ -56,17 +56,23 @@ object NearDup {
   /** Per-doc 60-bit SimHash: token hash = two 30-bit halves of
     * md5(token); bit i of the fingerprint is the sign of the
     * frequency-weighted sum of (±1) votes from bit i of the token
-    * hashes. One narrow map + ONE shuffle (the groupBy); the 60
-    * bit-sums are a single partial-aggregated pass. */
+    * hashes. Token counts are aggregated FIRST and md5 runs on the
+    * distinct (doc, token) pairs only: a ±1 vote per occurrence sums
+    * to exactly ±count per distinct token, so the fingerprint is
+    * integer-identical while hashing cost scales with the vocabulary
+    * footprint, not with token occurrences — natural corpora repeat
+    * tokens heavily (this corpus ~20×), and at 100 TB the (doc, token)
+    * pre-aggregate collapses map-side before either shuffle. */
   private[graft] def simhash60(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"),
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
         (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % (1L << 30)).as("h1"),
         (conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long") % (1L << 30)).as("h2"))
     val bitSums = (0 until SimBits).map { i =>
       val src = if (i < 30) col("h1") else col("h2")
-      sum(when(shiftright(src, i % 30).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+      sum(when(shiftright(src, i % 30).bitwiseAND(lit(1L)) === 1L, col("c")).otherwise(-col("c"))).as(s"b$i")
     }
     val sh = (0 until SimBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))

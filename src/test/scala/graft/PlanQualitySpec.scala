@@ -120,7 +120,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q50/q52 deterministic orderings ride one shuffle + one window sort") {
     assume(haveData, s"$sfDir not present")
-    Seq("q50_token_shards", "q52_corpus_shuffle").foreach { name =>
+    Seq("q50_token_shards", "q52_corpus_shuffle", "q56_sequence_pack").foreach { name =>
       val p = plan(name)
       withClue(s"$name:") {
         p.sliding("Exchange hashpartitioning".length)
