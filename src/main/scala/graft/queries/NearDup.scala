@@ -281,7 +281,9 @@ object NearDup {
     *
     * Plan: centroids are a broadcast nested-loop against the table
     * (K rows — bounded), assignment picked by a per-vector window;
-    * candidates come from an equi-join on cell id. */
+    * candidates come from an equi-join on cell id. At scale the
+    * vec_id<K seed convention is replaced by centroids from an actual
+    * Lloyd run — q57 below implements exactly that. */
   val q33AnnIvf: Q = (s, d) => {
     val e = quantized(s, d)
     val cents = e.filter(col("vec_id") < IvfCells)
@@ -304,13 +306,77 @@ object NearDup {
     graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
   }
 
+  // -- q57: k-means clustering (unrolled Lloyd iterations) -----------
+
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** One Lloyd assignment pass with DRIVER-HOSTED centroids (the
+    * MLlib discipline: K×dim numbers are control plane, exactly like
+    * a broadcast variable — NOT a join). The K squared-L2 distances
+    * are computed IN-ROW against literal centroid arrays
+    * (`zip_with` + `aggregate`, codegen'd) and the argmin is an
+    * `array_min` over (dist, c_id) structs — so assignment is a pure
+    * narrow map: zero shuffles, zero joins, no K-fold row blow-up. */
+  private def kmAssign(vecs: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val dists = array(cents.map { case (cid, cq) =>
+      struct(
+        aggregate(zip_with(col("q"), typedlit(cq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(cid).as("c_id"))
+    }: _*)
+    vecs.withColumn("m", array_min(dists))
+      .select(col("vec_id"), col("q"),
+        col("m.c_id").as("cluster"), col("m.dist").as("dist"))
+  }
+
+  /** Lloyd update: per-(cluster, dimension) integer sums — ONE
+    * partial-aggregated shuffle on a (K × dim)-bounded key space —
+    * rounded to e4 centroid components by the engine-portable
+    * round(sum/count) convention; the K result rows come back to the
+    * driver (control plane, like the assignment's outbound centroids).
+    * Clusters that lost all members drop out, shrinking K — the
+    * standard restart-free policy, identical in the oracle. */
+  private def kmUpdate(assigned: DataFrame): Seq[(Long, Seq[Long])] =
+    assigned.select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"),
+        round(col("sx").cast("double") / col("n").cast("double"), 0)
+          .cast("long").as("c"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), _.getField("c")).as("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .toSeq.sortBy(_._1)
+
+  /** q57: k-means over the quantized embeddings — K=8, two unrolled
+    * Lloyd iterations from the deterministic seed (vectors with
+    * vec_id < K), then a final assignment. Everything is exact
+    * integer/portable math (e4 components, integer squared-L2, one
+    * IEEE divide per centroid component), so the DuckDB oracle unrolls
+    * the same two iterations relationally and must agree bit-for-bit.
+    * This is the operator q33's scaladoc promises at scale: IVF
+    * centroids from an actual k-means, not a vec_id<K convention. */
+  val q57KmeansCluster: Q = (s, d) => {
+    val e = quantized(s, d).select(col("vec_id"), col("q"))
+    var cents = e.filter(col("vec_id") < KmK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .toSeq.sortBy(_._1)
+    (1 to KmIters).foreach { _ => cents = kmUpdate(kmAssign(e, cents)) }
+    kmAssign(e, cents).select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
     "q31_dedup_simhash" -> q31DedupSimhash,
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
     "q33_ann_ivf" -> q33AnnIvf,
-    "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard)
+    "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard,
+    "q57_kmeans_cluster" -> q57KmeansCluster)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -425,6 +491,40 @@ object NearDup {
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
          |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= $JaccardThresholdE6""".stripMargin,
+    // The same two Lloyd iterations, unrolled relationally: every
+    // Spark (assign, update) pass becomes an (sN/aN, uN/cN) CTE pair.
+    // All math is integer or one IEEE divide over identical operands,
+    // so the two engines must agree bit-for-bit.
+    "q57_kmeans_cluster" -> {
+      def assignCte(sName: String, aName: String, centRel: String): String =
+        s"""$sName AS (
+           |  SELECT v.vec_id, v.q, c.c_id,
+           |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+           |      i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS dist
+           |  FROM qv v CROSS JOIN $centRel c
+           |), $aName AS (
+           |  SELECT vec_id, q, c_id AS cluster, dist FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+           |    FROM $sName) t WHERE rn = 1
+           |)""".stripMargin
+      def updateCte(uName: String, cName: String, aName: String): String =
+        s"""$uName AS (
+           |  SELECT cluster, u.i AS i,
+           |    CAST(round(CAST(sum(q[u.i]) AS DOUBLE) / count(*), 0) AS BIGINT) AS c
+           |  FROM $aName, LATERAL unnest(generate_series(1, len(q))) u(i)
+           |  GROUP BY cluster, u.i
+           |), $cName AS (
+           |  SELECT cluster AS c_id, list(c ORDER BY i) AS cq FROM $uName GROUP BY cluster
+           |)""".stripMargin
+      s"""WITH $quantCte, c0 AS (
+         |  SELECT vec_id AS c_id, q AS cq FROM qv WHERE vec_id < $KmK
+         |), ${assignCte("s0", "a1", "c0")},
+         |${updateCte("u1", "c1", "a1")},
+         |${assignCte("s1", "a2", "c1")},
+         |${updateCte("u2", "c2", "a2")},
+         |${assignCte("s2", "a3", "c2")}
+         |SELECT vec_id, cluster, dist FROM a3""".stripMargin
+    },
     "q33_ann_ivf" ->
       s"""WITH $quantCte, cents AS (
          |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells

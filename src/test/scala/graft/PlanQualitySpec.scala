@@ -131,6 +131,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q57 k-means assignment is a pure narrow map: no joins, no exchanges") {
+    assume(haveData, s"$sfDir not present")
+    // centroids are driver-hosted literals (the MLlib discipline), so
+    // the returned assignment plan must be scan + project only — a
+    // regression to relational centroids would surface as a join or a
+    // K-fold explode ahead of an aggregate here
+    val p = plan("q57_kmeans_cluster")
+    p should not include "Join"
+    p should not include "Exchange"
+  }
+
   test("q51 pivot stays two-phase cell aggregates, no Expand, no per-cell pass") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q51_mix_pivot")
