@@ -41,9 +41,14 @@ object Graph {
   /** Connected components of an undirected graph given as (a, b)
     * pairs; returns (id, lbl) with lbl = min node id reachable. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // the pair source is materialized BEFORE symmetrization: the
+    // union references it twice, and without the checkpoint the whole
+    // upstream pair-detection plan (q21's joins, for q55) would be
+    // computed once per union leg
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
     // symmetric edge list, materialized ONCE — every round re-reads it
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint()
     var lbl = sym.select(col("src").as("id")).distinct()

@@ -359,14 +359,58 @@ object NearDup {
     * the same two iterations relationally and must agree bit-for-bit.
     * This is the operator q33's scaladoc promises at scale: IVF
     * centroids from an actual k-means, not a vec_id<K convention. */
-  val q57KmeansCluster: Q = (s, d) => {
+  /** The full two-iteration Lloyd pipeline; returns the final
+    * assignment (vec_id, q, cluster, dist) — still a narrow map over
+    * the scan. Shared by q57 (assignments) and q58 (semantic dedup
+    * within the resulting clusters). */
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d).select(col("vec_id"), col("q"))
     var cents = e.filter(col("vec_id") < KmK)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
     (1 to KmIters).foreach { _ => cents = kmUpdate(kmAssign(e, cents)) }
-    kmAssign(e, cents).select(col("vec_id"), col("cluster"), col("dist"))
+    kmAssign(e, cents)
+  }
+
+  val q57KmeansCluster: Q = (s, d) =>
+    kmeansAssignments(s, d).select(col("vec_id"), col("cluster"), col("dist"))
+
+  // -- q58: semantic dedup (within-cluster cosine pruning) -----------
+
+  private val SemDupThresholdE6 = 300000L
+
+  /** SemDeDup-style semantic deduplication: k-means partitions the
+    * embedding space (q57's pipeline), then near-duplicates are
+    * detected ONLY within each cluster — pairwise exact quantized
+    * cosine over cluster-mates, never across the corpus. The cluster
+    * equi-join bounds the quadratic term by the largest cluster (at
+    * scale K grows ~√N, holding cluster sizes roughly constant), which
+    * is the entire trick of the method: global all-pairs cosine is
+    * impossible at 100 TB, per-cluster all-pairs is routine. A vector
+    * is dropped when any smaller-id cluster-mate sits at cosine ≥ the
+    * threshold (one-hop rule, same keeper convention as q21/q48;
+    * cluster-level transitive closure is q55's job).
+    *
+    * Reference: Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication" (arXiv:2303.09540) —
+    * method re-expressed over Spark relational ops. */
+  val q58SemanticDedup: Q = (s, d) => {
+    val a = kmeansAssignments(s, d)
+      .withColumn("s2", dotL(col("q"), col("q")))
+    val l = a.select(col("cluster"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("s2").as("sa"))
+    val r = a.select(col("cluster"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("s2").as("sb"))
+    val dropped = l.join(r, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .select(col("b_id"),
+        cosE6(dotL(col("qa"), col("qb")), col("sa"), col("sb")).as("cos_e6"))
+      .filter(col("cos_e6") >= SemDupThresholdE6)
+      .select(col("b_id").as("vec_id")).distinct()
+    a.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("hit"), lit(false)).as("is_dropped"))
   }
 
   // -- registry ------------------------------------------------------
@@ -376,7 +420,8 @@ object NearDup {
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
     "q33_ann_ivf" -> q33AnnIvf,
     "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard,
-    "q57_kmeans_cluster" -> q57KmeansCluster)
+    "q57_kmeans_cluster" -> q57KmeansCluster,
+    "q58_semantic_dedup" -> q58SemanticDedup)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -395,6 +440,38 @@ object NearDup {
 
   private def cosSql(dot: String, sa: String, sb: String): String =
     s"CAST(round(1e6 * $dot / (sqrt(CAST($sa AS DOUBLE)) * sqrt(CAST($sb AS DOUBLE))), 0) AS BIGINT)"
+
+  /** q57's two unrolled Lloyd iterations as a CTE chain ending in the
+    * final assignment `a3` — shared by the q57 and q58 oracles. */
+  private lazy val kmeansCtes: String = {
+    def assignCte(sName: String, aName: String, centRel: String): String =
+      s"""$sName AS (
+         |  SELECT v.vec_id, v.q, c.c_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+         |      i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS dist
+         |  FROM qv v CROSS JOIN $centRel c
+         |), $aName AS (
+         |  SELECT vec_id, q, c_id AS cluster, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |    FROM $sName) t WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(uName: String, cName: String, aName: String): String =
+      s"""$uName AS (
+         |  SELECT cluster, u.i AS i,
+         |    CAST(round(CAST(sum(q[u.i]) AS DOUBLE) / count(*), 0) AS BIGINT) AS c
+         |  FROM $aName, LATERAL unnest(generate_series(1, len(q))) u(i)
+         |  GROUP BY cluster, u.i
+         |), $cName AS (
+         |  SELECT cluster AS c_id, list(c ORDER BY i) AS cq FROM $uName GROUP BY cluster
+         |)""".stripMargin
+    s"""$quantCte, c0 AS (
+       |  SELECT vec_id AS c_id, q AS cq FROM qv WHERE vec_id < $KmK
+       |), ${assignCte("s0", "a1", "c0")},
+       |${updateCte("u1", "c1", "a1")},
+       |${assignCte("s1", "a2", "c1")},
+       |${updateCte("u2", "c2", "a2")},
+       |${assignCte("s2", "a3", "c2")}""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // Independent quadratic restatement — provably equal to the banded
@@ -495,36 +572,23 @@ object NearDup {
     // Spark (assign, update) pass becomes an (sN/aN, uN/cN) CTE pair.
     // All math is integer or one IEEE divide over identical operands,
     // so the two engines must agree bit-for-bit.
-    "q57_kmeans_cluster" -> {
-      def assignCte(sName: String, aName: String, centRel: String): String =
-        s"""$sName AS (
-           |  SELECT v.vec_id, v.q, c.c_id,
-           |    CAST(list_sum(list_transform(generate_series(1, len(v.q)),
-           |      i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS dist
-           |  FROM qv v CROSS JOIN $centRel c
-           |), $aName AS (
-           |  SELECT vec_id, q, c_id AS cluster, dist FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-           |    FROM $sName) t WHERE rn = 1
-           |)""".stripMargin
-      def updateCte(uName: String, cName: String, aName: String): String =
-        s"""$uName AS (
-           |  SELECT cluster, u.i AS i,
-           |    CAST(round(CAST(sum(q[u.i]) AS DOUBLE) / count(*), 0) AS BIGINT) AS c
-           |  FROM $aName, LATERAL unnest(generate_series(1, len(q))) u(i)
-           |  GROUP BY cluster, u.i
-           |), $cName AS (
-           |  SELECT cluster AS c_id, list(c ORDER BY i) AS cq FROM $uName GROUP BY cluster
-           |)""".stripMargin
-      s"""WITH $quantCte, c0 AS (
-         |  SELECT vec_id AS c_id, q AS cq FROM qv WHERE vec_id < $KmK
-         |), ${assignCte("s0", "a1", "c0")},
-         |${updateCte("u1", "c1", "a1")},
-         |${assignCte("s1", "a2", "c1")},
-         |${updateCte("u2", "c2", "a2")},
-         |${assignCte("s2", "a3", "c2")}
-         |SELECT vec_id, cluster, dist FROM a3""".stripMargin
-    },
+    "q57_kmeans_cluster" ->
+      s"WITH $kmeansCtes\nSELECT vec_id, cluster, dist FROM a3",
+    // q57's CTE chain + a within-cluster pair scan — the oracle
+    // restates the cluster-bounded quadratic directly.
+    "q58_semantic_dedup" ->
+      s"""WITH $kmeansCtes, a3s AS (
+         |  SELECT vec_id, cluster, q,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS s2
+         |  FROM a3
+         |), dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM a3s a JOIN a3s b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql(dotSql("a.q", "b.q"), "a.s2", "b.s2")} >= $SemDupThresholdE6
+         |)
+         |SELECT s.vec_id, s.cluster, d.vec_id IS NOT NULL AS is_dropped
+         |FROM a3s s LEFT JOIN dup d ON s.vec_id = d.vec_id""".stripMargin,
     "q33_ann_ivf" ->
       s"""WITH $quantCte, cents AS (
          |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
