@@ -34,6 +34,26 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** CPU-bound modalities (text shingling/regex, vector math) need
+    * scan-stage parallelism even when the input arrives as a handful
+    * of small files: parquet splits at row-group granularity, so one
+    * single-row-group file = ONE task, and every core but one idles
+    * through the expensive narrow maps. When the scan yields fewer
+    * partitions than the session's parallelism, round-robin
+    * repartition up to it — the shuffle moves only the few small
+    * files that triggered the guard, and the explicit partition count
+    * is exempt from AQE coalescing so the downstream map really fans
+    * out. At scale the guard is false (thousands of splits) and this
+    * is a no-op, preserving pushdown-friendly plain scans. Filters
+    * and pruning still reach the scan: Catalyst pushes both through a
+    * deterministic Repartition. */
+  private def withMinParallelism(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    withMinParallelism(s, apply(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    withMinParallelism(s, apply(s, d, "embeddings"))
 }
