@@ -272,34 +272,47 @@ object LlmPipeline {
       java.nio.ByteBuffer.wrap(md, 0, 4).getInt.toDouble / Int.MaxValue
     }
 
+  /** The same hyperplanes quantized to e6 integers. Bucketing uses
+    * THESE, not the doubles: an integer plane dotted with the
+    * e4-quantized embedding is exact, so the sign (= the bucket bit)
+    * is engine- and summation-order-independent — which is what lets
+    * the DuckDB oracle below reproduce every bucket bit for bit. A
+    * float dot's sign could flip between engines on near-orthogonal
+    * pairs (list_sum's accumulation order is not contractual). */
+  private[graft] def planeWeightsE6(table: Int, plane: Int): Seq[Long] =
+    planeWeights(table, plane).map(w => math.round(w * 1e6))
+
   /** Bucketed ANN: L=6 hash tables × 3 hyperplanes → 8 buckets per
     * table; candidates are same-bucket pairs in ANY table (union +
     * distinct), then exact cosine + top-5. At 100 TB: the per-table
     * join is a shuffle on (table, bucket) — bounded buckets, no
-    * quadratic blow-up; recall tuned by L and planes/table (6×3
-    * measures recall@5 = 0.81 vs the q23 baseline at sf0.001).
-    * No SQL oracle (LSH plane algebra isn't reasonably expressible in
-    * DuckDB SQL) → driver records a rows-only check; AnnLshSpec pins
-    * recall against the q23 baseline. */
+    * quadratic blow-up; recall tuned by L and planes/table. Fully
+    * oracle-checked: the md5-derived planes are embedded in the
+    * oracle SQL as integer literals and all sign/score math is exact
+    * integer arithmetic, so DuckDB replays the exact same buckets,
+    * candidates, and top-5. AnnLshSpec additionally pins recall@5
+    * against the q23 brute-force baseline. */
   val q24AnnLshBucketed: Q = (s, d) => {
     graft.functions.VectorFunctions.register(s)
-    def dotPlane(v: Column, w: Seq[Double]): Column =
-      graft.functions.VectorFunctions.dotDouble(v, typedlit(w))
     def bucket(t: Int): Column =
       (0 until LshPlanesPerTable).map { p =>
-        when(dotPlane(col("v"), planeWeights(t, p)) >= 0, lit(1 << p)).otherwise(lit(0))
+        when(dotL(col("q"), typedlit(planeWeightsE6(t, p))) >= 0, lit(1 << p))
+          .otherwise(lit(0))
       }.reduce(_ + _)
 
-    // One pass computes all 6 tables' buckets as an exploded array
+    // One quantized scan feeds both bucketing and scoring. All 6
+    // tables' buckets come out of one pass as an exploded array
     // (the q21 pattern — the r3 shape was a 6-way union that rescanned
     // and re-quantized the embeddings per table). Pair generation is
     // KEY-ONLY: the 64-element arrays never ride the (t, b) shuffle;
     // they attach by vec_id equi-join after the pair dedup, so each
     // array crosses exactly two shuffles regardless of L.
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .withColumn("sq", dotL(col("q"), col("q")))
     val tb = array((0 until LshTables).map(t =>
       struct(lit(t).as("t"), bucket(t).as("b"))): _*)
-    val buckets = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val buckets = e
       .select(col("vec_id"), explode(tb).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val qs = buckets.filter(col("vec_id") % 25 === 0)
@@ -309,9 +322,6 @@ object LlmPipeline {
         col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), quant(col("embedding")).as("q"))
-      .withColumn("sq", dotL(col("q"), col("q")))
     val scored = pairs
       .join(e.select(col("vec_id").as("n_id"), col("q"), col("sq")),
         col("neighbor_id") === col("n_id"))
@@ -628,8 +638,57 @@ object LlmPipeline {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
-    // q24 intentionally has no oracle (rows-only check): LSH plane
-    // algebra is pinned by AnnLshSpec against the q23 baseline instead.
+    "q24_ann_lsh_bucketed" -> {
+      // The md5-derived hyperplanes, embedded as integer literals (one
+      // VALUES row per (table, plane-bit)): the oracle replays the
+      // exact bucket bits because both engines compute the same
+      // integer dot sign. 18 rows x 64 longs — constant-size SQL.
+      val planeRows = (for {
+        t <- 0 until LshTables
+        p <- 0 until LshPlanesPerTable
+      } yield s"($t, ${1 << p}, [${planeWeightsE6(t, p).mkString(", ")}])")
+        .mkString(",\n      ")
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)) AS q
+         |  FROM embeddings
+         |), ev AS (
+         |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq FROM qv
+         |), planes AS (
+         |  SELECT * FROM (VALUES
+         |      $planeRows
+         |  ) v(t, bit, w)
+         |), buckets AS (
+         |  SELECT e.vec_id, p.t,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> e.q[i] * p.w[i])) >= 0
+         |             THEN p.bit ELSE 0 END) AS BIGINT) AS b
+         |  FROM ev e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.t
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS q_id, eb.vec_id AS neighbor_id
+         |  FROM buckets eb JOIN buckets qb
+         |    ON eb.t = qb.t AND eb.b = qb.b
+         |   AND qb.vec_id % 25 = 0 AND eb.vec_id <> qb.vec_id
+         |), pairs AS (
+         |  SELECT c.q_id, c.neighbor_id, a.q AS qa, b.q AS qb, a.sq AS sa, b.sq AS sb
+         |  FROM cand c
+         |  JOIN ev a ON c.neighbor_id = a.vec_id
+         |  JOIN ev b ON c.q_id = b.vec_id
+         |), dots AS (
+         |  SELECT q_id, neighbor_id, CAST(sum(qa[u.i] * qb[u.i]) AS BIGINT) AS dot
+         |  FROM pairs, LATERAL unnest(generate_series(1, len(qa))) u(i)
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT p.q_id, p.neighbor_id,
+         |    CAST(round(1e6 * CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(p.sa AS DOUBLE)) * sqrt(CAST(p.sb AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+         |  FROM pairs p JOIN dots d ON p.q_id = d.q_id AND p.neighbor_id = d.neighbor_id
+         |)
+         |SELECT q_id, neighbor_id, cos_e6, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5""".stripMargin
+    },
     "q25_doc_fingerprint" -> {
       val bitSums = (0 until 16)
         .map(i => s"sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")

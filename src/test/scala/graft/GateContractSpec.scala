@@ -10,10 +10,11 @@ package graft
   */
 class GateContractSpec extends SparkSpec {
 
-  /** Approximate-by-contract operators: q24 hyperplane-LSH ANN
-    * (AnnLshSpec pins recall vs the exact q23 baseline), q41 sketch
-    * profiling (ProfilingSpec pins HLL/quantile error bounds). */
-  private val rowsOnlyAllowed = Set("q24_ann_lsh_bucketed", "q41_profile_sketch")
+  /** Approximate-by-contract operators: q41 sketch profiling
+    * (ProfilingSpec pins HLL/quantile error bounds). q24's LSH left
+    * this list in r5 — integer-quantized planes made its buckets
+    * exactly reproducible in SQL, so it carries a real oracle now. */
+  private val rowsOnlyAllowed = Set("q41_profile_sketch")
 
   test("every query has an oracle unless explicitly allowlisted rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -26,7 +27,7 @@ class GateContractSpec extends SparkSpec {
 
   test("rows-only queries have a pinning spec on the classpath") {
     // the allowlist is only honest while the pinning specs exist
-    Seq("graft.AnnLshSpec", "graft.ProfilingSpec").foreach { cls =>
+    Seq("graft.ProfilingSpec").foreach { cls =>
       noException should be thrownBy Class.forName(cls)
     }
   }
