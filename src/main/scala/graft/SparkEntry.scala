@@ -24,7 +24,7 @@ object SparkEntry {
       graft.queries.LlmPipeline.defs ++ graft.queries.NearDup.defs ++
       graft.queries.EventAnalytics.defs ++ graft.queries.Analytics.defs ++
       graft.queries.Profiling.defs ++ graft.queries.Curation.defs ++
-      graft.queries.Graph.defs
+      graft.queries.Graph.defs ++ graft.queries.Relevance.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -33,5 +33,5 @@ object SparkEntry {
       graft.queries.LlmPipeline.oracles ++ graft.queries.NearDup.oracles ++
       graft.queries.EventAnalytics.oracles ++ graft.queries.Analytics.oracles ++
       graft.queries.Profiling.oracles ++ graft.queries.Curation.oracles ++
-      graft.queries.Graph.oracles
+      graft.queries.Graph.oracles ++ graft.queries.Relevance.oracles
 }

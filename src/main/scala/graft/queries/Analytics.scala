@@ -117,7 +117,39 @@ object Analytics {
 
   // -- registry ------------------------------------------------------
 
+  // -- q64: Z-order layout keys --------------------------------------
+
+  private val ZBits = 16
+
+  /** Z-ORDER (Morton) clustering keys over (l_partkey, l_suppkey) —
+    * the multi-dimensional sort-key technique behind lakehouse
+    * `OPTIMIZE ZORDER BY`: interleaving the bits of both keys gives a
+    * 1-D order in which ranges of EITHER key stay spatially local, so
+    * a `repartitionByRange(zbucket)` write lets parquet min/max stats
+    * prune scans filtered on either dimension (a single-column sort
+    * only prunes its own column). Computed as a 16-step shift/mask OR
+    * chain — pure narrow codegen'd integer math, ZERO shuffles; the
+    * expensive part of a real ZORDER rewrite (the range repartition)
+    * is the writer's one shuffle, not this key derivation. zbucket =
+    * top 12 interleaved bits ⇒ 4096 range-stable file buckets. */
+  val q64ZorderLayout: Q = (s, d) => {
+    def interleave(x: Column, y: Column): Column =
+      (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % (1 << ZBits)).cast("long").as("zx"),
+        (col("l_suppkey") % (1 << ZBits)).cast("long").as("zy"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        interleave(col("zx"), col("zy")).as("zcode"))
+      .withColumn("zbucket", shiftright(col("zcode"), 2 * ZBits - 12))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
     "q36_rollup_revenue" -> q36RollupRevenue,
     "q37_window_topk" -> q37WindowTopk,
@@ -126,6 +158,21 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q64_zorder_layout" -> {
+      val zexpr = (0 until ZBits).flatMap { i =>
+        Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH k AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_partkey % ${1 << ZBits} AS BIGINT) AS zx,
+         |    CAST(l_suppkey % ${1 << ZBits} AS BIGINT) AS zy
+         |  FROM lineitem
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST($zexpr AS BIGINT) AS zcode,
+         |  CAST(($zexpr) >> ${2 * ZBits - 12} AS BIGINT) AS zbucket
+         |FROM k""".stripMargin
+    },
     "q54_cube_composition" ->
       """WITH base AS (
         |  SELECT lang, CAST(CAST(substr(source, 4) AS INT) % 4 AS BIGINT) AS src_grp, n_chars

@@ -315,7 +315,45 @@ object Curation {
         least(col("n_tok"), (col("seq_id") + lit(1L)) * SeqLen - col("tok_off")).as("tok_end"))
   }
 
+  // -- q59: duplicate-span (chunk-level) dedup -----------------------
+
+  private val ChunkChars = 200
+
+  /** Sub-document dedup, the line/paragraph-level pass of a crawl
+    * pipeline (the corpus-wide complement of q46's intra-doc metrics):
+    * each document is cut into consecutive 200-char chunks, a chunk
+    * appearing verbatim in 2+ documents is a duplicate span, and the
+    * per-document output reports how much of the text survives span
+    * removal. Chunking is an in-row `transform` over the raw text (a
+    * plain scan attribute, so nothing expensive is re-evaluated per
+    * chunk — cf. the `ngrams` lambda-inlining note); the only wide
+    * work shuffles fixed-width (md5, doc_id) pairs — document text
+    * never leaves the scan — and the chunk-frequency aggregate is
+    * partial-combined map-side. Cost is linear in corpus bytes. */
+  val q59ChunkDedup: Q = (s, d) => {
+    val nChunks = (length(col("text")) + lit(ChunkChars - 1)) / lit(ChunkChars)
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), nChunks.cast("int") - 1),
+          i => col("text").substr(i * ChunkChars + 1, lit(ChunkChars))))
+          .as(Seq("idx", "ch_txt")))
+      .select(col("doc_id"), md5(col("ch_txt")).as("ch"),
+        length(col("ch_txt")).cast("long").as("ch_len"))
+    val freq = chunks.groupBy("ch")
+      .agg(count_distinct(col("doc_id")).as("docs"))
+    chunks.join(freq, "ch")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("docs") < 2, col("ch_len")).otherwise(0L)).as("kept_chars"))
+      .withColumn("dup_span_frac_e6",
+        e6Frac(col("n_dup_chunks"), col("n_chunks")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q59_chunk_dedup" -> q59ChunkDedup,
     "q53_exact_k_sample" -> q53ExactKSample,
     "q56_sequence_pack" -> q56SequencePack,
     "q46_repetition_stats" -> q46RepetitionStats,
@@ -348,6 +386,25 @@ object Curation {
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q59_chunk_dedup" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, md5(c) AS ch, CAST(len(c) AS BIGINT) AS ch_len
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest([substr(text, i * $ChunkChars + 1, $ChunkChars)
+         |              for i in range(0, CAST((len(text) + ${ChunkChars - 1}) // $ChunkChars AS INT))]) AS c
+         |    FROM documents)
+         |), f AS (
+         |  SELECT ch, count(DISTINCT doc_id) AS docs FROM ch GROUP BY 1
+         |)
+         |SELECT c.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN docs < 2 THEN ch_len ELSE 0 END) AS BIGINT) AS kept_chars,
+         |  CAST(round(1e6 * CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS dup_span_frac_e6
+         |FROM ch c JOIN f USING (ch)
+         |GROUP BY 1""".stripMargin,
     "q53_exact_k_sample" ->
       s"""WITH h AS (
          |  SELECT lang, doc_id, ${hash16Sql("evalk", "doc_id")} AS samp_h

@@ -124,12 +124,80 @@ object EventAnalytics {
         round(col("value") * 100, 0).cast("long").as("value_e2"))
   }
 
+  // -- q62: time-RANGE window frame (trailing 1 hour) ------------------
+
+  private val HourMicros = 3600L * 1000000
+
+  /** Per-event trailing-hour activity: for every event, the count and
+    * cents-value sum of the same user's events in the preceding hour
+    * (inclusive) — the time-RANGE frame family next to q38's ROWS
+    * frames. The frame is declared over integer microseconds
+    * (`unix_micros`), so the range bound is exact and both engines
+    * agree on tie handling (RANGE includes all equal-ts peers). Both
+    * aggregates share one frame ⇒ a single Window node; one shuffle
+    * on user_id, linear scan within partition (Spark's sliding range
+    * frame keeps a moving [lo, hi] pointer pair, not a re-scan). */
+  val q62TrailingWindow: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-HourMicros, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("value_e2"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value_e2")).over(w).as("sum_e2_1h"))
+  }
+
+  // -- q63: interval join via time-bucketing ---------------------------
+
+  private val WinPadBeforeUs = 900L * 1000000 // 15 min before the hour
+  private val WinLenUs = 3600L * 1000000 // 60-minute windows
+
+  /** INTERVAL JOIN, Spark-first: tag every event falling inside one of
+    * the corpus-derived "hot windows" (per event_type, the 3 busiest
+    * hours, widened to [hour−15min, hour+45min)). A naive range join
+    * (`e.ts BETWEEN w.start AND w.end`) plans as BroadcastNestedLoop —
+    * quadratic work at scale. Instead both sides are bucketed to the
+    * hour: windows explode into the (≤2) hour buckets they overlap,
+    * events key to their own bucket, and the join is a plain EQUI-join
+    * on (event_type, bucket) with the range predicate as a residual
+    * filter — per-bucket candidate sets, linear in events. The window
+    * side here is tiny (3 per type) and broadcasts; with millions of
+    * windows the same plan becomes a shuffled hash join on the bucket
+    * key. Windows are stride-aligned and 60 min wide, so an event
+    * matches at most one window per type — output is join-exact. */
+  val q63IntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val topW = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("h").asc)
+    val wins = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("h"),
+        (unix_micros(col("h")) - WinPadBeforeUs).as("start_us"),
+        (unix_micros(col("h")) - WinPadBeforeUs + WinLenUs).as("end_us"))
+      .withColumn("b", explode(sequence(
+        expr(s"start_us div $HourMicros"), expr(s"(end_us - 1) div $HourMicros"))))
+    ev.withColumn("b", expr(s"ts_us div $HourMicros"))
+      .join(wins, Seq("event_type", "b"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .select(col("event_id"), col("event_type"),
+        col("h").as("window_hour"), col("ts"))
+  }
+
   // -- registry --------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
     "q34_events_windowed" -> q34EventsWindowed,
     "q35_sessionize" -> q35Sessionize,
-    "q40_asof_attribution" -> q40AsofJoin)
+    "q40_asof_attribution" -> q40AsofJoin,
+    "q62_trailing_window" -> q62TrailingWindow,
+    "q63_interval_join" -> q63IntervalJoin)
 
   // -- DuckDB oracles ---------------------------------------------------
 
@@ -169,6 +237,32 @@ object EventAnalytics {
          |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_e2
          |FROM sess
          |GROUP BY 1, 2""".stripMargin,
+    "q62_trailing_window" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS sum_e2_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Independent restatement: plain range-predicate join (no
+    // bucketing) against the same top-3-hours window derivation.
+    "q63_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2
+        |), wins AS (
+        |  SELECT event_type, h,
+        |    h - INTERVAL 15 MINUTE AS ws, h + INTERVAL 45 MINUTE AS we
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY event_type ORDER BY cnt DESC, h ASC) AS rn
+        |        FROM hourly)
+        |  WHERE rn <= 3
+        |)
+        |SELECT e.event_id, e.event_type, w.h AS window_hour, e.ts
+        |FROM ev e JOIN wins w
+        |  ON e.event_type = w.event_type AND e.ts >= w.ws AND e.ts < w.we""".stripMargin,
     // Independent restatement: per-purchase LATERAL top-1 lookup with
     // the same at-or-before + largest-event_id tie-break contract as
     // the union+window plan.

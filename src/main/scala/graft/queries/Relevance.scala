@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval relevance scoring over the document corpus:
+  * per-document TF-IDF keyword extraction (q60) and BM25-style query
+  * scoring (q61). These are the indexing-side primitives a
+  * training-data pipeline uses for topic tagging, source triage, and
+  * retrieval-based eval-set construction.
+  *
+  * Scale design:
+  *  - Both queries aggregate to the (doc, term) level FIRST — one
+  *    partial-combined shuffle of fixed-width (doc_id, token) counts;
+  *    raw text never shuffles.
+  *  - Document frequency is a second partial-combined aggregate over
+  *    the already-deduplicated (doc, term) rows, joined back BY TERM —
+  *    a keyed equi-join whose build side is the vocabulary (Zipf-small
+  *    relative to the corpus; AQE broadcasts it when it fits).
+  *  - All scores are integer math (floor-division idf, e6 rounding at
+  *    the very end) so ranking ties and hash comparisons are
+  *    bit-identical across engines — no `ln()` whose libm rounding
+  *    could differ between JVM and DuckDB.
+  *  - The corpus size N is a driver-hosted scalar (same pattern as the
+  *    q57 centroids / q14 watermark): one count() action, then a
+  *    literal in the plan — not a 1-row cross join in the hot path.
+  *
+  * Reference anchor: the reference has no text-relevance surface;
+  * SURVEY §7.5(b) north-star extension.
+  */
+object Relevance {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace-normalized lowercase tokens (LlmPipeline convention). */
+  private def tokens(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+
+  // -- q60: per-document TF-IDF keywords -----------------------------
+
+  private val TopTerms = 3
+
+  /** Top-3 TF-IDF terms per document. idf_e6 = (1e6 * N) div df —
+    * integer floor division (monotone in N/df, so ranking matches the
+    * usual log formulation for equal tf) — and score = tf * idf_e6.
+    * The per-doc top-k runs as one Window over rows that are already
+    * one-per-(doc, distinct term), totally ordered by
+    * (score desc, term asc). */
+  val q60TfidfTerms: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_e6").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("idf_e6", expr(s"(${1000000L * nDocs}L div df)"))
+      .withColumn("tfidf_e6", col("tf") * col("idf_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopTerms)
+      .select("doc_id", "tok", "tf", "df", "tfidf_e6", "rank")
+  }
+
+  // -- q61: BM25-style query scoring ---------------------------------
+
+  private val BmQuery = Seq("spark", "query", "join")
+  private val BmK1E3 = 1200L // k1 = 1.2
+  private val BmBE3 = 750L // b = 0.75
+
+  /** BM25 retrieval for a fixed 3-term query: classic Robertson
+    * saturation tf * idf with length normalization, every factor an
+    * e3/e6-scaled integer ratio so both engines agree bit-for-bit
+    * (idf uses the raw (N - df + 0.5)/(df + 0.5) odds WITHOUT the log
+    * — same sign and ranking behavior, no libm). Docs scoring 0 (no
+    * query term) are dropped. avgdl is corpus-global, carried as a
+    * second driver scalar. Output is one row per matching doc with
+    * the total score and per-term contributions summed. */
+  val q61Bm25Search: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(BmQuery: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgDlE3 = docs
+      .select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(expr("(1000L * sum(dl)) div count(1)"))
+      .head().getLong(0)
+    // idf_e6 = 1e6 * (N - df + 0.5) / (df + 0.5)  (integer: ×2 both sides)
+    val idfE6 = expr(s"((${2 * nDocs}L - 2L*df + 1L) * 1000000L) div (2L*df + 1L)")
+    // norm_e3 = k1 * ((1-b) + b * dl/avgdl), all e3-scaled
+    val normE3 = expr(
+      s"($BmK1E3 * ((1000 - $BmBE3) + ($BmBE3 * 1000L * dl) div $avgDlE3)) div 1000")
+    // term score_e6 = idf_e6 * tf * (k1+1) / (tf + norm/1000)  (e3 lifted)
+    val scoreE6 = expr(
+      s"(idf_e6 * tf * (${BmK1E3 + 1000L})) div (tf * 1000L + norm_e3)")
+    tf.join(df, "tok")
+      .withColumn("idf_e6", idfE6)
+      .withColumn("norm_e3", normE3)
+      .withColumn("term_score_e6", scoreE6)
+      .groupBy("doc_id")
+      .agg(sum("term_score_e6").as("bm25_e6"),
+        count(lit(1)).as("n_query_terms"),
+        first("dl").as("dl"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q60_tfidf_terms" -> q60TfidfTerms,
+    "q61_bm25_search" -> q61Bm25Search)
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q60_tfidf_terms" ->
+      s"""WITH $toksCte, tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         |    tf.tf * ((1000000 * n.n_docs) // dfreq.df) AS tfidf_e6,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * ((1000000 * n.n_docs) // dfreq.df) DESC, tf.tok ASC)
+         |      AS BIGINT) AS rank
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         |)
+         |SELECT doc_id, tok, tf, df, CAST(tfidf_e6 AS BIGINT) AS tfidf_e6, rank
+         |FROM scored WHERE rank <= $TopTerms""".stripMargin,
+    "q61_bm25_search" -> {
+      val inList = BmQuery.map(t => s"'$t'").mkString(", ")
+      s"""WITH $toksCte, tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(min(dl) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM toks)
+         |  WHERE tok IN ($inList) GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |avgdl AS (
+         |  SELECT CAST((1000 * sum(len(tk))) // count(*) AS BIGINT) AS avgdl_e3
+         |  FROM toks
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.dl,
+         |    ((2 * n.n_docs - 2 * dfreq.df + 1) * 1000000) // (2 * dfreq.df + 1) AS idf_e6,
+         |    ($BmK1E3 * ((1000 - $BmBE3) + ($BmBE3 * 1000 * tf.dl) // avgdl.avgdl_e3)) // 1000 AS norm_e3,
+         |    tf.tf
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n CROSS JOIN avgdl
+         |)
+         |SELECT doc_id,
+         |  CAST(sum((idf_e6 * tf * ${BmK1E3 + 1000}) // (tf * 1000 + norm_e3)) AS BIGINT) AS bm25_e6,
+         |  CAST(count(*) AS BIGINT) AS n_query_terms,
+         |  CAST(min(dl) AS BIGINT) AS dl
+         |FROM scored GROUP BY 1""".stripMargin
+    })
+}

@@ -193,6 +193,46 @@ class PlanQualitySpec extends SparkSpec {
     p should include("partial_count")
   }
 
+  test("q59 chunk dedup shuffles chunk hashes, never document text") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q59_chunk_dedup")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+    exchanges should not include "ch_txt"
+  }
+
+  test("q60 tf-idf ranks its top terms in a single Window node") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q60_tfidf_terms")
+    p.linesIterator.count(_.contains("Window ")) shouldBe 1
+  }
+
+  test("q62 range frame: both aggregates share one Window over one shuffle") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q62_trailing_window")
+    p.linesIterator.count(_.contains("Window ")) shouldBe 1
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q63 interval join lowers to an equi-join, not a nested loop") {
+    assume(haveData, s"$sfDir not present")
+    // the global no-nested-loop test already rejects the naive range
+    // join plan; this pins that an equi-join (on event_type, bucket)
+    // is what replaced it, with the range predicate as residual
+    val p = plan("q63_interval_join")
+    p should include("Join")
+  }
+
+  test("q64 z-order key derivation is a pure narrow map: zero exchanges") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q64_zorder_layout")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 0
+    p should not include "Join"
+    p.linesIterator.count(_.trim.contains("Sort ")) shouldBe 0
+  }
+
   test("dimension joins broadcast the dimension, never the fact") {
     assume(haveData, s"$sfDir not present")
     // q19 gold mart: lineitem fact joined to supplier + nation dims
