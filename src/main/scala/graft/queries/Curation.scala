@@ -352,8 +352,170 @@ object Curation {
         e6Frac(col("n_dup_chunks"), col("n_chunks")))
   }
 
+  // -- q67: PII redaction ---------------------------------------------
+
+  /** Java-regex AND RE2 compatible patterns (no backrefs/lookaround),
+    * applied in a fixed order so overlapping matches resolve
+    * identically in both engines. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** PII REDACTION: the compliance pass every training corpus and
+    * every healthcare export runs before data leaves the boundary —
+    * mask emails, phone numbers, and SSN-shaped ids, and report
+    * per-type hit counts for the audit log. The testdata carries no
+    * natural PII, so the input "support notes" are synthesized
+    * DETERMINISTICALLY from the customer table inside the query (the
+    * q26 multimodal convention: fake payload, real machinery) — the
+    * redaction chain itself (ordered regexp_replace + regexp_count,
+    * identical RE2-safe patterns in both engines) is the operator
+    * under test. A pure narrow map: zero shuffles at any scale; at
+    * 100 TB this runs scan-speed alongside the other per-doc signals.
+    * Phone masking runs BEFORE SSN so the 3-2-4 pattern can never
+    * re-match inside an already-masked phone; counts are taken on the
+    * raw note with the same precedence (SSN counts exclude phone
+    * matches by construction since the phone pattern is anchored by
+    * "+1-"). */
+  val q67PiiRedact: Q = (s, d) => {
+    val digits = lpad((col("c_custkey") % 10000).cast("string"), 4, "0")
+    val note = concat(
+      lit("Contact "), col("c_name"),
+      lit(" at "), lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+      lit("@example.com or +1-"),
+      lpad(((col("c_custkey") * 7) % 900 + 100).cast("string"), 3, "0"),
+      lit("-555-"), digits,
+      lit(" re: segment "), col("c_mktsegment"),
+      lit("; id on file 123-45-"), digits, lit("."))
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("cust_id"), note.as("note"))
+      .select(
+        col("cust_id"),
+        regexp_count(col("note"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("note"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(
+          regexp_replace(col("note"), PhoneRe, "[PHONE]"), lit(SsnRe))
+          .cast("long").as("n_ssns"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("note"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          SsnRe, "[SSN]").as("redacted"))
+  }
+
+  // -- q68: temperature-based source mixing ----------------------------
+
+  private val MixTargetDocs = 200L
+
+  /** TEMPERATURE SAMPLING (α = 0.5): the Gopher/LLaMA data-mixing move
+    * — sample source s proportionally to n_s^α instead of n_s, so head
+    * sources are downweighted and tail sources surface. α = 0.5 makes
+    * the only non-integer step a SQRT, which IEEE 754 requires
+    * correctly rounded — bit-identical in both engines (pow(x, 0.7)
+    * would not be). Per-source weights are quantized to integers
+    * (round(sqrt(n)·1000)) BEFORE the cross-source total, so the
+    * summation order can never produce float divergence; each doc's
+    * inclusion is then a salted content-stable hash test against the
+    * source's e6 rate (the q49 discipline — no rand(), re-shard proof).
+    * Plan: one partial-aggregated count per source (tiny), the rate
+    * table broadcasts back, and membership is a narrow filter — the
+    * fact table is never shuffled. */
+  val q68TemperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w1000",
+        round(sqrt(col("n_docs").cast("double")) * 1000.0, 0).cast("long"))
+    // the cross-source total runs as an unpartitioned window over the
+    // per-source relation (|sources| rows — control-plane sized), not a
+    // 1-row cross join, which would plan as a nested loop
+    val rates = w
+      .withColumn("tot_w", sum("w1000").over(Window.partitionBy()))
+      // rate in 1/65536 units so the hash16 membership test is EXACT
+      // (no denominator mismatch against the 16-bit hash space)
+      .select(col("source"), col("n_docs"),
+        least(lit(65536L),
+          round(lit(65536.0) * (col("w1000") * MixTargetDocs).cast("double") /
+            (col("tot_w") * col("n_docs")).cast("double"), 0).cast("long"))
+          .as("rate_b16"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(hash16("tempmix", col("doc_id")) < col("rate_b16"))
+      .select(col("doc_id"), col("source"), col("n_docs"), col("rate_b16"))
+  }
+
+  // -- q69: bigram-coverage quality score -------------------------------
+
+  private val CoverageTopK = 200
+
+  /** LM-COVERAGE QUALITY SCORE: the relational re-expression of the
+    * KenLM-style quality filter (CCNet/Gopher) — instead of a trained
+    * n-gram LM's perplexity (libm `log`, not cross-engine
+    * deterministic), score each document by the fraction of its bigram
+    * OCCURRENCES that fall in the corpus's top-200 bigrams by document
+    * frequency. Fluent/common text scores high; gibberish, boilerplate
+    * and wrong-language text score low — the same decision boundary
+    * class, in exact integer ratios. Plan: per-(doc, gram-hash) counts
+    * partial-combine map-side (text never shuffles — 48-bit md5 keys
+    * do); the reference set comes from the map-side-combining TopK
+    * aggregator (k·partitions shuffle rows, no global sort) and
+    * broadcasts back; the coverage aggregate re-shuffles only (doc_id,
+    * counts). At 100 TB the reference set is corpus-wide and fixed —
+    * exactly how production quality filters deploy a frozen vocab. */
+  val q69BigramCoverage: Q = (s, d) => {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(ngrams(tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+    val df = perDoc.groupBy("gh").agg(count(lit(1)).as("df_docs"))
+      .withColumn("grp", lit(1))
+    val top = graft.functions.TopK
+      .topKPerGroup(df, "grp", "gh", "df_docs", CoverageTopK)
+      .select(col("gh"), lit(true).as("hit"))
+    perDoc.join(broadcast(top), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("hit"), col("c")).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage_e6", e6Frac(col("n_covered"), col("n_bigrams")))
+  }
+
+  // -- q70: sliding-window chunking with overlap ------------------------
+
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** SLIDING-WINDOW CHUNKER: cut every document into 64-token chunks
+    * at stride 48 (16-token overlap) — the retrieval/embedding prep
+    * step (RAG indexing, long-doc encoder feeds) next to q56's packing
+    * (which splits WITHOUT overlap for training) and q59's fixed
+    * 200-char spans (which chunk bytes, not tokens). A pure narrow map
+    * — tokenize once, explode the stride sequence in-row, slice the
+    * token array per chunk — ZERO shuffles at any scale; chunk
+    * identity (doc_id, chunk_id) is content-stable for downstream
+    * incremental embedding. */
+  val q70StrideChunk: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("start", explode(sequence(
+        lit(0L), col("n_tok") - 1, lit(ChunkStride.toLong))))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start").as("tok_begin"),
+        least(col("n_tok"), col("start") + ChunkTokens).as("tok_end"),
+        array_join(slice(col("tk"), col("start").cast("int") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q59_chunk_dedup" -> q59ChunkDedup,
+    "q67_pii_redact" -> q67PiiRedact,
+    "q68_temperature_mix" -> q68TemperatureMix,
+    "q69_bigram_coverage" -> q69BigramCoverage,
+    "q70_stride_chunk" -> q70StrideChunk,
     "q53_exact_k_sample" -> q53ExactKSample,
     "q56_sequence_pack" -> q56SequencePack,
     "q46_repetition_stats" -> q46RepetitionStats,
@@ -386,6 +548,84 @@ object Curation {
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q67_pii_redact" -> {
+      // RE2-safe patterns, same masking order as the Spark chain.
+      val em = EmailRe
+      s"""WITH notes AS (
+         |  SELECT c_custkey AS cust_id,
+         |    'Contact ' || c_name || ' at ' ||
+         |    lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) ||
+         |    '@example.com or +1-' ||
+         |    lpad(CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), 3, '0') ||
+         |    '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         |    ' re: segment ' || c_mktsegment ||
+         |    '; id on file 123-45-' ||
+         |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '.' AS note
+         |  FROM customer
+         |)
+         |SELECT cust_id,
+         |  CAST(len(regexp_extract_all(note, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(note, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(note, '$PhoneRe', '[PHONE]', 'g'), '$SsnRe')) AS BIGINT) AS n_ssns,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(note, '$em', '[EMAIL]', 'g'),
+         |      '$PhoneRe', '[PHONE]', 'g'),
+         |    '$SsnRe', '[SSN]', 'g') AS redacted
+         |FROM notes""".stripMargin
+    },
+    "q69_bigram_coverage" ->
+      s"""WITH $toksCte, pd AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh,
+         |    count(*) AS c
+         |  FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS g FROM toks)
+         |  GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT gh, count(*) AS df_docs FROM pd GROUP BY 1
+         |), top AS (
+         |  SELECT gh FROM (
+         |    SELECT gh, row_number() OVER (ORDER BY df_docs DESC, gh ASC) AS rn
+         |    FROM dfreq) WHERE rn <= $CoverageTopK
+         |)
+         |SELECT p.doc_id,
+         |  CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN t.gh IS NOT NULL THEN p.c ELSE 0 END) AS BIGINT) AS n_covered,
+         |  CAST(round(1e6 * CAST(sum(CASE WHEN t.gh IS NOT NULL THEN p.c ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(p.c) AS DOUBLE), 0) AS BIGINT) AS coverage_e6
+         |FROM pd p LEFT JOIN top t USING (gh)
+         |GROUP BY 1""".stripMargin,
+    "q70_stride_chunk" ->
+      s"""WITH $toksCte, b AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+         |  FROM toks WHERE len(tk) > 0
+         |), e AS (
+         |  SELECT doc_id, n_tok, tk,
+         |    unnest(generate_series(0, n_tok - 1, $ChunkStride)) AS start
+         |  FROM b
+         |)
+         |SELECT doc_id,
+         |  CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS tok_begin,
+         |  CAST(least(n_tok, start + $ChunkTokens) AS BIGINT) AS tok_end,
+         |  array_to_string(tk[start + 1 : least(n_tok, start + $ChunkTokens)], ' ') AS chunk_text
+         |FROM e""".stripMargin,
+    "q68_temperature_mix" ->
+      s"""WITH w AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS w1000
+         |  FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(w1000) AS BIGINT) AS tot_w FROM w
+         |), rates AS (
+         |  SELECT source, n_docs,
+         |    least(65536, CAST(round(65536.0 * CAST(w1000 * $MixTargetDocs AS DOUBLE)
+         |      / CAST(tot_w * n_docs AS DOUBLE), 0) AS BIGINT)) AS rate_b16
+         |  FROM w CROSS JOIN tot
+         |)
+         |SELECT d.doc_id, d.source, r.n_docs, r.rate_b16
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |WHERE ${hash16Sql("tempmix", "d.doc_id")} < r.rate_b16""".stripMargin,
     "q59_chunk_dedup" ->
       s"""WITH ch AS (
          |  SELECT doc_id, md5(c) AS ch, CAST(len(c) AS BIGINT) AS ch_len

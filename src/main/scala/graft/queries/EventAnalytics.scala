@@ -190,6 +190,83 @@ object EventAnalytics {
         col("h").as("window_hour"), col("ts"))
   }
 
+  // -- q65: ordered funnel conversion ----------------------------------
+
+  /** FUNNEL: per-user ordered view → click → purchase conversion, the
+    * step-sequence analysis behind every product/behavior dashboard. A
+    * step only counts if it happens at-or-after the previous completed
+    * step (strict funnel semantics, ties broken by event_id), which is
+    * inherently sequential — expressed as THREE stacked running-frame
+    * window columns over ONE (user_id, ts, event_id) sort: the running
+    * min of view times marks rows with a view in their past, a click
+    * row is "qualified" iff that min is set, and a purchase is
+    * qualified iff a qualified click precedes it. One shuffle on
+    * user_id total; Catalyst stacks the three Window nodes over the
+    * same sort with no extra exchange. The naive alternative (three
+    * self-joins on user_id with inequality predicates) shuffles the
+    * fact table three times and blows up on active users.
+    * All step times are integer microseconds. */
+  val q65Funnel: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("v_us", when(col("event_type") === "view", col("us")))
+      .withColumn("t1_run", min(col("v_us")).over(w))
+      .withColumn("c_us",
+        when(col("event_type") === "click" && col("t1_run").isNotNull, col("us")))
+      .withColumn("t2_run", min(col("c_us")).over(w))
+      .withColumn("p_us",
+        when(col("event_type") === "purchase" && col("t2_run").isNotNull, col("us")))
+      .groupBy("user_id")
+      .agg(
+        min(col("v_us")).as("t_view_us"),
+        min(col("c_us")).as("t_click_us"),
+        min(col("p_us")).as("t_purchase_us"))
+      .withColumn("funnel_stage",
+        when(col("t_purchase_us").isNotNull, 3L)
+          .when(col("t_click_us").isNotNull, 2L)
+          .when(col("t_view_us").isNotNull, 1L)
+          .otherwise(0L))
+  }
+
+  // -- q66: signup-cohort weekly retention ------------------------------
+
+  private val WeekMicros = 7L * 86400 * 1000000
+
+  /** COHORT RETENTION: users grouped by the ISO week of their first
+    * event; for each (cohort_week, week_offset) cell, how many cohort
+    * members were active, and what fraction of the cohort that is —
+    * the classic retention triangle. Plan: the only fact-sized work is
+    * the FIRST aggregate (user_id, week) → distinct activity weeks,
+    * partial-combined map-side; everything after runs on the tiny
+    * (user × week) relation (a per-user min window, a cell count, and
+    * a per-cohort max window for the denominator — DuckDB's engine
+    * mirrors each step exactly). Offsets are integer microsecond
+    * subtraction / WeekMicros, not calendar week-diff, so both engines
+    * agree on every boundary. */
+  val q66RetentionCohorts: Q = (s, d) => {
+    val act = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val byUser = Window.partitionBy("user_id")
+    val cells = act
+      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .withColumn("week_offset",
+        expr(s"(unix_micros(week) - unix_micros(cohort_week)) div $WeekMicros"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val byCohort = Window.partitionBy("cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(byCohort))
+      .withColumn("retention_e6",
+        round(lit(1e6) * col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 0).cast("long"))
+  }
+
   // -- registry --------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -197,7 +274,9 @@ object EventAnalytics {
     "q35_sessionize" -> q35Sessionize,
     "q40_asof_attribution" -> q40AsofJoin,
     "q62_trailing_window" -> q62TrailingWindow,
-    "q63_interval_join" -> q63IntervalJoin)
+    "q63_interval_join" -> q63IntervalJoin,
+    "q65_funnel_steps" -> q65Funnel,
+    "q66_retention_cohorts" -> q66RetentionCohorts)
 
   // -- DuckDB oracles ---------------------------------------------------
 
@@ -281,5 +360,62 @@ object EventAnalytics {
         |FROM p LEFT JOIN LATERAL (
         |  SELECT c.event_id, c.ts FROM c
         |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
-        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON true""".stripMargin)
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON true""".stripMargin,
+    // Same three stacked running-frame windows — DuckDB evaluates the
+    // identical sequential-min funnel definition.
+    "q65_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN us END AS v_us,
+        |    min(CASE WHEN event_type = 'view' THEN us END) OVER w AS t1_run
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND t1_run IS NOT NULL
+        |      THEN us END AS c_us,
+        |    min(CASE WHEN event_type = 'click' AND t1_run IS NOT NULL
+        |      THEN us END) OVER w AS t2_run
+        |  FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND t2_run IS NOT NULL
+        |      THEN us END AS p_us
+        |  FROM s2
+        |)
+        |SELECT user_id,
+        |  min(v_us) AS t_view_us,
+        |  min(c_us) AS t_click_us,
+        |  min(p_us) AS t_purchase_us,
+        |  CAST(CASE WHEN min(p_us) IS NOT NULL THEN 3
+        |            WHEN min(c_us) IS NOT NULL THEN 2
+        |            WHEN min(v_us) IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM s3 GROUP BY user_id""".stripMargin,
+    "q66_retention_cohorts" ->
+      s"""WITH act AS (
+         |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2
+         |), c AS (
+         |  SELECT user_id, week,
+         |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+         |  FROM act
+         |), cells AS (
+         |  SELECT cohort_week,
+         |    date_diff('microsecond', cohort_week, week) // ${WeekMicros} AS week_offset,
+         |    count(*) AS n_active
+         |  FROM c GROUP BY 1, 2
+         |)
+         |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset, n_active,
+         |  max(CASE WHEN week_offset = 0 THEN n_active END)
+         |    OVER (PARTITION BY cohort_week) AS cohort_size,
+         |  CAST(round(1e6 * CAST(n_active AS DOUBLE) /
+         |    CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+         |      OVER (PARTITION BY cohort_week) AS DOUBLE), 0) AS BIGINT) AS retention_e6
+         |FROM cells""".stripMargin)
 }

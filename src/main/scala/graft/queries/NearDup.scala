@@ -148,15 +148,16 @@ object NearDup {
     * BIGINT `min(df, 2^15-1)·2^48 + h` — identical in both engines;
     * capping df only reorders among very-common shingles, and ANY
     * total order keeps the filter lossless. */
-  val q39DedupNgramJaccard: Q = (s, d) => {
-    // df comes from a count-aggregate + keyed re-join, NOT from a
-    // collect_set(doc_id) per shingle: a stop-shingle at corpus scale
-    // would put millions of doc_ids into a single array row (the exact
-    // skew PPJoin ordering exists to dodge), while groupBy(count) +
-    // equi-join keeps every row bounded. `sets` is persisted because it
-    // feeds three plan branches (prefix buckets, a-side, b-side) that
-    // would otherwise each recompute the whole shingle pipeline (the
-    // q21 lesson).
+  /** Per-doc hashed 3-gram shingle sets in ascending global-df order —
+    * (doc_id, hs, n), persisted: every consumer fans it into 3+ plan
+    * branches (prefix buckets, a-side, b-side) that would otherwise
+    * each recompute the whole shingle pipeline (the q21 lesson).
+    * df comes from a count-aggregate + keyed re-join, NOT from a
+    * collect_set(doc_id) per shingle: a stop-shingle at corpus scale
+    * would put millions of doc_ids into a single array row (the exact
+    * skew PPJoin ordering exists to dodge), while groupBy(count) +
+    * equi-join keeps every row bounded. */
+  private def dfOrderedShingleSets(s: SparkSession, d: String): DataFrame = {
     val exh = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(shingles3(col("tk"))).as("sh"))
@@ -164,16 +165,20 @@ object NearDup {
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
       .distinct()
     val freq = exh.groupBy("h").agg(count(lit(1)).as("df"))
-    val sets = exh.join(freq, "h")
+    exh.join(freq, "h")
       .select(col("doc_id"),
         (least(col("df"), lit(32767L)) * lit(1L << 48) + col("h")).as("k"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
       .select(col("doc_id"),
         transform(col("ks"), k => k.bitwiseAND(lit((1L << 48) - 1))).as("hs"),
         size(col("ks")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  val q39DedupNgramJaccard: Q = (s, d) => {
+    val sets = dfOrderedShingleSets(s, d)
       // prefix length n - ceil(t*n) + 1 at t=0.5, in exact integer math
       .withColumn("plen", expr("cast(n - (n + 1) div 2 + 1 as int)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sets
       .select(col("doc_id"), explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
     val pairsArr = flatten(transform(col("ids"), (x, i) =>
@@ -200,6 +205,49 @@ object NearDup {
           (col("na") + col("nb") - col("n_inter")).cast("double"), 0)
           .cast("long").as("jaccard_e6"))
       .filter(col("jaccard_e6") >= JaccardThresholdE6)
+  }
+
+  // -- q71: exact containment dedup (excerpt/quote detection) --------
+
+  private val ContainThresholdE6 = 900000L // t = 0.9
+
+  /** EXACT CONTAINMENT join: pairs where ≥90% of doc A's 3-gram
+    * shingles also appear in doc B — the asymmetric complement of
+    * q39's Jaccard (a short excerpt inside a long page has Jaccard
+    * ≈ |A|/|B| ≈ 0, but containment ≈ 1; this is how quote/mirror/
+    * boilerplate relationships are actually found). Blocking is the
+    * ONE-SIDED prefix filter: with A's shingles in ascending global-df
+    * order, any B containing ≥ ceil(t·n_A) of them must match one of
+    * A's first n_A − ceil(t·n_A) + 1 elements (pigeonhole) — so
+    * A-prefix ⋈ B-full-postings is a provable candidate superset and
+    * the oracle restating the same algebra is exhaustive. The full
+    * posting-list side is fact-sized, but the PREFIX side holds only
+    * each doc's ~10% RAREST shingles (df-asc order), so per-key
+    * candidate lists stay small exactly where posting lists are long;
+    * shuffle payloads are 48-bit hashes + ids, never text. */
+  val q71ContainmentDedup: Q = (s, d) => {
+    val sets = dfOrderedShingleSets(s, d)
+      // prefix length n - ceil(t*n) + 1 at t=0.9, exact integer math
+      .withColumn("plen", expr("cast(n - (9 * n + 9) div 10 + 1 as int)"))
+    val pref = sets
+      .select(col("doc_id").as("a_id"),
+        explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val inv = sets.select(col("doc_id").as("b_id"), explode(col("hs")).as("h"))
+    val cand = pref.join(inv, "h")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val a = sets.select(col("doc_id").as("a_id"), col("n").as("na"), col("hs").as("hs_a"))
+    val b = sets.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hs").as("hs_b"))
+    cand
+      .join(a, Seq("a_id"))
+      .join(b, Seq("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_inter"),
+        col("na"), col("nb"))
+      .withColumn("containment_e6",
+        round(lit(1e6) * col("n_inter").cast("double") / col("na").cast("double"), 0)
+          .cast("long"))
+      .filter(col("containment_e6") >= ContainThresholdE6)
   }
 
   // -- shared quantized-embedding primitives (q23/q24 conventions) ---
@@ -421,7 +469,8 @@ object NearDup {
     "q33_ann_ivf" -> q33AnnIvf,
     "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard,
     "q57_kmeans_cluster" -> q57KmeansCluster,
-    "q58_semantic_dedup" -> q58SemanticDedup)
+    "q58_semantic_dedup" -> q58SemanticDedup,
+    "q71_containment_dedup" -> q71ContainmentDedup)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -568,6 +617,49 @@ object NearDup {
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
          |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= $JaccardThresholdE6""".stripMargin,
+    // One-sided prefix-filter algebra restated in SQL (lossless at
+    // t=0.9 by pigeonhole — the complete answer, like q39).
+    "q71_containment_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |  FROM documents
+         |), ex AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+2], ' ') AS sh
+         |  FROM toks, LATERAL unnest(generate_series(1, len(tk)-2)) u(i)
+         |  WHERE len(tk) >= 3
+         |), exh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h
+         |  FROM ex
+         |), freq AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM exh GROUP BY h
+         |), sets AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_sort(list(least(df, 32767) * ${1L << 48} + exh.h)),
+         |      k -> k & ${(1L << 48) - 1}) AS hs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM exh JOIN freq ON exh.h = freq.h
+         |  GROUP BY doc_id
+         |), pre AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(n - (9 * n + 9) // 10 + 1 AS INT)]) AS h
+         |  FROM sets
+         |), inv AS (
+         |  SELECT doc_id, unnest(hs) AS h FROM sets
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+         |  FROM pre l JOIN inv r ON l.h = r.h AND l.doc_id <> r.doc_id
+         |), scored AS (
+         |  SELECT a_id AS doc_a, b_id AS doc_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+         |    a.n AS na, b.n AS nb
+         |  FROM cand
+         |  JOIN sets a ON a_id = a.doc_id
+         |  JOIN sets b ON b_id = b.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_inter, na, nb,
+         |  CAST(round(1e6 * CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE), 0) AS BIGINT) AS containment_e6
+         |FROM scored
+         |WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE), 0) AS BIGINT) >= $ContainThresholdE6""".stripMargin,
     // The same two Lloyd iterations, unrolled relationally: every
     // Spark (assign, update) pass becomes an (sN/aN, uN/cN) CTE pair.
     // All math is integer or one IEEE divide over identical operands,

@@ -240,4 +240,34 @@ class PlanQualitySpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
   }
+
+  test("q65 funnel: three sequential steps share ONE user_id shuffle") {
+    assume(haveData, s"$sfDir not present")
+    // the three stacked running-frame windows and the final per-user
+    // aggregate all reuse the same user_id partitioning — a regression
+    // to self-joins would multiply fact shuffles
+    val p = plan("q65_funnel_steps")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q68 temperature mix: rates broadcast back; document text never read") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q68_temperature_mix")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    // only (doc_id, source) leave the scan — the rate decision needs no text
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    readSchemas should not include "text"
+  }
+
+  test("q70 stride chunking is a pure narrow map: zero wide exchanges") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q70_stride_chunk")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 0
+    p should not include "Join"
+  }
 }
