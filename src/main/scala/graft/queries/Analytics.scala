@@ -148,12 +148,105 @@ object Analytics {
       .withColumn("zbucket", shiftright(col("zcode"), 2 * ZBits - 12))
   }
 
+  // -- q72: UNPIVOT / melt ---------------------------------------------
+
+  /** UNPIVOT (melt): recent lineitems' three money measures rotated
+    * from columns into (measure, value) rows — the wide→long reshape
+    * feeding metric stores and per-measure aggregation. Spark's
+    * `unpivot` compiles to an Expand (3 rows per input, one per
+    * measure) — a pure narrow map, ZERO shuffles, linear at any scale;
+    * the date filter is pushed to the parquet scan first. Measures are
+    * integer-scaled BEFORE the rotate so one BIGINT value column
+    * carries all three exactly. */
+  val q72Unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-06-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("extendedprice_e2"),
+        round(col("l_discount") * 10000, 0).cast("long").as("discount_e4"),
+        round(col("l_tax") * 10000, 0).cast("long").as("tax_e4"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("extendedprice_e2"), col("discount_e4"), col("tax_e4")),
+        "measure", "value")
+
+  // -- q73: NTILE decile bucketing ---------------------------------------
+
+  /** NTILE(10): per-segment account-balance deciles — the
+    * quality-threshold primitive ("drop the bottom decile") of scoring
+    * pipelines, and the missing member of the ranking family next to
+    * q37's row_number and q62's range frames. The order
+    * (bal_e2, custkey) is total, so SQL-standard ntile semantics
+    * (larger buckets first) are bit-identical in both engines. One
+    * shuffle on the segment key. */
+  val q73NtileDeciles: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("bal_e2"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_e2"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+  }
+
+  // -- q74: INTERSECT / EXCEPT (customer retention sets) -----------------
+
+  /** SET OPERATORS: customers with orders in both 1994 and 1995
+    * (INTERSECT → retained), only 1994 (EXCEPT → churned), only 1995
+    * (EXCEPT → acquired) — completing §2.5's set-op family beyond
+    * UNION ALL. Spark lowers intersect/except to left-semi/anti joins
+    * over pre-aggregated DISTINCT keys, so each branch is a keyed
+    * equi-join on customer ids (never fact rows); the year filters
+    * push to the orders scan. */
+  val q74SetOps: Q = (s, d) => {
+    def custIn(yr: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    val c94 = custIn(1994)
+    val c95 = custIn(1995)
+    c94.intersect(c95).select(lit("retained").as("status"), col("o_custkey"))
+      .unionByName(
+        c94.except(c95).select(lit("churned").as("status"), col("o_custkey")))
+      .unionByName(
+        c95.except(c94).select(lit("acquired").as("status"), col("o_custkey")))
+  }
+
+  // -- q75: exact grouped median (dual-rank) ------------------------------
+
+  /** EXACT MEDIAN per group, relationally: rank each row both ways
+    * ((cnt+1) div 2 and (cnt+2) div 2 pick the middle one-or-two rows)
+    * and sum them — `2 × median` in exact cents, no interpolation, no
+    * engine-specific `median()` semantics. One shuffle for the window
+    * sort; the final aggregate reuses the same partitioning. The exact
+    * formulation deliberately contrasts q41's rank-error quantile
+    * SKETCH: this is the small-group-count path (segments, departments),
+    * the sketch is the high-cardinality path. */
+  val q75GroupedMedian: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("bal_e2"), col("c_custkey"))
+    val cw = Window.partitionBy("c_mktsegment")
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_e2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("lo", expr("(cnt + 1) div 2"))
+      .withColumn("hi", expr("(cnt + 2) div 2"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(col("cnt")).as("n_customers"),
+        sum(when(col("rn") === col("lo") && col("lo") === col("hi"), col("bal_e2") * 2)
+          .when(col("rn") === col("lo") || col("rn") === col("hi"), col("bal_e2"))
+          .otherwise(0L)).as("median_x2_e2"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
     "q36_rollup_revenue" -> q36RollupRevenue,
     "q37_window_topk" -> q37WindowTopk,
-    "q38_moving_window" -> q38MovingWindow)
+    "q38_moving_window" -> q38MovingWindow,
+    "q72_unpivot_measures" -> q72Unpivot,
+    "q73_ntile_deciles" -> q73NtileDeciles,
+    "q74_set_ops" -> q74SetOps,
+    "q75_grouped_median" -> q75GroupedMedian)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -210,6 +303,53 @@ object Analytics {
         |  FROM rev
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY revenue_e4 DESC, l_partkey)
         |) WHERE rnk <= 3""".stripMargin,
+    // Independent restatement: UNION ALL of three per-measure selects
+    // (no UNPIVOT syntax), same e2/e4 scaling.
+    "q72_unpivot_measures" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS extendedprice_e2,
+        |    CAST(round(l_discount * 10000, 0) AS BIGINT) AS discount_e4,
+        |    CAST(round(l_tax * 10000, 0) AS BIGINT) AS tax_e4
+        |  FROM lineitem WHERE l_shipdate >= DATE '1998-06-01'
+        |)
+        |SELECT l_orderkey, l_linenumber, 'extendedprice_e2' AS measure, extendedprice_e2 AS value FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount_e4', discount_e4 FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax_e4', tax_e4 FROM base""".stripMargin,
+    "q73_ntile_deciles" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2,
+        |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey) AS BIGINT) AS decile
+        |FROM customer""".stripMargin,
+    "q74_set_ops" ->
+      """WITH c94 AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |), c95 AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |)
+        |SELECT 'retained' AS status, o_custkey FROM (SELECT * FROM c94 INTERSECT SELECT * FROM c95)
+        |UNION ALL
+        |SELECT 'churned', o_custkey FROM (SELECT * FROM c94 EXCEPT SELECT * FROM c95)
+        |UNION ALL
+        |SELECT 'acquired', o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c94)""".stripMargin,
+    "q75_grouped_median" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment,
+        |  CAST(max(cnt) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN rn = (cnt + 1) // 2 AND (cnt + 1) // 2 = (cnt + 2) // 2 THEN bal_e2 * 2
+        |                WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN bal_e2
+        |                ELSE 0 END) AS BIGINT) AS median_x2_e2
+        |FROM r GROUP BY 1""".stripMargin,
     "q38_moving_window" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS price_e2,
