@@ -237,6 +237,34 @@ object Analytics {
           .otherwise(0L)).as("median_x2_e2"))
   }
 
+  // -- q78: snapshot diff (FULL OUTER join) -------------------------------
+
+  /** SNAPSHOT DIFF: per-customer 1994-vs-1995 spend, classified
+    * added / removed / changed / unchanged — the CDC-style year-over-
+    * year state comparison (the batch analog of what SCD2 tracks
+    * incrementally), and the FULL OUTER member of the join family
+    * (q06 left, q09 semi, q10 anti). Both snapshots pre-aggregate to
+    * one row per customer BEFORE the join, so the full-outer
+    * sort-merge joins keyed aggregates, never fact rows; the year
+    * filters push to the orders scan. Exact cents math throughout. */
+  val q78SnapshotDiff: Q = (s, d) => {
+    def spend(yr: Int, out: String) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(sumE2(col("o_totalprice")).as(out))
+    spend(1994, "spend94_e2")
+      .join(spend(1995, "spend95_e2"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("spend94_e2"), lit(0L)).as("spend94_e2"),
+        coalesce(col("spend95_e2"), lit(0L)).as("spend95_e2"))
+      .withColumn("delta_e2", col("spend95_e2") - col("spend94_e2"))
+      .withColumn("status",
+        when(col("spend94_e2") === 0L, "added")
+          .when(col("spend95_e2") === 0L, "removed")
+          .when(col("delta_e2") === 0L, "unchanged")
+          .otherwise("changed"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
@@ -246,7 +274,8 @@ object Analytics {
     "q72_unpivot_measures" -> q72Unpivot,
     "q73_ntile_deciles" -> q73NtileDeciles,
     "q74_set_ops" -> q74SetOps,
-    "q75_grouped_median" -> q75GroupedMedian)
+    "q75_grouped_median" -> q75GroupedMedian,
+    "q78_snapshot_diff" -> q78SnapshotDiff)
 
   // -- DuckDB oracles ------------------------------------------------
 
@@ -335,6 +364,28 @@ object Analytics {
         |SELECT 'churned', o_custkey FROM (SELECT * FROM c94 EXCEPT SELECT * FROM c95)
         |UNION ALL
         |SELECT 'acquired', o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c94)""".stripMargin,
+    "q78_snapshot_diff" ->
+      """WITH s94 AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend94_e2
+        |  FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1
+        |), s95 AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend95_e2
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(s94.o_custkey, s95.o_custkey) AS o_custkey,
+        |    coalesce(spend94_e2, 0) AS spend94_e2,
+        |    coalesce(spend95_e2, 0) AS spend95_e2
+        |  FROM s94 FULL OUTER JOIN s95 ON s94.o_custkey = s95.o_custkey
+        |)
+        |SELECT o_custkey, spend94_e2, spend95_e2,
+        |  spend95_e2 - spend94_e2 AS delta_e2,
+        |  CASE WHEN spend94_e2 = 0 THEN 'added'
+        |       WHEN spend95_e2 = 0 THEN 'removed'
+        |       WHEN spend95_e2 = spend94_e2 THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM j""".stripMargin,
     "q75_grouped_median" ->
       """WITH r AS (
         |  SELECT c_mktsegment,

@@ -267,6 +267,31 @@ object EventAnalytics {
           col("cohort_size").cast("double"), 0).cast("long"))
   }
 
+  // -- q77: activity streaks (gaps and islands) -------------------------
+
+  /** GAPS-AND-ISLANDS: each user's maximal runs of consecutive active
+    * DAYS — the streak/engagement primitive (and the canonical
+    * islands formulation: day minus row_number is constant exactly
+    * within a consecutive run, so one window + one aggregate finds
+    * every island; no self-joins, no recursion). Fact-sized work is
+    * the per-(user, day) DISTINCT collapse (partial-combined
+    * map-side); the window and the island aggregate then ride the
+    * same user_id partitioning on the tiny distinct-days relation —
+    * one fact shuffle + one small keyed shuffle total at any scale. */
+  val q77ActivityStreaks: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("day"))
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(
+        min(col("day")).as("streak_start"),
+        max(col("day")).as("streak_end"),
+        count(lit(1)).as("n_days"))
+      .drop("anchor")
+  }
+
   // -- registry --------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -276,7 +301,8 @@ object EventAnalytics {
     "q62_trailing_window" -> q62TrailingWindow,
     "q63_interval_join" -> q63IntervalJoin,
     "q65_funnel_steps" -> q65Funnel,
-    "q66_retention_cohorts" -> q66RetentionCohorts)
+    "q66_retention_cohorts" -> q66RetentionCohorts,
+    "q77_activity_streaks" -> q77ActivityStreaks)
 
   // -- DuckDB oracles ---------------------------------------------------
 
@@ -396,6 +422,20 @@ object EventAnalytics {
         |            WHEN min(v_us) IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS funnel_stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "q77_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        |  FROM days
+        |)
+        |SELECT user_id,
+        |  min(day) AS streak_start,
+        |  max(day) AS streak_end,
+        |  count(*) AS n_days
+        |FROM r GROUP BY user_id, anchor""".stripMargin,
     "q66_retention_cohorts" ->
       s"""WITH act AS (
          |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,

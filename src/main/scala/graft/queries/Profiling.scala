@@ -78,13 +78,49 @@ object Profiling {
           .otherwise("test"))
   }
 
+  // -- q76: equi-width histogram ---------------------------------------
+
+  private val HistBins = 16
+  private val HistWidthChars = 50L
+
+  /** EQUI-WIDTH HISTOGRAM of document length (16 × 50-char buckets,
+    * top bucket open) — the exact-counting distribution profile next to
+    * q41's rank-error quantile sketch: histograms drive the length
+    * filters and truncation budgets of a curation pipeline, and an
+    * equi-width bucket is a pure integer floor-division, so this stays
+    * a ONE-shuffle partial-aggregated count at any scale (the shuffle
+    * carries ≤17 rows per partition). min/max per bucket double as the
+    * exact bucket occupancy bounds. */
+  val q76LengthHistogram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(least(lit(HistBins - 1L),
+        expr(s"n_chars div $HistWidthChars")).as("bucket"),
+        col("n_chars"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .withColumn("bucket_lo", col("bucket") * HistWidthChars)
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
-    "q42_train_test_split" -> q42TrainTestSplit)
+    "q42_train_test_split" -> q42TrainTestSplit,
+    "q76_length_histogram" -> q76LengthHistogram)
 
   /** q41's sketch outputs are approximate by contract — no DuckDB
     * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
   val oracles: Map[String, String] = Map(
+    "q76_length_histogram" ->
+      s"""SELECT bucket, count(*) AS n_docs,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |  CAST(bucket * $HistWidthChars AS BIGINT) AS bucket_lo
+         |FROM (
+         |  SELECT CAST(least(${HistBins - 1}, n_chars // $HistWidthChars) AS BIGINT) AS bucket,
+         |    n_chars
+         |  FROM documents)
+         |GROUP BY bucket""".stripMargin,
     "q42_train_test_split" ->
       """SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS bucket,
