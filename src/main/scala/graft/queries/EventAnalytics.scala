@@ -292,6 +292,32 @@ object EventAnalytics {
       .drop("anchor")
   }
 
+  // -- q79: calendar-spine densification ---------------------------------
+
+  /** CALENDAR SPINE: hourly event counts DENSIFIED over the full
+    * (event_type × hour) grid — missing hours surface as explicit
+    * zeros, which every time-series consumer (charting, anomaly
+    * windows, forecasting feeds) requires and a plain groupBy can
+    * never produce. The spine is GENERATED (`sequence` + explode over
+    * the corpus min/max hour), so the grid needs no stored calendar
+    * table; the types×hours cross join multiplies two control-plane
+    * relations (|types| · |hours| rows — bounded by design, the q33
+    * exemption class), and the fact-sized work remains the one
+    * partial-aggregated (event_type, hour) count, LEFT-joined back to
+    * the grid on its own keys. */
+  val q79HourlySpine: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n_events"))
+    val spine = ev.agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+      .select(explode(sequence(col("h_min"), col("h_max"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    types.crossJoin(spine)
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   // -- registry --------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -302,7 +328,8 @@ object EventAnalytics {
     "q63_interval_join" -> q63IntervalJoin,
     "q65_funnel_steps" -> q65Funnel,
     "q66_retention_cohorts" -> q66RetentionCohorts,
-    "q77_activity_streaks" -> q77ActivityStreaks)
+    "q77_activity_streaks" -> q77ActivityStreaks,
+    "q79_hourly_spine" -> q79HourlySpine)
 
   // -- DuckDB oracles ---------------------------------------------------
 
@@ -422,6 +449,21 @@ object EventAnalytics {
         |            WHEN min(v_us) IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS funnel_stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "q79_hourly_spine" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events
+        |), counts AS (
+        |  SELECT event_type, h, count(*) AS n_events FROM ev GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(h) AS hmin, max(h) AS hmax FROM ev
+        |), spine AS (
+        |  SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h FROM b
+        |), t AS (
+        |  SELECT DISTINCT event_type FROM ev
+        |)
+        |SELECT t.event_type, s.h, CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        |FROM t CROSS JOIN spine s
+        |LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = s.h""".stripMargin,
     "q77_activity_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -18,8 +18,10 @@ class PlanQualitySpec extends SparkSpec {
   /** Queries whose plans INTENTIONALLY contain a nested-loop join
     * against a broadcast side that is bounded by design: q23's
     * brute-force baseline (declared quadratic), q33's K=16 centroid
-    * assignment. Everything else must be hash/sort-merge equi-joins. */
-  private val nestedLoopAllowed = Set("q23_ann_brute_force", "q33_ann_ivf")
+    * assignment, q79's types×hours spine grid (two control-plane
+    * relations). Everything else must be hash/sort-merge equi-joins. */
+  private val nestedLoopAllowed =
+    Set("q23_ann_brute_force", "q33_ann_ivf", "q79_hourly_spine")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")
