@@ -432,11 +432,17 @@ object Curation {
     val rates = w
       .withColumn("tot_w", sum("w1000").over(Window.partitionBy()))
       // rate in 1/65536 units so the hash16 membership test is EXACT
-      // (no denominator mismatch against the 16-bit hash space)
+      // (no denominator mismatch against the 16-bit hash space).
+      // The denominator divides in TWO IEEE steps (÷tot_w then ÷n_docs)
+      // instead of one BIGINT multiply: tot_w·n_docs overflows int64 at
+      // ~2e10-doc sources (Spark ansi=false would wrap silently where
+      // DuckDB errors); sequential divides over identical operands stay
+      // bit-identical in both engines at any corpus size.
       .select(col("source"), col("n_docs"),
         least(lit(65536L),
           round(lit(65536.0) * (col("w1000") * MixTargetDocs).cast("double") /
-            (col("tot_w") * col("n_docs")).cast("double"), 0).cast("long"))
+            col("tot_w").cast("double") / col("n_docs").cast("double"), 0)
+            .cast("long"))
           .as("rate_b16"))
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), Seq("source"))
@@ -463,11 +469,17 @@ object Curation {
     * counts). At 100 TB the reference set is corpus-wide and fixed —
     * exactly how production quality filters deploy a frozen vocab. */
   val q69BigramCoverage: Q = (s, d) => {
+    // persisted: perDoc fans into two plan branches (the top-200
+    // reference set and the coverage join) that would otherwise each
+    // re-run the tokenize+gram+md5 hot path over the whole corpus
+    // (the dfOrderedShingleSets lesson); the cached relation is the
+    // compact (doc_id, gh, c) triple, never text
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(ngrams(tokens(col("text")), 2)).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
       .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = perDoc.groupBy("gh").agg(count(lit(1)).as("df_docs"))
       .withColumn("grp", lit(1))
     val top = graft.functions.TopK
@@ -500,8 +512,15 @@ object Curation {
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
       .filter(col("n_tok") > 0)
+      // last useful start: a chunk at s only adds tokens beyond the
+      // previous window's end (s−stride+64 = s+16), so stop at
+      // n_tok−17 — otherwise ~1/3 of doc lengths emit a trailing
+      // chunk fully contained in its predecessor (duplicate content
+      // in the embedding index)
       .withColumn("start", explode(sequence(
-        lit(0L), col("n_tok") - 1, lit(ChunkStride.toLong))))
+        lit(0L),
+        greatest(lit(0L), col("n_tok") - lit((ChunkTokens - ChunkStride).toLong) - 1),
+        lit(ChunkStride.toLong))))
       .select(col("doc_id"),
         (col("start") / ChunkStride).cast("long").as("chunk_id"),
         col("start").as("tok_begin"),
@@ -601,7 +620,7 @@ object Curation {
          |  FROM toks WHERE len(tk) > 0
          |), e AS (
          |  SELECT doc_id, n_tok, tk,
-         |    unnest(generate_series(0, n_tok - 1, $ChunkStride)) AS start
+         |    unnest(generate_series(0, greatest(0, n_tok - ${ChunkTokens - ChunkStride} - 1), $ChunkStride)) AS start
          |  FROM b
          |)
          |SELECT doc_id,
@@ -620,7 +639,7 @@ object Curation {
          |), rates AS (
          |  SELECT source, n_docs,
          |    least(65536, CAST(round(65536.0 * CAST(w1000 * $MixTargetDocs AS DOUBLE)
-         |      / CAST(tot_w * n_docs AS DOUBLE), 0) AS BIGINT)) AS rate_b16
+         |      / CAST(tot_w AS DOUBLE) / CAST(n_docs AS DOUBLE), 0) AS BIGINT)) AS rate_b16
          |  FROM w CROSS JOIN tot
          |)
          |SELECT d.doc_id, d.source, r.n_docs, r.rate_b16

@@ -306,12 +306,16 @@ object EventAnalytics {
     * partial-aggregated (event_type, hour) count, LEFT-joined back to
     * the grid on its own keys. */
   val q79HourlySpine: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+    // counts is persisted and the spine bounds + type list both derive
+    // FROM it, so the fact table is scanned exactly once; the three
+    // derived relations are all control-plane sized (≤ types × hours)
+    val counts = Tables.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n_events"))
-    val spine = ev.agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = counts.agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
       .select(explode(sequence(col("h_min"), col("h_max"), expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = ev.select("event_type").distinct()
+    val types = counts.select("event_type").distinct()
     types.crossJoin(spine)
       .join(counts, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
