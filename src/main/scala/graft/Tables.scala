@@ -47,13 +47,22 @@ object Tables {
     * is a no-op, preserving pushdown-friendly plain scans. Filters
     * and pruning still reach the scan: Catalyst pushes both through a
     * deterministic Repartition. */
-  private def withMinParallelism(s: SparkSession, df: DataFrame): DataFrame = {
+  private val scanPartitions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
+  private def withMinParallelism(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // df.rdd forces a full analysis + physical-planning pass just to
+    // read a partition count; memoize it per (session, path) so the
+    // ~30 consumers (several touching the table more than once per
+    // query build) pay the planning cost once, not per call
+    val parts = scanPartitions.computeIfAbsent(
+      (s, key), _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (parts < target) df.repartition(target) else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    withMinParallelism(s, apply(s, d, "documents"))
+    withMinParallelism(s, apply(s, d, "documents"), s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    withMinParallelism(s, apply(s, d, "embeddings"))
+    withMinParallelism(s, apply(s, d, "embeddings"), s"$d/embeddings")
 }

@@ -140,6 +140,10 @@ object Curation {
         explode(array_distinct(ngrams(tokens(col("text")), ContamN))).as("g"))
       .select(col("doc_id"), col("b"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
+      // persisted: the test-side distinct and the train-side join would
+      // otherwise each re-run the tokenize+5-gram+md5 scan; the cached
+      // relation is (doc_id, b, gh) fixed-width rows, never text
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val testGrams = grams.filter(col("b") === 9).select("gh").distinct()
     grams.filter(col("b") < 8)
       .join(testGrams, "gh")
@@ -333,6 +337,10 @@ object Curation {
   val q59ChunkDedup: Q = (s, d) => {
     val nChunks = (length(col("text")) + lit(ChunkChars - 1)) / lit(ChunkChars)
     val chunks = Tables.documents(s, d)
+      // empty docs must be excluded BEFORE the sequence: sequence(0, -1)
+      // auto-descends to [0, -1] in Spark, fabricating two phantom
+      // empty chunks the oracle's range(0, 0) never emits
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), nChunks.cast("int") - 1),
@@ -340,6 +348,10 @@ object Curation {
           .as(Seq("idx", "ch_txt")))
       .select(col("doc_id"), md5(col("ch_txt")).as("ch"),
         length(col("ch_txt")).cast("long").as("ch_len"))
+      // persisted: feeds both the corpus-wide chunk frequency and the
+      // per-doc survival join — unpersisted, the whole chunk+md5 scan
+      // runs twice; the cached relation is (doc_id, md5, len), never text
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = chunks.groupBy("ch")
       .agg(count_distinct(col("doc_id")).as("docs"))
     chunks.join(freq, "ch")

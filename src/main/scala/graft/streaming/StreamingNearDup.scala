@@ -22,8 +22,19 @@ import org.apache.spark.sql.types.StructType
   *   3. exact verification: Jaccard ≥ 0.5 over the stored per-doc
   *      shingle-hash arrays (`array_intersect`, in-row);
   *   4. novel documents (no verified partner in the index, and not a
-  *      duplicate of an earlier-id novel batch doc) are emitted and
-  *      their (bands, shingle-set) rows appended to the index.
+  *      duplicate of an earlier-id novel batch doc) are emitted; ALL
+  *      batch docs' (bands, shingle-set) rows are appended to the
+  *      index — indexing suppressed docs too keeps duplicate CHAINS
+  *      suppressed (a future doc matching only a suppressed doc is
+  *      still a duplicate), mirroring batch q21's pair graph.
+  *
+  * Semantics are FIRST-SEEN-WINS: the earliest-arriving member of a
+  * duplicate group is the keeper. This equals batch q21's
+  * earlier-doc_id-keeper rule whenever stream arrival order is
+  * ascending doc_id (StreamingNearDupSpec's fixture and any id-ordered
+  * replay); under out-of-order arrival the streaming keeper is the
+  * first seen, which is the only causally consistent choice a stream
+  * can make.
   *
   * Index layout (two parquet tables under `indexDir`):
   *   - `bands`: (doc_id, bsig) — the LSH buckets, 8 rows/doc;
@@ -38,7 +49,10 @@ import org.apache.spark.sql.types.StructType
   * no watermark state at all. foreachBatch may re-run a batch on
   * recovery: emissions are idempotent per doc_id (downstream readers
   * dedup on doc_id; index reads collapse duplicate rows via the
-  * distinct in the probe), the standard exactly-once-by-key recipe.
+  * distinct in the probe, and the probe anti-joins out every
+  * CURRENT-batch id from the index side, so a replayed batch never
+  * matches its own previously indexed rows), the standard
+  * exactly-once-by-key recipe.
   */
 object StreamingNearDup {
 
@@ -55,10 +69,17 @@ object StreamingNearDup {
         (col("n") + col("n_i") - col("ni")).cast("double"), 0).cast("long")
         >= JaccardE6)
 
-  private def readOrEmpty(spark: SparkSession, path: String, ddl: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+  /** Existence probe through the Hadoop FileSystem API — a
+    * java.io.File check is false for every non-local scheme
+    * (hdfs://, s3a://, even file:/), which would silently treat a
+    * populated index as empty and re-admit every known duplicate. */
+  private def readOrEmpty(spark: SparkSession, path: String, ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType.fromDDL(ddl))
+  }
 
   /** Process one batch of documents against the index at `indexDir`:
     * append the batch's novel docs to the index, write their ids to
@@ -78,9 +99,17 @@ object StreamingNearDup {
       val idxSigs = readOrEmpty(spark, s"$indexDir/sigs",
         "doc_id BIGINT, hs ARRAY<BIGINT>, n BIGINT")
 
-      // candidates vs the standing index
+      // candidates vs the standing index. Index entries whose id is in
+      // the CURRENT batch are excluded (anti-join): in-batch
+      // relationships are candNew's earlier-id business, and after a
+      // foreachBatch REPLAY (index write committed, output/checkpoint
+      // not) the index already holds this batch's own rows — matching
+      // against them would suppress the whole batch instead of
+      // reproducing the first run's novel set (idempotent replay).
+      val batchIds = sig.select(col("doc_id").as("idx_id"))
       val candIdx = bands
         .join(idxBands.select(col("doc_id").as("idx_id"), col("bsig")), "bsig")
+        .join(batchIds, Seq("idx_id"), "left_anti")
         .select("doc_id", "idx_id").distinct()
         .join(sig.select(col("doc_id"), col("hs"), col("n")), "doc_id")
         .join(idxSigs.select(col("doc_id").as("idx_id"), col("hs").as("hs_i"),
@@ -110,10 +139,14 @@ object StreamingNearDup {
       val novelIds = batch.select(col("doc_id")).distinct()
         .join(dupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint()
-      val novelSigs = sig.join(novelIds, "doc_id")
-      novelSigs.select(col("doc_id"), explode(LlmPipeline.bandSigArray).as("bsig"))
+      // index EVERY batch doc (novel and suppressed): a future doc
+      // whose only near-dup partner was itself suppressed must still
+      // be caught — dropping suppressed sigs would break dup chains.
+      // `sig` is persisted, so these writes read the cache, not the
+      // index paths being appended.
+      sig.select(col("doc_id"), explode(LlmPipeline.bandSigArray).as("bsig"))
         .write.mode("append").parquet(s"$indexDir/bands")
-      novelSigs.select(col("doc_id"), col("hs"), col("n"))
+      sig.select(col("doc_id"), col("hs"), col("n"))
         .write.mode("append").parquet(s"$indexDir/sigs")
       novelIds.write.mode("append").parquet(outDir)
       novelIds.count()

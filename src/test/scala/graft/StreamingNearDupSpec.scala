@@ -55,15 +55,45 @@ class StreamingNearDupSpec extends SparkSpec {
     novel shouldBe keepers
   }
 
-  test("index holds bands and sigs only for novel shingle-bearing docs") {
+  test("index holds bands and sigs for ALL shingle-bearing docs; output only novel") {
     val indexDir = tmpDir("neardup-idx2")
     val outDir = tmpDir("neardup-out2") + "/novel"
     StreamingNearDup.processBatch(spark,
       Seq(doc(1, baseText), doc(2, nearText), doc(3, "too small")).toDF(),
       indexDir, outDir) shouldBe 2 // 1 kept, 2 suppressed, 3 novel-but-tiny
+    // SUPPRESSED docs are indexed too — a later doc whose only near-dup
+    // partner is doc 2 must still be caught (chain preservation); doc 3
+    // has no shingles, so no sig rows
     val sigs = spark.read.parquet(s"$indexDir/sigs")
-    sigs.select("doc_id").as[Long].collect().toSet shouldBe Set(1L) // 3 has no shingles
+    sigs.select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
     spark.read.parquet(s"$indexDir/bands")
-      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap shouldBe Map(1L -> 8L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 8L, 2L -> 8L)
+    // only novel ids reach the output sink
+    spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
+  }
+
+  test("duplicate chains survive through suppressed docs across batches") {
+    val indexDir = tmpDir("neardup-idx3")
+    val outDir = tmpDir("neardup-out3") + "/novel"
+    // batch 1: doc 2 is a near-dup of doc 1 → suppressed but indexed
+    StreamingNearDup.processBatch(spark,
+      Seq(doc(1, baseText), doc(2, nearText)).toDF(), indexDir, outDir) shouldBe 1
+    // batch 2: doc 4 = doc 2's text verbatim — its only partner is the
+    // SUPPRESSED doc 2; novel-only indexing would wrongly admit it
+    StreamingNearDup.processBatch(spark,
+      Seq(doc(4, nearText)).toDF(), indexDir, outDir) shouldBe 0
+  }
+
+  test("replaying a batch whose index write committed emits the same novel set") {
+    val indexDir = tmpDir("neardup-idx4")
+    val outDir = tmpDir("neardup-out4") + "/novel"
+    val batch = Seq(doc(1, baseText), doc(2, nearText)).toDF()
+    StreamingNearDup.processBatch(spark, batch, indexDir, outDir) shouldBe 1
+    // foreachBatch replay after a crash between index write and
+    // checkpoint commit: the batch re-runs against an index already
+    // holding its own rows — self-pair exclusion must keep doc 1 novel
+    StreamingNearDup.processBatch(spark, batch, indexDir, outDir) shouldBe 1
   }
 }
