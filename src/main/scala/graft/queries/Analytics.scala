@@ -265,7 +265,33 @@ object Analytics {
           .otherwise("changed"))
   }
 
+  // -- q80: explicit GROUPING SETS ---------------------------------------
+
+  /** GROUPING SETS ((lang), (src_grp)): BOTH one-dimensional marginals
+    * in ONE pass and NOTHING else — the explicit-sets member that
+    * completes the grouping family (q36 ROLLUP = prefixes, q54 CUBE =
+    * all 4 subsets; explicit sets skip the (lang, src_grp) cells and
+    * the grand total a CUBE would also pay for). Catalyst compiles to
+    * one Expand (2 rows per input) into one partial-aggregated
+    * shuffle; grouped-out columns surface as NULL and coalesce to the
+    * q36/q54 sentinels ('ALL' / -1 — unambiguous, the columns are
+    * never NULL in data). */
+  val q80GroupingSets: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(
+      col("lang"),
+      (substring(col("source"), 4, 10).cast("int") % 4).cast("long").as("src_grp"),
+      col("n_chars"))
+    base
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("src_grp"))), col("lang"), col("src_grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("src_grp"), lit(-1L)).as("src_grp_g"),
+        col("n_docs"), col("chars_sum"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q80_grouping_sets" -> q80GroupingSets,
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
     "q36_rollup_revenue" -> q36RollupRevenue,
@@ -364,6 +390,17 @@ object Analytics {
         |SELECT 'churned', o_custkey FROM (SELECT * FROM c94 EXCEPT SELECT * FROM c95)
         |UNION ALL
         |SELECT 'acquired', o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c94)""".stripMargin,
+    "q80_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(CAST(substr(source, 4) AS INT) % 4 AS BIGINT) AS src_grp, n_chars
+        |  FROM documents
+        |)
+        |SELECT coalesce(lang, 'ALL') AS lang_g,
+        |  coalesce(src_grp, -1) AS src_grp_g,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM base
+        |GROUP BY GROUPING SETS ((lang), (src_grp))""".stripMargin,
     "q78_snapshot_diff" ->
       """WITH s94 AS (
         |  SELECT o_custkey,

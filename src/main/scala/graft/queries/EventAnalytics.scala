@@ -322,6 +322,31 @@ object EventAnalytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  // -- q81: LOCF forward fill (imputation) --------------------------------
+
+  /** LOCF (last observation carried forward): every event carries the
+    * user's most recent purchase value and the microseconds elapsed
+    * since it — the gap-fill/imputation pattern of feature
+    * backfills and session enrichment (null until the first purchase,
+    * exactly like a feature store's point-in-time correctness rule).
+    * Both carried columns ride ONE running frame over one user_id
+    * shuffle (`last(_, ignoreNulls)` — same single-Window discipline
+    * as q40); DuckDB's `last_value(x IGNORE NULLS)` is the identical
+    * SQL-standard semantics. */
+  val q81ForwardFill: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).as("p_e2"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"),
+        last(col("p_e2"), ignoreNulls = true).over(w).as("last_purchase_e2"),
+        (col("us") - last(when(col("p_e2").isNotNull, col("us")), ignoreNulls = true)
+          .over(w)).as("us_since_purchase"))
+  }
+
   // -- registry --------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -333,7 +358,8 @@ object EventAnalytics {
     "q65_funnel_steps" -> q65Funnel,
     "q66_retention_cohorts" -> q66RetentionCohorts,
     "q77_activity_streaks" -> q77ActivityStreaks,
-    "q79_hourly_spine" -> q79HourlySpine)
+    "q79_hourly_spine" -> q79HourlySpine,
+    "q81_forward_fill" -> q81ForwardFill)
 
   // -- DuckDB oracles ---------------------------------------------------
 
@@ -453,6 +479,21 @@ object EventAnalytics {
         |            WHEN min(v_us) IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS funnel_stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "q81_forward_fill" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100, 0) AS BIGINT) END AS p_e2
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, us,
+        |  last_value(p_e2 IGNORE NULLS) OVER w AS last_purchase_e2,
+        |  us - last_value(CASE WHEN p_e2 IS NOT NULL THEN us END IGNORE NULLS) OVER w
+        |    AS us_since_purchase
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "q79_hourly_spine" ->
       """WITH ev AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events
