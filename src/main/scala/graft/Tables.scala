@@ -24,10 +24,11 @@ object Tables {
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright — the legacy conf reads
     * it as a nanosecond LONG instead, and we rebuild a microsecond
-    * timestamp with integer floor-division (`div`, not `/`: double
-    * division loses precision above 2^53 ns). The driver's DuckDB
-    * oracle reads the same file as TIMESTAMP_NS and truncates via
-    * CAST(ts AS TIMESTAMP), so both engines agree exactly. */
+    * timestamp with integer division (`div`, not `/`: double division
+    * loses precision above 2^53 ns). NOTE `div` truncates toward zero,
+    * which equals the DuckDB CAST(ts AS TIMESTAMP) truncation only for
+    * ts >= epoch — the testdata (and any event log) satisfies that;
+    * pre-1970 nanos would round the other way by 1µs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")

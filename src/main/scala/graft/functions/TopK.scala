@@ -63,7 +63,13 @@ object TopK {
     * for the window + `rank <= k` formulation. */
   def topKPerGroup(
       df: DataFrame, group: String, idCol: String, scoreCol: String, k: Int): DataFrame =
-    df.groupBy(col(group))
+    // null scores are dropped, not ranked: the udaf's Scored input has a
+    // primitive (non-nullable) score, so a NULL — e.g. a NaN cosine from
+    // a zero-norm embedding, rounded and cast to NULL long — would
+    // otherwise fail encoding at runtime; an undefined score is not a
+    // rankable candidate in any caller's semantics
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(group))
       .agg(topK(k)(col(idCol), col(scoreCol)).as("top"))
       .select(col(group), posexplode(col("top.rows")).as(Seq("pos", "s")))
       .select(col(group), col("s.id").as(idCol), col("s.score").as(scoreCol),

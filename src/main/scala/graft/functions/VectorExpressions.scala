@@ -50,7 +50,9 @@ abstract class DotProductBase extends BinaryExpression with Serializable {
 
 /** dot(a, b) over ARRAY<BIGINT> → BIGINT. Array elements are assumed
   * non-null (every producer in this engine is a `transform` over
-  * non-null input); a null ARRAY yields null. */
+  * non-null input); a null ARRAY yields null; MISMATCHED lengths throw
+  * (a ragged pair is a caller bug — silent truncation would return a
+  * plausible-looking partial dot product). */
 case class DotProductLong(left: Expression, right: Expression) extends DotProductBase {
   protected def elemType: DataType = LongType
   override def dataType: DataType = LongType
@@ -59,7 +61,10 @@ case class DotProductLong(left: Expression, right: Expression) extends DotProduc
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -72,7 +77,11 @@ case class DotProductLong(left: Expression, right: Expression) extends DotProduc
       val n = ctx.freshName("n")
       s"""
          |${ev.value} = 0L; // nullSafeCodeGen pre-inits to the -1 placeholder
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_long: array lengths differ (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
          |}
@@ -94,7 +103,10 @@ case class DotProductDouble(left: Expression, right: Expression) extends DotProd
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array lengths differ ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -107,7 +119,11 @@ case class DotProductDouble(left: Expression, right: Expression) extends DotProd
       val n = ctx.freshName("n")
       s"""
          |${ev.value} = 0.0; // nullSafeCodeGen pre-inits to the -1 placeholder
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_double: array lengths differ (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
          |}

@@ -50,19 +50,27 @@ final class HealthPipeline(
   private def silverPath(t: String) = s"$workRoot/silver/$t"
   private def goldPath(t: String) = s"$workRoot/gold/$t"
 
-  def silver(t: String): DataFrame = spark.read.parquet(silverPath(t))
-  def gold(t: String): DataFrame = spark.read.parquet(goldPath(t))
+  def silver(t: String): DataFrame = readRecovered(silverPath(t))
+  def gold(t: String): DataFrame = readRecovered(goldPath(t))
+
+  /** Read a swap-published table, first finishing any swap that a
+    * previous run's crash interrupted between delete and rename
+    * (graft.ops.TableSwap contract). */
+  private def readRecovered(path: String): DataFrame = {
+    graft.ops.TableSwap.recover(fs, new Path(path), graft.ops.TableSwap.tmpPath(path))
+    spark.read.parquet(path)
+  }
 
   /** Write-temp-then-swap (atomic table replace without reading and
-    * overwriting the same files in one job). */
+    * overwriting the same files in one job); recovers an interrupted
+    * prior swap BEFORE overwriting the temp dir — that temp may be the
+    * only surviving copy of the table. */
   private def writeSwap(df: DataFrame, path: String): Unit = {
-    val tmp = new Path(path + "__tmp")
+    val tmp = graft.ops.TableSwap.tmpPath(path)
     val dst = new Path(path)
+    graft.ops.TableSwap.recover(fs, dst, tmp)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst) && !fs.delete(dst, true))
-      throw new java.io.IOException(s"swap: delete $dst failed")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"swap: rename $tmp -> $dst failed")
+    graft.ops.TableSwap.publish(fs, dst, tmp)
   }
 
   /** Reference load config, with the hospital-B patients watermark

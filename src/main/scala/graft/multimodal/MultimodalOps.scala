@@ -73,12 +73,14 @@ object StubCodec extends Codec {
 
   /** Deterministic fake resize: nearest-neighbor byte sampling down (or
     * identity up) to `width*height` payload bytes. */
-  def resize(a: Asset, width: Int, height: Int): Asset = {
-    val target = math.max(1, math.min(a.bytes.length, width * height))
-    val stride = a.bytes.length.toDouble / target
-    a.copy(bytes = Array.tabulate(target)(i =>
-      a.bytes(math.min(a.bytes.length - 1, (i * stride).toInt))))
-  }
+  def resize(a: Asset, width: Int, height: Int): Asset =
+    if (a.bytes.isEmpty) a // nothing to resample; avoids a -1 index below
+    else {
+      val target = math.max(1, math.min(a.bytes.length, width * height))
+      val stride = a.bytes.length.toDouble / target
+      a.copy(bytes = Array.tabulate(target)(i =>
+        a.bytes(math.min(a.bytes.length - 1, (i * stride).toInt))))
+    }
 }
 
 /** Distributed multimodal plumbing (SURVEY §7.5 b; no reference

@@ -23,18 +23,18 @@ object Compaction {
     require(targetBytes > 0, "targetBytes must be positive")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = TableSwap.tmpPath(path)
+    // finish a swap interrupted between delete and rename by a prior
+    // crashed compaction — tmp then holds the only copy of the table
+    TableSwap.recover(fs, dir, tmp)
     if (!fs.exists(dir)) return 0
     val dataFiles = fs.listStatus(dir).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
     if (dataFiles.isEmpty) return 0
     val total = dataFiles.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
 
-    val tmp = new Path(path + "__compact_tmp")
     spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.delete(dir, true))
-      throw new java.io.IOException(s"compact: delete $dir failed")
-    if (!fs.rename(tmp, dir))
-      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+    TableSwap.publish(fs, dir, tmp)
     n
   }
 }

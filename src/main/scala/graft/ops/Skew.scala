@@ -38,6 +38,8 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports big-preserving joins only, got $joinType")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name; rename the caller's column")
     // rand-based salt is safe: it decides placement, not results
     val salted = big.withColumn("_salt", floor(rand(42) * saltFactor).cast("int"))
     val replicated = small.withColumn("_salt",
@@ -61,10 +63,13 @@ object Skew {
       keys: Seq[String],
       saltFactor: Int,
       partial: Seq[Column],
-      merge: Seq[Column]): DataFrame =
+      merge: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "saltedAgg reserves the _salt column name; rename the caller's column")
     df.withColumn("_salt", floor(rand(42) * saltFactor).cast("int"))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(merge.head, merge.tail: _*)
+  }
 }

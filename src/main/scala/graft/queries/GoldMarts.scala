@@ -83,8 +83,14 @@ object GoldMarts {
         count(lit(1)).as("tx"),
         sumE2(coalesce(l("l_extendedprice"), lit(0.0))).as("charge_e2"),
         sumE4(l("l_extendedprice") * (lit(1.0) - l("l_discount"))).as("paid_e4"),
-        max(when(l("l_returnflag") === "N", 1L).otherwise(0L)).as("has_n"),
-        max(when(l("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+        // flags guard on a non-null order key: the oracle's
+        // count(DISTINCT CASE …) skips NULL keys, so a (provider, NULL)
+        // group must contribute to NO distinct-count column (count(ok)
+        // skips it for n_encounters; the flags must match)
+        max(when(l("l_orderkey").isNotNull && l("l_returnflag") === "N", 1L)
+          .otherwise(0L)).as("has_n"),
+        max(when(l("l_orderkey").isNotNull && l("l_returnflag") === "R", 1L)
+          .otherwise(0L)).as("has_r"))
     perOrder.groupBy("provider_name")
       .agg(
         count(col("ok")).as("n_encounters"),

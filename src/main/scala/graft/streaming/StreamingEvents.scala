@@ -137,8 +137,18 @@ object StreamingEvents {
       val t = micros(e.ts)
       val v = math.round(e.value * 100)
       open match {
-        case Some(st) if t - st.end <= GapMicros =>
-          open = Some(SessionState(st.start, math.max(st.end, t), st.nEvents + 1, st.valueE2 + v))
+        // within the gap on EITHER side of the open session: merge,
+        // extending backwards for a cross-batch straggler (batch
+        // sessionization would have sorted it before the session start)
+        case Some(st) if t >= st.start - GapMicros && t - st.end <= GapMicros =>
+          open = Some(SessionState(math.min(st.start, t), math.max(st.end, t),
+            st.nEvents + 1, st.valueE2 + v))
+        // straggler older than the open session by MORE than the gap:
+        // in event-time order it is its own already-closed session —
+        // folding it in (the old `t - st.end <= Gap` accepted any
+        // negative gap) corrupted the open session's stats instead
+        case Some(st) if t < st.start - GapMicros =>
+          closed += toSession(uid, SessionState(t, t, 1, v))
         case Some(st) =>
           closed += toSession(uid, st)
           open = Some(SessionState(t, t, 1, v))

@@ -14,13 +14,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * quirks are the same [[graft.ops.Scd2Merge]] the batch path uses, so
   * StreamingIngestSpec pins stream-vs-batch state equality run by run).
   *
-  * The target swap is write-to-temp-then-rename: Spark cannot overwrite
-  * a parquet dir it is reading in the same job, so the merged result
-  * lands in `<target>._tmp` and is renamed over the old dir only after
-  * the write commits — a crash before the rename leaves the previous
-  * target intact (at-least-once per checkpointed batch; the merge is
-  * idempotent for replayed batches because an unchanged re-merge
-  * classifies every row as untouched).
+  * The target swap is write-to-temp-then-rename (graft.ops.TableSwap):
+  * Spark cannot overwrite a parquet dir it is reading in the same job,
+  * so the merged result lands in a temp dir and is renamed over the
+  * old one only after the write commits — a crash before the delete
+  * leaves the previous target intact, and a crash between delete and
+  * rename is healed by TableSwap.recover on the next batch (the
+  * committed temp IS the merged table). At-least-once per checkpointed
+  * batch; the merge is idempotent for replayed batches because an
+  * unchanged re-merge classifies every row as untouched.
   *
   * At scale: each micro-batch is one keyed full-outer shuffle join of
   * |target ∪ batch| — the same plan as the batch merge; streaming adds
@@ -49,6 +51,13 @@ object StreamingIngest {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
+    val tmp = graft.ops.TableSwap.tmpPath(targetDir)
+
+    // a crash between the previous swap's delete and rename leaves the
+    // target missing and the committed merge result in tmp; without
+    // this the replayed batch would bootstrap an EMPTY table and
+    // silently discard all accumulated SCD2 history
+    graft.ops.TableSwap.recover(fs, target, tmp)
 
     val current =
       if (fs.exists(target)) spark.read.parquet(targetDir)
@@ -57,11 +66,7 @@ object StreamingIngest {
         .withColumn(Scd2Merge.ModifiedDate, lit(null).cast("timestamp"))
         .withColumn(Scd2Merge.IsCurrent, lit(true))
 
-    val tmp = new Path(targetDir + "._tmp")
     merge(current, batch).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"scd2Stream: could not clear $target for swap")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"scd2Stream: rename $tmp -> $target failed")
+    graft.ops.TableSwap.publish(fs, target, tmp)
   }
 }

@@ -37,8 +37,9 @@ class AnnLshSpec extends SparkSpec {
     total should be > 0L
     val recall = hits.toDouble / total
     info(f"recall@5 = $recall%.3f ($hits/$total)")
-    // measured 4-table × 4-plane recall on the deterministic sf0.001
-    // embeddings; a bucketing/plane regression collapses this to ~0.1
+    // floor under the measured 6-table × 3-plane recall (~0.81 on the
+    // deterministic sf0.001 embeddings); a bucketing/plane regression
+    // collapses this to ~0.1
     recall should be >= 0.55
   }
 }

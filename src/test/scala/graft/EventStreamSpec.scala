@@ -92,6 +92,29 @@ class EventStreamSpec extends SparkSpec {
     st2.isRemoved shouldBe true
   }
 
+  test("foldUser handles cross-batch stragglers like batch event-time order") {
+    // open session at [60min, 70min]
+    val base = SessionState(ts(60).getTime * 1000, ts(70).getTime * 1000, 2, 500L)
+    // straggler 10 min before the open start (within gap): merges and
+    // extends the session BACKWARDS, as batch sorting would
+    val stNear = TestGroupState.create[SessionState](
+      Optional.of(base), GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    StreamingEvents.foldUser(7, Iterator(Ev(9, ts(50), 7, "view", 1.0, "{}")), stNear)
+      .toSeq shouldBe empty
+    stNear.get.start shouldBe ts(50).getTime * 1000
+    stNear.get.nEvents shouldBe 3
+    // straggler 50 min before the open start (gap violated): its own
+    // already-closed single-event session; the open session unchanged
+    val stFar = TestGroupState.create[SessionState](
+      Optional.of(base), GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out = StreamingEvents.foldUser(7, Iterator(Ev(9, ts(10), 7, "view", 1.0, "{}")), stFar)
+      .toSeq
+    out should have size 1
+    out.head.n_events shouldBe 1
+    out.head.session_start shouldBe ts(10)
+    stFar.get shouldBe base
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     val views = Seq(

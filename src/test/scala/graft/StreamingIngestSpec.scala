@@ -79,6 +79,40 @@ class StreamingIngestSpec extends SparkSpec {
     streamed shouldBe folded
     streamed.length shouldBe 3 // 1:x closed, 1:x2 current, 2:y current
   }
+
+  test("a swap interrupted between delete and rename recovers instead of re-bootstrapping") {
+    import spark.implicits._
+    val target = tmpDir("scd2-recover-target") + "/silver"
+    val merge = Scd2Merge(Seq("id"), Seq("name"), clockAt("2024-03-01 05:00:00"))
+    StreamingIngest.mergeBatch(Seq(Rec(1, "a"), Rec(2, "b")).toDF(), merge, target)
+
+    // simulate the crash window: the committed table sits in the swap
+    // temp dir (with its _SUCCESS marker) and the target is missing —
+    // exactly the on-disk state after delete succeeded and rename never
+    // ran. A parquet-written dir already carries _SUCCESS, so renaming
+    // the target aside reproduces the state faithfully.
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(target),
+      graft.ops.TableSwap.tmpPath(target)) shouldBe true
+
+    // the next batch must heal the swap and merge on top of the
+    // recovered history — NOT bootstrap an empty table (which would
+    // treat 1:a2 as a fresh insert and lose 1:a and 2:b entirely)
+    StreamingIngest.mergeBatch(Seq(Rec(1, "a2")).toDF(), merge, target)
+    val after = spark.read.parquet(target)
+    // quirk b: a changed row is CLOSED this run, re-inserted next run
+    after.count() shouldBe 2 // 1:a closed + 2:b current
+    after.filter(col("id") === 2 && col(Scd2Merge.IsCurrent)).count() shouldBe 1
+    after.filter(col("id") === 1 && !col(Scd2Merge.IsCurrent)).count() shouldBe 1
+    // the re-arrival inserts on the following batch, on top of the
+    // recovered history
+    StreamingIngest.mergeBatch(Seq(Rec(1, "a2")).toDF(), merge, target)
+    val after2 = spark.read.parquet(target)
+    after2.count() shouldBe 3
+    after2.filter(col("id") === 1 && col(Scd2Merge.IsCurrent))
+      .select("name").collect().map(_.getString(0)) shouldBe Array("a2")
+  }
 }
 
 object StreamingIngestSpec {

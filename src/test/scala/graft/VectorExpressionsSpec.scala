@@ -44,6 +44,16 @@ class VectorExpressionsSpec extends SparkSpec {
       want.map(java.lang.Double.doubleToLongBits)
   }
 
+  test("mismatched array lengths throw instead of silently truncating") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.dotLong($"a", $"b")).collect()
+    }
+    e.getMessage should include("lengths differ")
+  }
+
   test("null array yields null; registry path works from SQL text") {
     VectorFunctions.register(spark)
     spark.sql(
