@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   *      `inserted_date = modified_date = clock, is_current = true`;
   *      unchanged keys and source-absent keys are untouched; closed
   *      history rows are carried through untouched.
+  *  (d) NULL business keys never match — SQL `t.k = s.k` is NULL for a
+  *      NULL key, and BigQuery MERGE treats them as unmatched: a
+  *      NULL-key target row is carried through untouched, a NULL-key
+  *      source row inserts. (QualityStage deliberately flags-not-drops
+  *      NULL-naturalKey rows, so NULL surrogate keys DO reach this
+  *      operator in the health pipeline.)
+  *
+  * Caller contract: `source` must be key-unique. BigQuery MERGE fails
+  * loudly on a multi-matched target row ("UPDATE/MERGE must match at
+  * most one source row"); a relational join cannot detect that without
+  * an extra pass, so a duplicate-key source here would instead emit the
+  * matched target row once per duplicate. Every in-repo caller feeds a
+  * QualityStage snapshot, which is distinct per run.
   *
   * Scale notes: the single wide operation is one full-outer join on the
   * business key — a keyed sort-merge join whose shuffle is unavoidable
@@ -51,15 +64,22 @@ final case class Scd2Merge(
     val current = target.filter(col(IsCurrent))
     val history = target.filter(!col(IsCurrent))
 
-    val t = current.select(current.columns.map(c => col(c).as(s"t_$c")).toSeq: _*)
+    // presence markers, NOT key-nullness: a NULL-business-key row is a
+    // real row (quirk d) and inferring presence from the key would
+    // misroute it to the insert branch and replace it with all-NULLs
+    val t = current.select(current.columns.map(c => col(c).as(s"t_$c")).toSeq
+      :+ lit(true).as("t_present"): _*)
     val s = source.select(
-      (keyCols ++ compareCols).map(c => source(c).as(s"s_$c")).toSeq: _*)
+      (keyCols ++ compareCols).map(c => source(c).as(s"s_$c")).toSeq
+        :+ lit(true).as("s_present"): _*)
 
-    val joinCond = keyCols.map(k => col(s"t_$k") <=> col(s"s_$k")).reduce(_ && _)
+    // plain (null-unsafe) equality — BigQuery MERGE `ON t.k = s.k`
+    // never matches NULL keys (quirk d); <=> would pair them up
+    val joinCond = keyCols.map(k => col(s"t_$k") === col(s"s_$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 
-    val inTarget = keyCols.map(k => col(s"t_$k").isNotNull).reduce(_ && _)
-    val inSource = keyCols.map(k => col(s"s_$k").isNotNull).reduce(_ && _)
+    val inTarget = col("t_present").isNotNull
+    val inSource = col("s_present").isNotNull
     // Null-unsafe <> keeps quirk (a): NULL vs value ⇒ NULL ⇒ not changed.
     val changed = compareCols
       .map(c => col(s"t_$c") =!= col(s"s_$c"))

@@ -123,4 +123,23 @@ class Scd2MergeSpec extends SparkSpec {
     // And every key still has exactly one current version.
     r2.filter(col("is_current")).select("k").distinct().count() shouldBe keys.length.toLong
   }
+
+  test("quirk d: NULL business keys never match — target preserved, source inserts") {
+    // a NULL-key current row (QualityStage flags-not-drops NULL natural
+    // keys, so NULL surrogate keys DO reach the merge)
+    val tgt = target(
+      (null.asInstanceOf[String], "Anon", "Oslo", t0, t0, true),
+      ("p1", "Ann", "Oslo", t0, t0, true))
+    val out = merge(t1)(tgt, source(
+      (null.asInstanceOf[String], "Ghost", "Bergen"),
+      ("p1", "Ann", "Oslo")))
+    // the NULL-key target row is untouched (NOT replaced by all-NULLs,
+    // NOT closed), and the NULL-key source row inserts as its own row —
+    // BigQuery MERGE `ON t.k = s.k` semantics
+    val nullRows = out.filter(col("k").isNull).collect()
+    nullRows.length shouldBe 2
+    nullRows.map(_.getAs[String]("name")).sorted shouldBe Array("Anon", "Ghost")
+    nullRows.foreach(_.getAs[Boolean]("is_current") shouldBe true)
+    out.filter(col("k") === "p1").count() shouldBe 1
+  }
 }
