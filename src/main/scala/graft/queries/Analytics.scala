@@ -290,7 +290,70 @@ object Analytics {
         col("n_docs"), col("chars_sum"))
   }
 
+  // -- q82: CDC latest-per-key compaction (max_by aggregate) -------------
+
+  /** LATEST-PER-KEY: each customer's most recent order — the CDC/log
+    * compaction primitive ("collapse the change stream to current
+    * state") behind every snapshot view. Spark-first plan: `max_by`
+    * over a lexicographic (o_orderdate, o_orderkey) struct is a plain
+    * AGGREGATE — partial-aggregated map-side, so the shuffle carries
+    * ONE candidate row per (input partition, key) instead of the full
+    * fact stream a `row_number() = 1` window formulation would sort
+    * (window = shuffle ALL rows + full sort; this = one combine-heavy
+    * shuffle, no sort at all). The (date, orderkey) order is total —
+    * orderkey is unique — so the pick is deterministic; the DuckDB
+    * oracle is the independent row_number restatement. */
+  val q82LatestPerKey: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max_by(struct(col("o_orderkey"), col("o_orderdate"), col("price_e2")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("last.o_orderkey").as("last_orderkey"),
+        col("last.o_orderdate").as("last_orderdate"),
+        col("last.price_e2").as("last_price_e2"))
+
+  // -- q86: nested order-array export (collect_list + higher-order fns) --
+
+  /** NESTED EXPORT: one row per customer carrying their full order
+    * history as a sorted ARRAY of structs — the denormalized wide-row
+    * shape feeding document stores and feature registries — plus
+    * array-level derivations computed IN-ROW with higher-order
+    * functions: `aggregate` folds the exact-cents total, `element_at`
+    * picks first/last, `transform`+`concat_ws` renders a canonical
+    * signature string. One shuffle (the groupBy on o_custkey);
+    * everything after the collect is a narrow map over the assembled
+    * arrays — no second pass over the fact table. Arrays are bounded
+    * by orders-per-customer (tens), so collect_list cannot OOM a task
+    * at any corpus scale. sort_array on (o_orderdate, o_orderkey,
+    * price_e2) structs is lexicographic and orderkey is unique, so the
+    * array order — and therefore the signature string — is total and
+    * engine-independent (oracle: string_agg ORDER BY the same keys). */
+  val q86NestedExport: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(
+        struct(col("o_orderdate"), col("o_orderkey"), col("price_e2")))).as("ords"))
+      .select(
+        col("o_custkey"),
+        size(col("ords")).cast("long").as("n_orders"),
+        aggregate(col("ords"), lit(0L), (acc, o) => acc + o.getField("price_e2"))
+          .as("total_e2"),
+        element_at(col("ords"), 1).getField("o_orderdate").as("first_date"),
+        element_at(col("ords"), -1).getField("o_orderdate").as("last_date"),
+        concat_ws("|", transform(col("ords"), o =>
+          concat(date_format(o.getField("o_orderdate"), "yyyy-MM-dd"),
+            lit(":"), o.getField("price_e2").cast("string")))).as("order_sig"))
+
   val defs: Map[String, Q] = Map(
+    "q82_latest_per_key" -> q82LatestPerKey,
+    "q86_nested_export" -> q86NestedExport,
     "q80_grouping_sets" -> q80GroupingSets,
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
@@ -306,6 +369,34 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Independent restatement: row_number window pick instead of the
+    // max_by aggregate.
+    "q82_latest_per_key" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_e2,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders
+        |)
+        |SELECT o_custkey, CAST(cnt AS BIGINT) AS n_orders,
+        |  o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,
+        |  price_e2 AS last_price_e2
+        |FROM o WHERE rn = 1""".stripMargin,
+    // Independent restatement: string_agg ORDER BY instead of the
+    // sorted-array transform; window aggregates instead of HOF folds.
+    "q86_nested_export" ->
+      """SELECT o_custkey,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_e2,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date,
+        |  string_agg(
+        |    strftime(o_orderdate, '%Y-%m-%d') || ':' ||
+        |      CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+        |    '|' ORDER BY o_orderdate, o_orderkey) AS order_sig
+        |FROM orders GROUP BY 1""".stripMargin,
     "q64_zorder_layout" -> {
       val zexpr = (0 until ZBits).flatMap { i =>
         Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")

@@ -349,7 +349,67 @@ object EventAnalytics {
 
   // -- registry --------------------------------------------------------
 
+  // -- q83: trailing-7-day distinct users (sliding distinct, no DISTINCT) --
+
+  /** TRAILING-WINDOW DISTINCT: distinct active users over the trailing
+    * 7 days, for every window-day — the rolling-MAU/WAU metric.
+    * COUNT(DISTINCT) over a sliding frame is unsupported (and would be
+    * quadratic); the naive grid×events range join re-scans every event
+    * 7 times and still needs a distinct. Spark-first plan instead makes
+    * each user contribute EXACTLY ONE row per window-day they're
+    * active in: collapse to per-user sorted active-day arrays (one
+    * shuffle on user_id), then in-row, each active day d with successor
+    * nd covers window-days [d, min(d+6, nd-1)] — d is the LAST active
+    * day in precisely those windows, so summing contributions per day
+    * IS the distinct count, with a plain COUNT and bounded ≤7× fan-out
+    * of the (user, day) relation, never of raw events. Second shuffle
+    * is the tiny per-day count. Arrays are bounded by calendar days,
+    * not event volume. Output covers [min_day, max_day+6] window-days
+    * with ≥1 trailing-active user (oracle: grid + range join +
+    * count(DISTINCT) — the independent quadratic restatement). */
+  val q83TrailingDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("day"))).as("days"))
+      .select(explode(flatten(zip_with(
+        col("days"),
+        concat(slice(col("days"), lit(2), size(col("days"))),
+          array(lit(null).cast("date"))),
+        (day, nd) => sequence(
+          day,
+          when(nd.isNull, date_add(day, 6))
+            .otherwise(least(date_add(day, 6), date_sub(nd, 1))))))).as("window_day"))
+      .groupBy(col("window_day"))
+      .agg(count(lit(1)).as("n_active_users"))
+
+  // -- q84: event-transition matrix (Markov bigrams) ---------------------
+
+  /** TRANSITION MATRIX: per-user consecutive event-type pairs with
+    * per-source-state rates — the behavioral-sequence profile (Markov
+    * chain estimate) of product analytics. lag over the total
+    * (ts, event_id) per-user order is ONE shuffle on user_id; the pair
+    * counts partial-aggregate into a ≤|types|² relation, and the rate
+    * divides by the source-state total on that tiny relation (window,
+    * no extra shuffle of facts). Rates are integer floor-divided ppm —
+    * exact in both engines. */
+  val q84TransitionMatrix: Q = (s, d) => {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(order))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts
+      .withColumn("src_total", sum(col("n_trans")).over(Window.partitionBy("prev_type")))
+      .withColumn("rate_ppm", expr("n_trans * 1000000 div src_total"))
+      .drop("src_total")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q83_trailing_distinct" -> q83TrailingDistinct,
+    "q84_transition_matrix" -> q84TransitionMatrix,
     "q34_events_windowed" -> q34EventsWindowed,
     "q35_sessionize" -> q35Sessionize,
     "q40_asof_attribution" -> q40AsofJoin,
@@ -364,6 +424,33 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Independent quadratic restatement: day grid × events range join
+    // + count(DISTINCT) — the formulation the Spark plan avoids.
+    "q83_trailing_distinct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), grid AS (
+        |  SELECT unnest(generate_series(min(day), max(day) + 6, INTERVAL 1 DAY))::DATE AS window_day
+        |  FROM act
+        |)
+        |SELECT window_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+        |FROM grid
+        |JOIN act ON act.day BETWEEN window_day - 6 AND window_day
+        |GROUP BY 1""".stripMargin,
+    "q84_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n_trans,
+        |  CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS rate_ppm
+        |FROM c""".stripMargin,
     // DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP
     // truncates to the same microseconds Spark reconstructs (see
     // Tables.events).

@@ -469,7 +469,46 @@ object NearDup {
 
   // -- registry ------------------------------------------------------
 
+  // -- q85: edit-distance-1 dedup (deletion-neighborhood blocking) ----
+
+  /** EDIT-DISTANCE-1 DEDUP, FastSS/SymSpell-style: string pairs within
+    * Levenshtein distance 1 — the typo/OCR-variant dedup modality
+    * (Jaccard and SimHash both miss single-character edits in short
+    * strings). Blocking is the DELETION NEIGHBORHOOD: each string maps
+    * to itself plus every single-character deletion (L+1 keys, in-row
+    * `transform` over char positions — `Column.substr` with dynamic
+    * bounds). Two strings are within one edit iff their neighborhoods
+    * intersect (substitution ⇒ both delete position i; insert/delete ⇒
+    * one IS the other's deletion; equality ⇒ identity key), so the
+    * equi-join on neighborhood keys is provably exhaustive — the
+    * quadratic all-pairs `levenshtein` scan becomes a KEYED join whose
+    * bucket sizes are bounded by neighborhood collisions, and the
+    * exact `levenshtein ≤ 1` verify runs on candidates only. Keys are
+    * capped (c_custkey ≤ 3000) so the sf0.1 oracle's O(n²) stays
+    * tractable — the Spark plan itself has no quadratic term. The
+    * DuckDB oracle is that independent quadratic restatement. */
+  val q85EditDistanceDedup: Q = (s, d) => {
+    val names = Tables.customer(s, d)
+      .filter(col("c_custkey") <= 3000)
+      .select(col("c_name")).distinct()
+    def neighborhood(nm: Column): Column =
+      array_union(
+        array(nm),
+        transform(sequence(lit(0), length(nm) - 1), i =>
+          concat(nm.substr(lit(1), i), nm.substr(i + lit(2), length(nm)))))
+    val keyed = names
+      .select(col("c_name"), explode(neighborhood(col("c_name"))).as("nkey"))
+    val a = keyed.select(col("nkey"), col("c_name").as("name_a"))
+    val b = keyed.select(col("nkey"), col("c_name").as("name_b"))
+    a.join(b, Seq("nkey"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q85_edit_distance_dedup" -> q85EditDistanceDedup,
     "q31_dedup_simhash" -> q31DedupSimhash,
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
     "q33_ann_ivf" -> q33AnnIvf,
@@ -529,6 +568,16 @@ object NearDup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent quadratic restatement: all-pairs levenshtein over the
+    // capped name set — the scan the deletion-neighborhood join avoids.
+    "q85_edit_distance_dedup" ->
+      """WITH n AS (
+        |  SELECT DISTINCT c_name FROM customer WHERE c_custkey <= 3000
+        |)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // Independent quadratic restatement — provably equal to the banded
     // plan because 4x15-bit banding is lossless at hamming <= 3.
     "q31_dedup_simhash" -> {

@@ -103,14 +103,70 @@ object Profiling {
         max("n_chars").as("max_chars"))
       .withColumn("bucket_lo", col("bucket") * HistWidthChars)
 
+  // -- q87: key-skew profile --------------------------------------------
+
+  /** KEY-SKEW PROFILE of a join/partition key (l_suppkey): exact
+    * heavy-hitter share and frequency quantiles — the diagnostic that
+    * decides whether a key needs salting (ops/Skew) or AQE skew
+    * handling BEFORE a 100 TB shuffle is launched. Phase 1 collapses
+    * the fact table to the (key, cnt) frequency relation — one
+    * partial-aggregated shuffle, the only pass over facts. Phase 2
+    * ranks that relation (|keys| rows, orders of magnitude smaller
+    * than facts) with the q75 dual-rank idiom to read exact p50/p99
+    * frequencies, top-1 count, and the ppm share of the hottest key —
+    * all integer math. The single-partition sort of the frequency
+    * relation is the honest cost of EXACT order statistics and is
+    * bounded by key cardinality, not data volume; the q41 sketch path
+    * is the unbounded-cardinality alternative. */
+  val q87KeySkewProfile: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt"), col("l_suppkey"))
+    freq
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_keys", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("p50_rn", expr("(n_keys + 1) div 2"))
+      .withColumn("p99_rn", expr("(n_keys * 99 + 99) div 100"))
+      .agg(
+        max(col("n_keys")).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("top1_cnt"),
+        sum(when(col("rn") === col("p50_rn"), col("cnt")).otherwise(0L)).as("p50_cnt"),
+        sum(when(col("rn") === col("p99_rn"), col("cnt")).otherwise(0L)).as("p99_cnt"))
+      .withColumn("top1_share_ppm", expr("top1_cnt * 1000000 div n_rows"))
+      .withColumn("skew_p99_over_p50_e2", expr("p99_cnt * 100 div p50_cnt"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
     "q42_train_test_split" -> q42TrainTestSplit,
-    "q76_length_histogram" -> q76LengthHistogram)
+    "q76_length_histogram" -> q76LengthHistogram,
+    "q87_key_skew_profile" -> q87KeySkewProfile)
 
   /** q41's sketch outputs are approximate by contract — no DuckDB
     * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
   val oracles: Map[String, String] = Map(
+    "q87_key_skew_profile" ->
+      """WITH freq AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |), r AS (
+        |  SELECT cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt, l_suppkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_keys
+        |  FROM freq
+        |), a AS (
+        |  SELECT CAST(max(n_keys) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS top1_cnt,
+        |    CAST(sum(CASE WHEN rn = (n_keys + 1) // 2 THEN cnt ELSE 0 END) AS BIGINT) AS p50_cnt,
+        |    CAST(sum(CASE WHEN rn = (n_keys * 99 + 99) // 100 THEN cnt ELSE 0 END) AS BIGINT) AS p99_cnt
+        |  FROM r
+        |)
+        |SELECT n_keys, n_rows, top1_cnt, p50_cnt, p99_cnt,
+        |  CAST(top1_cnt * 1000000 // n_rows AS BIGINT) AS top1_share_ppm,
+        |  CAST(p99_cnt * 100 // p50_cnt AS BIGINT) AS skew_p99_over_p50_e2
+        |FROM a""".stripMargin,
     "q76_length_histogram" ->
       s"""SELECT bucket, count(*) AS n_docs,
          |  CAST(min(n_chars) AS BIGINT) AS min_chars,

@@ -272,4 +272,44 @@ class PlanQualitySpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning") shouldBe 0
     p should not include "Join"
   }
+
+  test("q82 latest-per-key is a partial aggregate, not a window sort") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q82_latest_per_key")
+    // the whole point vs row_number()=1: no Window node, no sort of the
+    // fact stream — one partial-aggregated shuffle
+    p.linesIterator.count(_.contains("Window")) shouldBe 0
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("partial_max_by")
+  }
+
+  test("q83 trailing distinct: bounded fan-out, no DISTINCT over the expansion") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q83_trailing_distinct")
+    // two keyed shuffles (user collapse, per-day count); the final count
+    // is plain — a count(DISTINCT) over the exploded rows would show as
+    // a third exchange or an Expand
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p should not include "Expand"
+  }
+
+  test("q86 nested export assembles arrays in one shuffle, HOFs stay narrow") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q86_nested_export")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window")) shouldBe 0
+  }
+
+  test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q85_edit_distance_dedup")
+    // the candidate join must be an equi-join on nkey (hash or SMJ);
+    // the global no-cartesian test already bans the quadratic plan
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
 }
