@@ -351,9 +351,82 @@ object Analytics {
           concat(date_format(o.getField("o_orderdate"), "yyyy-MM-dd"),
             lit(":"), o.getField("price_e2").cast("string")))).as("order_sig"))
 
+  // -- q88: JSON round-trip flatten (to_json -> from_json -> explode) ----
+
+  private val PayloadSchema = "id BIGINT, who STRUCT<cust: BIGINT, d: STRING>, amounts ARRAY<BIGINT>"
+
+  /** SEMI-STRUCTURED ROUND-TRIP: assemble each order + its sorted
+    * lineitem cents into a nested struct, serialize with `to_json`
+    * (the Kafka/CDC payload shape), parse back with a declared-schema
+    * `from_json`, then flatten — dot-path struct access + `posexplode`
+    * of the amounts array. This is the full ingestion path of a
+    * message-bus pipeline: schema-on-read parse, nested access, array
+    * normalization; `get_json_object` (q34) covers point lookups, this
+    * covers typed whole-document parsing. Plan: the lineitem⋈orders
+    * equi-join shuffles on the order key and the collect_list groupBy
+    * REUSES that partitioning (no second exchange); serialize, parse,
+    * and flatten are all narrow codegen'd maps. The oracle reads the
+    * same facts relationally — no JSON anywhere — so the round-trip is
+    * verified against an independent plan, not another JSON stack. */
+  val q88JsonRoundtrip: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("amount_e2"))
+    val payload = li
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("d"))
+      .agg(sort_array(collect_list(col("amount_e2"))).as("amounts"))
+      .select(to_json(struct(
+        col("o_orderkey").as("id"),
+        struct(col("o_custkey").as("cust"), col("d")).as("who"),
+        col("amounts"))).as("payload"))
+    payload
+      .select(from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(PayloadSchema)).as("p"))
+      .select(col("p.id").as("id"), col("p.who.cust").as("cust"),
+        col("p.who.d").as("order_date"), posexplode(col("p.amounts")))
+      .withColumnRenamed("pos", "amount_idx")
+      .withColumnRenamed("col", "amount_e2")
+  }
+
+  // -- q89: MAP-typed aggregation (map_from_entries + map HOFs) ----------
+
+  /** MAP-TYPED STATE: each customer's per-year spend as a MAP column
+    * (`map_from_entries` over the sorted per-year aggregate), consumed
+    * in-row with the map function family — `size`, `element_at` by
+    * key, a fold over `map_values`, and a `map_entries` →
+    * `transform` → `concat_ws` canonical rendering. The map is the
+    * feature-store value shape (keyed facts per entity); building it
+    * from a PRE-AGGREGATED (customer, year) relation keeps entry
+    * counts bounded by the key domain (years), never raw order volume.
+    * Two partial-aggregated shuffles: facts → (customer, year), then
+    * the per-customer assembly on the far smaller relation. Map
+    * iteration order is the sorted-entries insertion order, so the
+    * rendered signature is total and engine-independent. */
+  val q89MapSpend: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(sum(col("price_e2")).as("spend_e2"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("yr"), col("spend_e2"))))).as("m"))
+      .select(
+        col("o_custkey"),
+        size(col("m")).cast("long").as("n_years"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("total_e2"),
+        coalesce(element_at(col("m"), lit(1996L)), lit(0L)).as("spend_1996_e2"),
+        concat_ws("|", transform(map_entries(col("m")), e =>
+          concat(e.getField("key").cast("string"), lit(":"),
+            e.getField("value").cast("string")))).as("year_sig"))
+
   val defs: Map[String, Q] = Map(
     "q82_latest_per_key" -> q82LatestPerKey,
     "q86_nested_export" -> q86NestedExport,
+    "q88_json_roundtrip" -> q88JsonRoundtrip,
+    "q89_map_spend" -> q89MapSpend,
     "q80_grouping_sets" -> q80GroupingSets,
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
@@ -369,6 +442,33 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Independent relational restatement — no JSON: the same flattened
+    // rows read straight off the join, positions via row_number - 1
+    // over the same (value, then arbitrary-but-equal) order. Duplicate
+    // amounts are interchangeable at equal positions, so ordering by
+    // value alone is total for the compare.
+    "q88_json_roundtrip" ->
+      """SELECT o_orderkey AS id, o_custkey AS cust,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT)) - 1 AS INT) AS amount_idx,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS amount_e2
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // Independent restatement: per-year aggregate + string_agg ordered
+    // by year instead of the map assembly.
+    "q89_map_spend" ->
+      """WITH y AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend_e2
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_custkey,
+        |  count(*) AS n_years,
+        |  CAST(sum(spend_e2) AS BIGINT) AS total_e2,
+        |  CAST(coalesce(sum(CASE WHEN yr = 1996 THEN spend_e2 END), 0) AS BIGINT) AS spend_1996_e2,
+        |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
+        |    '|' ORDER BY yr) AS year_sig
+        |FROM y GROUP BY 1""".stripMargin,
     // Independent restatement: row_number window pick instead of the
     // max_by aggregate.
     "q82_latest_per_key" ->

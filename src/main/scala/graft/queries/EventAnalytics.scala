@@ -407,9 +407,35 @@ object EventAnalytics {
       .drop("src_total")
   }
 
+  // -- q91: sliding distinct via HLL sketch merge (q83's scale path) ----
+
+  /** TRAILING-7-DAY DISTINCT USERS, SKETCHED: build ONE HyperLogLog
+    * sketch per day (`hll_sketch_agg` — the only pass over events),
+    * then assemble every trailing window by UNION-MERGING the 7 daily
+    * sketches (`hll_union_agg` → `hll_sketch_estimate`). This is the
+    * pre-aggregation pattern that makes rolling-MAU/WAU free at 100 TB:
+    * the expensive distinct state is computed once per day and REUSED
+    * by every window that covers it — the fan-out (≤7×) is of
+    * fixed-size sketch blobs, never of events, and adding a new day
+    * never recomputes history (incremental by construction, unlike
+    * q83's exact plan which re-reads the (user, day) relation).
+    * Approximate by contract (HLL, lgK default 12 ⇒ ~1.6% rsd) — no
+    * SQL oracle; ProfilingSpec pins every window against q83's exact
+    * counts. Emits the same window-day set as q83. */
+  val q91SlidingHll: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("window_day"),
+        col("sk"))
+      .groupBy(col("window_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+
   val defs: Map[String, Q] = Map(
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
+    "q91_sliding_hll" -> q91SlidingHll,
     "q34_events_windowed" -> q34EventsWindowed,
     "q35_sessionize" -> q35Sessionize,
     "q40_asof_attribution" -> q40AsofJoin,

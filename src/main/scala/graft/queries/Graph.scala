@@ -88,10 +88,86 @@ object Graph {
         col("cluster_size"), (col("id") === col("lbl")).as("is_keeper"))
   }
 
+  // -- q90: PageRank (two unrolled iterations, integer e9) -------------
+
+  /** PAGERANK over the supplier→customer shipment graph (who supplies
+    * whom, from lineitem⋈orders): the iterative NUMERIC graph compute
+    * next to q55's iterative LABEL propagation — the
+    * importance/centrality score behind seed-quality weighting of
+    * link-graph corpus curation. Two Jacobi iterations unrolled (no
+    * driver loop — the oracle restates them as chained CTEs), damping
+    * 0.85, dangling mass dropped (documented simplification; customers
+    * are sinks here). ALL math is integer e9 with floor division —
+    * identical in both engines, no float accumulation order anywhere.
+    * Per iteration: one keyed equi-join of ranks onto the static
+    * (src, dst, outdeg) edge relation + one partial-aggregated
+    * inflow sum — linear in edges, nothing quadratic, the classic
+    * scale shape (edges re-read per round from a checkpoint; the
+    * node-count scalar is driver-hosted control plane like q61's
+    * corpus stats). */
+  val q90PageRank: Q = (s, d) => {
+    import graft.Tables
+    val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+      .distinct()
+      .localCheckpoint() // reused by nodes, outdeg, and both iterations
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count() // control-plane scalar (q61 convention)
+    val r0 = 1000000000L / n
+    val base = 150000000L / n // (1 - 0.85) * 1e9 / N, floor
+    val wedges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint() // static (src, dst, deg), built once
+    def iterate(r: DataFrame): DataFrame = {
+      val inflow = wedges.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("rank_e9 div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(inflow, 0) div 100")).as("rank_e9"))
+    }
+    iterate(iterate(nodes.select(col("node"), lit(r0).as("rank_e9"))))
+  }
+
   val defs: Map[String, Q] = Map(
-    "q55_dup_clusters" -> q55DupClusters)
+    "q55_dup_clusters" -> q55DupClusters,
+    "q90_pagerank" -> q90PageRank)
 
   val oracles: Map[String, String] = Map(
+    // The same two unrolled iterations as chained CTEs — integer e9
+    // floor arithmetic reproduces exactly (q57 unrolled-Lloyd
+    // convention for iterative algorithms).
+    "q90_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn),
+        |i1 AS (
+        |  SELECT e.dst, sum(r.rank_e9 // d.deg) AS inflow
+        |  FROM e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT node, 150000000 // n + 85 * coalesce(inflow, 0) // 100 AS rank_e9
+        |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = node
+        |), i2 AS (
+        |  SELECT e.dst, sum(r.rank_e9 // d.deg) AS inflow
+        |  FROM e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT node, 150000000 // n + 85 * coalesce(inflow, 0) // 100 AS rank_e9
+        |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = node
+        |)
+        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r2""".stripMargin,
     // Reachability fixpoint per node (recursive CTE), then min label —
     // algorithmically independent of the Spark pointer-doubling loop.
     "q55_dup_clusters" ->

@@ -10,11 +10,13 @@ package graft
   */
 class GateContractSpec extends SparkSpec {
 
-  /** Approximate-by-contract operators: q41 sketch profiling
-    * (ProfilingSpec pins HLL/quantile error bounds). q24's LSH left
-    * this list in r5 — integer-quantized planes made its buckets
-    * exactly reproducible in SQL, so it carries a real oracle now. */
-  private val rowsOnlyAllowed = Set("q41_profile_sketch")
+  /** Approximate-by-contract operators: q41 sketch profiling and
+    * q91 sliding HLL distinct (ProfilingSpec pins both — q41 against
+    * exact aggregates, q91 window-by-window against exact q83). q24's
+    * LSH left this list in r5 — integer-quantized planes made its
+    * buckets exactly reproducible in SQL, so it carries a real oracle
+    * now. */
+  private val rowsOnlyAllowed = Set("q41_profile_sketch", "q91_sliding_hll")
 
   test("every query has an oracle unless explicitly allowlisted rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

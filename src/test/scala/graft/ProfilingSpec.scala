@@ -52,4 +52,20 @@ class ProfilingSpec extends SparkSpec {
     p should not include "Expand"
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
+
+  test("q91 sliding HLL matches exact q83 window-by-window within sketch error") {
+    assume(haveData, s"$sfDir not present")
+    val exact = graft.queries.EventAnalytics.q83TrailingDistinct(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = graft.queries.EventAnalytics.q91SlidingHll(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // same window-day set: both emit exactly the covered trailing days
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (day, n) =>
+      val est = approx(day)
+      withClue(s"$day exact=$n approx=$est:") {
+        math.abs(est - n).toDouble / n should be <= 0.05 // lgK 12 ⇒ ~1.6% rsd
+      }
+    }
+  }
 }
