@@ -59,6 +59,38 @@ final class Warehouse(spark: SparkSession, db: String) {
       .partitionBy(partCols: _*)
       .saveAsTable(qualified(table))
 
+  /** SCHEMA EVOLUTION on append: a batch may carry columns the table
+    * does not have yet (upstream added a field) or lack columns the
+    * table has (old producer). New columns are added to the catalog
+    * schema with `ALTER TABLE ADD COLUMNS` — a metadata-only
+    * operation, no rewrite of existing files at any scale; rows
+    * already on disk read the new column as NULL (parquet scan
+    * reconciles files against the wider catalog schema). The batch is
+    * then aligned to the evolved schema (missing columns filled with
+    * typed NULLs) and appended. Widening only — a type CHANGE on an
+    * existing column is refused by the ALTER path loudly, never
+    * coerced silently. */
+  def appendEvolving(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!exists(table)) {
+      df.write.format("parquet").saveAsTable(qualified(table))
+    } else {
+      val existing = spark.table(qualified(table)).schema
+      val incoming = df.schema
+      val newCols = incoming.filterNot(f => existing.fieldNames.contains(f.name))
+      if (newCols.nonEmpty) {
+        val ddl = newCols.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"ALTER TABLE ${qualified(table)} ADD COLUMNS ($ddl)")
+      }
+      val target = spark.table(qualified(table)).schema
+      val aligned = df.select(target.map { f =>
+        if (incoming.fieldNames.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      aligned.write.mode(SaveMode.Append).format("parquet").saveAsTable(qualified(table))
+    }
+  }
+
   def table(name: String): DataFrame = spark.table(qualified(name))
 
   def exists(name: String): Boolean = spark.catalog.tableExists(qualified(name))

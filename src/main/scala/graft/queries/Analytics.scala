@@ -422,11 +422,38 @@ object Analytics {
           concat(e.getField("key").cast("string"), lit(":"),
             e.getField("value").cast("string")))).as("year_sig"))
 
+  // -- q93: correlated scalar subquery, decorrelated ---------------------
+
+  /** ABOVE-OWN-AVERAGE filter — the canonical correlated scalar
+    * subquery ("orders larger than this customer's average order").
+    * Spark-first DECORRELATION: one partial-aggregated pass computes
+    * every customer's (count, cents total), joined back to the fact
+    * stream — two scans total, versus the per-row subquery re-execution
+    * a naive engine pays. The comparison is multiplied through
+    * (price_e2 × n > total_e2 ⟺ price > avg) so it stays in EXACT
+    * integer cents — no float average exists anywhere, hence no
+    * rounding divergence between engines (products stay far below
+    * int64). The DuckDB oracle states the ORIGINAL correlated form, so
+    * the decorrelated plan is checked against the semantics it claims
+    * to implement, not a copy of itself. */
+  val q93AboveAvg: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+    val stats = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_cust_orders"), sum(col("price_e2")).as("cust_total_e2"))
+    o.join(stats, "o_custkey")
+      .filter(col("price_e2") * col("n_cust_orders") > col("cust_total_e2"))
+      .select(col("o_orderkey"), col("o_custkey"), col("price_e2"),
+        col("n_cust_orders"), col("cust_total_e2"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q82_latest_per_key" -> q82LatestPerKey,
     "q86_nested_export" -> q86NestedExport,
     "q88_json_roundtrip" -> q88JsonRoundtrip,
     "q89_map_spend" -> q89MapSpend,
+    "q93_above_avg" -> q93AboveAvg,
     "q80_grouping_sets" -> q80GroupingSets,
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
@@ -469,6 +496,20 @@ object Analytics {
         |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
         |    '|' ORDER BY yr) AS year_sig
         |FROM y GROUP BY 1""".stripMargin,
+    // The ORIGINAL correlated form — DuckDB decorrelates internally,
+    // but the STATED semantics are per-row subqueries.
+    "q93_above_avg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_e2
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey, price_e2,
+        |  (SELECT count(*) FROM o i WHERE i.o_custkey = o.o_custkey) AS n_cust_orders,
+        |  (SELECT CAST(sum(price_e2) AS BIGINT) FROM o i WHERE i.o_custkey = o.o_custkey) AS cust_total_e2
+        |FROM o
+        |WHERE price_e2 * (SELECT count(*) FROM o i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT sum(price_e2) FROM o i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
     // Independent restatement: row_number window pick instead of the
     // max_by aggregate.
     "q82_latest_per_key" ->

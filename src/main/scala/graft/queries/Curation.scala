@@ -541,7 +541,41 @@ object Curation {
           .as("chunk_text"))
   }
 
+  // -- q92: URL parsing + per-domain corpus mix ------------------------
+
+  /** URL/DOMAIN ANALYTICS: parse crawl URLs into host / path / query
+    * param and aggregate the per-domain mix — the provenance profile
+    * every web-corpus curation pipeline runs (domain allowlists, host
+    * caps, per-site dedup all start here). URLs are synthesized
+    * deterministically from `events` (q67 convention: fake payload,
+    * real machinery); the operator under test is Spark's `parse_url`
+    * (HOST / PATH / QUERY-with-key extraction — codegen'd narrow maps),
+    * aggregated into per-host event counts, distinct users, and
+    * distinct paths. One partial-aggregated shuffle on the host key;
+    * the distincts ride the standard Expand. The DuckDB oracle never
+    * parses: it re-derives host/path/param from the same integer
+    * arithmetic the synthesizer used — extraction is checked against
+    * independent CONSTRUCTION, not another URL parser. */
+  val q92UrlDomains: Q = (s, d) => {
+    val url = concat(
+      lit("https://site"), (col("event_id") % 50).cast("string"),
+      lit(".example.com/p/"), (col("event_id") % 7).cast("string"),
+      lit("/item?u="), col("user_id").cast("string"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), url.as("url"))
+      .select(
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("u")).as("u_param"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("u_param")).as("n_users"),
+        countDistinct(col("path")).as("n_paths"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q92_url_domains" -> q92UrlDomains,
     "q59_chunk_dedup" -> q59ChunkDedup,
     "q67_pii_redact" -> q67PiiRedact,
     "q68_temperature_mix" -> q68TemperatureMix,
@@ -579,6 +613,20 @@ object Curation {
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Independent CONSTRUCTION: host/path/param re-derived from the
+    // synthesizer's arithmetic — no URL parsing on the oracle side.
+    "q92_url_domains" ->
+      """WITH u AS (
+        |  SELECT
+        |    'site' || CAST(event_id % 50 AS VARCHAR) || '.example.com' AS host,
+        |    '/p/' || CAST(event_id % 7 AS VARCHAR) || '/item' AS path,
+        |    CAST(user_id AS VARCHAR) AS u_param
+        |  FROM events
+        |)
+        |SELECT host, count(*) AS n_events,
+        |  CAST(count(DISTINCT u_param) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        |FROM u GROUP BY 1""".stripMargin,
     "q67_pii_redact" -> {
       // RE2-safe patterns, same masking order as the Spark chain.
       val em = EmailRe

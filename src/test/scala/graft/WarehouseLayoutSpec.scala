@@ -53,4 +53,23 @@ class WarehouseLayoutSpec extends SparkSpec {
     plan should include("PartitionFilters: [isnotnull(dept")
     one.count() shouldBe 100L
   }
+
+  test("appendEvolving widens the schema; old rows read new columns as NULL") {
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    wh.appendEvolving(b1, "evolving")
+    // batch 2 carries a new column: metadata-only ALTER, no file rewrite
+    val b2 = Seq((3L, "c", 30L)).toDF("id", "v", "extra")
+    wh.appendEvolving(b2, "evolving")
+    val t = wh.table("evolving")
+    t.columns.toSeq shouldBe Seq("id", "v", "extra")
+    t.count() shouldBe 3L
+    t.filter($"id" < 3L && $"extra".isNull).count() shouldBe 2L
+    t.filter($"id" === 3L).select("extra").head.getLong(0) shouldBe 30L
+    // batch 3 from an OLD producer (missing `extra`): aligned with
+    // typed NULLs, not rejected
+    val b3 = Seq((4L, "d")).toDF("id", "v")
+    wh.appendEvolving(b3, "evolving")
+    wh.table("evolving").count() shouldBe 4L
+    wh.table("evolving").filter($"id" === 4L && $"extra".isNull).count() shouldBe 1L
+  }
 }
