@@ -448,12 +448,69 @@ object Analytics {
         col("n_cust_orders"), col("cust_total_e2"))
   }
 
+  // -- q94: statistical outlier flags (integer-exact 2-sigma test) -------
+
+  /** OUTLIER DETECTION without float statistics: flag orders more than
+    * two standard deviations from their customer's mean — the
+    * anomalous-transaction QC gate — using ONLY the integer sums
+    * (n, Σx, Σx²) that partial aggregation already produces. The test
+    * |x−μ| > 2σ is multiplied through by n²:
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no mean, no variance, no
+    * division anywhere. Both sides are built from exact int64 sums;
+    * the final square/scale runs in double (inputs ≤2^53 on the left;
+    * one identically-rounded int64→double conversion on the right) so
+    * the comparison is bit-deterministic cross-engine — the float
+    * rules' "single IEEE op over identical operands" clause. One
+    * partial-aggregated pass for stats + a broadcast-back join; facts
+    * never shuffle twice. */
+  val q94OutlierFlags: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+    val stats = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_e2")).as("s1"),
+        sum(col("price_e2") * col("price_e2")).as("s2"))
+    o.join(stats, "o_custkey")
+      .withColumn("dev_n", col("n_orders") * col("price_e2") - col("s1"))
+      .withColumn("var_n2", col("n_orders") * col("s2") - col("s1") * col("s1"))
+      .withColumn("is_outlier",
+        col("dev_n").cast("double") * col("dev_n").cast("double") >
+          lit(4.0) * col("var_n2").cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("price_e2"),
+        col("n_orders"), col("is_outlier"))
+  }
+
+  // -- q95: rank-family completeness (dense_rank / percent_rank / cume_dist)
+
+  /** TIE-AWARE RANKING: per-segment account-balance dense_rank,
+    * percent_rank, and cume_dist — the normalized-score primitives
+    * (percentile features, score calibration) that complete the
+    * ranking family next to q37's row_number and q73's ntile. The
+    * order is bal_e2 WITHOUT a tiebreak on purpose: all three
+    * functions are tie-safe (equal keys get equal ranks), so the
+    * result is total even though the underlying sort is not — the
+    * SQL-standard semantics both engines share. percent_rank and
+    * cume_dist are single exact-integer divisions evaluated in double,
+    * identical cross-engine. One shuffle, one Window node. */
+  val q95RankFamily: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("bal_e2"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_e2"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_e2"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q82_latest_per_key" -> q82LatestPerKey,
     "q86_nested_export" -> q86NestedExport,
     "q88_json_roundtrip" -> q88JsonRoundtrip,
     "q89_map_spend" -> q89MapSpend,
     "q93_above_avg" -> q93AboveAvg,
+    "q94_outlier_flags" -> q94OutlierFlags,
+    "q95_rank_family" -> q95RankFamily,
     "q80_grouping_sets" -> q80GroupingSets,
     "q64_zorder_layout" -> q64ZorderLayout,
     "q54_cube_composition" -> q54CubeComposition,
@@ -496,6 +553,30 @@ object Analytics {
         |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
         |    '|' ORDER BY yr) AS year_sig
         |FROM y GROUP BY 1""".stripMargin,
+    "q94_outlier_flags" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_e2
+        |  FROM orders
+        |), st AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(price_e2) AS BIGINT) AS s1,
+        |    CAST(sum(price_e2 * price_e2) AS BIGINT) AS s2
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT o_orderkey, o.o_custkey, price_e2, n_orders,
+        |  CAST(n_orders * price_e2 - s1 AS DOUBLE) * CAST(n_orders * price_e2 - s1 AS DOUBLE)
+        |    > 4.0 * CAST(n_orders * s2 - s1 * s1 AS DOUBLE) AS is_outlier
+        |FROM o JOIN st ON o.o_custkey = st.o_custkey""".stripMargin,
+    "q95_rank_family" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT))""".stripMargin,
     // The ORIGINAL correlated form — DuckDB decorrelates internally,
     // but the STATED semantics are per-row subqueries.
     "q93_above_avg" ->
