@@ -75,16 +75,31 @@ final class Warehouse(spark: SparkSession, db: String) {
     if (!exists(table)) {
       df.write.format("parquet").saveAsTable(qualified(table))
     } else {
+      // name matching is case-INSENSITIVE, like Spark's own column
+      // resolution — a case-variant column from an upstream producer
+      // must route to alignment, not to a doomed ADD COLUMNS
       val existing = spark.table(qualified(table)).schema
       val incoming = df.schema
-      val newCols = incoming.filterNot(f => existing.fieldNames.contains(f.name))
+      def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+      val existingByName = existing.map(f => norm(f.name) -> f).toMap
+      val drifted = incoming.flatMap { f =>
+        existingByName.get(norm(f.name)).collect {
+          case e if e.dataType != f.dataType =>
+            s"${f.name}: table ${e.dataType.sql}, batch ${f.dataType.sql}"
+        }
+      }
+      require(drifted.isEmpty,
+        s"appendEvolving($table): type change on existing column(s) refused — " +
+          drifted.mkString("; "))
+      val newCols = incoming.filterNot(f => existingByName.contains(norm(f.name)))
       if (newCols.nonEmpty) {
-        val ddl = newCols.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        val ddl = newCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
         spark.sql(s"ALTER TABLE ${qualified(table)} ADD COLUMNS ($ddl)")
       }
       val target = spark.table(qualified(table)).schema
+      val incomingNames = incoming.fieldNames.map(norm).toSet
       val aligned = df.select(target.map { f =>
-        if (incoming.fieldNames.contains(f.name)) col(f.name)
+        if (incomingNames.contains(norm(f.name))) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
       aligned.write.mode(SaveMode.Append).format("parquet").saveAsTable(qualified(table))

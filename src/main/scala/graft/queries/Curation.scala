@@ -557,10 +557,14 @@ object Curation {
     * arithmetic the synthesizer used — extraction is checked against
     * independent CONSTRUCTION, not another URL parser. */
   val q92UrlDomains: Q = (s, d) => {
+    // user_id is coalesced BEFORE the concat: a NULL would null the
+    // whole URL (concat semantics) and silently move the row to a
+    // NULL-host group the oracle (which derives host from event_id
+    // alone) would not reproduce
     val url = concat(
       lit("https://site"), (col("event_id") % 50).cast("string"),
       lit(".example.com/p/"), (col("event_id") % 7).cast("string"),
-      lit("/item?u="), col("user_id").cast("string"))
+      lit("/item?u="), coalesce(col("user_id"), lit(-1L)).cast("string"))
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), url.as("url"))
       .select(
@@ -620,7 +624,7 @@ object Curation {
         |  SELECT
         |    'site' || CAST(event_id % 50 AS VARCHAR) || '.example.com' AS host,
         |    '/p/' || CAST(event_id % 7 AS VARCHAR) || '/item' AS path,
-        |    CAST(user_id AS VARCHAR) AS u_param
+        |    CAST(coalesce(user_id, -1) AS VARCHAR) AS u_param
         |  FROM events
         |)
         |SELECT host, count(*) AS n_events,

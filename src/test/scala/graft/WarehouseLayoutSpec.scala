@@ -72,4 +72,19 @@ class WarehouseLayoutSpec extends SparkSpec {
     wh.table("evolving").count() shouldBe 4L
     wh.table("evolving").filter($"id" === 4L && $"extra".isNull).count() shouldBe 1L
   }
+
+  test("appendEvolving refuses a type change loudly; accepts case-variant names") {
+    // a DOUBLE arriving where the table holds BIGINT must throw, not
+    // silently truncate through the store-assignment cast
+    val bad = Seq((5L, "e", 1.7)).toDF("id", "v", "extra")
+    val ex = intercept[IllegalArgumentException](wh.appendEvolving(bad, "evolving"))
+    ex.getMessage should include("type change")
+    wh.table("evolving").count() shouldBe 4L // nothing appended
+    // a case-variant column name resolves like Spark's own analysis
+    // (case-insensitive): aligned, not treated as a new column
+    val variant = Seq((5L, "e", 50L)).toDF("id", "V", "extra")
+    wh.appendEvolving(variant, "evolving")
+    wh.table("evolving").columns.toSeq shouldBe Seq("id", "v", "extra")
+    wh.table("evolving").filter($"id" === 5L).select("v").head.getString(0) shouldBe "e"
+  }
 }
