@@ -503,7 +503,38 @@ object Analytics {
         cume_dist().over(w).as("cdist"))
   }
 
+  // -- q96: market-basket pair mining ------------------------------------
+
+  private val BasketTopK = 20
+
+  /** CO-OCCURRENCE MINING: the top part pairs bought together in one
+    * order — the association/frequent-itemset primitive behind
+    * recommenders and "customers also bought". Spark-first shape:
+    * collapse to per-order sorted item sets (one partial-aggregated
+    * shuffle), expand ordered pairs IN-ROW (indexed `transform` ×
+    * `slice` — quadratic only in basket size, which is bounded by the
+    * order line limit, never in orders), then one partial-aggregated
+    * pair count; the top-k rides `orderBy+limit` ⇒
+    * TakeOrderedAndProject (per-partition heads, no global sort). The
+    * (count desc, a, b) order is total, so the cutoff is deterministic
+    * in both engines. Oracle: the independent self-join restatement
+    * (b ⋈ b on order, a < b). */
+  val q96BasketPairs: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+
   val defs: Map[String, Q] = Map(
+    "q96_basket_pairs" -> q96BasketPairs,
     "q82_latest_per_key" -> q82LatestPerKey,
     "q86_nested_export" -> q86NestedExport,
     "q88_json_roundtrip" -> q88JsonRoundtrip,
@@ -553,6 +584,17 @@ object Analytics {
         |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
         |    '|' ORDER BY yr) AS year_sig
         |FROM y GROUP BY 1""".stripMargin,
+    // Independent self-join restatement of the in-row pair expansion.
+    "q96_basket_pairs" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |)
+         |SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_orders
+         |FROM b x JOIN b y
+         |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+         |GROUP BY 1, 2
+         |ORDER BY n_orders DESC, part_a, part_b
+         |LIMIT $BasketTopK""".stripMargin,
     "q94_outlier_flags" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,
