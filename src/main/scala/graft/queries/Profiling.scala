@@ -138,15 +138,55 @@ object Profiling {
       .withColumn("skew_p99_over_p50_e2", expr("p99_cnt * 100 div p50_cnt"))
   }
 
+  // -- q97: equi-depth histogram (per-language length octiles) ----------
+
+  private val DepthBuckets = 8
+
+  /** EQUI-DEPTH HISTOGRAM: per-language document-length octiles —
+    * equal ROW counts per bucket with data-driven boundaries, the
+    * histogram shape optimizers and data-skew dashboards actually
+    * store (q76's equi-width is its fixed-boundary complement; q73's
+    * ntile is the same primitive as a row feature rather than a
+    * summary). `ntile` over the total (n_chars, doc_id) order within
+    * each language assigns buckets, then one partial-aggregated
+    * count/min/max per (lang, bucket) — ≤ 8·|langs| output rows. The
+    * window shuffles once on lang; sorting within language partitions
+    * is the honest cost of exact depth boundaries (per-key, never a
+    * global single-partition sort). */
+  val q97EquiDepthHist: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("bucket", ntile(DepthBuckets).over(w).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
     "q42_train_test_split" -> q42TrainTestSplit,
     "q76_length_histogram" -> q76LengthHistogram,
-    "q87_key_skew_profile" -> q87KeySkewProfile)
+    "q87_key_skew_profile" -> q87KeySkewProfile,
+    "q97_equidepth_hist" -> q97EquiDepthHist)
 
   /** q41's sketch outputs are approximate by contract — no DuckDB
     * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
   val oracles: Map[String, String] = Map(
+    "q97_equidepth_hist" ->
+      s"""WITH b AS (
+         |  SELECT lang, n_chars,
+         |    CAST(ntile($DepthBuckets) OVER (PARTITION BY lang
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+         |  FROM documents
+         |)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(min(n_chars) AS BIGINT) AS lo_chars,
+         |  CAST(max(n_chars) AS BIGINT) AS hi_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q87_key_skew_profile" ->
       """WITH freq AS (
         |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
