@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation data generator: writes a ~10× replica of an input
+  * scale-factor directory (sf0.1 → ≈sf1) so the heavy operators'
+  * scaling CURVE can be measured empirically, not argued from plan
+  * shapes alone (SURVEY §6 records the measured ratios).
+  *
+  * Replication must not change the WORKLOAD CHARACTER, so it is not a
+  * plain union of identical copies:
+  *  - every entity key is offset by `replica × 10^8` consistently
+  *    across tables (orderkey/custkey/partkey/suppkey/doc_id/vec_id/
+  *    event_id/user_id), so joins stay within-replica and fan-outs
+  *    keep their sf0.1 shape; tiny shared dims (nation, region) are
+  *    passed through unchanged;
+  *  - document text gets a replica-unique token INJECTED EVERY 4
+  *    TOKENS: all 5-gram shingles then contain ≥1 injected token, so
+  *    cross-replica shingle sets are disjoint (no artificial 10-clique
+  *    of near-duplicates) while within-replica similarity structure is
+  *    preserved;
+  *  - embeddings are ROTATED by `replica × 6` dimensions: norms and
+  *    within-replica geometry are exactly preserved, cross-replica
+  *    cosines decorrelate.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [replicas=10]
+  */
+object ScaleGen {
+
+  private val KeyOffset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .appName("graft-scalegen")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS): read as nanosecond LONG
+      // (Tables.events convention); the replica writes it back as a
+      // plain BIGINT, which Tables.events rebuilds identically
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+
+    def replicate(name: String, keyCols: Seq[String])(
+        extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val parts = (0 until replicas).map { i =>
+        val shifted = keyCols.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i * KeyOffset))
+        }
+        extra(shifted, i)
+      }
+      parts.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name x$replicas done")
+    }
+
+    // shared tiny dims: pass through unchanged
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))()
+    replicate("supplier", Seq("s_suppkey"))()
+    replicate("part", Seq("p_partkey"))()
+    replicate("orders", Seq("o_orderkey", "o_custkey"))()
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+    replicate("events", Seq("event_id", "user_id"))()
+    replicate("documents", Seq("doc_id")) { (df, i) =>
+      // inject a replica-unique, POSITION-unique token every 4 tokens:
+      // 5-gram shingle sets become disjoint across replicas (every
+      // shingle contains an injected token), and because the injected
+      // tokens are position-distinct singletons, token-frequency
+      // signatures (SimHash) decorrelate across replicas too instead
+      // of sharing one heavy common token — while near-dup pairs
+      // WITHIN a replica keep overlapping injections (same prefix,
+      // same positions) and stay similar
+      df.withColumn("text",
+        array_join(flatten(transform(
+          split(col("text"), "\\s+"),
+          (t, idx) => when(idx % 4 === 0,
+            array(concat(lit(s"r${i}x"), (idx / 4).cast("string")), t))
+            .otherwise(array(t)))),
+          " "))
+    }
+    replicate("embeddings", Seq("vec_id")) { (df, i) =>
+      // rotate dimensions: within-replica geometry exact, cross-replica
+      // cosines decorrelated
+      val dim = 64
+      val rot = (i * 6) % dim
+      df.withColumn("embedding",
+        concat(slice(col("embedding"), lit(rot + 1), lit(dim - rot)),
+          slice(col("embedding"), lit(1), lit(rot))))
+    }
+    spark.stop()
+  }
+}
