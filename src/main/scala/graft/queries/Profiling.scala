@@ -166,16 +166,77 @@ object Profiling {
         max(col("n_chars")).as("hi_chars"))
   }
 
+  // -- q98: declarative data-quality expectations ------------------------
+
+  /** EXPECTATION SUITE over orders (+ referential checks into customer
+    * and from lineitem): the dbt-test-style table contract evaluated
+    * through [[graft.ops.Expectations]] — row-scoped rules compile to
+    * ONE aggregate pass, uniqueness rides the same pass, referential
+    * integrity is a left-anti count against distinct dimension keys.
+    * The suite deliberately mixes passing rules with rules the data
+    * genuinely violates (a price cap, a segment allowlist missing one
+    * real segment) so both report states are exercised. */
+  val q98Expectations: Q = (s, d) => {
+    import graft.ops.Expectations._
+    val orders = Tables.orders(s, d)
+      .withColumn("price_e2", round(col("o_totalprice") * 100, 0).cast("long"))
+    val cust = Tables.customer(s, d)
+    val oReport = graft.ops.Expectations.run(orders, Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("price_e2", 1L, 30000000L), // cap some real orders exceed
+      RefIntegrity("o_custkey", cust, "c_custkey")))
+    val cReport = graft.ops.Expectations.run(cust, Seq(
+      NotNull("c_name"),
+      // allowlist deliberately missing one real segment
+      AcceptedValues("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"))))
+    oReport.withColumn("table_name", lit("orders"))
+      .unionByName(cReport.withColumn("table_name", lit("customer")))
+      .select(col("table_name"), col("rule"), col("n_violations"), col("pass"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
     "q42_train_test_split" -> q42TrainTestSplit,
     "q76_length_histogram" -> q76LengthHistogram,
     "q87_key_skew_profile" -> q87KeySkewProfile,
-    "q97_equidepth_hist" -> q97EquiDepthHist)
+    "q97_equidepth_hist" -> q97EquiDepthHist,
+    "q98_expectations" -> q98Expectations)
 
   /** q41's sketch outputs are approximate by contract — no DuckDB
     * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
   val oracles: Map[String, String] = Map(
+    // Each rule restated as an independent direct count.
+    "q98_expectations" ->
+      """WITH o AS (
+        |  SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_e2 FROM orders
+        |), rep AS (
+        |  SELECT 'orders' AS table_name, 'not_null:o_custkey' AS rule,
+        |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_violations
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'orders', 'unique:o_orderkey',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 'orders', 'in_range:price_e2[1,30000000]',
+        |    CAST(count(CASE WHEN price_e2 < 1 OR price_e2 > 30000000 THEN 1 END) AS BIGINT)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'orders', 'ref_integrity:o_custkey',
+        |    CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM o LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'customer', 'not_null:c_name',
+        |    CAST(count(CASE WHEN c_name IS NULL THEN 1 END) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'accepted_values:c_mktsegment',
+        |    CAST(count(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+        |      ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY') THEN 1 END) AS BIGINT)
+        |  FROM customer
+        |)
+        |SELECT table_name, rule, n_violations, n_violations = 0 AS pass FROM rep""".stripMargin,
     "q97_equidepth_hist" ->
       s"""WITH b AS (
          |  SELECT lang, n_chars,
