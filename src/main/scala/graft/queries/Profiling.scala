@@ -196,17 +196,56 @@ object Profiling {
       .select(col("table_name"), col("rule"), col("n_violations"), col("pass"))
   }
 
+  // -- q99: incremental aggregate maintenance ----------------------------
+
+  /** INCREMENTAL ROLLUP: per-customer order stats maintained through
+    * [[graft.ops.IncrementalAgg]] — history arrives as three
+    * year-range batches, each folded into the running state (one
+    * partial-aggregated pass per batch + a keyed merge), and the final
+    * state must equal the one-shot recompute the oracle states. The
+    * per-run cost of this pattern is O(batch + touched keys),
+    * independent of history age — the 100 TB daily-mart play;
+    * IncrementalAggSpec additionally pins fold-order invariance and
+    * exactly-once batch replay. */
+  val q99IncrementalRollup: Q = (s, d) => {
+    import graft.ops.IncrementalAgg
+    import graft.ops.IncrementalAgg.Metrics
+    val m = Metrics("price_e2")
+    val keys = Seq("o_custkey")
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+    val batches = Seq(
+      o.filter(col("yr") <= 1994),
+      o.filter(col("yr") >= 1995 && col("yr") <= 1996),
+      o.filter(col("yr") >= 1997))
+    val state = batches.tail.foldLeft(
+      IncrementalAgg.aggregate(batches.head, keys, m)) { (st, b) =>
+      IncrementalAgg.merge(st, IncrementalAgg.aggregate(b, keys, m), keys, m)
+    }
+    state.select(col("o_custkey"), col("cnt"), col("sum_v"), col("min_v"), col("max_v"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
     "q42_train_test_split" -> q42TrainTestSplit,
     "q76_length_histogram" -> q76LengthHistogram,
     "q87_key_skew_profile" -> q87KeySkewProfile,
     "q97_equidepth_hist" -> q97EquiDepthHist,
-    "q98_expectations" -> q98Expectations)
+    "q98_expectations" -> q98Expectations,
+    "q99_incremental_rollup" -> q99IncrementalRollup)
 
   /** q41's sketch outputs are approximate by contract — no DuckDB
     * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
   val oracles: Map[String, String] = Map(
+    // The one-shot recompute the batch folds must reproduce.
+    "q99_incremental_rollup" ->
+      """SELECT o_custkey,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS min_v,
+        |  CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS max_v
+        |FROM orders GROUP BY 1""".stripMargin,
     // Each rule restated as an independent direct count.
     "q98_expectations" ->
       """WITH o AS (
