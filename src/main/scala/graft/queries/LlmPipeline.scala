@@ -494,9 +494,90 @@ object LlmPipeline {
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
 
+  // -- q100: the full pretraining pipeline, one composed plan ----------
+
+  private val PackTokens = 64L
+  private val ContamGramN = 5
+
+  /** THE FLAGSHIP COMPOSITION: the complete pretraining-corpus
+    * pipeline — lang-ID + quality gate (q22/q43 rules) → exact content
+    * dedup among survivors (q43 discipline) → near-dup suppression
+    * against the FULL-corpus q21 pair graph (first-seen-wins: a doc
+    * with any smaller-id verified partner drops, whatever that
+    * partner's own quality verdict — the conservative rule a stream
+    * can also honor, X47) → 5-gram decontamination against the q42
+    * test split (q47 rule over the full corpus) → train-split
+    * selection → fixed-64-token chunking — all declared as ONE
+    * Catalyst plan, so the optimizer sees the whole pipeline (filters
+    * run before every dedup shuffle; the gram relation is persisted
+    * once and probed twice). A user of the individual operators gets
+    * the composed product with no glue code and no intermediate
+    * tables; the oracle restates every stage (mounting q21's pair CTEs
+    * unchanged) and agrees on the exact surviving chunk set. */
+  val q100PretrainPipeline: Q = (s, d) => {
+    def scoreIn(tk: Column, words: Seq[String]): Column =
+      size(filter(tk, t => t.isin(words: _*)))
+    val st = Tables.documents(s, d)
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("lo", lower(col("text")))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        length(regexp_replace(col("lo"), "[a-z0-9 ]", "")).as("n_punct"),
+        scoreIn(col("tk"), StopEn).as("score_en"),
+        scoreIn(col("tk"), StopDe).as("score_de"),
+        scoreIn(col("tk"), StopFr).as("score_fr"),
+        scoreIn(col("tk"), StopEs).as("score_es"),
+        md5(trim(regexp_replace(col("lo"), "\\s+", " "))).as("content_hash"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10).as("bucket"))
+      .withColumn("lang_guess",
+        when(col("score_en") > 0 && col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") > 0 && col("score_de") >= col("score_fr") &&
+            col("score_de") >= col("score_es"), "de")
+          .when(col("score_fr") > 0 && col("score_fr") >= col("score_es"), "fr")
+          .when(col("score_es") > 0, "es")
+          .otherwise("unknown"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+    val kept1 = st.filter(col("n_tokens") >= 5 && col("n_chars") <= 10000 &&
+      col("n_punct") * 10 <= col("n_chars") && col("lang_guess") =!= "unknown")
+    // exact dedup among survivors: keeper = min doc_id per content hash
+    val keepers = kept1.groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept2 = kept1.join(keepers, Seq("doc_id"), "left_semi")
+    // near-dup: drop any doc with a smaller-id verified partner in the
+    // FULL corpus (q21's pair graph, first-seen-wins)
+    val later = q21DedupMinhashLsh(s, d).select(col("doc_b").as("doc_id")).distinct()
+    val kept3 = kept2.join(later, Seq("doc_id"), "left_anti")
+    // decontamination: train docs sharing any 5-gram with a test-split
+    // doc drop (q47 rule; gram relation persisted, probed twice)
+    val grams = st
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(shingles(col("tk"), ContamGramN))).as("g"))
+      .select(col("doc_id"), col("bucket"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val testGrams = grams.filter(col("bucket") === 9).select("gh").distinct()
+    val contaminated = grams.filter(col("bucket") < 8)
+      .join(testGrams, "gh").select("doc_id").distinct()
+    val kept4 = kept3.filter(col("split") === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // pack: non-overlapping 64-token chunks, trailing partial kept
+    kept4
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
+        explode(expr(s"sequence(0L, (n_tokens - 1) div $PackTokens)")).as("chunk_idx"))
+      .withColumn("n_chunk_tokens",
+        least(lit(PackTokens), col("n_tokens") - col("chunk_idx") * PackTokens))
+  }
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "q100_pretrain_pipeline" -> q100PretrainPipeline,
     "q20_dedup_exact" -> q20DedupExact,
     "q21_dedup_minhash_lsh" -> q21DedupMinhashLsh,
     "q22_text_stats" -> q22TextStats,
@@ -574,6 +655,67 @@ object LlmPipeline {
       s"(strpos('0123456789abcdef', substr(md5($c),4,1))-1)"
 
   val oracles: Map[String, String] = Map(
+    // Every stage restated: q21's pair CTEs mounted unchanged, then
+    // flags → quality/lang gate → exact-dedup keepers → first-seen
+    // near-dup suppression → 5-gram test-split decontamination →
+    // train-only 64-token chunk explode.
+    "q100_pretrain_pipeline" -> {
+      val gramList =
+        "CASE WHEN len(tk) >= 5 THEN " +
+          "[array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk) - 3)] " +
+          "ELSE [] END"
+      s"""WITH $minhashPairCtes, pairs AS (
+         |  $minhashPairSelect
+         |), st AS (
+         |  SELECT d.doc_id, len(t.tk) AS n_tokens, length(d.text) AS n_chars,
+         |    length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |    len(list_filter(t.tk, x -> x IN ('the','a','of','to','and'))) AS score_en,
+         |    len(list_filter(t.tk, x -> x IN ('der','die','und','ist','das'))) AS score_de,
+         |    len(list_filter(t.tk, x -> x IN ('le','la','et','les','un'))) AS score_fr,
+         |    len(list_filter(t.tk, x -> x IN ('el','los','y','en','que'))) AS score_es,
+         |    md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS content_hash,
+         |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS bucket,
+         |    t.tk AS tk
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |), flags AS (
+         |  SELECT *,
+         |    CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr
+         |              AND score_en >= score_es THEN 'en'
+         |         WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |         WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
+         |         WHEN score_es > 0 THEN 'es'
+         |         ELSE 'unknown' END AS lang_guess,
+         |    CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM st
+         |), kept1 AS (
+         |  SELECT * FROM flags
+         |  WHERE n_tokens >= 5 AND n_chars <= 10000 AND n_punct * 10 <= n_chars
+         |    AND lang_guess <> 'unknown'
+         |), keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY content_hash
+         |), kept3 AS (
+         |  SELECT k.* FROM kept1 k
+         |  JOIN keepers USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = k.doc_id)
+         |), grams AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 AS b,
+         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, unnest(list_distinct($gramList)) AS g FROM toks)
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE b < 8 AND gh IN (SELECT gh FROM grams WHERE b = 9)
+         |), kept4 AS (
+         |  SELECT * FROM kept3
+         |  WHERE split = 'train'
+         |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = kept3.doc_id)
+         |)
+         |SELECT doc_id, lang_guess, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(u.c AS BIGINT) AS chunk_idx,
+         |  CAST(least($PackTokens, n_tokens - u.c * $PackTokens) AS BIGINT) AS n_chunk_tokens
+         |FROM kept4, LATERAL unnest(generate_series(0, (n_tokens - 1) // $PackTokens)) u(c)""".stripMargin
+    },
     "q20_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
