@@ -58,6 +58,24 @@ class IncrementalAggSpec extends SparkSpec {
     a3.count() shouldBe 2L
   }
 
+  test("random batch splits always equal the one-shot recompute (property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val rows = Seq.fill(rnd.nextInt(40) + 10)(
+        (s"k${rnd.nextInt(5)}", rnd.nextLong() % 1000))
+      val nSplits = rnd.nextInt(3) + 2
+      val batches = rows.grouped(math.max(1, rows.size / nSplits)).toSeq
+        .map(chunk => raw(chunk: _*))
+      val folded = batches.tail.foldLeft(IncrementalAgg.aggregate(batches.head, keys, m)) {
+        (st, b) => IncrementalAgg.merge(st, IncrementalAgg.aggregate(b, keys, m), keys, m)
+      }
+      val oneShot = IncrementalAgg.aggregate(raw(rows: _*), keys, m)
+      withClue(s"trial $trial (${rows.size} rows, ${batches.size} batches):") {
+        asMap(folded) shouldBe asMap(oneShot)
+      }
+    }
+  }
+
   test("the batch pass partial-aggregates: one exchange, no join") {
     val plan = IncrementalAgg.aggregate(raw("a" -> 1L), keys, m)
       .queryExecution.executedPlan.toString
