@@ -574,9 +574,59 @@ object LlmPipeline {
         least(lit(PackTokens), col("n_tokens") - col("chunk_idx") * PackTokens))
   }
 
+  // -- q101: kNN similarity graph --------------------------------------
+
+  private val KnnK = 3
+
+  /** kNN GRAPH construction: every document's top-3 most-similar
+    * documents by EXACT shingle Jaccard — the similarity graph behind
+    * clustering, semantic browsing, and SemDeDup-style curation, as
+    * opposed to q21's thresholded duplicate PAIRS (a kNN edge exists
+    * even between weakly similar docs; rank, not threshold, decides).
+    * Candidates come only from q21's LSH band collisions —
+    * symmetrized, since the graph is per-source-doc directed — so the
+    * candidate set stays the banded one, never all-pairs; scoring is
+    * the same in-row exact intersect; and the per-doc top-3 rides the
+    * map-side TopK aggregator (X25), so the shuffle carries ≤3
+    * candidates per doc per partition, not the full candidate stream.
+    * Docs with no band collision have no edges (their nearest
+    * neighbors are below every LSH bucket's similarity floor —
+    * documented recall contract, same as q24). */
+  val q101KnnGraph: Q = (s, d) => {
+    val sig = minhashSignatures(hashedShingleSet(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sig.select(col("doc_id"), explode(bandSigArray).as("bsig"))
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val cand = buckets
+      .groupBy("bsig").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val sym = cand.unionByName(
+      cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val a = sig.select(col("doc_id").as("a_id"), col("n").as("na"), col("hs").as("hs_a"))
+    val b = sig.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hs").as("hs_b"))
+    val scored = sym
+      .join(a, col("doc_a") === col("a_id"))
+      .join(b, col("doc_b") === col("b_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("ni"),
+        col("na"), col("nb"))
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
+        round(lit(1e6) * col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 0)
+          .cast("long").as("jaccard_e6"))
+    graft.functions.TopK.topKPerGroup(scored, "doc_id", "neighbor_id", "jaccard_e6", KnnK)
+  }
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "q101_knn_graph" -> q101KnnGraph,
     "q100_pretrain_pipeline" -> q100PretrainPipeline,
     "q20_dedup_exact" -> q20DedupExact,
     "q21_dedup_minhash_lsh" -> q21DedupMinhashLsh,
@@ -655,6 +705,24 @@ object LlmPipeline {
       s"(strpos('0123456789abcdef', substr(md5($c),4,1))-1)"
 
   val oracles: Map[String, String] = Map(
+    // q21's pair CTEs unchanged; symmetrize `scored` (no threshold),
+    // rank per source doc with the TopK tiebreak (score desc, id asc).
+    "q101_knn_graph" ->
+      s"""WITH $minhashPairCtes, sym AS (
+         |  SELECT doc_a AS doc_id, doc_b AS neighbor_id, n_inter, na, nb FROM scored
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, n_inter, nb, na FROM scored
+         |), jac AS (
+         |  SELECT doc_id, neighbor_id,
+         |    CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |      / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+         |  FROM sym
+         |)
+         |SELECT doc_id, neighbor_id, jaccard_e6, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY jaccard_e6 DESC, neighbor_id) AS rank
+         |  FROM jac
+         |) WHERE rank <= $KnnK""".stripMargin,
     // Every stage restated: q21's pair CTEs mounted unchanged, then
     // flags → quality/lang gate → exact-dedup keepers → first-seen
     // near-dup suppression → 5-gram test-split decontamination →
