@@ -71,21 +71,25 @@ object ScaleGen {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
     replicate("events", Seq("event_id", "user_id"))()
     replicate("documents", Seq("doc_id")) { (df, i) =>
-      // inject a replica-unique, POSITION-unique token every 4 tokens:
-      // 5-gram shingle sets become disjoint across replicas (every
-      // shingle contains an injected token), and because the injected
-      // tokens are position-distinct singletons, token-frequency
-      // signatures (SimHash) decorrelate across replicas too instead
-      // of sharing one heavy common token — while near-dup pairs
-      // WITHIN a replica keep overlapping injections (same prefix,
-      // same positions) and stay similar
+      // inject a replica-unique, POSITION-unique token every 2 tokens:
+      // runs of original tokens are capped at 2, so EVERY n-gram
+      // shingle with n ≥ 3 (q21/q39 use 3-grams; decontam uses
+      // 5-grams) contains an injected token and cross-replica shingle
+      // sets are disjoint — injecting every 4 left clean 3-gram
+      // windows and manufactured quadratic cross-replica LSH
+      // candidates. Position-distinct singleton injections also
+      // decorrelate token-frequency signatures (SimHash) across
+      // replicas, while near-dup pairs WITHIN a replica keep
+      // overlapping injections (same prefix, same positions) and stay
+      // similar. n_chars is recomputed to match the rewritten text.
       df.withColumn("text",
         array_join(flatten(transform(
           split(col("text"), "\\s+"),
-          (t, idx) => when(idx % 4 === 0,
-            array(concat(lit(s"r${i}x"), (idx / 4).cast("string")), t))
+          (t, idx) => when(idx % 2 === 0,
+            array(concat(lit(s"r${i}x"), (idx / 2).cast("string")), t))
             .otherwise(array(t)))),
           " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     replicate("embeddings", Seq("vec_id")) { (df, i) =>
       // rotate dimensions: within-replica geometry exact, cross-replica

@@ -58,12 +58,17 @@ object Expectations {
   }
 
   private def violations(e: Expectation): Option[Column] = e match {
+    // every sum is coalesced: over an EMPTY table sum() is NULL, and a
+    // zero-row load must report (0, pass) — not a NULL row that both
+    // pass-filters and failure-filters silently drop
     case NotNull(c) =>
-      Some(sum(when(col(c).isNull, 1L).otherwise(0L)))
+      Some(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)))
     case AcceptedValues(c, vs) =>
-      Some(sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L)))
+      Some(coalesce(sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L)),
+        lit(0L)))
     case InRange(c, lo, hi) =>
-      Some(sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L)))
+      Some(coalesce(sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+        .otherwise(0L)), lit(0L)))
     case Unique(cs) =>
       Some(count(lit(1)) - countDistinct(cs.head, cs.tail: _*))
     case _: RefIntegrity => None // needs a join, not an aggregate column
@@ -90,7 +95,14 @@ object Expectations {
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(r.label).as("rule"), col("n_violations"))
     }
-    reports.reduce(_ unionByName _)
-      .withColumn("pass", col("n_violations") === 0L)
+    if (reports.isEmpty) {
+      // an all-disabled suite is a valid (empty) report, not a crash
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "rule STRING, n_violations BIGINT, pass BOOLEAN"))
+    } else
+      reports.reduce(_ unionByName _)
+        .withColumn("pass", col("n_violations") === 0L)
   }
 }

@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   * so batch boundaries and arrival order cannot change the result; avg
   * is served as sum/count at READ time, never stored).
   *
-  * Exactly-once: `mergeOnce` threads a `__batch_id` audit column
-  * through the state. A re-delivered batch id is a NO-OP (at-least-
-  * once delivery upstream becomes exactly-once state), pinned by
-  * IncrementalAggSpec replay tests — same discipline as the streaming
-  * near-dup index (X47).
+  * Exactly-once: `mergeOnce` tracks applied batch ids in a SEPARATE
+  * single-column relation alongside the state. A re-delivered batch id
+  * is a NO-OP (at-least-once delivery upstream becomes exactly-once
+  * state), pinned by IncrementalAggSpec replay tests — same discipline
+  * as the streaming near-dup index (X47).
   */
 object IncrementalAgg {
 
@@ -54,12 +54,10 @@ object IncrementalAgg {
   }
 
   /** Exactly-once fold of a RAW batch: no-op when `batchId` was already
-    * applied. State carries an extra `__batch_id` column recording, per
-    * row, the batch that last touched the key — the applied-set is the
-    * distinct union of that column (collapsed keys keep the LATEST id;
-    * the applied-set is tracked via a side relation of one row per
-    * applied id, carried as key=NULL sentinel-free rows is avoided by
-    * storing it in `appliedBatches`). */
+    * applied. The applied-set lives in `appliedBatches` — a separate
+    * one-row-per-applied-id relation returned alongside the state (the
+    * state rows themselves carry only keys + metrics); persist both
+    * together when checkpointing. */
   def mergeOnce(
       state: DataFrame,
       appliedBatches: DataFrame, // single column: __batch_id

@@ -521,7 +521,9 @@ object Analytics {
     * (b ⋈ b on order, a < b). */
   val q96BasketPairs: Q = (s, d) =>
     Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // no pre-distinct: collect_set dedups per group map-side, so one
+      // shuffle on l_orderkey does the whole collapse
+      .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
       .filter(size(col("items")) >= 2)

@@ -138,9 +138,12 @@ object LlmPipeline {
     array((0 until NumBands).map(b =>
       concat_ws("|", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)
 
-  val q21DedupMinhashLsh: Q = (s, d) => {
-    val sig = minhashSignatures(hashedShingleSet(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Band-collision candidate pairs (doc_a < doc_b) with their exact
+    * intersection state (n_inter, na, nb) — the pre-threshold pair
+    * relation SHARED by q21 (threshold filter) and q101 (rank per
+    * doc). Mirrors the oracle's `scored` CTE exactly; any change here
+    * must change `minhashPairCtes` too. */
+  private def scoredCandidatePairs(sig: DataFrame): DataFrame = {
     val buckets = sig.select(col("doc_id"), explode(bandSigArray).as("bsig"))
     // per-bucket sorted doc list -> all i<j pairs, expanded in-row
     val pairsArr = flatten(transform(col("ids"), (x, i) =>
@@ -164,11 +167,19 @@ object LlmPipeline {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_inter"),
         col("na"), col("nb"))
+  }
+
+  private def jaccardE6(ni: Column, na: Column, nb: Column): Column =
+    round(lit(1e6) * ni.cast("double") /
+      (na + nb - ni).cast("double"), 0).cast("long")
+
+  val q21DedupMinhashLsh: Q = (s, d) => {
+    val sig = minhashSignatures(hashedShingleSet(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoredCandidatePairs(sig)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"),
-        round(lit(1e6) * col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double"), 0)
-          .cast("long").as("jaccard_e6"))
+        jaccardE6(col("n_inter"), col("na"), col("nb")).as("jaccard_e6"))
       .filter(col("jaccard_e6") >= 500000L)
   }
 
@@ -595,32 +606,16 @@ object LlmPipeline {
   val q101KnnGraph: Q = (s, d) => {
     val sig = minhashSignatures(hashedShingleSet(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sig.select(col("doc_id"), explode(bandSigArray).as("bsig"))
-    val pairsArr = flatten(transform(col("ids"), (x, i) =>
-      transform(
-        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
-        y => struct(x.as("a"), y.as("b")))))
-    val cand = buckets
-      .groupBy("bsig").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(pairsArr).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
-    val sym = cand.unionByName(
-      cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val a = sig.select(col("doc_id").as("a_id"), col("n").as("na"), col("hs").as("hs_a"))
-    val b = sig.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hs").as("hs_b"))
-    val scored = sym
-      .join(a, col("doc_a") === col("a_id"))
-      .join(b, col("doc_b") === col("b_id"))
+    // score once per unordered pair, symmetrize the SCORED relation —
+    // the intersect is the expensive part and jaccard is symmetric
+    val scored = scoredCandidatePairs(sig)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("ni"),
-        col("na"), col("nb"))
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
-        round(lit(1e6) * col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double"), 0)
-          .cast("long").as("jaccard_e6"))
-    graft.functions.TopK.topKPerGroup(scored, "doc_id", "neighbor_id", "jaccard_e6", KnnK)
+        jaccardE6(col("n_inter"), col("na"), col("nb")).as("jaccard_e6"))
+    val sym = scored
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"), col("jaccard_e6"))
+      .unionByName(scored
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor_id"), col("jaccard_e6")))
+    graft.functions.TopK.topKPerGroup(sym, "doc_id", "neighbor_id", "jaccard_e6", KnnK)
   }
 
   // -- registry ------------------------------------------------------

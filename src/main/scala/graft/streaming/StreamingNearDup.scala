@@ -69,17 +69,7 @@ object StreamingNearDup {
         (col("n") + col("n_i") - col("ni")).cast("double"), 0).cast("long")
         >= JaccardE6)
 
-  /** Existence probe through the Hadoop FileSystem API — a
-    * java.io.File check is false for every non-local scheme
-    * (hdfs://, s3a://, even file:/), which would silently treat a
-    * populated index as empty and re-admit every known duplicate. */
-  private def readOrEmpty(spark: SparkSession, path: String, ddl: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType.fromDDL(ddl))
-  }
+  import ParquetState.readOrEmpty
 
   /** Process one batch of documents against the index at `indexDir`:
     * append the batch's novel docs to the index, write their ids to

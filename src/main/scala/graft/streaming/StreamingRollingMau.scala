@@ -40,16 +40,7 @@ object StreamingRollingMau {
 
   private val WindowDays = 6 // trailing window = day .. day-6
 
-  private def readOrEmpty(spark: SparkSession, path: String, ddl: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // schema is ALWAYS declared: an existing-but-empty directory (e.g.
-    // a pre-created index root) must read as zero rows, not fail
-    // parquet schema inference
-    if (fs.exists(p)) spark.read.schema(StructType.fromDDL(ddl)).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType.fromDDL(ddl))
-  }
+  import ParquetState.readOrEmpty
 
   /** (window_day, user_id) membership rows covered by a batch of raw
     * events. */

@@ -58,6 +58,21 @@ class ExpectationSpec extends SparkSpec {
     report.filter(!col("pass")).count() shouldBe 0L
   }
 
+  test("an empty table reports (0, pass), never NULL rows") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val report = Expectations.run(empty, Seq(NotNull("id"), Unique(Seq("id"))))
+      .collect()
+    report.length shouldBe 2
+    report.foreach { r =>
+      r.getLong(1) shouldBe 0L
+      r.getBoolean(2) shouldBe true
+    }
+  }
+
+  test("an empty expectation suite yields an empty report, not a crash") {
+    Expectations.run(fixture, Seq.empty).count() shouldBe 0L
+  }
+
   test("row-scoped rules compile into one aggregate pass over the table") {
     val plan = Expectations.run(fixture, Seq(
       NotNull("id"), NotNull("name"), InRange("amount", 0L, 100L),

@@ -17,19 +17,11 @@ class StreamingRollingMauSpec extends SparkSpec {
   private def ev(id: Long, day: String, user: Long) =
     Ev(id, Timestamp.valueOf(s"$day 10:00:00"), user, "view", 1.0, "{}")
 
-  /** Independent quadratic restatement of the rolling-distinct
-    * contract over the full fixture. */
-  private def expected(evs: Seq[Ev]): Map[LocalDate, Long] = {
-    val act = evs.map(e => (e.ts.toLocalDateTime.toLocalDate, e.user_id)).distinct
-    val days = act.map(_._1)
-    val lo = days.min
-    val hi = days.max.plusDays(6)
-    Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).map { d =>
-      d -> act.filter { case (ad, _) =>
-        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
-      }.map(_._2).distinct.length.toLong
-    }.filter(_._2 > 0).toMap
-  }
+  /** The shared quadratic restatement (TrailingDistinctSpec.brute)
+    * over the full fixture. */
+  private def expected(evs: Seq[Ev]): Map[LocalDate, Long] =
+    TrailingDistinctSpec.brute(
+      evs.map(e => (e.ts.toLocalDateTime.toLocalDate, e.user_id)).distinct)
 
   private def readCounts(countsDir: String): Map[LocalDate, Long] =
     spark.read.parquet(countsDir).collect()

@@ -10,11 +10,11 @@ import java.time.LocalDate
   * days, singleton users, boundary days) is exactly where a cover
   * rule quietly breaks.
   */
-class TrailingDistinctSpec extends SparkSpec {
-
-  import spark.implicits._
-
-  private def brute(act: Seq[(LocalDate, Long)]): Map[LocalDate, Long] = {
+/** Shared quadratic restatement of the trailing-7-day distinct-users
+  * contract — the single source of truth for the window-boundary logic
+  * both the batch (q83) and streaming (RollingMau) specs pin against. */
+object TrailingDistinctSpec {
+  def brute(act: Seq[(LocalDate, Long)]): Map[LocalDate, Long] = {
     val days = act.map(_._1)
     val lo = days.min
     val hi = days.max.plusDays(6)
@@ -24,6 +24,12 @@ class TrailingDistinctSpec extends SparkSpec {
       }.map(_._2).distinct.length.toLong
     }.filter(_._2 > 0).toMap
   }
+}
+
+class TrailingDistinctSpec extends SparkSpec {
+
+  import spark.implicits._
+  import TrailingDistinctSpec.brute
 
   test("q83 cover rule equals brute force on random activity patterns") {
     val rnd = new scala.util.Random(7)
