@@ -578,7 +578,63 @@ object Curation {
         countDistinct(col("path")).as("n_paths"))
   }
 
+  // -- q102: systematic PPS sampling (distributed exact prefix sum) ----
+
+  private val PpsK = 100L
+  private val PpsShards = 64L
+
+  /** SYSTEMATIC PPS SAMPLING: exactly-K documents drawn with
+    * probability proportional to size (n_chars) — the
+    * weighted-coverage QC draw ("inspect 100 docs, big docs
+    * proportionally more often") that complements q49's equal-rate and
+    * q53's exact-k-per-stratum samples. Deterministic end to end: docs
+    * take a salted-hash total order, every doc owns the cumulative
+    * interval [s, s+w), and the K fixed selection points
+    * p_j = (2j+1)·T/2K pick their containing intervals — re-shard-
+    * proof, re-run-proof, no RNG. The prefix sum is the DISTRIBUTED
+    * two-phase form: per-shard running sums (window partitioned by the
+    * hash shard) + a 64-row shard-prefix relation broadcast back —
+    * never a single-partition sort of the corpus; the point test is a
+    * closed-form integer comparison (2Ks ≤ (2j+1)T < 2Ke — no floats,
+    * no floor ambiguity), while the ORACLE materializes the K points
+    * and range-joins them, an algorithmically independent restatement.
+    * T is a driver-hosted control-plane scalar (q61/q90 convention).
+    * Σ n_points over the sample is exactly K: the intervals partition
+    * [0, T). */
+  val q102PpsSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val h16 = conv(substring(md5(concat(lit("pps"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"), h16.as("h"))
+      .withColumn("shard", col("h") % PpsShards)
+    val inShard = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = base.withColumn("cum_in", sum(col("w")).over(inShard))
+    val shardTots = base.groupBy("shard").agg(sum(col("w")).as("stot"))
+    // 64-row relation: the only global window runs over shard ids
+    val prefixes = shardTots
+      .withColumn("prefix", coalesce(
+        sum(col("stot")).over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("prefix"))
+    val total = shardTots.agg(sum(col("stot"))).head().getLong(0)
+    val k2 = 2L * PpsK
+    val t2 = 2L * total
+    cumIn.join(broadcast(prefixes), "shard")
+      .withColumn("e", col("prefix") + col("cum_in"))
+      .withColumn("s", col("e") - col("w"))
+      .withColumn("jlo",
+        when(lit(k2) * col("s") <= lit(total), 0L)
+          .otherwise(expr(s"($k2 * s - $total - 1) div $t2 + 1")))
+      .withColumn("jhi", expr(s"($k2 * e - $total - 1) div $t2"))
+      .filter(lit(k2) * col("e") > lit(total) && col("jlo") <= col("jhi"))
+      .select(col("doc_id"), col("w"), col("s"),
+        (col("jhi") - col("jlo") + 1L).as("n_points"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q102_pps_sample" -> q102PpsSample,
     "q92_url_domains" -> q92UrlDomains,
     "q59_chunk_dedup" -> q59ChunkDedup,
     "q67_pii_redact" -> q67PiiRedact,
@@ -617,6 +673,27 @@ object Curation {
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Independent restatement: materialize the K selection points and
+    // RANGE-JOIN them into the cumulative intervals (the Spark side
+    // inverts the same comparison in closed form).
+    "q102_pps_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    CAST('0x' || substr(md5('pps' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, w,
+         |    sum(w) OVER (ORDER BY h % $PpsShards, h, doc_id ROWS UNBOUNDED PRECEDING) AS e
+         |  FROM b
+         |), t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM b
+         |), pts AS (SELECT unnest(range(0, $PpsK)) AS j)
+         |SELECT c.doc_id, CAST(c.w AS BIGINT) AS w,
+         |  CAST(c.e - c.w AS BIGINT) AS s,
+         |  CAST(count(*) AS BIGINT) AS n_points
+         |FROM c, t, pts
+         |WHERE (2 * j + 1) * tot >= 2 * $PpsK * (c.e - c.w)
+         |  AND (2 * j + 1) * tot < 2 * $PpsK * c.e
+         |GROUP BY 1, 2, 3""".stripMargin,
     // Independent CONSTRUCTION: host/path/param re-derived from the
     // synthesizer's arithmetic — no URL parsing on the oracle side.
     "q92_url_domains" ->
