@@ -229,6 +229,44 @@ object Relational {
     Scd2Merge(Seq("key"), Seq("status", "price"), ts("2021-06-01 00:00:00"))(target, source)
   }
 
+  /** C1-read: POINT-IN-TIME (as-of) dimension lookup — the query SCD2
+    * history exists to answer, closing the loop on q17's write side.
+    * Two merge runs build real version history (t1 = q17's merge,
+    * t2 = a second drift), then each probe timestamp picks its key's
+    * version valid at that instant: `inserted_date ≤ p AND (is_current
+    * OR modified_date > p)` — a KEYED equi-join with a residual
+    * validity filter (versions per key are bounded, so no fan-out; no
+    * range-join blow-up). Probes inside the reference's close-then-
+    * insert-NEXT-run coverage gap (quirk b: changed keys are closed at
+    * t1 and only re-inserted at t2) correctly find NO version and
+    * surface NULLs — the gap is reference semantics, faithfully
+    * reproduced, and the oracle restates both merges chained plus the
+    * same validity algebra. */
+  val q103AsofDimension: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val merged1 = q17Scd2Merge(s, d)
+    val source2 = o.filter(col("o_orderkey") % 7 =!= 0).select(
+      col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      (col("o_totalprice") +
+        when(col("o_orderkey") % 2 === 0, lit(500.0)).otherwise(lit(0.0))).as("price"))
+    val merged2 = Scd2Merge(Seq("key"), Seq("status", "price"),
+      ts("2022-01-01 00:00:00"))(merged1, source2)
+    val probes = o.select(
+      col("o_orderkey").as("probe_key"),
+      when(col("o_orderkey") % 3 === 0, ts("2020-06-01 00:00:00"))
+        .when(col("o_orderkey") % 3 === 1, ts("2021-12-01 00:00:00"))
+        .otherwise(ts("2022-06-01 00:00:00")).as("probe_ts"))
+    probes.join(merged2,
+      col("probe_key") === col("key") &&
+        col("inserted_date") <= col("probe_ts") &&
+        (col("is_current") || col("modified_date") > col("probe_ts")),
+      "left")
+      .select(col("probe_key"), col("probe_ts"), col("status"),
+        round(col("price") * 100, 0).cast("long").as("price_e2"),
+        col("inserted_date").as("version_inserted"))
+  }
+
   /** C2: quality staging over two drifted "sources" (customer split by
     * parity; odd half arrives with renamed columns + a planted literal
     * "NULL" sentinel — the hospital-B patients fixture shape). */
@@ -285,9 +323,79 @@ object Relational {
     "q16_scalar_functions" -> q16ScalarFunctions,
     "q17_scd2_merge" -> q17Scd2Merge,
     "q18_quality_stage" -> q18QualityStage,
-    "q19_gold_charge_summary" -> q19GoldChargeSummary)
+    "q19_gold_charge_summary" -> q19GoldChargeSummary,
+    "q103_asof_dimension" -> q103AsofDimension)
 
   val oracles: Map[String, String] = Map(
+    // Both merges chained as CTEs (run-1 block = q17's oracle), then
+    // the probe join with the same validity algebra.
+    "q103_asof_dimension" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price,
+        |         TIMESTAMP '2020-01-01 00:00:00' AS inserted_date,
+        |         TIMESTAMP '2020-01-01 00:00:00' AS modified_date,
+        |         TRUE AS is_current
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |), source AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |), j1 AS (
+        |  SELECT t.key AS t_key, t.status AS t_status, t.price AS t_price,
+        |         t.inserted_date AS t_ins, t.modified_date AS t_mod, t.is_current AS t_cur,
+        |         s.key AS s_key, s.status AS s_status, s.price AS s_price,
+        |         COALESCE(t.status <> s.status OR t.price <> s.price, FALSE) AS changed
+        |  FROM target t FULL OUTER JOIN source s ON t.key = s.key
+        |), m1 AS (
+        |  SELECT t_key AS key, t_status AS status, t_price AS price, t_ins AS inserted_date,
+        |         TIMESTAMP '2021-06-01 00:00:00' AS modified_date, FALSE AS is_current
+        |    FROM j1 WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND changed
+        |  UNION ALL
+        |  SELECT t_key, t_status, t_price, t_ins, t_mod, t_cur
+        |    FROM j1 WHERE t_key IS NOT NULL AND (s_key IS NULL OR NOT changed)
+        |  UNION ALL
+        |  SELECT s_key, s_status, s_price,
+        |         TIMESTAMP '2021-06-01 00:00:00', TIMESTAMP '2021-06-01 00:00:00', TRUE
+        |    FROM j1 WHERE t_key IS NULL
+        |), source2 AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_totalprice + CASE WHEN o_orderkey % 2 = 0 THEN 500.0 ELSE 0.0 END AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |), cur2 AS (SELECT * FROM m1 WHERE is_current
+        |), hist2 AS (SELECT * FROM m1 WHERE NOT is_current
+        |), j2 AS (
+        |  SELECT t.key AS t_key, t.status AS t_status, t.price AS t_price,
+        |         t.inserted_date AS t_ins, t.modified_date AS t_mod, t.is_current AS t_cur,
+        |         s.key AS s_key, s.status AS s_status, s.price AS s_price,
+        |         COALESCE(t.status <> s.status OR t.price <> s.price, FALSE) AS changed
+        |  FROM cur2 t FULL OUTER JOIN source2 s ON t.key = s.key
+        |), m2 AS (
+        |  SELECT * FROM hist2
+        |  UNION ALL
+        |  SELECT t_key AS key, t_status AS status, t_price AS price, t_ins AS inserted_date,
+        |         TIMESTAMP '2022-01-01 00:00:00' AS modified_date, FALSE AS is_current
+        |    FROM j2 WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND changed
+        |  UNION ALL
+        |  SELECT t_key, t_status, t_price, t_ins, t_mod, t_cur
+        |    FROM j2 WHERE t_key IS NOT NULL AND (s_key IS NULL OR NOT changed)
+        |  UNION ALL
+        |  SELECT s_key, s_status, s_price,
+        |         TIMESTAMP '2022-01-01 00:00:00', TIMESTAMP '2022-01-01 00:00:00', TRUE
+        |    FROM j2 WHERE t_key IS NULL
+        |), probes AS (
+        |  SELECT o_orderkey AS probe_key,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN TIMESTAMP '2020-06-01 00:00:00'
+        |              WHEN o_orderkey % 3 = 1 THEN TIMESTAMP '2021-12-01 00:00:00'
+        |              ELSE TIMESTAMP '2022-06-01 00:00:00' END AS probe_ts
+        |  FROM orders
+        |)
+        |SELECT probe_key, probe_ts, v.status,
+        |       CAST(round(v.price * 100, 0) AS BIGINT) AS price_e2,
+        |       v.inserted_date AS version_inserted
+        |FROM probes p LEFT JOIN m2 v
+        |  ON p.probe_key = v.key
+        | AND v.inserted_date <= p.probe_ts
+        | AND (v.is_current OR v.modified_date > p.probe_ts)""".stripMargin,
     "q01_pruned_scan" ->
       """SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 3.0""".stripMargin,
