@@ -603,25 +603,26 @@ object Curation {
     * [0, T). */
   val q102PpsSample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val h16 = conv(substring(md5(concat(lit("pps"), col("doc_id").cast("string"))), 1, 4),
-      16, 10).cast("long")
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars").as("w"), h16.as("h"))
+      .select(col("doc_id"), col("n_chars").as("w"), hash16("pps", col("doc_id")).as("h"))
       .withColumn("shard", col("h") % PpsShards)
     val inShard = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumIn = base.withColumn("cum_in", sum(col("w")).over(inShard))
-    val shardTots = base.groupBy("shard").agg(sum(col("w")).as("stot"))
-    // 64-row relation: the only global window runs over shard ids
-    val prefixes = shardTots
-      .withColumn("prefix", coalesce(
-        sum(col("stot")).over(Window.orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("shard"), col("prefix"))
-    val total = shardTots.agg(sum(col("stot"))).head().getLong(0)
+    // ONE control-plane collect of the ≤64-row shard totals serves
+    // BOTH the grand total and the prefix offsets — no second corpus
+    // scan, no single-partition window anywhere (and an empty corpus
+    // yields total 0 / an empty sample instead of an NPE)
+    val tots = base.groupBy("shard").agg(sum(col("w")).as("stot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = tots.map(_._2).sum
+    var acc = 0L
+    val prefixRows = tots.map { case (sh, st) => val p = acc; acc += st; (sh, p) }
+    import s.implicits._
+    val prefixes = prefixRows.toSeq.toDF("shard", "prefix")
     val k2 = 2L * PpsK
-    val t2 = 2L * total
-    cumIn.join(broadcast(prefixes), "shard")
+    val t2 = math.max(2L * total, 1L) // guard div-by-zero on empty input
+    base.withColumn("cum_in", sum(col("w")).over(inShard))
+      .join(broadcast(prefixes), "shard")
       .withColumn("e", col("prefix") + col("cum_in"))
       .withColumn("s", col("e") - col("w"))
       .withColumn("jlo",
@@ -678,8 +679,7 @@ object Curation {
     // inverts the same comparison in closed form).
     "q102_pps_sample" ->
       s"""WITH b AS (
-         |  SELECT doc_id, n_chars AS w,
-         |    CAST('0x' || substr(md5('pps' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
+         |  SELECT doc_id, n_chars AS w, ${hash16Sql("pps", "doc_id")} AS h
          |  FROM documents
          |), c AS (
          |  SELECT doc_id, w,
