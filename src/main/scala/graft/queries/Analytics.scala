@@ -535,7 +535,49 @@ object Analytics {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(BasketTopK)
 
+  // -- q104: CDC batch apply (type-1 upsert with tombstones) -------------
+
+  /** CDC APPLY: fold a change log (INSERT / UPDATE / DELETE ops with
+    * sequence numbers) onto a snapshot — the type-1 dimension
+    * maintenance op, companion to SCD2's type-2 history (q17/q103):
+    * same merge mechanics, no version retention, plus DELETE
+    * tombstones. The log first collapses to its LATEST op per key
+    * (q82's max_by partial aggregate — the shuffle carries one op per
+    * key per partition, never the log), then ONE full-outer join with
+    * the snapshot decides each key: no log op → carry the snapshot
+    * row; latest op D → drop (tombstone); else take the log value
+    * (update on matched, insert on unmatched). The log is synthesized
+    * deterministically from orders (updates on keys %3, deletes on %5
+    * — D outranks U on %15 by sequence; inserts on %7 under offset
+    * keys). */
+  val q104CdcApply: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+    val updates = o.filter(col("key") % 3 === 0)
+      .select(col("key"), lit("U").as("op"), (col("price_e2") + 10000L).as("new_price_e2"),
+        lit(2L).as("seq"))
+    val deletes = o.filter(col("key") % 5 === 0)
+      .select(col("key"), lit("D").as("op"), lit(null).cast("long").as("new_price_e2"),
+        lit(3L).as("seq"))
+    val inserts = o.filter(col("key") % 7 === 0)
+      .select((col("key") + 1000000000L).as("key"), lit("I").as("op"),
+        (col("price_e2") + 1L).as("new_price_e2"), lit(1L).as("seq"))
+    val log = updates.unionByName(deletes).unionByName(inserts)
+    val latest = log.groupBy(col("key"))
+      .agg(max_by(struct(col("op"), col("new_price_e2")), col("seq")).as("last"))
+      .select(col("key"), col("last.op").as("op"), col("last.new_price_e2").as("new_price_e2"))
+    o.join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("new_price_e2"), col("price_e2")).as("price_e2"),
+        when(col("op").isNull, "carried")
+          .when(col("op") === "U", "updated")
+          .otherwise("inserted").as("row_source"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q104_cdc_apply" -> q104CdcApply,
     "q96_basket_pairs" -> q96BasketPairs,
     "q82_latest_per_key" -> q82LatestPerKey,
     "q86_nested_export" -> q86NestedExport,
@@ -586,6 +628,32 @@ object Analytics {
         |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
         |    '|' ORDER BY yr) AS year_sig
         |FROM y GROUP BY 1""".stripMargin,
+    // Independent restatement: window pick of the latest op + CASE
+    // routing instead of the max_by collapse.
+    "q104_cdc_apply" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_e2
+        |  FROM orders
+        |), log AS (
+        |  SELECT key, 'U' AS op, price_e2 + 10000 AS new_price_e2, 2 AS seq
+        |    FROM o WHERE key % 3 = 0
+        |  UNION ALL
+        |  SELECT key, 'D', NULL, 3 FROM o WHERE key % 5 = 0
+        |  UNION ALL
+        |  SELECT key + 1000000000, 'I', price_e2 + 1, 1 FROM o WHERE key % 7 = 0
+        |), latest AS (
+        |  SELECT key, op, new_price_e2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM log
+        |  ) WHERE rn = 1
+        |)
+        |SELECT coalesce(o.key, l.key) AS key,
+        |  CAST(coalesce(l.new_price_e2, o.price_e2) AS BIGINT) AS price_e2,
+        |  CASE WHEN l.op IS NULL THEN 'carried'
+        |       WHEN l.op = 'U' THEN 'updated'
+        |       ELSE 'inserted' END AS row_source
+        |FROM o FULL OUTER JOIN latest l ON o.key = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     // Independent self-join restatement of the in-row pair expansion.
     "q96_basket_pairs" ->
       s"""WITH b AS (
