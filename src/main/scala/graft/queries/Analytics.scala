@@ -576,7 +576,43 @@ object Analytics {
           .otherwise("inserted").as("row_source"))
   }
 
+  // -- q105: winsorized mean (exact robust statistics) -------------------
+
+  /** WINSORIZED MEAN per segment: clamp account balances at the exact
+    * p10/p90 rank values, then average — the outlier-robust location
+    * estimate (q94 FLAGS outliers; this SUMMARIZES robustly despite
+    * them; q75's median is the 50%-trim extreme). Exact integer
+    * end-to-end: rank thresholds via the q75 dual-rank idiom
+    * (ceil(0.1n) / ceil(0.9n) positions over a total order), clamp
+    * in-row after a broadcast-back of the tiny per-segment threshold
+    * relation, mean as floor-divided cents. One window sort per
+    * segment + one partial-aggregated re-pass — no sketch, no float
+    * percentile semantics to reconcile cross-engine. */
+  val q105WinsorizedMean: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("bal_e2"), col("c_custkey"))
+    val ranked = Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_e2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    val thresholds = ranked
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(when(col("rn") === expr("(n + 9) div 10"), col("bal_e2"))).as("p10_e2"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("bal_e2"))).as("p90_e2"))
+    ranked.join(broadcast(thresholds), "c_mktsegment")
+      .withColumn("clamped", greatest(least(col("bal_e2"), col("p90_e2")), col("p10_e2")))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        max(col("p10_e2")).as("p10_e2"),
+        max(col("p90_e2")).as("p90_e2"),
+        sum(col("clamped")).as("winsorized_sum_e2"))
+      .withColumn("winsorized_mean_e2", expr("winsorized_sum_e2 div n_customers"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q105_winsorized_mean" -> q105WinsorizedMean,
     "q104_cdc_apply" -> q104CdcApply,
     "q96_basket_pairs" -> q96BasketPairs,
     "q82_latest_per_key" -> q82LatestPerKey,
@@ -628,6 +664,28 @@ object Analytics {
         |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
         |    '|' ORDER BY yr) AS year_sig
         |FROM y GROUP BY 1""".stripMargin,
+    "q105_winsorized_mean" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM customer
+        |), th AS (
+        |  SELECT c_mktsegment,
+        |    CAST(max(CASE WHEN rn = (n + 9) // 10 THEN bal_e2 END) AS BIGINT) AS p10_e2,
+        |    CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN bal_e2 END) AS BIGINT) AS p90_e2
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.c_mktsegment,
+        |  count(*) AS n_customers,
+        |  CAST(max(th.p10_e2) AS BIGINT) AS p10_e2,
+        |  CAST(max(th.p90_e2) AS BIGINT) AS p90_e2,
+        |  CAST(sum(greatest(least(r.bal_e2, th.p90_e2), th.p10_e2)) AS BIGINT) AS winsorized_sum_e2,
+        |  CAST(sum(greatest(least(r.bal_e2, th.p90_e2), th.p10_e2)) // count(*) AS BIGINT) AS winsorized_mean_e2
+        |FROM r JOIN th ON r.c_mktsegment = th.c_mktsegment
+        |GROUP BY 1""".stripMargin,
     // Independent restatement: window pick of the latest op + CASE
     // routing instead of the max_by collapse.
     "q104_cdc_apply" ->
