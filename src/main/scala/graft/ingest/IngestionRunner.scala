@@ -25,12 +25,12 @@ final case class TableLoadResult(
   * read→write with the incremental predicate pushed into the scan
   * (SourceConnector.readIncremental); the reference's
   * `toPandas()`→local-file→upload driver bottleneck
-  * (hospitalA_mysqlToLanding.py:177-185) is designed out. `df.count()`
-  * before the write mirrors the reference's zero-row short-circuit
-  * (:171-175) and doubles as the audit record_count; at 100 TB the
-  * count and the write each scan the source once — acceptable for
-  * ingestion parity, and avoidable by counting from the write's task
-  * metrics if it ever shows up in a profile.
+  * (hospitalA_mysqlToLanding.py:177-185) is designed out. The audit
+  * record_count and the reference's zero-row short-circuit (:171-175)
+  * ride the write's own observe/CollectMetrics (ops/Observed) — ONE
+  * scan of the source per load, not a count pass plus a write pass; a
+  * zero-row extract rolls its empty output back so the landing
+  * contract ("no file for an empty extract") is unchanged.
   */
 final class IngestionRunner(
     spark: org.apache.spark.sql.SparkSession,
@@ -54,11 +54,18 @@ final class IngestionRunner(
           source.readIncremental(spark, table, entry.watermark, since)
         } else source.read(spark, table)
 
-      val n = df.count()
+      // ONE source scan: the row count rides the landing write itself
+      // (observe/CollectMetrics — ops/Observed) instead of a separate
+      // df.count() pass; a zero-row extract rolls the empty output
+      // back, preserving the "no file for an empty extract" contract
+      val (observed, obs) =
+        graft.ops.Observed.rowStats(df, s"ingest_${entry.datasource}_$table")
+      landing.write(observed, entry.datasource, table)
+      val n = graft.ops.Observed.stageMetrics(obs)("n_rows")
       if (n == 0) {
+        landing.remove(entry.datasource, table)
         logger.log("WARNING", "No new records found", "extract", table)
       } else {
-        landing.write(df, entry.datasource, table)
         logger.info(s"Data written to landing zone ($n rows)", "write", table)
       }
       audit.append(AuditRecord(entry.datasource, table, entry.loadtype, n, clock(), "SUCCESS"))

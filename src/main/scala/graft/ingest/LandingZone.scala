@@ -30,6 +30,15 @@ final class LandingZone(spark: SparkSession, root: String) {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(tableDir(datasource, table))
 
+  /** Remove a table's landing directory (used to roll back the output
+    * of a zero-row load discovered via write-time metrics — the
+    * landing contract is "no file for an empty extract"). */
+  def remove(datasource: String, table: String): Unit = {
+    val p = new Path(tableDir(datasource, table))
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /** S3: schema-on-read bronze scan over the landing JSON. An explicit
     * schema skips the inference pass (one fewer full read at scale). */
   def read(datasource: String, table: String, schema: Option[StructType] = None): DataFrame = {
