@@ -611,7 +611,35 @@ object Analytics {
       .withColumn("winsorized_mean_e2", expr("winsorized_sum_e2 div n_customers"))
   }
 
+  // -- q106: keyset pagination -------------------------------------------
+
+  private val PageSize = 50
+  private val CursorDate = "1995-06-15 00:00:00"
+  private val CursorKey = 370500L
+
+  /** KEYSET (cursor) PAGINATION: the page after cursor (date, key) in
+    * (o_orderdate, o_orderkey) order — how an API serves stable pages
+    * over a big table. OFFSET pagination scans and discards
+    * monotonically more rows per page; the keyset form is O(page):
+    * the tuple comparison (a, b) > (x, y) is written in its DECOMPOSED
+    * form `a > x OR (a = x AND b > y)` so it pushes into the parquet
+    * scan (min/max pruning skips row groups before the cursor), and
+    * orderBy+limit lowers to TakeOrderedAndProject — per-partition
+    * heads, no global sort. The cursor values sit mid-table so both
+    * predicate branches are exercised. */
+  val q106KeysetPage: Q = (s, d) => {
+    val cd = to_timestamp(lit(CursorDate))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") > cd ||
+        (col("o_orderdate") === cd && col("o_orderkey") > CursorKey))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_e2"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(PageSize)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q106_keyset_page" -> q106KeysetPage,
     "q105_winsorized_mean" -> q105WinsorizedMean,
     "q104_cdc_apply" -> q104CdcApply,
     "q96_basket_pairs" -> q96BasketPairs,
@@ -664,6 +692,14 @@ object Analytics {
         |  string_agg(CAST(yr AS VARCHAR) || ':' || CAST(spend_e2 AS VARCHAR),
         |    '|' ORDER BY yr) AS year_sig
         |FROM y GROUP BY 1""".stripMargin,
+    "q106_keyset_page" ->
+      s"""SELECT o_orderkey, o_orderdate,
+         |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_e2
+         |FROM orders
+         |WHERE o_orderdate > TIMESTAMP '$CursorDate'
+         |   OR (o_orderdate = TIMESTAMP '$CursorDate' AND o_orderkey > $CursorKey)
+         |ORDER BY o_orderdate, o_orderkey
+         |LIMIT $PageSize""".stripMargin,
     "q105_winsorized_mean" ->
       """WITH r AS (
         |  SELECT c_mktsegment,

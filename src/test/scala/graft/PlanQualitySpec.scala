@@ -304,6 +304,13 @@ class PlanQualitySpec extends SparkSpec {
     p.linesIterator.count(_.contains("Window")) shouldBe 0
   }
 
+  test("q106 keyset page: cursor predicate pushes to the scan, top-k avoids a global sort") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q106_keyset_page")
+    p should include("TakeOrderedAndProject")
+    p should include("PushedFilters: [Or(")
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")
