@@ -54,18 +54,21 @@ final class IngestionRunner(
           source.readIncremental(spark, table, entry.watermark, since)
         } else source.read(spark, table)
 
-      // ONE source scan: the row count rides the landing write itself
+      // ONE source scan: the row count rides the write itself
       // (observe/CollectMetrics — ops/Observed) instead of a separate
-      // df.count() pass; a zero-row extract rolls the empty output
-      // back, preserving the "no file for an empty extract" contract
+      // df.count() pass. The write is STAGED and only promoted when
+      // non-empty, so the "no file for an empty extract" contract
+      // holds in every crash interleaving (a crash before publish
+      // leaves the table dir untouched).
       val (observed, obs) =
         graft.ops.Observed.rowStats(df, s"ingest_${entry.datasource}_$table")
-      landing.write(observed, entry.datasource, table)
+      landing.writeStaged(observed, entry.datasource, table)
       val n = graft.ops.Observed.stageMetrics(obs)("n_rows")
       if (n == 0) {
-        landing.remove(entry.datasource, table)
+        landing.discardStaged(entry.datasource, table)
         logger.log("WARNING", "No new records found", "extract", table)
       } else {
+        landing.publishStaged(entry.datasource, table)
         logger.info(s"Data written to landing zone ($n rows)", "write", table)
       }
       audit.append(AuditRecord(entry.datasource, table, entry.loadtype, n, clock(), "SUCCESS"))

@@ -30,11 +30,30 @@ final class LandingZone(spark: SparkSession, root: String) {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(tableDir(datasource, table))
 
-  /** Remove a table's landing directory (used to roll back the output
-    * of a zero-row load discovered via write-time metrics — the
-    * landing contract is "no file for an empty extract"). */
-  def remove(datasource: String, table: String): Unit = {
-    val p = new Path(tableDir(datasource, table))
+  /** Staged one-scan write support: the extract lands in a SIBLING
+    * temp directory first, and only a non-empty result is promoted
+    * into the real table dir — so the landing contract ("no file for
+    * an empty extract") holds in EVERY crash interleaving: a crash
+    * before publish leaves the table dir untouched (the stray staging
+    * dir is overwritten by the next run and is invisible to archive/
+    * read, which only address the table dir). */
+  def stagedDir(datasource: String, table: String): String =
+    tableDir(datasource, table) + "__staged"
+
+  def writeStaged(df: DataFrame, datasource: String, table: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .json(stagedDir(datasource, table))
+
+  /** Promote a non-empty staged extract into the table dir. */
+  def publishStaged(datasource: String, table: String): Unit =
+    graft.ops.TableSwap.publish(fs,
+      new Path(tableDir(datasource, table)),
+      new Path(stagedDir(datasource, table)))
+
+  /** Drop a zero-row staged extract; the table dir never existed. */
+  def discardStaged(datasource: String, table: String): Unit = {
+    val p = new Path(stagedDir(datasource, table))
     if (fs.exists(p)) fs.delete(p, true)
     ()
   }

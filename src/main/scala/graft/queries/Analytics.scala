@@ -560,8 +560,12 @@ object Analytics {
     val deletes = o.filter(col("key") % 5 === 0)
       .select(col("key"), lit("D").as("op"), lit(null).cast("long").as("new_price_e2"),
         lit(3L).as("seq"))
+    // insert keys are NEGATED source keys: disjoint from every real
+    // (positive) orderkey at ANY scale factor — a fixed offset would
+    // collide once keys exceed it and silently turn inserts into
+    // overwrites
     val inserts = o.filter(col("key") % 7 === 0)
-      .select((col("key") + 1000000000L).as("key"), lit("I").as("op"),
+      .select((-col("key")).as("key"), lit("I").as("op"),
         (col("price_e2") + 1L).as("new_price_e2"), lit(1L).as("seq"))
     val log = updates.unionByName(deletes).unionByName(inserts)
     val latest = log.groupBy(col("key"))
@@ -608,7 +612,13 @@ object Analytics {
         max(col("p10_e2")).as("p10_e2"),
         max(col("p90_e2")).as("p90_e2"),
         sum(col("clamped")).as("winsorized_sum_e2"))
-      .withColumn("winsorized_mean_e2", expr("winsorized_sum_e2 div n_customers"))
+      // mean via a shift to a provably NON-NEGATIVE dividend: balances
+      // bottom out at -99999 cents, so sum + n·100000 ≥ 0 and Spark's
+      // truncating `div` equals DuckDB's flooring `//` (they diverge
+      // on negative dividends — the README div contract); the result
+      // is floor(sum/n) in both engines
+      .withColumn("winsorized_mean_e2",
+        expr("(winsorized_sum_e2 + n_customers * 100000) div n_customers - 100000"))
   }
 
   // -- q106: keyset pagination -------------------------------------------
@@ -719,7 +729,8 @@ object Analytics {
         |  CAST(max(th.p10_e2) AS BIGINT) AS p10_e2,
         |  CAST(max(th.p90_e2) AS BIGINT) AS p90_e2,
         |  CAST(sum(greatest(least(r.bal_e2, th.p90_e2), th.p10_e2)) AS BIGINT) AS winsorized_sum_e2,
-        |  CAST(sum(greatest(least(r.bal_e2, th.p90_e2), th.p10_e2)) // count(*) AS BIGINT) AS winsorized_mean_e2
+        |  CAST((sum(greatest(least(r.bal_e2, th.p90_e2), th.p10_e2)) + count(*) * 100000)
+        |    // count(*) - 100000 AS BIGINT) AS winsorized_mean_e2
         |FROM r JOIN th ON r.c_mktsegment = th.c_mktsegment
         |GROUP BY 1""".stripMargin,
     // Independent restatement: window pick of the latest op + CASE
@@ -735,7 +746,7 @@ object Analytics {
         |  UNION ALL
         |  SELECT key, 'D', NULL, 3 FROM o WHERE key % 5 = 0
         |  UNION ALL
-        |  SELECT key + 1000000000, 'I', price_e2 + 1, 1 FROM o WHERE key % 7 = 0
+        |  SELECT -key, 'I', price_e2 + 1, 1 FROM o WHERE key % 7 = 0
         |), latest AS (
         |  SELECT key, op, new_price_e2 FROM (
         |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM log
