@@ -407,22 +407,17 @@ object EventAnalytics {
       .drop("src_total")
   }
 
-  // -- q91: sliding distinct via HLL sketch merge (q83's scale path) ----
+  // -- q91: sliding distinct via mergeable sketch (q83's scale path) ----
 
-  /** TRAILING-7-DAY DISTINCT USERS, SKETCHED: build ONE HyperLogLog
-    * sketch per day (`hll_sketch_agg` — the only pass over events),
-    * then assemble every trailing window by UNION-MERGING the 7 daily
-    * sketches (`hll_union_agg` → `hll_sketch_estimate`). This is the
-    * pre-aggregation pattern that makes rolling-MAU/WAU free at 100 TB:
-    * the expensive distinct state is computed once per day and REUSED
-    * by every window that covers it — the fan-out (≤7×) is of
-    * fixed-size sketch blobs, never of events, and adding a new day
-    * never recomputes history (incremental by construction, unlike
-    * q83's exact plan which re-reads the (user, day) relation).
-    * Approximate by contract (HLL, lgK default 12 ⇒ ~1.6% rsd) — no
-    * SQL oracle; ProfilingSpec pins every window against q83's exact
-    * counts. Emits the same window-day set as q83. */
-  val q91SlidingHll: Q = (s, d) =>
+  /** Built-in-sketch variant: ONE HyperLogLog sketch per day
+    * (`hll_sketch_agg` — the only pass over events), every trailing
+    * window assembled by UNION-MERGING the 7 daily sketches
+    * (`hll_union_agg` → `hll_sketch_estimate`). Production default
+    * (lgK 12 ⇒ ~1.6% rsd), but HLL register bits are engine-private,
+    * so this variant has no external oracle — ProfilingSpec pins every
+    * window against exact q83. The DRIVER-GATED variant is
+    * [[q91SlidingSketch]] below. */
+  private[graft] val slidingHll: Q = (s, d) =>
     Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
@@ -432,10 +427,49 @@ object EventAnalytics {
       .groupBy(col("window_day"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
 
+  /** Sampling fraction of the q91 user-space sample: users whose first
+    * md5 hex digit is 0–3 (4 of 16 buckets ⇒ f = 1/4). Estimate rsd is
+    * √((1−f)/(f·D)) per window (D = true distinct) — tune f down as D
+    * grows; at 100 TB MAU scale f=2⁻¹⁰ still leaves 10⁴+ sampled users
+    * per window. */
+  private[graft] val SketchBuckets = Seq("0", "1", "2", "3")
+  private[graft] val SketchScale = 16L / SketchBuckets.size
+
+  /** TRAILING-7-DAY DISTINCT USERS, SKETCHED + ORACLE-EXACT: the same
+    * pre-aggregation pattern as [[slidingHll]] — per-day distinct
+    * state computed ONCE and reused by every window that covers it,
+    * fan-out bounded by window width, never of events, incremental by
+    * construction — but the per-day state is a DETERMINISTIC
+    * hash-threshold user sample (md5 first hex digit ∈ 0–3, a fixed
+    * 1/4 of user-id space): a KMV-style bottom-fraction sketch whose
+    * merge is plain set union and whose every bit is a pure function
+    * of the data, so a DuckDB oracle reproduces `est_users =
+    * SketchScale · |∪ samples|` exactly. Daily sample sets are bounded
+    * by f·(users/day); the window merge touches sets, never events.
+    * Emits the same window-day set as q83 (every active day
+    * contributes a row even when its sample is empty). ProfilingSpec
+    * pins each window's estimate against exact q83 within the
+    * analytic rsd bound. */
+  val q91SlidingSketch: Q = (s, d) => {
+    val sampled = substring(md5(col("user_id").cast("string")), 1, 1)
+      .isin(SketchBuckets: _*)
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(collect_set(when(sampled, col("user_id"))).as("su"))
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("window_day"),
+        col("su"))
+      .groupBy(col("window_day"))
+      .agg(size(array_distinct(flatten(collect_list(col("su")))))
+        .cast("long").as("n_sampled"))
+      .select(col("window_day"), col("n_sampled"),
+        (col("n_sampled") * SketchScale).as("est_users"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
-    "q91_sliding_hll" -> q91SlidingHll,
+    "q91_sliding_sketch" -> q91SlidingSketch,
     "q34_events_windowed" -> q34EventsWindowed,
     "q35_sessionize" -> q35Sessionize,
     "q40_asof_attribution" -> q40AsofJoin,
@@ -450,6 +484,27 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same deterministic sample restated the quadratic way: every
+    // active day exploded into the windows it covers, then a distinct
+    // count of sampled users per window (Spark instead merges per-day
+    // sample SETS — set union never re-touches events).
+    "q91_sliding_sketch" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+         |), wd AS (
+         |  SELECT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE)
+         |    AS window_day, day
+         |  FROM (SELECT DISTINCT day FROM act)
+         |)
+         |SELECT window_day,
+         |  CAST(count(DISTINCT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         |    IN ('${SketchBuckets.mkString("', '")}') THEN user_id END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(count(DISTINCT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         |    IN ('${SketchBuckets.mkString("', '")}') THEN user_id END)
+         |    * $SketchScale AS BIGINT) AS est_users
+         |FROM wd JOIN act USING (day)
+         |GROUP BY 1""".stripMargin,
     // Independent quadratic restatement: day grid × events range join
     // + count(DISTINCT) — the formulation the Spark plan avoids.
     "q83_trailing_distinct" ->

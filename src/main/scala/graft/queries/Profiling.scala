@@ -6,25 +6,42 @@ import org.apache.spark.sql.functions._
 
 /** Sketch-based column profiling — the scale path for "what is in this
   * table" over 100 TB, where exact DISTINCT/percentile would shuffle
-  * every value. One aggregation pass computes, per profiled column:
+  * every value.
   *
-  *   - `n` / `n_null`: exact counts (cheap partials),
-  *   - `approx_distinct`: HyperLogLog++ (`approx_count_distinct`,
-  *     rsd 2%) — fixed-size register sketch, order-insensitive merge,
-  *   - `p50/p90/p99`: `percentile_approx` (rank-error sketch,
-  *     accuracy 10000) returning actual data values.
+  * Two variants live here:
   *
-  * Plan: a single partial-aggregated pass over the fact table; the
-  * shuffle carries ONE sketch row per partition (registers + quantile
-  * summaries), never raw values — constant shuffle volume at any data
-  * size. The wide single-row aggregate is then unpivoted driver-free
-  * via `stack` into one row per profiled column.
+  *   - [[profileApprox]] — Spark's BUILT-IN sketches
+  *     (`approx_count_distinct` HLL++ rsd 2%, `percentile_approx`
+  *     accuracy 10000) in one partial-aggregated pass; the production
+  *     default, but its register contents are engine-private so no
+  *     external oracle can restate it. Pinned against exact answers in
+  *     ProfilingSpec.
+  *   - [[q41ProfileSketch]] — the DRIVER-GATED profile: the same
+  *     architecture re-expressed with sketches whose every output bit
+  *     is a pure function of the data, so an independent DuckDB oracle
+  *     reproduces them exactly:
+  *       - `n` / `n_null` / `n_distinct`: exact (the value-frequency
+  *         relation gives the distinct count for free),
+  *       - `est_distinct`: a KMV (bottom-k, k=256) distinct sketch —
+  *         estimate `(k-1)·2^40 div h_k` where `h_k` is the k-th
+  *         smallest 40-bit md5 prefix of the value; EXACT below k
+  *         distinct values, rsd ≈ 1/√(k−2) ≈ 6% above. Same integer
+  *         math in both engines; this is the sketch that would replace
+  *         the frequency relation when cardinality is unbounded.
+  *       - `p50/p90/p99_e2`: rank-exact discrete percentiles (value at
+  *         rank ⌈p·n⌉) read off a running-count window over the
+  *         frequency relation — integer predicates (`2·running ≥ n`),
+  *         no interpolation, no float.
   *
-  * Sketches are approximate by contract, so the driver gate records a
-  * rows-only check; ProfilingSpec pins both estimates against exact
-  * answers on the testdata (HLL within 3×rsd, percentiles within rank
-  * tolerance) — same verification pattern as q24's AnnLshSpec.
-  */
+  * q41 plan: melt the 3 profiled columns (`stack`, a Generate — no
+  * Expand), ONE partial-aggregated shuffle to the (column, value)
+  * frequency relation, then windows partitioned by column over that
+  * relation only. The shuffle and the per-column sorts are bounded by
+  * COLUMN CARDINALITY, never row count — the honest cost of exact
+  * order statistics (q87's argument); the KMV column is the
+  * demonstrated escape hatch when cardinality itself is data-sized.
+  * Values are integer cents (e2) so every output column is
+  * engine-exact. */
 object Profiling {
   private type Q = (SparkSession, String) => DataFrame
 
@@ -43,7 +60,11 @@ object Profiling {
 
   private val Cols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  private[graft] def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Built-in-sketch profile (HLL++ + percentile_approx): single
+    * partial-aggregated pass, shuffle carries one sketch row per
+    * partition — constant shuffle volume at any data size. Approximate
+    * by contract; ProfilingSpec pins it against exact answers. */
+  private[graft] def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     val exprs = cols.flatMap(metrics)
     val wide = df.agg(exprs.head, exprs.tail: _*)
     val stackArgs = cols.map { c =>
@@ -55,7 +76,52 @@ object Profiling {
         "(column_name, n, n_null, approx_distinct, p50, p90, p99)")
   }
 
-  val q41ProfileSketch: Q = (s, d) => profile(Tables.lineitem(s, d), Cols)
+  /** Bottom-k size of the KMV distinct sketch. */
+  private[graft] val KmvK = 256
+  /** Hash width 40 bits (10 md5 hex chars): (k−1)·2^40 ≈ 2.8e14 stays
+    * comfortably inside a signed 64-bit numerator in both engines; a
+    * 40-bit birthday collision merges the same pair of values in both
+    * engines (same md5), shifting the estimate identically. */
+  private[graft] val KmvNumerator: Long = (KmvK - 1).toLong << 40
+
+  val q41ProfileSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    def e2(c: String) = round(col(c) * 100, 0).cast("long").as(c)
+    val melted = Tables.lineitem(s, d)
+      .select(e2("l_quantity"), e2("l_extendedprice"), e2("l_discount"))
+      .selectExpr("stack(3, 'l_quantity', l_quantity, " +
+        "'l_extendedprice', l_extendedprice, 'l_discount', l_discount) " +
+        "AS (column_name, v)")
+    val freq = melted.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byCol = Window.partitionBy("column_name")
+    val ranked = freq
+      .withColumn("n_null",
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).over(byCol))
+      .filter(col("v").isNotNull)
+      .withColumn("n", sum(col("cnt")).over(byCol))
+      .withColumn("running", sum(col("cnt")).over(byCol.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("h",
+        conv(substring(md5(col("v").cast("string")), 1, 10), 16, 10).cast("long"))
+      // ties on h (40-bit collisions) broken by v → rank is total in
+      // both engines, so h_k is identical even under collision
+      .withColumn("rn", row_number().over(byCol.orderBy(col("h"), col("v"))))
+    ranked.groupBy(col("column_name"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("n_null")).as("n_null"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rn") <= KmvK, col("h"))).as("hk"),
+        min(when(col("running") * 2 >= col("n"), col("v"))).as("p50_e2"),
+        min(when(col("running") * 10 >= col("n") * 9, col("v"))).as("p90_e2"),
+        min(when(col("running") * 100 >= col("n") * 99, col("v"))).as("p99_e2"))
+      .withColumn("est_distinct",
+        when(col("n_distinct") < KmvK, col("n_distinct"))
+          .otherwise(expr(s"$KmvNumerator div hk")))
+      .select(col("column_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("est_distinct"), col("p50_e2"), col("p90_e2"), col("p99_e2"))
+  }
 
   // -- q42: deterministic train/val/test split -------------------------
 
@@ -235,9 +301,52 @@ object Profiling {
     "q98_expectations" -> q98Expectations,
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
-  /** q41's sketch outputs are approximate by contract — no DuckDB
-    * oracle; ProfilingSpec is the correctness pin. q42 is exact. */
   val oracles: Map[String, String] = Map(
+    // Deterministic-sketch profile: identical KMV + rank-percentile
+    // integer math restated over the same value-frequency relation.
+    "q41_profile_sketch" ->
+      s"""WITH m AS (
+         |  SELECT 'l_quantity' AS column_name,
+         |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice',
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount',
+         |    CAST(round(l_discount * 100, 0) AS BIGINT) FROM lineitem
+         |), f AS (
+         |  SELECT column_name, v, count(*) AS cnt
+         |  FROM m WHERE v IS NOT NULL GROUP BY 1, 2
+         |), nn AS (
+         |  SELECT column_name, count(*) AS n_null
+         |  FROM m WHERE v IS NULL GROUP BY 1
+         |), r AS (
+         |  SELECT column_name, v, cnt,
+         |    sum(cnt) OVER (PARTITION BY column_name) AS n,
+         |    sum(cnt) OVER (PARTITION BY column_name ORDER BY v
+         |                   ROWS UNBOUNDED PRECEDING) AS running,
+         |    CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 10) AS BIGINT) AS h,
+         |    row_number() OVER (PARTITION BY column_name
+         |      ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 10) AS BIGINT), v
+         |    ) AS rn
+         |  FROM f
+         |), a AS (
+         |  SELECT column_name,
+         |    CAST(max(n) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    max(CASE WHEN rn <= $KmvK THEN h END) AS hk,
+         |    CAST(min(CASE WHEN running * 2 >= n THEN v END) AS BIGINT) AS p50_e2,
+         |    CAST(min(CASE WHEN running * 10 >= n * 9 THEN v END) AS BIGINT) AS p90_e2,
+         |    CAST(min(CASE WHEN running * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_e2
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT a.column_name, a.n,
+         |  CAST(coalesce(nn.n_null, 0) AS BIGINT) AS n_null,
+         |  a.n_distinct,
+         |  CAST(CASE WHEN a.n_distinct < $KmvK THEN a.n_distinct
+         |            ELSE $KmvNumerator // hk END AS BIGINT) AS est_distinct,
+         |  p50_e2, p90_e2, p99_e2
+         |FROM a LEFT JOIN nn USING (column_name)""".stripMargin,
     // The one-shot recompute the batch folds must reproduce.
     "q99_incremental_rollup" ->
       """SELECT o_custkey,

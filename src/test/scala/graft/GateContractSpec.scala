@@ -10,13 +10,14 @@ package graft
   */
 class GateContractSpec extends SparkSpec {
 
-  /** Approximate-by-contract operators: q41 sketch profiling and
-    * q91 sliding HLL distinct (ProfilingSpec pins both — q41 against
-    * exact aggregates, q91 window-by-window against exact q83). q24's
-    * LSH left this list in r5 — integer-quantized planes made its
-    * buckets exactly reproducible in SQL, so it carries a real oracle
-    * now. */
-  private val rowsOnlyAllowed = Set("q41_profile_sketch", "q91_sliding_hll")
+  /** Empty since r6: q41 (KMV + rank-exact percentiles) and q91
+    * (hash-threshold sample) re-expressed their sketches with
+    * engine-exact integer math, so every gated query now carries a
+    * real DuckDB oracle. q24's LSH left in r5 the same way
+    * (integer-quantized planes). The allowlist machinery stays so a
+    * future genuinely-unrestatable operator declares itself here
+    * rather than surfacing as a driver `err` row. */
+  private val rowsOnlyAllowed = Set.empty[String]
 
   test("every query has an oracle unless explicitly allowlisted rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -1,22 +1,84 @@
 package graft
 
-import graft.queries.Profiling
+import graft.queries.{EventAnalytics, Profiling}
 import org.apache.spark.sql.functions._
 
-/** Pins q41's sketches against exact answers on the testdata — the
-  * correctness check the driver gate can't do for approximate outputs
-  * (same pattern as AnnLshSpec for q24). */
+/** Pins the profiling sketches against exact answers on the testdata.
+  * The driver's DuckDB oracle proves q41/q91 are REPRODUCIBLE
+  * (identical integer math in an independent engine); these tests
+  * prove the estimates are also MEANINGFUL — close to the exact
+  * quantities they sketch — and pin the built-in-sketch variants
+  * (HLL / percentile_approx) that have no external oracle. */
 class ProfilingSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
   private def haveData = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+  private val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  test("exact counts match, HLL distinct within 3x rsd, percentiles within rank tolerance") {
+  test("q41: exact columns match, KMV exact below k, within 4 rsd above") {
     assume(haveData, s"$sfDir not present")
     val prof = Profiling.q41ProfileSketch(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
     val li = Tables.lineitem(spark, sfDir)
-    Seq("l_quantity", "l_extendedprice", "l_discount").foreach { c =>
+    cols.foreach { c =>
+      val row = prof(c)
+      val exact = li.agg(
+        count(col(c)), (count(lit(1)) - count(col(c))),
+        countDistinct(round(col(c) * 100, 0).cast("long"))).collect()(0)
+      withClue(s"$c n/n_null/n_distinct:") {
+        row.getLong(1) shouldBe exact.getLong(0)
+        row.getLong(2) shouldBe exact.getLong(1)
+        row.getLong(3) shouldBe exact.getLong(2)
+      }
+      val d = exact.getLong(2)
+      val est = row.getLong(4)
+      if (d < Profiling.KmvK)
+        withClue(s"$c KMV below k must be exact:") { est shouldBe d }
+      else {
+        val rsd = 1.0 / math.sqrt(Profiling.KmvK - 2.0)
+        withClue(s"$c KMV est=$est exact=$d:") {
+          math.abs(est - d).toDouble / d should be <= 4 * rsd
+        }
+      }
+    }
+  }
+
+  test("q41: percentiles are the exact value at rank ceil(p*n)") {
+    assume(haveData, s"$sfDir not present")
+    val prof = Profiling.q41ProfileSketch(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    cols.foreach { c =>
+      val sorted = li.select(round(col(c) * 100, 0).cast("long").as("v"))
+        .filter(col("v").isNotNull).orderBy("v")
+        .collect().map(_.getLong(0))
+      val n = sorted.length
+      def atRank(p: Double): Long = sorted(math.ceil(p * n).toInt - 1)
+      withClue(s"$c p50/p90/p99:") {
+        prof(c).getLong(5) shouldBe atRank(0.50)
+        prof(c).getLong(6) shouldBe atRank(0.90)
+        prof(c).getLong(7) shouldBe atRank(0.99)
+      }
+    }
+  }
+
+  test("q41 plan: facts scanned once, no Expand, shuffles cardinality-bounded") {
+    assume(haveData, s"$sfDir not present")
+    val p = Profiling.q41ProfileSketch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    p should not include "Expand"
+    // one partial-aggregated shuffle to the frequency relation + one
+    // repartition of that (cardinality-bounded) relation for windows
+    p.sliding("Exchange".length).count(_ == "Exchange") should be <= 2
+    p.sliding("Scan parquet".length).count(_ == "Scan parquet") shouldBe 1
+  }
+
+  test("built-in sketches (profileApprox): HLL within 3x rsd, percentiles in rank tolerance") {
+    assume(haveData, s"$sfDir not present")
+    val li = Tables.lineitem(spark, sfDir)
+    val prof = Profiling.profileApprox(li, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
       val row = prof(c)
       val exact = li.agg(
         count(col(c)), (count(lit(1)) - count(col(c))),
@@ -45,21 +107,31 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
-  test("the aggregate is a single pass: one shuffle, no Expand") {
+  test("q91 sampled sketch: same window set as exact q83, estimates within 4 sigma") {
     assume(haveData, s"$sfDir not present")
-    val p = Profiling.q41ProfileSketch(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    p should not include "Expand"
-    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    val exact = EventAnalytics.q83TrailingDistinct(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val sk = EventAnalytics.q91SlidingSketch(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    sk.map(_._1).toSet shouldBe exact.keySet
+    val f = EventAnalytics.SketchBuckets.size / 16.0
+    sk.foreach { case (day, nSampled, est) =>
+      est shouldBe nSampled * EventAnalytics.SketchScale
+      val d = exact(day).toDouble
+      // X ~ Binomial(D, f): 4-sigma envelope of est = X/f around D
+      val tol = 4 * math.sqrt(d * (1 - f) / f)
+      withClue(s"$day exact=$d est=$est tol=$tol:") {
+        math.abs(est - d) should be <= tol
+      }
+    }
   }
 
-  test("q91 sliding HLL matches exact q83 window-by-window within sketch error") {
+  test("q91 built-in HLL variant matches exact q83 window-by-window") {
     assume(haveData, s"$sfDir not present")
-    val exact = graft.queries.EventAnalytics.q83TrailingDistinct(spark, sfDir)
+    val exact = EventAnalytics.q83TrailingDistinct(spark, sfDir)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    val approx = graft.queries.EventAnalytics.q91SlidingHll(spark, sfDir)
+    val approx = EventAnalytics.slidingHll(spark, sfDir)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    // same window-day set: both emit exactly the covered trailing days
     approx.keySet shouldBe exact.keySet
     exact.foreach { case (day, n) =>
       val est = approx(day)
