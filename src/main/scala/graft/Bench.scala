@@ -19,6 +19,18 @@ import java.nio.file.{Files, Paths}
   *    than pruned to a row count;
   *  - two timed iterations per query, best-of reported, to damp
   *    JIT/page-cache noise.
+  *
+  * Round-7 additions:
+  *  - the LAST stdout line is a compact `{"total":…,"n":…,"failed":…}`
+  *    summary, so any tail-truncated capture of the run still carries
+  *    the headline numbers (the full per-query line precedes it and is
+  *    also written to the out file);
+  *  - `SPARK_GRAFT_BENCH_ISOLATE=1` releases the shared-cache registry
+  *    and clears the session cache between queries, so each timing is
+  *    attributable to its own query instead of the first toucher of a
+  *    shared materialization paying for the group;
+  *  - after the loop, the measured shared-cache footprint (one stderr
+  *    line per cached relation) documents the declared memory budget.
   */
 object Bench {
 
@@ -47,9 +59,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     names.foreach { name =>
+      if (isolate) { // per-query attribution: no cross-query cache reuse
+        graft.ops.SharedCache.releaseAll()
+        spark.catalog.clearCache()
+      }
       val fn = SparkEntry.queries(name)
       val best = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -63,6 +80,12 @@ object Bench {
       if (best.isNaN) failed += name else timings(name) = best
     }
 
+    // declared-budget evidence: what the shared caches actually hold
+    spark.sparkContext.getRDDStorageInfo.foreach { i =>
+      System.err.println(f"[bench] cache ${i.name}: mem=${i.memSize / 1048576.0}%.1fMB " +
+        f"disk=${i.diskSize / 1048576.0}%.1fMB parts=${i.numCachedPartitions}")
+    }
+
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -73,6 +96,8 @@ object Bench {
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     println(json)
+    // compact summary LAST: survives any tail-truncated log capture
+    println(s"""{"total":${f"$total%.3f"},"n":${timings.size},"failed":${failed.size},"isolate":$isolate}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -143,7 +143,7 @@ object Curation {
       // persisted: the test-side distinct and the train-side join would
       // otherwise each re-run the tokenize+5-gram+md5 scan; the cached
       // relation is (doc_id, b, gh) fixed-width rows, never text
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     val testGrams = grams.filter(col("b") === 9).select("gh").distinct()
     grams.filter(col("b") < 8)
       .join(testGrams, "gh")
@@ -351,7 +351,7 @@ object Curation {
       // persisted: feeds both the corpus-wide chunk frequency and the
       // per-doc survival join — unpersisted, the whole chunk+md5 scan
       // runs twice; the cached relation is (doc_id, md5, len), never text
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     val freq = chunks.groupBy("ch")
       .agg(count_distinct(col("doc_id")).as("docs"))
     chunks.join(freq, "ch")
@@ -491,7 +491,7 @@ object Curation {
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
       .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     val df = perDoc.groupBy("gh").agg(count(lit(1)).as("df_docs"))
       .withColumn("grp", lit(1))
     val top = graft.functions.TopK

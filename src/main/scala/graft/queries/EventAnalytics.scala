@@ -312,7 +312,7 @@ object EventAnalytics {
     val counts = Tables.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("n_events"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     val spine = counts.agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
       .select(explode(sequence(col("h_min"), col("h_max"), expr("INTERVAL 1 HOUR"))).as("h"))
     val types = counts.select("event_type").distinct()
@@ -433,6 +433,10 @@ object EventAnalytics {
     * grows; at 100 TB MAU scale f=2⁻¹⁰ still leaves 10⁴+ sampled users
     * per window. */
   private[graft] val SketchBuckets = Seq("0", "1", "2", "3")
+  // integer division must be exact or est_users is silently biased low
+  // in BOTH engines (the oracle gate cannot catch a shared bias)
+  require(16 % SketchBuckets.size == 0,
+    s"SketchBuckets.size=${SketchBuckets.size} must divide 16")
   private[graft] val SketchScale = 16L / SketchBuckets.size
 
   /** TRAILING-7-DAY DISTINCT USERS, SKETCHED + ORACLE-EXACT: the same

@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * would need thousands of barriers). Each round is two keyed
   * equi-joins + one min-aggregate — all partial-aggregated shuffles on
   * bounded keys, nothing quadratic, nothing driver-side except the
-  * O(1) convergence counter. `localCheckpoint` truncates lineage per
-  * round so the plan does not grow with iterations (the standard
-  * iterative-algorithm discipline on Spark; at cluster scale it would
-  * be `checkpoint` to durable storage for executor-loss recovery).
+  * O(1) convergence counter. Lineage is truncated per round via
+  * [[graft.ops.Checkpoints.cut]] so the plan does not grow with
+  * iterations (the standard iterative-algorithm discipline on Spark):
+  * executor-local by default, durable `checkpoint()` for
+  * executor-loss recovery when `spark.graft.checkpointDir` points at
+  * cluster storage — the mode a 100 TB run must use.
   *
   * The driver-side loop is control plane, not data plane: the number
   * of rounds is ~log2 of the largest component's diameter (2-3 in
@@ -45,15 +47,15 @@ object Graph {
     // union references it twice, and without the checkpoint the whole
     // upstream pair-detection plan (q21's joins, for q55) would be
     // computed once per union leg
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val p = pairs.select(col("a"), col("b")).transform(graft.ops.Checkpoints.cut)
     // symmetric edge list, materialized ONCE — every round re-reads it
     val sym = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.cut)
     var lbl = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.cut)
     var changed = 1L
     while (changed > 0) {
       val viaEdge = sym.join(lbl, col("src") === col("id"))
@@ -63,7 +65,7 @@ object Graph {
         .select(col("id"), col("plbl").as("lbl"))
       val next = lbl.union(viaEdge).union(viaPtr)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.cut)
       changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old")).count()
       lbl = next
@@ -113,16 +115,16 @@ object Graph {
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("c"), col("o_custkey")).as("dst"))
       .distinct()
-      .localCheckpoint() // reused by nodes, outdeg, and both iterations
+      .transform(graft.ops.Checkpoints.cut) // reused by nodes, outdeg, and both iterations
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .transform(graft.ops.Checkpoints.cut)
     val n = nodes.count() // control-plane scalar (q61 convention)
     val r0 = 1000000000L / n
     val base = 150000000L / n // (1 - 0.85) * 1e9 / N, floor
     val wedges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint() // static (src, dst, deg), built once
+      .transform(graft.ops.Checkpoints.cut) // static (src, dst, deg), built once
     def iterate(r: DataFrame): DataFrame = {
       val inflow = wedges.join(r, col("src") === col("node"))
         .select(col("dst"), expr("rank_e9 div deg").as("c"))

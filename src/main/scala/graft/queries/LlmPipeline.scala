@@ -175,7 +175,7 @@ object LlmPipeline {
 
   val q21DedupMinhashLsh: Q = (s, d) => {
     val sig = minhashSignatures(hashedShingleSet(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     scoredCandidatePairs(sig)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"),
@@ -571,7 +571,7 @@ object LlmPipeline {
         explode(array_distinct(shingles(col("tk"), ContamGramN))).as("g"))
       .select(col("doc_id"), col("bucket"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     val testGrams = grams.filter(col("bucket") === 9).select("gh").distinct()
     val contaminated = grams.filter(col("bucket") < 8)
       .join(testGrams, "gh").select("doc_id").distinct()
@@ -605,7 +605,7 @@ object LlmPipeline {
     * documented recall contract, same as q24). */
   val q101KnnGraph: Q = (s, d) => {
     val sig = minhashSignatures(hashedShingleSet(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
     // score once per unordered pair, symmetrize the SCORED relation —
     // the intersect is the expensive part and jaccard is symmetric
     val scored = scoredCandidatePairs(sig)

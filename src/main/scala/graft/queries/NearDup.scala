@@ -178,7 +178,7 @@ object NearDup {
       .select(col("doc_id"),
         transform(col("ks"), k => k.bitwiseAND(lit((1L << 48) - 1))).as("hs"),
         size(col("ks")).cast("long").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.SharedCache.persist)
   }
 
   val q39DedupNgramJaccard: Q = (s, d) => {
@@ -362,8 +362,22 @@ object NearDup {
 
   // -- q57: k-means clustering (unrolled Lloyd iterations) -----------
 
-  private val KmK = 8
   private val KmIters = 2
+
+  /** K for q57/q58 is DATA-DEPENDENT: K = ⌈√N⌉ over the vector count —
+    * the SemDeDup sizing rule. With K ∝ √N the expected cluster size
+    * is also ~√N, so q58's within-cluster pair scan stays ~N·√N total
+    * instead of going quadratic as the corpus grows (a fixed K would
+    * un-bound exactly the term the method exists to bound). N comes
+    * from one driver-hosted count — control plane, like the centroids
+    * themselves — and both engines derive the identical integer from
+    * the same IEEE sqrt/ceil, so the oracle remains exact. */
+  private def kmK(n: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** The same K as a DuckDB scalar subquery (oracle side of kmK). */
+  private val KmKSql =
+    "(SELECT greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 1) FROM embeddings)"
 
   /** One Lloyd assignment pass with DRIVER-HOSTED centroids (the
     * MLlib discipline: K×dim numbers are control plane, exactly like
@@ -405,26 +419,33 @@ object NearDup {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
 
-  /** q57: k-means over the quantized embeddings — K=8, two unrolled
-    * Lloyd iterations from the deterministic seed (vectors with
-    * vec_id < K), then a final assignment. Everything is exact
-    * integer/portable math (e4 components, integer squared-L2, one
-    * IEEE divide per centroid component), so the DuckDB oracle unrolls
-    * the same two iterations relationally and must agree bit-for-bit.
-    * This is the operator q33's scaladoc promises at scale: IVF
-    * centroids from an actual k-means, not a vec_id<K convention. */
+  /** q57: k-means over the quantized embeddings — K = ⌈√N⌉ (see kmK),
+    * two unrolled Lloyd iterations from the deterministic seed (the
+    * vectors with vec_id < K), then a final assignment. Everything is
+    * exact integer/portable math (e4 components, integer squared-L2,
+    * one IEEE divide per centroid component), so the DuckDB oracle
+    * unrolls the same two iterations relationally and must agree
+    * bit-for-bit. This is the operator q33's scaladoc promises at
+    * scale: IVF centroids from an actual k-means with √N sizing, not
+    * a fixed-K convention. */
   /** The full two-iteration Lloyd pipeline; returns the final
     * assignment (vec_id, q, cluster, dist) — still a narrow map over
     * the scan. Shared by q57 (assignments) and q58 (semantic dedup
     * within the resulting clusters). */
   private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d).select(col("vec_id"), col("q"))
-    var cents = e.filter(col("vec_id") < KmK)
+    val k = kmK(e.count())
+    var cents = e.filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
-    (1 to KmIters).foreach { _ => cents = kmUpdate(kmAssign(e, cents)) }
-    kmAssign(e, cents)
+    if (cents.isEmpty) // empty input: schema-correct empty assignment
+      e.select(col("vec_id"), col("q"),
+        lit(null).cast("long").as("cluster"), lit(null).cast("long").as("dist"))
+    else {
+      (1 to KmIters).foreach { _ => cents = kmUpdate(kmAssign(e, cents)) }
+      kmAssign(e, cents)
+    }
   }
 
   val q57KmeansCluster: Q = (s, d) =>
@@ -438,8 +459,9 @@ object NearDup {
     * embedding space (q57's pipeline), then near-duplicates are
     * detected ONLY within each cluster — pairwise exact quantized
     * cosine over cluster-mates, never across the corpus. The cluster
-    * equi-join bounds the quadratic term by the largest cluster (at
-    * scale K grows ~√N, holding cluster sizes roughly constant), which
+    * equi-join bounds the quadratic term by the largest cluster: K is
+    * computed as ⌈√N⌉ from the data (see kmK), so expected cluster
+    * sizes stay ~√N and the total pair work is ~N·√N, which
     * is the entire trick of the method: global all-pairs cosine is
     * impossible at 100 TB, per-cluster all-pairs is routine. A vector
     * is dropped when any smaller-id cluster-mate sits at cosine ≥ the
@@ -559,7 +581,7 @@ object NearDup {
          |  SELECT cluster AS c_id, list(c ORDER BY i) AS cq FROM $uName GROUP BY cluster
          |)""".stripMargin
     s"""$quantCte, c0 AS (
-       |  SELECT vec_id AS c_id, q AS cq FROM qv WHERE vec_id < $KmK
+       |  SELECT vec_id AS c_id, q AS cq FROM qv WHERE vec_id < $KmKSql
        |), ${assignCte("s0", "a1", "c0")},
        |${updateCte("u1", "c1", "a1")},
        |${assignCte("s1", "a2", "c1")},

@@ -31,15 +31,25 @@ import org.apache.spark.sql.functions._
   *       - `p50/p90/p99_e2`: rank-exact discrete percentiles (value at
   *         rank ⌈p·n⌉) read off a running-count window over the
   *         frequency relation — integer predicates (`2·running ≥ n`),
-  *         no interpolation, no float.
+  *         no interpolation, no float. Computed ONLY for the columns
+  *         in [[ExactPctCols]], the declared bounded-cardinality set;
+  *         unbounded columns get NULL here and their percentile needs
+  *         are served by [[profileApprox]].
   *
-  * q41 plan: melt the 3 profiled columns (`stack`, a Generate — no
-  * Expand), ONE partial-aggregated shuffle to the (column, value)
-  * frequency relation, then windows partitioned by column over that
-  * relation only. The shuffle and the per-column sorts are bounded by
-  * COLUMN CARDINALITY, never row count — the honest cost of exact
-  * order statistics (q87's argument); the KMV column is the
-  * demonstrated escape hatch when cardinality itself is data-sized.
+  * q41 plan — NOTHING in it sorts a row-sized relation:
+  *   - counts (`n`, `n_null`): one narrow aggregate over the scan,
+  *     no shuffle of data rows;
+  *   - `n_distinct` + KMV: melt the 3 columns (`stack`, a Generate —
+  *     no Expand), distinct-collapse to the (column, value) relation
+  *     (partial-aggregated shuffle, NO sort), then ONE aggregate pass
+  *     whose bottom-k h's come from the map-side-combining TopK
+  *     aggregator — the shuffle carries ≤ k hashes per column per
+  *     partition even when cardinality is row-sized;
+  *   - percentiles: a second melt of ONLY the [[ExactPctCols]] columns
+  *     (projection-pruned scan) into a frequency relation whose
+  *     running-count window sort is bounded by those columns' declared
+  *     dictionary-sized domains — the honest cost of exact order
+  *     statistics (q87's argument), paid only where it is bounded.
   * Values are integer cents (e2) so every output column is
   * engine-exact. */
 object Profiling {
@@ -84,41 +94,89 @@ object Profiling {
     * engines (same md5), shifting the estimate identically. */
   private[graft] val KmvNumerator: Long = (KmvK - 1).toLong << 40
 
+  /** The three profiled columns, and the subset with DECLARED
+    * dictionary-sized domains (quantity: 50 integers; discount: 11
+    * cents values) on which rank-exact percentiles are affordable —
+    * their frequency relation is ~61 rows at ANY data size. Exact
+    * order statistics on l_extendedprice (near-unique) would sort a
+    * row-sized relation; it gets NULL here and `profileApprox`'s
+    * constant-shuffle percentile_approx instead. */
+  private val ProfCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private[graft] val ExactPctCols = Seq("l_quantity", "l_discount")
+
+  /** 40-bit md5-prefix hash of the e2 value (identical string input in
+    * both engines: a Spark long cast to string == DuckDB BIGINT to
+    * VARCHAR). */
+  private def h40(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 10), 16, 10).cast("long")
+
+  private def meltExpr(cols: Seq[String]): String =
+    s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") AS (column_name, v)"
+
   val q41ProfileSketch: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     def e2(c: String) = round(col(c) * 100, 0).cast("long").as(c)
-    val melted = Tables.lineitem(s, d)
-      .select(e2("l_quantity"), e2("l_extendedprice"), e2("l_discount"))
-      .selectExpr("stack(3, 'l_quantity', l_quantity, " +
-        "'l_extendedprice', l_extendedprice, 'l_discount', l_discount) " +
-        "AS (column_name, v)")
-    val freq = melted.groupBy(col("column_name"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val byCol = Window.partitionBy("column_name")
-    val ranked = freq
-      .withColumn("n_null",
-        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).over(byCol))
+
+    // (1) n / n_null per column: ONE narrow single-row aggregate over
+    // the scan — no shuffle of data rows, stacked to one row per column
+    val countAggs = count(lit(1)).as("n_rows") +:
+      ProfCols.map(c => count(col(c)).as(s"${c}_n"))
+    val counts = Tables.lineitem(s, d)
+      .select(ProfCols.map(e2): _*)
+      .agg(countAggs.head, countAggs.tail: _*)
+      .selectExpr(s"stack(${ProfCols.size}, " +
+        ProfCols.map(c => s"'$c', ${c}_n, n_rows - ${c}_n").mkString(", ") +
+        ") AS (column_name, n, n_null)")
+
+    // (2) n_distinct + KMV bottom-k: melt, distinct-collapse to the
+    // (column, value) relation (partial-aggregated hash shuffle, NO
+    // sort), then one aggregate pass whose k smallest h's ride the
+    // map-side-combining TopK buffer — the second shuffle carries at
+    // most k hashes per column per partition even when cardinality is
+    // row-sized. score = -h makes "top-k by score" = "bottom-k by h";
+    // h_k is the max h in the buffer (= minimum score, = last row,
+    // rows sorted score-desc). Hash ties across distinct values leave
+    // h_k unchanged (same multiset of h's in both engines).
+    val dist = Tables.lineitem(s, d)
+      .select(ProfCols.map(e2): _*)
+      .selectExpr(meltExpr(ProfCols))
       .filter(col("v").isNotNull)
-      .withColumn("n", sum(col("cnt")).over(byCol))
-      .withColumn("running", sum(col("cnt")).over(byCol.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("h",
-        conv(substring(md5(col("v").cast("string")), 1, 10), 16, 10).cast("long"))
-      // ties on h (40-bit collisions) broken by v → rank is total in
-      // both engines, so h_k is identical even under collision
-      .withColumn("rn", row_number().over(byCol.orderBy(col("h"), col("v"))))
-    ranked.groupBy(col("column_name"))
-      .agg(
-        max(col("n")).as("n"),
-        max(col("n_null")).as("n_null"),
-        count(lit(1)).as("n_distinct"),
-        max(when(col("rn") <= KmvK, col("h"))).as("hk"),
-        min(when(col("running") * 2 >= col("n"), col("v"))).as("p50_e2"),
-        min(when(col("running") * 10 >= col("n") * 9, col("v"))).as("p90_e2"),
-        min(when(col("running") * 100 >= col("n") * 99, col("v"))).as("p99_e2"))
+      .distinct()
+      .select(col("column_name"), col("v"), h40(col("v")).as("h"))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        graft.functions.TopK.topK(KmvK)(col("v"), -col("h")).as("bot"))
+      // greatest(hk, 1): h_k = 0 needs all of the k smallest 40-bit
+      // hashes to be 0 (~2^-40 per column per value); the clamp turns
+      // that astronomic corner from a NULL estimate into a huge one
+      .withColumn("hk", expr("greatest(-element_at(bot.rows, -1).score, 1)"))
       .withColumn("est_distinct",
         when(col("n_distinct") < KmvK, col("n_distinct"))
           .otherwise(expr(s"$KmvNumerator div hk")))
+
+    // (3) rank-exact percentiles, ONLY over the declared
+    // dictionary-sized columns: projection-pruned scan, frequency
+    // relation of ≤ ~61 rows, window sort bounded by that domain —
+    // the honest cost of exact order statistics, paid only where it
+    // is bounded. Unbounded columns surface as NULL via the left join.
+    val byCol = Window.partitionBy("column_name")
+    val pct = Tables.lineitem(s, d)
+      .select(ExactPctCols.map(e2): _*)
+      .selectExpr(meltExpr(ExactPctCols))
+      .filter(col("v").isNotNull)
+      .groupBy(col("column_name"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byCol))
+      .withColumn("running", sum(col("cnt")).over(byCol.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("column_name"))
+      .agg(
+        min(when(col("running") * 2 >= col("n"), col("v"))).as("p50_e2"),
+        min(when(col("running") * 10 >= col("n") * 9, col("v"))).as("p90_e2"),
+        min(when(col("running") * 100 >= col("n") * 99, col("v"))).as("p99_e2"))
+
+    counts.join(dist, Seq("column_name"))
+      .join(pct, Seq("column_name"), "left")
       .select(col("column_name"), col("n"), col("n_null"), col("n_distinct"),
         col("est_distinct"), col("p50_e2"), col("p90_e2"), col("p99_e2"))
   }
@@ -314,39 +372,44 @@ object Profiling {
          |  UNION ALL
          |  SELECT 'l_discount',
          |    CAST(round(l_discount * 100, 0) AS BIGINT) FROM lineitem
-         |), f AS (
-         |  SELECT column_name, v, count(*) AS cnt
-         |  FROM m WHERE v IS NOT NULL GROUP BY 1, 2
-         |), nn AS (
-         |  SELECT column_name, count(*) AS n_null
-         |  FROM m WHERE v IS NULL GROUP BY 1
+         |), c AS (
+         |  SELECT column_name, CAST(count(v) AS BIGINT) AS n,
+         |    CAST(count(*) - count(v) AS BIGINT) AS n_null
+         |  FROM m GROUP BY 1
          |), r AS (
-         |  SELECT column_name, v, cnt,
-         |    sum(cnt) OVER (PARTITION BY column_name) AS n,
-         |    sum(cnt) OVER (PARTITION BY column_name ORDER BY v
-         |                   ROWS UNBOUNDED PRECEDING) AS running,
+         |  SELECT column_name,
          |    CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 10) AS BIGINT) AS h,
          |    row_number() OVER (PARTITION BY column_name
          |      ORDER BY CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 10) AS BIGINT), v
          |    ) AS rn
-         |  FROM f
-         |), a AS (
+         |  FROM (SELECT DISTINCT column_name, v FROM m WHERE v IS NOT NULL)
+         |), dd AS (
+         |  SELECT column_name, CAST(count(*) AS BIGINT) AS n_distinct,
+         |    greatest(max(CASE WHEN rn <= $KmvK THEN h END), 1) AS hk
+         |  FROM r GROUP BY 1
+         |), pf AS (
+         |  SELECT column_name, v, count(*) AS cnt
+         |  FROM m WHERE v IS NOT NULL
+         |    AND column_name IN (${ExactPctCols.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT column_name, v,
+         |    sum(cnt) OVER (PARTITION BY column_name) AS n,
+         |    sum(cnt) OVER (PARTITION BY column_name ORDER BY v
+         |                   ROWS UNBOUNDED PRECEDING) AS running
+         |  FROM pf
+         |), p AS (
          |  SELECT column_name,
-         |    CAST(max(n) AS BIGINT) AS n,
-         |    CAST(count(*) AS BIGINT) AS n_distinct,
-         |    max(CASE WHEN rn <= $KmvK THEN h END) AS hk,
          |    CAST(min(CASE WHEN running * 2 >= n THEN v END) AS BIGINT) AS p50_e2,
          |    CAST(min(CASE WHEN running * 10 >= n * 9 THEN v END) AS BIGINT) AS p90_e2,
          |    CAST(min(CASE WHEN running * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_e2
-         |  FROM r GROUP BY 1
+         |  FROM pr GROUP BY 1
          |)
-         |SELECT a.column_name, a.n,
-         |  CAST(coalesce(nn.n_null, 0) AS BIGINT) AS n_null,
-         |  a.n_distinct,
-         |  CAST(CASE WHEN a.n_distinct < $KmvK THEN a.n_distinct
+         |SELECT c.column_name, c.n, c.n_null, dd.n_distinct,
+         |  CAST(CASE WHEN dd.n_distinct < $KmvK THEN dd.n_distinct
          |            ELSE $KmvNumerator // hk END AS BIGINT) AS est_distinct,
          |  p50_e2, p90_e2, p99_e2
-         |FROM a LEFT JOIN nn USING (column_name)""".stripMargin,
+         |FROM c JOIN dd USING (column_name) LEFT JOIN p USING (column_name)""".stripMargin,
     // The one-shot recompute the batch folds must reproduce.
     "q99_incremental_rollup" ->
       """SELECT o_custkey,

@@ -28,8 +28,10 @@ class GateContractSpec extends SparkSpec {
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
   }
 
-  test("rows-only queries have a pinning spec on the classpath") {
-    // the allowlist is only honest while the pinning specs exist
+  test("un-gated library sketch variants have a pinning spec on the classpath") {
+    // profileApprox / slidingHll have no DuckDB oracle (engine-private
+    // sketch state); they are honest only while their accuracy spec
+    // exists (rowsOnlyAllowed itself is empty — see above)
     Seq("graft.ProfilingSpec").foreach { cls =>
       noException should be thrownBy Class.forName(cls)
     }

@@ -40,4 +40,18 @@ class GraphSpec extends SparkSpec {
   test("empty pair list yields an empty labeling") {
     cc() shouldBe empty
   }
+
+  test("durable-checkpoint mode (spark.graft.checkpointDir) agrees with local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val local = cc((5L, 2L), (2L, 9L), (30L, 40L))
+    spark.conf.set(graft.ops.Checkpoints.DirKey, dir)
+    try {
+      val durable = cc((5L, 2L), (2L, 9L), (30L, 40L))
+      durable shouldBe local
+      // reliable checkpoint() actually wrote partitions to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      wrote should be > 0L
+    } finally spark.conf.unset(graft.ops.Checkpoints.DirKey)
+  }
 }

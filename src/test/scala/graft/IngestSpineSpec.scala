@@ -169,34 +169,76 @@ class PipelineRunnerSpec extends SparkSpec {
   private def logger(work: String) =
     new PipelineLogger(spark, s"$work/logs", () => Timestamp.valueOf("2025-01-01 00:00:00"))
 
-  test("a stage that fails once succeeds on the retry") {
+  /** Recording sleeper: delays are asserted, never waited out. */
+  private class Sleeps {
+    val ms = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fn: Long => Unit = ms += _
+  }
+
+  test("a stage that fails once succeeds on the retry, after the 5-min delay") {
     var calls = 0
+    val sleeps = new Sleeps
     val res = PipelineRunner.run(Seq(
       Stage("flaky", () => { calls += 1; if (calls == 1) sys.error("boom") })),
-      logger(tmpDir("pr")))
+      logger(tmpDir("pr")), sleep = sleeps.fn)
     res.map(r => (r.name, r.status, r.attempts)) shouldBe Seq(("flaky", "SUCCESS", 2))
+    // retry_delay parity: one sleep of 5 min between the attempts
+    // (parent_dag.py:16-17)
+    sleeps.ms.toSeq shouldBe Seq(PipelineRunner.DefaultRetryDelayMs)
   }
 
   test("a stage that exhausts retries halts the run; downstream stages are skipped") {
     var downstream = 0
+    val sleeps = new Sleeps
     val res = PipelineRunner.run(Seq(
       Stage("bad", () => sys.error("always")),
       Stage("after", () => downstream += 1)),
-      logger(tmpDir("pr")))
+      logger(tmpDir("pr")), sleep = sleeps.fn)
     res.map(r => (r.name, r.status)) shouldBe
       Seq(("bad", "FAILED"), ("after", "SKIPPED"))
     res.head.attempts shouldBe 2 // 1 try + 1 retry (bq_dag.py:39-40)
     res.head.error should not be empty
     downstream shouldBe 0
+    // delay precedes the retry but NOT the terminal failure
+    sleeps.ms.toSeq shouldBe Seq(PipelineRunner.DefaultRetryDelayMs)
   }
 
-  test("an all-green chain runs every stage once, in order") {
+  test("an all-green chain runs every stage once, in order, with no delays") {
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sleeps = new Sleeps
     val res = PipelineRunner.run(Seq(
       Stage("a", () => order += "a"),
       Stage("b", () => order += "b")),
-      logger(tmpDir("pr")))
+      logger(tmpDir("pr")), sleep = sleeps.fn)
     res.map(_.status).distinct shouldBe Seq("SUCCESS")
     order.toSeq shouldBe Seq("a", "b")
+    sleeps.ms shouldBe empty
+  }
+
+  test("millisUntilNext targets today's 05:00 UTC before it, tomorrow's after") {
+    import java.time.Instant
+    PipelineRunner.millisUntilNext(5, 0, Instant.parse("2025-01-01T03:00:00Z")) shouldBe
+      2 * 3600 * 1000L
+    PipelineRunner.millisUntilNext(5, 0, Instant.parse("2025-01-01T06:30:00Z")) shouldBe
+      (24 - 1) * 3600 * 1000L - 30 * 60 * 1000L
+    // exactly on the tick: schedule the NEXT day's run, never a 0-sleep
+    PipelineRunner.millisUntilNext(5, 0, Instant.parse("2025-01-01T05:00:00Z")) shouldBe
+      24 * 3600 * 1000L
+  }
+
+  test("runDaily sleeps to the daily 05:00 tick, runs the chain, repeats") {
+    import java.time.Instant
+    var runs = 0
+    val sleeps = new Sleeps
+    // injected clock: advances one day per tick, starting 04:00 UTC
+    var t = Instant.parse("2025-01-01T04:00:00Z")
+    PipelineRunner.runDaily(
+      Seq(Stage("s", () => runs += 1)), logger(tmpDir("pr")),
+      hour = 5, rounds = 2,
+      now = () => { val cur = t; t = cur.plusSeconds(24 * 3600); cur },
+      sleep = sleeps.fn)
+    runs shouldBe 2
+    // one cadence sleep of 1h per round (04:00 -> 05:00), no retry sleeps
+    sleeps.ms.toSeq shouldBe Seq(3600 * 1000L, 3600 * 1000L)
   }
 }

@@ -43,12 +43,12 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
-  test("q41: percentiles are the exact value at rank ceil(p*n)") {
+  test("q41: exact percentiles at rank ceil(p*n) on bounded columns, NULL elsewhere") {
     assume(haveData, s"$sfDir not present")
     val prof = Profiling.q41ProfileSketch(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
     val li = Tables.lineitem(spark, sfDir)
-    cols.foreach { c =>
+    Profiling.ExactPctCols.foreach { c =>
       val sorted = li.select(round(col(c) * 100, 0).cast("long").as("v"))
         .filter(col("v").isNotNull).orderBy("v")
         .collect().map(_.getLong(0))
@@ -60,17 +60,39 @@ class ProfilingSpec extends SparkSpec {
         prof(c).getLong(7) shouldBe atRank(0.99)
       }
     }
+    // unbounded-cardinality columns opt out of exact order statistics
+    // (profileApprox serves them); the contract is NULL, not a sort
+    (cols.toSet -- Profiling.ExactPctCols).foreach { c =>
+      withClue(s"$c percentiles must be NULL:") {
+        prof(c).isNullAt(5) shouldBe true
+        prof(c).isNullAt(6) shouldBe true
+        prof(c).isNullAt(7) shouldBe true
+      }
+    }
   }
 
-  test("q41 plan: facts scanned once, no Expand, shuffles cardinality-bounded") {
+  test("q41 plan: no Expand, no row-sized sort, KMV rides a map-side TopK buffer") {
     assume(haveData, s"$sfDir not present")
-    val p = Profiling.q41ProfileSketch(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val df = Profiling.q41ProfileSketch(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
     p should not include "Expand"
-    // one partial-aggregated shuffle to the frequency relation + one
-    // repartition of that (cardinality-bounded) relation for windows
-    p.sliding("Exchange".length).count(_ == "Exchange") should be <= 2
-    p.sliding("Scan parquet".length).count(_ == "Scan parquet") shouldBe 1
+    // three projection-pruned scans (counts / distinct+KMV / pct melt) —
+    // never more; the pct melt reads ONLY the bounded columns
+    p.sliding("Scan parquet".length).count(_ == "Scan parquet") shouldBe 3
+    // the KMV bottom-k is an Aggregator (ObjectHashAggregate), so the
+    // distinct-relation pass aggregates WITHOUT sorting it
+    p should include("ObjectHashAggregate")
+    // every Sort in the plan keys on column_name (window partitioning /
+    // join order over per-column rows) — none sorts by the value, which
+    // is what a row-sized sort over l_extendedprice would look like
+    val valueSorts = "Sort \\[v#".r.findAllIn(p).size
+    val pctWindowSorts = "Sort \\[column_name#\\d+ ASC NULLS FIRST, v#".r.findAllIn(p).size
+    withClue(s"plan:\n$p") {
+      // the only value-ordered sort allowed is the pct window's, whose
+      // input is the bounded-domain frequency relation
+      valueSorts shouldBe 0
+      pctWindowSorts should be <= 1
+    }
   }
 
   test("built-in sketches (profileApprox): HLL within 3x rsd, percentiles in rank tolerance") {
