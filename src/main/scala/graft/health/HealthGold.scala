@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object HealthGold {
 
+  /** Type-preserving zero for a COALESCE default (gold.sql's
+    * `IFNULL(x, 0)`): a bare 0.0 literal would widen decimal-mode
+    * amounts back to double, silently undoing the exact-cents
+    * contract; casting 0 to the column's own type keeps float mode
+    * bit-identical and decimal mode exact. */
+  private def z(df: DataFrame, c: String) =
+    lit(0).cast(df.schema(c).dataType)
+
   /** provider_charge_summary (gold.sql:5-25): tx ⟕ providers ⟕
     * departments on the split composite key, quarantine + null-name
     * filters, grouped SUM. */
@@ -31,7 +39,7 @@ object HealthGold {
         concat(coalesce(prov("FirstName"), lit("")), lit(" "),
           coalesce(prov("LastName"), lit(""))).as("Provider_Name"),
         dept("Name").as("Dept_Name"))
-      .agg(sum(coalesce(tx("Amount"), lit(0.0))).as("Amount"))
+      .agg(sum(coalesce(tx("Amount"), z(tx, "Amount"))).as("Amount"))
 
   /** patient_history (gold.sql:32-82): current patients ⟕ encounters ⟕
     * transactions (both on the SOURCE PatientID, gold.sql:76-79) ⟕
@@ -46,11 +54,11 @@ object HealthGold {
         p("Gender"), p("DOB"), p("Address"),
         e("EncounterDate"), e("EncounterType"),
         t("Transaction_Key"), t("VisitDate"), t("ServiceDate"),
-        coalesce(t("Amount"), lit(0.0)).as("BilledAmount"),
-        coalesce(t("PaidAmount"), lit(0.0)).as("PaidAmount"),
+        coalesce(t("Amount"), z(t, "Amount")).as("BilledAmount"),
+        coalesce(t("PaidAmount"), z(t, "PaidAmount")).as("PaidAmount"),
         c("ClaimStatus"),
-        coalesce(c("ClaimAmount"), lit(0.0)).as("ClaimAmount"),
-        coalesce(c("PaidAmount"), lit(0.0)).as("ClaimPaidAmount"),
+        coalesce(c("ClaimAmount"), z(c, "ClaimAmount")).as("ClaimAmount"),
+        coalesce(c("PaidAmount"), z(c, "PaidAmount")).as("ClaimPaidAmount"),
         c("PayorType"))
 
   /** provider_performance (gold.sql:89-128): 7 KPIs per provider with
@@ -66,8 +74,8 @@ object HealthGold {
       .agg(
         countDistinct(e("Encounter_Key")).as("TotalEncounters"),
         countDistinct(t("Transaction_Key")).as("TotalTransactions"),
-        sum(coalesce(t("Amount"), lit(0.0))).as("TotalBilledAmount"),
-        sum(coalesce(t("PaidAmount"), lit(0.0))).as("TotalPaidAmount"),
+        sum(coalesce(t("Amount"), z(t, "Amount"))).as("TotalBilledAmount"),
+        sum(coalesce(t("PaidAmount"), z(t, "PaidAmount"))).as("TotalPaidAmount"),
         approved.as("ApprovedClaims"),
         total.as("TotalClaims"),
         round(approved.cast("double") /
@@ -85,7 +93,7 @@ object HealthGold {
       .agg(
         countDistinct(e("Encounter_Key")).as("TotalEncounters"),
         countDistinct(t("Transaction_Key")).as("TotalTransactions"),
-        sum(coalesce(t("Amount"), lit(0.0))).as("TotalBilledAmount"),
-        sum(coalesce(t("PaidAmount"), lit(0.0))).as("TotalPaidAmount"),
-        avg(coalesce(t("PaidAmount"), lit(0.0))).as("AvgPaymentPerTransaction"))
+        sum(coalesce(t("Amount"), z(t, "Amount"))).as("TotalBilledAmount"),
+        sum(coalesce(t("PaidAmount"), z(t, "PaidAmount"))).as("TotalPaidAmount"),
+        avg(coalesce(t("PaidAmount"), z(t, "PaidAmount"))).as("AvgPaymentPerTransaction"))
 }

@@ -36,6 +36,17 @@ final class HealthPipeline(
     workRoot: String,
     clock: () => Timestamp) {
 
+  /** Opt-in decimal monetary mode (§7.4 extension): set this session
+    * conf to "true" and the SCD2 silver chain types every monetary
+    * column DECIMAL(18,2) instead of the reference-faithful double —
+    * exact, order-independent cents arithmetic end-to-end (the gold
+    * marts preserve the type via type-matched COALESCE zeros). Read
+    * per run, so one session can operate both modes. */
+  private def scd2Entities: Seq[HealthSilver.Entity] =
+    if (spark.conf.getOption(HealthPipeline.DecimalMoneyKey).contains("true"))
+      HealthSilver.scd2EntitiesWith(HealthSilver.MoneyDecimal)
+    else HealthSilver.scd2Entities
+
   private val auditPath = s"$workRoot/audit_log"
   private val logsPath = s"$workRoot/pipeline_logs"
   val landing = new LandingZone(spark, s"$workRoot/landing")
@@ -141,7 +152,7 @@ final class HealthPipeline(
       hb <- bronzeTable("providers_hb")
     } writeSwap(HealthSilver.providers(ha, hb), silverPath("providers"))
 
-    HealthSilver.scd2Entities.foreach { e =>
+    scd2Entities.foreach { e =>
       val bronze = e.bronzeTables.flatMap(t => bronzeTable(t).map(t -> _)).toMap
       if (bronze.nonEmpty) {
         val staged = e.stage(bronze)
@@ -185,4 +196,9 @@ final class HealthPipeline(
       Stage("bronze_cpt", () => loadBronzeCpt()),
       Stage("silver", () => runSilver()),
       Stage("gold", () => runGold())), logger)
+}
+
+object HealthPipeline {
+  /** Session conf key for the opt-in decimal monetary mode. */
+  val DecimalMoneyKey = "spark.graft.decimalMoney"
 }

@@ -4,7 +4,7 @@ import graft.ops.{QualityStage, Scd2Merge}
 import graft.ops.QualityStage.{EntitySpec, Source}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, TimestampType}
 
 /** The reference's silver layer over its own entities
   * (/root/reference/src/pipelines/transforms/silver.sql), re-expressed
@@ -135,8 +135,10 @@ object HealthSilver {
       quarantineRule = Some(col("SRC_EncounterID").isNull || col("PatientID").isNull ||
         col("EncounterDate").isNull || lower(col("EncounterType")) === "null"))))
 
-  /** transactions (silver.sql:207-363). */
-  val transactions: Entity = Entity(
+  /** transactions (silver.sql:207-363). Monetary columns type to
+    * `money` — DoubleType for reference fidelity (the default), or
+    * [[MoneyDecimal]] in the opt-in decimal mode (§7.4 extension). */
+  private def transactionsEntity(money: DataType): Entity = Entity(
     table = "transactions",
     keyCol = "Transaction_Key",
     compareCols = Seq("SRC_TransactionID", "EncounterID", "PatientID", "ProviderID",
@@ -159,13 +161,16 @@ object HealthSilver {
         "LineOfBusiness", "MedicaidID", "MedicareID", "SRC_InsertDate", "SRC_ModifiedDate"),
       casts = Map("VisitDate" -> Ts, "ServiceDate" -> Ts, "PaidDate" -> Ts,
         "SRC_InsertDate" -> Ts, "SRC_ModifiedDate" -> Ts,
-        "Amount" -> F64, "PaidAmount" -> F64, "ProcedureCode" -> I64),
+        "Amount" -> money, "PaidAmount" -> money, "ProcedureCode" -> I64),
       quarantineRule = Some(col("EncounterID").isNull || col("PatientID").isNull ||
         col("SRC_TransactionID").isNull || col("VisitDate").isNull))))
 
+  val transactions: Entity = transactionsEntity(F64)
+
   /** claims (silver.sql:491-648); single bronze source, force-tagged
-    * 'hosa' (silver.sql:564) — bronze's per-file tag is dropped. */
-  val claims: Entity = Entity(
+    * 'hosa' (silver.sql:564) — bronze's per-file tag is dropped.
+    * Monetary columns type to `money`, as with transactions. */
+  private def claimsEntity(money: DataType): Entity = Entity(
     table = "claims",
     keyCol = "Claim_Key",
     compareCols = Seq("SRC_ClaimID", "TransactionID", "PatientID", "EncounterID",
@@ -185,10 +190,12 @@ object HealthSilver {
         "ClaimStatus", "PayorType", "Deductible", "Coinsurance", "Copay",
         "SRC_InsertDate", "SRC_ModifiedDate"),
       casts = Map("ServiceDate" -> Ts, "ClaimDate" -> Ts, "SRC_InsertDate" -> Ts,
-        "SRC_ModifiedDate" -> Ts, "ClaimAmount" -> F64, "PaidAmount" -> F64,
-        "Deductible" -> F64, "Coinsurance" -> F64, "Copay" -> F64),
+        "SRC_ModifiedDate" -> Ts, "ClaimAmount" -> money, "PaidAmount" -> money,
+        "Deductible" -> money, "Coinsurance" -> money, "Copay" -> money),
       quarantineRule = Some(col("SRC_ClaimID").isNull || col("PatientID").isNull ||
         col("TransactionID").isNull || lower(col("ClaimStatus")) === "null"))))
+
+  val claims: Entity = claimsEntity(F64)
 
   /** cpt_codes (silver.sql:655-729); expects bronze columns already
     * rename-folded (space→underscore, lowercase — cpt_codes.py:18-20). */
@@ -207,4 +214,19 @@ object HealthSilver {
       quarantineRule = Some(col("cpt_codes").isNull || lower(col("code_status")) === "null"))))
 
   val scd2Entities: Seq[Entity] = Seq(patients, encounters, transactions, claims, cptCodes)
+
+  /** Exact monetary type for the opt-in decimal mode (§7.4 extension):
+    * DECIMAL(18,2) spans any healthcare amount with exact cents
+    * arithmetic (sums widen to DECIMAL(28,2) — still exact, still
+    * order-independent, unlike float summation). The DEFAULT stays
+    * DoubleType because the reference is faithful-FLOAT64
+    * (silver.sql:218,220,502-508) and the oracle gate hashes float
+    * bit patterns. */
+  val MoneyDecimal: DataType = org.apache.spark.sql.types.DecimalType(18, 2)
+
+  /** The SCD2 entity chain with monetary columns typed `money` —
+    * pass [[MoneyDecimal]] for the decimal mode; `scd2Entities` is
+    * the float-fidelity default. */
+  def scd2EntitiesWith(money: DataType): Seq[Entity] =
+    Seq(patients, encounters, transactionsEntity(money), claimsEntity(money), cptCodes)
 }
