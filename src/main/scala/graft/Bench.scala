@@ -81,9 +81,13 @@ object Bench {
     }
 
     // declared-budget evidence: what the shared caches actually hold
+    // (RDD names are multi-line plan dumps — flatten + truncate so each
+    // cache is ONE greppable stderr line)
     spark.sparkContext.getRDDStorageInfo.foreach { i =>
-      System.err.println(f"[bench] cache ${i.name}: mem=${i.memSize / 1048576.0}%.1fMB " +
-        f"disk=${i.diskSize / 1048576.0}%.1fMB parts=${i.numCachedPartitions}")
+      val name = Option(i.name).getOrElse("?")
+        .replaceAll("\\s+", " ").take(120)
+      System.err.println(f"[bench] cache mem=${i.memSize / 1048576.0}%.1fMB " +
+        f"disk=${i.diskSize / 1048576.0}%.1fMB parts=${i.numCachedPartitions} $name")
     }
 
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -381,18 +381,22 @@ object NearDup {
 
   /** One Lloyd assignment pass with DRIVER-HOSTED centroids (the
     * MLlib discipline: K×dim numbers are control plane, exactly like
-    * a broadcast variable — NOT a join). The K squared-L2 distances
-    * are computed IN-ROW against literal centroid arrays
-    * (`zip_with` + `aggregate`, codegen'd) and the argmin is an
-    * `array_min` over (dist, c_id) structs — so assignment is a pure
-    * narrow map: zero shuffles, zero joins, no K-fold row blow-up. */
+    * a broadcast variable — NOT a join). ALL centroids ride in ONE
+    * array-of-structs literal and the K squared-L2 distances come from
+    * a `transform` over it (`zip_with` + `aggregate` in the lambda),
+    * argmin via `array_min` over (dist, c_id) structs — a pure narrow
+    * map: zero shuffles, zero joins, no K-fold row blow-up, and the
+    * EXPRESSION TREE stays constant-size as K grows (K = ⌈√N⌉ is
+    * data-dependent; per-centroid literal subtrees would make the plan
+    * itself O(K·dim) and sink codegen at real scale — the literal
+    * array is data, not operators, exactly like a broadcast value). */
   private def kmAssign(vecs: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
-    val dists = array(cents.map { case (cid, cq) =>
+    val centsLit = typedlit(cents) // array<struct<_1: c_id, _2: cq>>
+    val dists = transform(centsLit, c =>
       struct(
-        aggregate(zip_with(col("q"), typedlit(cq), (a, b) => (a - b) * (a - b)),
+        aggregate(zip_with(col("q"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("dist"),
-        lit(cid).as("c_id"))
-    }: _*)
+        c.getField("_1").as("c_id")))
     vecs.withColumn("m", array_min(dists))
       .select(col("vec_id"), col("q"),
         col("m.c_id").as("cluster"), col("m.dist").as("dist"))
@@ -433,7 +437,13 @@ object NearDup {
     * the scan. Shared by q57 (assignments) and q58 (semantic dedup
     * within the resulting clusters). */
   private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
-    val e = quantized(s, d).select(col("vec_id"), col("q"))
+    // persisted (SharedCache): the Lloyd pipeline probes this relation
+    // ~2 times per iteration plus count/seed/final — k-means over a
+    // re-scanned input would pay the parquet read per pass (the MLlib
+    // convention caches the training input for exactly this reason);
+    // q57 and q58 canonicalize to the same entry
+    val e = graft.ops.SharedCache.persist(
+      quantized(s, d).select(col("vec_id"), col("q")))
     val k = kmK(e.count())
     var cents = e.filter(col("vec_id") < k)
       .collect()
