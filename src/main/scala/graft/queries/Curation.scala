@@ -134,18 +134,58 @@ object Curation {
     * comparison anywhere — cost is |gram occurrences|, linear in
     * corpus size. Gram identity is the same md5 slice in the oracle,
     * so collisions (if ever) are mirrored, not divergent. */
-  val q47Decontaminate: Q = (s, d) => {
-    val grams = Tables.documents(s, d)
+  /** (doc_id, split-bucket, 48-bit gram hash) — per-doc DISTINCT
+    * 5-gram hashes, the inverted-index relation behind q47 and q107.
+    * Persisted (SharedCache): the test-side distinct and the
+    * train-side probe would otherwise each re-run the
+    * tokenize+5-gram+md5 scan; both queries canonicalize to the SAME
+    * cache entry; the cached rows are fixed-width, never text. */
+  private def contamGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), splitBucket(col("doc_id")).as("b"),
         explode(array_distinct(ngrams(tokens(col("text")), ContamN))).as("g"))
       .select(col("doc_id"), col("b"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
-      // persisted: the test-side distinct and the train-side join would
-      // otherwise each re-run the tokenize+5-gram+md5 scan; the cached
-      // relation is (doc_id, b, gh) fixed-width rows, never text
       .transform(graft.ops.SharedCache.persist)
+
+  val q47Decontaminate: Q = (s, d) => {
+    val grams = contamGrams(s, d)
     val testGrams = grams.filter(col("b") === 9).select("gh").distinct()
     grams.filter(col("b") < 8)
+      .join(testGrams, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** q107: the SAME decontamination relation as q47, produced the way
+    * a 100 TB run would: a BLOOM FILTER over the (small) test-gram set
+    * prunes the (huge) train-gram side MAP-SIDE before the exact
+    * equi-join, so the join shuffle carries only probable matches —
+    * test-fraction + the declared ~1% false-positive rate — instead of
+    * every train gram occurrence. Spark's optimizer makes this move
+    * automatically only when join statistics trigger its runtime
+    * filter; a curation pipeline wants it guaranteed and sized from
+    * the data (items = exact test-gram count, 10 bits each). The
+    * bloom is control plane: one merged filter built by a
+    * constant-shuffle aggregate (per-partition blooms OR-merged, like
+    * HLL), collected once, probed as a literal in a narrow map. False
+    * positives only enlarge the pruned candidate set and the exact
+    * join removes them, so the result — and the oracle — is
+    * bit-for-bit q47's. */
+  val q107BloomDecontaminate: Q = (s, d) => {
+    graft.functions.BloomFunctions.register(s)
+    val grams = contamGrams(s, d)
+    val testGrams = grams.filter(col("b") === 9).select("gh").distinct()
+    val nTest = math.max(testGrams.count(), 1L) // control-plane scalar
+    val bloom = testGrams
+      .agg(graft.functions.BloomFunctions.bloomAgg(
+        col("gh"), lit(nTest), lit(nTest * 10L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainPruned =
+      if (bloom == null) grams.filter(lit(false)) // empty test split
+      else grams.filter(col("b") < 8)
+        .filter(graft.functions.BloomFunctions.mightContain(lit(bloom), col("gh")))
+    trainPruned
       .join(testGrams, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -646,6 +686,7 @@ object Curation {
     "q56_sequence_pack" -> q56SequencePack,
     "q46_repetition_stats" -> q46RepetitionStats,
     "q47_decontaminate" -> q47Decontaminate,
+    "q107_bloom_decontaminate" -> q107BloomDecontaminate,
     "q48_incremental_dedup" -> q48IncrementalDedup,
     "q49_stratified_sample" -> q49StratifiedSample,
     "q50_token_shards" -> q50TokenShards,
@@ -672,6 +713,19 @@ object Curation {
 
   private def hash16Sql(salt: String, key: String): String =
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
+
+  /** Shared by q47 and q107 (same relation, different plan). */
+  private lazy val decontamOracleSql: String =
+    s"""WITH $toksCte, grams AS (
+       |  SELECT doc_id, $splitBucketSql AS b,
+       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+       |  FROM (SELECT doc_id, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
+       |), test_g AS (
+       |  SELECT DISTINCT gh FROM grams WHERE b = 9
+       |)
+       |SELECT doc_id, count(*) AS n_shared_grams
+       |FROM grams WHERE b < 8 AND gh IN (SELECT gh FROM test_g)
+       |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Independent restatement: materialize the K selection points and
@@ -855,17 +909,11 @@ object Curation {
          |   OR (CASE WHEN n_2grams > 0 THEN CAST(round(1e6 * CAST(n_2grams - n_uniq_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE), 0) AS BIGINT) ELSE 0 END) > 50000
          |   OR (n_tokens >= 10 AND CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000)) AS is_repetitive
          |FROM m JOIN top ON m.doc_id = top.doc_id""".stripMargin,
-    "q47_decontaminate" ->
-      s"""WITH $toksCte, grams AS (
-         |  SELECT doc_id, $splitBucketSql AS b,
-         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
-         |  FROM (SELECT doc_id, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
-         |), test_g AS (
-         |  SELECT DISTINCT gh FROM grams WHERE b = 9
-         |)
-         |SELECT doc_id, count(*) AS n_shared_grams
-         |FROM grams WHERE b < 8 AND gh IN (SELECT gh FROM test_g)
-         |GROUP BY 1""".stripMargin,
+    "q47_decontaminate" -> decontamOracleSql,
+    // q107: the bloom only PRUNES the train side ahead of the exact
+    // join (false positives are removed by it), so the relation — and
+    // therefore the oracle — is exactly q47's
+    "q107_bloom_decontaminate" -> decontamOracleSql,
     "q48_incremental_dedup" ->
       """WITH h AS (
         |  SELECT doc_id,
