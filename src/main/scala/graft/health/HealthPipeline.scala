@@ -156,6 +156,23 @@ final class HealthPipeline(
       val bronze = e.bronzeTables.flatMap(t => bronzeTable(t).map(t -> _)).toMap
       if (bronze.nonEmpty) {
         val staged = e.stage(bronze)
+        // Refuse a type flip over standing history: merging decimal
+        // staging into float silver (or vice versa, after toggling
+        // spark.graft.decimalMoney mid-history) would NOT fail — the
+        // SCD2 union/join would silently widen back to double and
+        // void the exact-cents contract. Type drift is a migration,
+        // not a merge (Warehouse.appendEvolving's rule).
+        if (exists(silverPath(e.table))) {
+          val tgt = silver(e.table).schema
+          val drift = staged.schema
+            .filter(f => tgt.fieldNames.contains(f.name))
+            .filter(f => tgt(f.name).dataType != f.dataType)
+          if (drift.nonEmpty) throw new IllegalStateException(
+            s"silver.${e.table}: staged column types differ from the existing table " +
+              drift.map(f => s"${f.name}: ${tgt(f.name).dataType.simpleString} -> " +
+                f.dataType.simpleString).mkString("(", ", ", ")") +
+              " — did spark.graft.decimalMoney flip mid-history? Migrate explicitly.")
+        }
         val target =
           if (exists(silverPath(e.table))) silver(e.table)
           else staged
@@ -184,8 +201,14 @@ final class HealthPipeline(
   }
 
   /** The full DAG, one in-process chain with per-stage retry
-    * (parent_dag.py:21-44; retries=1 per bq_dag.py:39-40). */
-  def run(runDate: LocalDate): Seq[StageResult] =
+    * (parent_dag.py:21-44; retries=1 per bq_dag.py:39-40; 5-min
+    * retry delay per parent_dag.py:16-17). `retryDelayMs`/`sleep`
+    * pass through to [[PipelineRunner.run]] so failure-path specs —
+    * and operators who want a different cadence — never wait out a
+    * real five minutes (same injection discipline as `clock`). */
+  def run(runDate: LocalDate,
+      retryDelayMs: Long = PipelineRunner.DefaultRetryDelayMs,
+      sleep: Long => Unit = Thread.sleep): Seq[StageResult] =
     PipelineRunner.run(Seq(
       Stage("init", () => { Bootstrap.ensureTables(spark, auditPath, logsPath); () }),
       Stage("ingest_hospital_a",
@@ -195,7 +218,8 @@ final class HealthPipeline(
       Stage("bronze_claims", () => loadBronzeClaims()),
       Stage("bronze_cpt", () => loadBronzeCpt()),
       Stage("silver", () => runSilver()),
-      Stage("gold", () => runGold())), logger)
+      Stage("gold", () => runGold())), logger,
+      retryDelayMs = retryDelayMs, sleep = sleep)
 }
 
 object HealthPipeline {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage truncation for iterative / self-referencing plans, with a
   * durability switch.
@@ -14,7 +15,23 @@ import org.apache.spark.sql.DataFrame
   * store) routes [[cut]] through reliable `checkpoint()` instead:
   * partitions are written to that path, survive executor loss, and
   * the scheduler re-reads rather than re-derives them. The conf is
-  * read per call, so one session can run both modes (tests do).
+  * read per call — both the mode and the directory — so one session
+  * can run both modes (tests do) and a storage rotation mid-session
+  * takes effect on the next cut.
+  *
+  * Two durable-mode disciplines callers must know:
+  *  - reliable `checkpoint()` on a cold plan runs the job twice (one
+  *    eager materialization + one re-run for the file write,
+  *    SPARK-8582), so [[cut]] persists the input first and unpersists
+  *    after — each partition computes once, the write job reads the
+  *    cache;
+  *  - checkpoint files are NOT reclaimed by default
+  *    (`spark.cleaner.referenceTracking.cleanCheckpoints` is false):
+  *    a long session of iterative cuts accumulates them without
+  *    bound. The session owner calls [[releaseAll]] at a boundary
+  *    where no checkpointed DataFrame is still being read — the same
+  *    contract as [[SharedCache.releaseAll]] — or enables the Spark
+  *    GC-driven cleaner conf for best-effort reclamation.
   */
 object Checkpoints {
   /** Session conf key; when set, [[cut]] checkpoints durably here. */
@@ -26,10 +43,31 @@ object Checkpoints {
     val s = df.sparkSession
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
+        // re-read per call: a changed conf re-points the context
+        if (!s.sparkContext.getCheckpointDir.contains(dir))
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        // persist-then-checkpoint: without the cache the eager
+        // checkpoint computes every partition twice (SPARK-8582) —
+        // silently, and only in the durable mode clusters use
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try p.checkpoint()
+        finally p.unpersist(blocking = false)
       case None => df.localCheckpoint()
     }
   }
+
+  /** Delete everything under the durable checkpoint directory. Call
+    * ONLY at a boundary where no checkpointed DataFrame from this
+    * session is still consumed — a checkpointed plan READS these
+    * files; this is the owner-drawn end-of-stage boundary, exactly
+    * like [[SharedCache.releaseAll]]. No-op when [[DirKey]] is unset
+    * or the directory does not exist. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.getOption(DirKey).filter(_.nonEmpty).foreach { dir =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        fs.listStatus(path).foreach(st => fs.delete(st.getPath, true))
+      }
+    }
 }

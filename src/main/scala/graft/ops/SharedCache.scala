@@ -37,7 +37,10 @@ object SharedCache {
   /** Persist `df` (MEMORY_AND_DISK) and register it for boundary
     * release. Re-registering a canonically-identical plan is a no-op
     * on the Spark side (CacheManager dedupes); the queue just holds
-    * another handle to the same entry. */
+    * another handle to the same entry. Handles DO accumulate across
+    * invocations (each pins its plan until released) — a long-lived
+    * service must call [[releaseAll]] at its stage boundaries, which
+    * is the registry's entire contract, not an optional nicety. */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     entries.add(p)
@@ -45,11 +48,16 @@ object SharedCache {
   }
 
   /** Unpersist every registered relation and empty the registry.
-    * Non-blocking: block eviction proceeds asynchronously. */
+    * Non-blocking: block eviction proceeds asynchronously. A handle
+    * whose session has been stopped is dropped, not fatal — the
+    * registry is JVM-global (it may hold entries from several
+    * sessions), and one dead session must not strand the rest of the
+    * queue registered. */
   def releaseAll(): Unit = {
     var df = entries.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
       df = entries.poll()
     }
   }

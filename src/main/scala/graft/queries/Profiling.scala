@@ -175,10 +175,15 @@ object Profiling {
         min(when(col("running") * 10 >= col("n") * 9, col("v"))).as("p90_e2"),
         min(when(col("running") * 100 >= col("n") * 99, col("v"))).as("p99_e2"))
 
-    counts.join(dist, Seq("column_name"))
+    // LEFT joins from counts: an all-NULL column has no distinct (or
+    // pct) group, but a profiler must still report it (n=0 non-null,
+    // n_null=total, 0 distinct) rather than dropping the row
+    counts.join(dist, Seq("column_name"), "left")
       .join(pct, Seq("column_name"), "left")
-      .select(col("column_name"), col("n"), col("n_null"), col("n_distinct"),
-        col("est_distinct"), col("p50_e2"), col("p90_e2"), col("p99_e2"))
+      .select(col("column_name"), col("n"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("est_distinct"), lit(0L)).as("est_distinct"),
+        col("p50_e2"), col("p90_e2"), col("p99_e2"))
   }
 
   // -- q42: deterministic train/val/test split -------------------------
@@ -405,11 +410,12 @@ object Profiling {
          |    CAST(min(CASE WHEN running * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_e2
          |  FROM pr GROUP BY 1
          |)
-         |SELECT c.column_name, c.n, c.n_null, dd.n_distinct,
-         |  CAST(CASE WHEN dd.n_distinct < $KmvK THEN dd.n_distinct
-         |            ELSE $KmvNumerator // hk END AS BIGINT) AS est_distinct,
+         |SELECT c.column_name, c.n, c.n_null,
+         |  CAST(coalesce(dd.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(CASE WHEN dd.n_distinct < $KmvK THEN dd.n_distinct
+         |            ELSE $KmvNumerator // hk END, 0) AS BIGINT) AS est_distinct,
          |  p50_e2, p90_e2, p99_e2
-         |FROM c JOIN dd USING (column_name) LEFT JOIN p USING (column_name)""".stripMargin,
+         |FROM c LEFT JOIN dd USING (column_name) LEFT JOIN p USING (column_name)""".stripMargin,
     // The one-shot recompute the batch folds must reproduce.
     "q99_incremental_rollup" ->
       """SELECT o_custkey,

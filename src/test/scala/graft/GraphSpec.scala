@@ -49,9 +49,13 @@ class GraphSpec extends SparkSpec {
       val durable = cc((5L, 2L), (2L, 9L), (30L, 40L))
       durable shouldBe local
       // reliable checkpoint() actually wrote partitions to the dir
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
-      wrote should be > 0L
+      files() should be > 0L
+      // owner-drawn boundary: checkpoint files are not GC'd by Spark,
+      // releaseAll reclaims them once no checkpointed DF is still read
+      graft.ops.Checkpoints.releaseAll(spark)
+      files() shouldBe 0L
     } finally spark.conf.unset(graft.ops.Checkpoints.DirKey)
   }
 }

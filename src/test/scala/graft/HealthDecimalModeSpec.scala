@@ -61,14 +61,25 @@ class HealthDecimalModeSpec extends SparkSpec {
     } finally spark.conf.unset(HealthPipeline.DecimalMoneyKey)
   }
 
-  test("default mode is unchanged: monetary columns stay double (reference fidelity)") {
+  test("default mode stays double; flipping the mode over standing history is refused") {
     assume(haveFixtures, "reference fixtures not present")
     val t1 = Timestamp.valueOf("2025-01-15 05:00:00")
     val pipe = new HealthPipeline(spark, fixtures, configCsv, tmpDir("healthflt"), () => t1)
-    // silver stage only — enough to see the cast matrix, cheaper than
-    // a second full e2e (HealthPipelineSpec covers that)
     pipe.run(LocalDate.of(2025, 1, 15)).map(_.status).distinct shouldBe Seq("SUCCESS")
     pipe.silver("transactions").schema("Amount").dataType shouldBe DoubleType
     pipe.gold("patient_history").schema("BilledAmount").dataType shouldBe DoubleType
+
+    // flip decimalMoney over the float history: the SCD2 merge would
+    // silently widen decimal staging back to double — the silver stage
+    // must REFUSE instead (type drift is a migration, not a merge)
+    spark.conf.set(HealthPipeline.DecimalMoneyKey, "true")
+    try {
+      val res = pipe.run(LocalDate.of(2025, 1, 16), sleep = _ => ())
+      val silverStage = res.find(_.name == "silver").get
+      silverStage.status shouldBe "FAILED"
+      silverStage.error.get should include("decimalMoney")
+      // standing history untouched — still the float-mode schema
+      pipe.silver("transactions").schema("Amount").dataType shouldBe DoubleType
+    } finally spark.conf.unset(HealthPipeline.DecimalMoneyKey)
   }
 }

@@ -71,6 +71,25 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("q41 keeps an all-NULL column in the profile (n=0, n_null=total, 0 distinct)") {
+    val dir = tmpDir("q41null")
+    spark.sql(
+      """SELECT CAST(id % 7 + 1 AS DOUBLE) AS l_quantity,
+        |  CAST(NULL AS DOUBLE) AS l_extendedprice,
+        |  CAST(0.05 AS DOUBLE) AS l_discount
+        |FROM range(100)""".stripMargin)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val prof = Profiling.q41ProfileSketch(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val row = prof("l_extendedprice") // must NOT be dropped by the join
+    row.getLong(1) shouldBe 0L    // n (non-null)
+    row.getLong(2) shouldBe 100L  // n_null
+    row.getLong(3) shouldBe 0L    // n_distinct
+    row.getLong(4) shouldBe 0L    // est_distinct
+    row.isNullAt(5) shouldBe true // percentiles NULL, not fabricated
+    prof("l_quantity").getLong(3) shouldBe 7L
+  }
+
   test("q41 plan: no Expand, no row-sized sort, KMV rides a map-side TopK buffer") {
     assume(haveData, s"$sfDir not present")
     val df = Profiling.q41ProfileSketch(spark, sfDir)
