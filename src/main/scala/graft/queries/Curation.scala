@@ -404,6 +404,73 @@ object Curation {
         e6Frac(col("n_dup_chunks"), col("n_chunks")))
   }
 
+  // -- q109: content-defined chunking (CDC) dedup ---------------------
+
+  private val CdcW = 8 // gram width driving the boundary test
+  private val CdcDiv = 64 // cut when gram-hash % 64 == 0 → ~64-char chunks
+
+  /** Content-defined chunk relation (doc_id, source, h, len): a cut
+    * falls AFTER position i whenever the hash of the trailing
+    * [[CdcW]]-gram ending at i is ≡ 0 mod [[CdcDiv]] — so boundaries
+    * are a pure function of LOCAL content, and text shared by two
+    * documents at DIFFERENT offsets still chunks identically past the
+    * first boundary (the property q59's fixed 200-char stride lacks:
+    * there one inserted char shifts every later chunk). Everything
+    * per-document happens IN-ROW over array higher-order functions —
+    * cut positions via `filter(sequence(...))`, spans + chunk hashes
+    * via an index-aware `transform` — one codegen'd projection, no
+    * per-position explode, document text never leaves the scan stage;
+    * only fixed-width (hash, len) rows shuffle. Work is O(corpus
+    * chars) with a W-byte md5 per position; at 100 TB the md5 gram
+    * hash swaps for a gear/rolling-hash `Expression` without touching
+    * the plan shape. Docs shorter than W never cut (the i ≥ W
+    * conjunct) and always emit their single terminal chunk. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val isCut = s"i >= $CdcW AND CAST(conv(substring(md5(" +
+      s"substring(text, i - ${CdcW - 1}, $CdcW)), 1, 10), 16, 10) AS BIGINT)" +
+      s" % $CdcDiv = 0"
+    docs
+      .filter(length(col("text")) > 0)
+      .withColumn("ends", expr(
+        s"array_sort(array_distinct(concat(" +
+          s"filter(sequence(1, length(text)), i -> $isCut), " +
+          "array(length(text)))))"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(ends, (e, k) -> named_struct(" +
+            "'h', md5(substring(text, IF(k = 0, 1, element_at(ends, k) + 1), " +
+            "e - IF(k = 0, 0, element_at(ends, k)))), " +
+            "'len', CAST(e - IF(k = 0, 0, element_at(ends, k)) AS BIGINT)))"))
+          .as("ck"))
+      .select(col("doc_id"), col("source"),
+        col("ck.h").as("h"), col("ck.len").as("ch_len"))
+  }
+
+  /** CDC DEDUP PROFILE per source: chunk counts, distinct chunk
+    * hashes, and the char-weighted duplicate fraction — the
+    * shift-robust complement of q59 (which this query's scaladoc
+    * contrasts; CdcChunkSpec pins the boundary-alignment property on
+    * a shared-suffix corpus). Chunk frequency aggregates map-side
+    * partial on fixed-width hashes; the per-source rollup is a
+    * second bounded shuffle. */
+  val q109CdcChunkDedup: Q = (s, d) => {
+    // persisted: feeds both the chunk-frequency aggregate and the
+    // per-source rollup join; the cached relation is (doc_id, source,
+    // md5, len) — fixed-width, never text (the q59 convention)
+    val chunks = cdcChunks(Tables.documents(s, d))
+      .transform(graft.ops.SharedCache.persist)
+    val freq = chunks.groupBy("h").agg(count(lit(1)).as("occurrences"))
+    chunks.join(freq, "h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_distinct(col("h")).as("n_distinct_chunks"),
+        sum(col("ch_len")).as("chunk_chars"),
+        sum(when(col("occurrences") >= 2, col("ch_len")).otherwise(0L))
+          .as("dup_chars"))
+      .withColumn("dup_char_frac_e6", e6Frac(col("dup_chars"), col("chunk_chars")))
+  }
+
   // -- q67: PII redaction ---------------------------------------------
 
   /** Java-regex AND RE2 compatible patterns (no backrefs/lookaround),
@@ -678,6 +745,7 @@ object Curation {
     "q102_pps_sample" -> q102PpsSample,
     "q92_url_domains" -> q92UrlDomains,
     "q59_chunk_dedup" -> q59ChunkDedup,
+    "q109_cdc_chunk_dedup" -> q109CdcChunkDedup,
     "q67_pii_redact" -> q67PiiRedact,
     "q68_temperature_mix" -> q68TemperatureMix,
     "q69_bigram_coverage" -> q69BigramCoverage,
@@ -840,6 +908,44 @@ object Curation {
          |SELECT d.doc_id, d.source, r.n_docs, r.rate_b16
          |FROM documents d JOIN rates r ON d.source = r.source
          |WHERE ${hash16Sql("tempmix", "d.doc_id")} < r.rate_b16""".stripMargin,
+    // Independent restatement of the same content-defined boundaries:
+    // per-position unnest + window lag (the Spark side instead stays
+    // in-row over array HoFs — no per-position rows ever materialize).
+    "q109_cdc_chunk_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text, len(text) AS n
+         |  FROM documents WHERE len(text) > 0
+         |), pos AS (
+         |  SELECT doc_id, source, text,
+         |    unnest(range($CdcW, n + 1)) AS i
+         |  FROM d
+         |), cuts AS (
+         |  SELECT doc_id, source, text, CAST(i AS BIGINT) AS e
+         |  FROM pos
+         |  WHERE CAST('0x' || substr(md5(substr(text, CAST(i AS INT) - ${CdcW - 1}, $CdcW)), 1, 10)
+         |    AS BIGINT) % $CdcDiv = 0
+         |  UNION
+         |  SELECT doc_id, source, text, CAST(n AS BIGINT) FROM d
+         |), spans AS (
+         |  SELECT doc_id, source,
+         |    md5(substr(text,
+         |      CAST(coalesce(lag(e) OVER w, 0) + 1 AS INT),
+         |      CAST(e - coalesce(lag(e) OVER w, 0) AS INT))) AS h,
+         |    e - coalesce(lag(e) OVER w, 0) AS ch_len
+         |  FROM cuts
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY e)
+         |), f AS (
+         |  SELECT h, count(*) AS occ FROM spans GROUP BY 1
+         |)
+         |SELECT source,
+         |  count(*) AS n_chunks,
+         |  CAST(count(DISTINCT s.h) AS BIGINT) AS n_distinct_chunks,
+         |  CAST(sum(ch_len) AS BIGINT) AS chunk_chars,
+         |  CAST(sum(CASE WHEN occ >= 2 THEN ch_len ELSE 0 END) AS BIGINT) AS dup_chars,
+         |  CAST(round(1e6 * CAST(sum(CASE WHEN occ >= 2 THEN ch_len ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(ch_len) AS DOUBLE), 0) AS BIGINT) AS dup_char_frac_e6
+         |FROM spans s JOIN f USING (h)
+         |GROUP BY source""".stripMargin,
     "q59_chunk_dedup" ->
       s"""WITH ch AS (
          |  SELECT doc_id, md5(c) AS ch, CAST(len(c) AS BIGINT) AS ch_len

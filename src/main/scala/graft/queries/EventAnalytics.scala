@@ -470,6 +470,42 @@ object EventAnalytics {
         (col("n_sampled") * SketchScale).as("est_users"))
   }
 
+  // -- q108: skew-salted fact-to-dim join -----------------------------
+
+  private val JoinSalts = 16
+
+  /** SKEW-SALTED JOIN, surfaced as a first-class query: enrich every
+    * event with its user's first-seen timestamp (a per-user dimension
+    * — at 100 TB far past broadcast range) and roll activity up by
+    * user tenure. A plain shuffle join keys both sides on user_id
+    * alone, so ONE power user's events all land in one task — the
+    * classic straggler AQE's skew split cannot always fix (a hot key
+    * concentrated enough is a single task's worth of one key even
+    * after splitting). [[graft.ops.Skew.saltedJoin]] spreads each
+    * user's fact rows over [[JoinSalts]] sub-keys and replicates the
+    * dim row once per salt, bounding the heaviest task by
+    * hot_rows/16 at ANY skew. Salt placement never reaches the
+    * output — the result is join-exact, so the DuckDB oracle is the
+    * plain unsalted join. The tenure rollup then re-aggregates to a
+    * bounded (event_type × bucket) grid; n_users stays exact through
+    * the salted join because dim replication never duplicates a
+    * (fact-row, dim-row) match. */
+  val q108SaltedSkewJoin: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val dim = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    graft.ops.Skew.saltedJoin(e, dim, Seq("user_id"), JoinSalts)
+      .withColumn("age_days",
+        datediff(to_date(col("ts")), to_date(col("first_ts"))))
+      .withColumn("tenure",
+        when(col("age_days") === 0, "day0")
+          .when(col("age_days") <= 7, "week1")
+          .when(col("age_days") <= 30, "month1")
+          .otherwise("later"))
+      .groupBy(col("event_type"), col("tenure"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
@@ -483,11 +519,32 @@ object EventAnalytics {
     "q66_retention_cohorts" -> q66RetentionCohorts,
     "q77_activity_streaks" -> q77ActivityStreaks,
     "q79_hourly_spine" -> q79HourlySpine,
-    "q81_forward_fill" -> q81ForwardFill)
+    "q81_forward_fill" -> q81ForwardFill,
+    "q108_salted_skew_join" -> q108SaltedSkewJoin)
 
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // The UNSALTED join: salt affects row placement only, so the
+    // oracle restates q108 without it.
+    "q108_salted_skew_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        |  FROM events GROUP BY 1
+        |), j AS (
+        |  SELECT e.event_type, e.user_id,
+        |    date_diff('day', CAST(d.first_ts AS DATE),
+        |              CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS age_days
+        |  FROM events e JOIN dim d USING (user_id)
+        |)
+        |SELECT event_type,
+        |  CASE WHEN age_days = 0 THEN 'day0'
+        |       WHEN age_days <= 7 THEN 'week1'
+        |       WHEN age_days <= 30 THEN 'month1'
+        |       ELSE 'later' END AS tenure,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // Same deterministic sample restated the quadratic way: every
     // active day exploded into the windows it covers, then a distinct
     // count of sampled users per window (Spark instead merges per-day
