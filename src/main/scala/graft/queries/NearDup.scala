@@ -539,8 +539,75 @@ object NearDup {
       .filter(col("dist") <= 1)
   }
 
+  // -- q110: exact repeated-substring spans (ExactSubstr-style) -------
+
+  private val SubW = 32 // gram width; a dup span is any shared 32+-char run
+
+  /** EXACT REPEATED-SUBSTRING DEDUP (the suffix-array "ExactSubstr"
+    * modality, re-expressed for a shuffle engine): find every maximal
+    * character span that appears verbatim 2+ times in the corpus —
+    * finer than whole-doc q20, stricter than Jaccard q39, and offset-
+    * robust like q109 but exact. Every sliding [[SubW]]-gram is hashed
+    * IN-ROW (index-aware `transform` + posexplode — text never leaves
+    * the scan); a gram whose 48-bit hash occurs 2+ times corpus-wide
+    * marks its [pos, pos+31] interval as duplicated, and each doc's
+    * overlapping/adjacent intervals merge into MAXIMAL spans with the
+    * classic running-max interval sweep (prev-frame max(end), island
+    * counter — one window sort per doc, both Window nodes share it).
+    * A duplicated region of length L ≥ 32 yields exactly one span of
+    * exactly L chars, wherever it sits in either doc. The wide work
+    * shuffles fixed-width (hash, doc, pos) triples; the frequency
+    * relation prunes to dup grams BEFORE the join back, so the
+    * interval sweep touches only duplicated positions — at 100 TB the
+    * expected-unique gram mass never reaches a second shuffle.
+    * Output: per-doc span count, duplicated chars, longest span
+    * (docs with none report zeros — the corpus-health report shape). */
+  val q110ExactSubstrSpans: Q = (s, d) =>
+    exactSubstrSpans(Tables.documents(s, d))
+
+  /** Same over any (doc_id, text, …) relation — the spec drives it
+    * with constructed corpora to pin the maximal-span contract. */
+  private[graft] def exactSubstrSpans(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= SubW)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, length(text) - ${SubW - 1}), " +
+          s"i -> CAST(conv(substring(md5(substring(text, i, $SubW)), 1, 12), 16, 10) AS BIGINT))"))
+          .as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
+      // feeds the corpus-wide frequency AND the probe side of the
+      // dup-gram join — without the persist the gram scan runs twice
+      .transform(graft.ops.SharedCache.persist)
+    val dupGrams = grams.groupBy("h")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val prevMax = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = grams.join(dupGrams, "h")
+      .withColumn("en", col("pos") + (SubW - 1))
+      .withColumn("pme", max(col("en")).over(prevMax))
+      .withColumn("cut",
+        when(col("pme").isNull || col("pos") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("cut")).over(run))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("st"), max(col("en")).as("en"))
+    docs.select(col("doc_id"))
+      .join(
+        spans.groupBy("doc_id").agg(
+          count(lit(1)).as("n_dup_spans"),
+          sum(col("en") - col("st") + 1).as("dup_chars"),
+          max(col("en") - col("st") + 1).as("max_span_len")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q85_edit_distance_dedup" -> q85EditDistanceDedup,
+    "q110_exact_substr_spans" -> q110ExactSubstrSpans,
     "q31_dedup_simhash" -> q31DedupSimhash,
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
     "q33_ann_ivf" -> q33AnnIvf,
@@ -600,6 +667,46 @@ object NearDup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent restatement: per-position unnest, HAVING-filtered
+    // gram frequency, and the same running-max interval sweep.
+    "q110_exact_substr_spans" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text) AS n
+         |  FROM documents WHERE len(text) >= $SubW
+         |), g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $SubW)), 1, 12) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, text, unnest(range(1, n - ${SubW - 2})) AS i FROM d)
+         |), f AS (
+         |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+         |), dup AS (
+         |  SELECT g.doc_id, g.pos, g.pos + ${SubW - 1} AS en
+         |  FROM g JOIN f USING (h)
+         |), marked AS (
+         |  SELECT doc_id, pos, en,
+         |    max(en) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM dup
+         |), isl AS (
+         |  SELECT doc_id, pos, en,
+         |    sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM marked
+         |), sp AS (
+         |  SELECT doc_id, island, min(pos) AS st, max(en) AS en
+         |  FROM isl GROUP BY 1, 2
+         |), pd AS (
+         |  SELECT doc_id,
+         |    count(*) AS n_dup_spans,
+         |    CAST(sum(en - st + 1) AS BIGINT) AS dup_chars,
+         |    CAST(max(en - st + 1) AS BIGINT) AS max_span_len
+         |  FROM sp GROUP BY 1
+         |)
+         |SELECT doc.doc_id,
+         |  coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(pd.dup_chars, 0) AS dup_chars,
+         |  coalesce(pd.max_span_len, 0) AS max_span_len
+         |FROM documents doc LEFT JOIN pd USING (doc_id)""".stripMargin,
     // Independent quadratic restatement: all-pairs levenshtein over the
     // capped name set — the scan the deletion-neighborhood join avoids.
     "q85_edit_distance_dedup" ->
