@@ -355,8 +355,41 @@ object Profiling {
     state.select(col("o_custkey"), col("cnt"), col("sum_v"), col("min_v"), col("max_v"))
   }
 
+  // -- q111: embedding dimension profile ------------------------------
+
+  /** EMBEDDING DIMENSION PROFILE — the feature-space drift audit a
+    * vector pipeline runs before any ANN/clustering job (collapsed or
+    * shifted dimensions silently wreck cosine): per-dimension count,
+    * min/max/mean and sign balance over the e4-QUANTIZED embedding
+    * space (the q23/q32 quantization, so numbers line up with the
+    * integer dot/cosine family). The array explodes in-row
+    * (posexplode); ONE shuffle of (dim, qx) pairs feeds a 64-group
+    * aggregate with map-side partials — per-dim state is constant
+    * width, so the plan is unchanged at 100 TB (|qx| ≤ 1e4 leaves
+    * sum_e4 ~1e14 rows of BIGINT headroom). The mean follows the
+    * README div contract: dividend shifted nonnegative (valid for
+    * the normalized-embedding range |x| ≤ 1 — min_e4/max_e4 in the
+    * output witness the precondition), truncating `div` ≡ flooring
+    * `//`, shift subtracted back. */
+  val q111EmbeddingDimProfile: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT))"))
+        .as(Seq("dim", "qx")))
+      .select(col("dim").cast("long").as("dim"), col("qx"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("qx")).as("min_e4"),
+        max(col("qx")).as("max_e4"),
+        sum(col("qx")).as("sum_e4"),
+        sum(when(col("qx") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("qx") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("mean_e4", expr("(sum_e4 + n * 10000) div n - 10000"))
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
+    "q111_embedding_dim_profile" -> q111EmbeddingDimProfile,
     "q42_train_test_split" -> q42TrainTestSplit,
     "q76_length_histogram" -> q76LengthHistogram,
     "q87_key_skew_profile" -> q87KeySkewProfile,
@@ -365,6 +398,24 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same e4 quantization; unnest zipped with generate_subscripts
+    // (1-based, hence the -1) replaces posexplode.
+    "q111_embedding_dim_profile" ->
+      """WITH q AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT) AS qx
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |)
+        |SELECT dim, count(*) AS n,
+        |  min(qx) AS min_e4, max(qx) AS max_e4,
+        |  CAST(sum(qx) AS BIGINT) AS sum_e4,
+        |  CAST(sum(CASE WHEN qx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN qx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST((CAST(sum(qx) AS BIGINT) + count(*) * 10000) // count(*) - 10000
+        |    AS BIGINT) AS mean_e4
+        |FROM q GROUP BY dim""".stripMargin,
     // Deterministic-sketch profile: identical KMV + rank-percentile
     // integer math restated over the same value-frequency relation.
     "q41_profile_sketch" ->
