@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, BinaryExpression, EvalMode, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -159,10 +161,88 @@ object VectorFunctions {
   def dotDouble(a: Column, b: Column): Column = call_function("graft_dot_double", a, b)
 }
 
+/** Optimizer rule: rewrite the DECLARATIVE dot-product idiom
+  *
+  *   `aggregate(zip_with(a, b, (x, y) -> x * y), 0, (s, x) -> s + x)`
+  *
+  * into the fused codegen'd [[DotProductLong]]/[[DotProductDouble]] —
+  * so a user who writes the natural higher-order-function form gets
+  * the no-intermediate-array multiply-add loop automatically. This is
+  * the engine's one `Rule[LogicalPlan]`: everywhere else composition
+  * of built-ins is the point, but here the composed form materializes
+  * a length-n array per CANDIDATE PAIR inside the ANN inner loop —
+  * the measured hot spot VectorExpressions exists for.
+  *
+  * Match conditions (all required — anything else is left alone):
+  *  - zip lambda is exactly `x * y` over its own two variables, merge
+  *    is exactly `acc + x`, finish is the identity (what
+  *    `functions.aggregate` emits when no finish is given); Multiply/
+  *    Add commute, so variable order is free;
+  *  - zero is literal 0 of the matching element type;
+  *  - both inputs are ARRAY<BIGINT> / ARRAY<DOUBLE> with
+  *    containsNull = false (a null element would null the fold, while
+  *    the fused loop assumes dense vectors);
+  *  - arithmetic is LEGACY eval mode: under ANSI the composed form
+  *    throws on Long overflow, the fused loop wraps — skipping the
+  *    rewrite preserves ANSI semantics exactly.
+  *
+  * Contract note: on RAGGED pairs `zip_with` pads with null (the fold
+  * returns null) while the fused expression THROWS — the same
+  * fail-loud contract every direct caller of graft_dot_* already
+  * accepts. The rule ships only through [[GraftExtensions]], so a
+  * session opts into that contract explicitly. */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isIdentity(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      v.exprId == a.exprId
+    case _ => false
+  }
+
+  private def isPairProduct(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(
+        m @ Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      m.evalMode == EvalMode.LEGACY &&
+        Set(x.exprId, y.exprId) == Set(a.exprId, b.exprId)
+    case _ => false
+  }
+
+  private def isSumMerge(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(
+        m @ Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      m.evalMode == EvalMode.LEGACY &&
+        Set(x.exprId, y.exprId) == Set(a.exprId, b.exprId)
+    case _ => false
+  }
+
+  private def denseArrayOf(e: Expression, et: DataType): Boolean = e.dataType match {
+    case ArrayType(t, containsNull) => t == et && !containsNull
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(l, r, prod: LambdaFunction),
+        Literal(0L, LongType), merge: LambdaFunction, finish: LambdaFunction)
+        if isPairProduct(prod) && isSumMerge(merge) && isIdentity(finish) &&
+          denseArrayOf(l, LongType) && denseArrayOf(r, LongType) =>
+      DotProductLong(l, r)
+    case ArrayAggregate(
+        ZipWith(l, r, prod: LambdaFunction),
+        Literal(z, DoubleType), merge: LambdaFunction, finish: LambdaFunction)
+        if z == 0.0d && isPairProduct(prod) && isSumMerge(merge) && isIdentity(finish) &&
+          denseArrayOf(l, DoubleType) && denseArrayOf(r, DoubleType) =>
+      DotProductDouble(l, r)
+  }
+}
+
 /** `spark.sql.extensions` injection point: sessions built with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions` get the
-  * vector functions out of the box. */
+  * vector functions AND the [[DotProductRewrite]] optimizer rule out
+  * of the box. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -173,5 +253,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_double"),
       (es: Seq[Expression]) => DotProductDouble(es(0), es(1))))
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -76,6 +76,44 @@ class VectorExpressionsSpec extends SparkSpec {
     finally () // shared JVM: don't stop the session other specs may hold
   }
 
+  test("DotProductRewrite fuses the declarative fold; non-dot folds are left alone") {
+    import spark.implicits._
+    val prior = spark.experimental.extraOptimizations
+    val priorAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    // the rule only fires on LEGACY arithmetic (under ANSI the composed
+    // fold throws on overflow, the fused loop wraps — semantics differ)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.experimental.extraOptimizations = prior :+ graft.functions.DotProductRewrite
+    try {
+      val df = spark.range(1, 4)
+        .select(array(col("id"), col("id") + 1).as("a"),
+          array(col("id") * 2, col("id")).as("b"))
+        .select(expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x)").as("d"))
+      df.queryExecution.optimizedPlan.toString should include("graft_dot_long")
+      df.as[Long].collect().sorted shouldBe Array(4L, 14L, 30L)
+
+      val dd = spark.range(1, 3)
+        .select(array(col("id").cast("double"), lit(0.5)).as("a"),
+          array(lit(2.0), col("id").cast("double")).as("b"))
+        .select(expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, x) -> s + x)").as("d"))
+      dd.queryExecution.optimizedPlan.toString should include("graft_dot_double")
+      dd.as[Double].collect().sorted shouldBe Array(2.5, 5.0)
+
+      // zero != 0 is some other fold — must NOT rewrite, must still run
+      val other = spark.range(1, 3)
+        .select(array(col("id")).as("a"), array(col("id")).as("b"))
+        .select(expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 1L, (s, x) -> s + x)").as("d"))
+      (other.queryExecution.optimizedPlan.toString should not).include("graft_dot_long")
+      other.as[Long].collect().sorted shouldBe Array(2L, 5L)
+    } finally {
+      spark.experimental.extraOptimizations = prior
+      spark.conf.set("spark.sql.ansi.enabled", priorAnsi)
+    }
+  }
+
   test("the expression is codegen'd (no fallback to interpreted eval)") {
     import spark.implicits._
     VectorFunctions.register(spark)
