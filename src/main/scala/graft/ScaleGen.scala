@@ -39,9 +39,11 @@ object ScaleGen {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as nanosecond LONG
-      // (Tables.events convention); the replica writes it back as a
-      // plain BIGINT, which Tables.events rebuilds identically
+      // events.ts dual-encoding (see Tables.events): a TIMESTAMP(NANOS)
+      // source reads as nanosecond LONG under this conf and the replica
+      // writes it back as plain BIGINT (nanos branch downstream); a
+      // TIMESTAMP(MICROS) source reads as TIMESTAMP_NTZ and round-trips
+      // as NTZ (cast branch downstream). Both load identically.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
 

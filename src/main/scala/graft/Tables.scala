@@ -21,19 +21,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright — the legacy conf reads
-    * it as a nanosecond LONG instead, and we rebuild a microsecond
-    * timestamp with integer division (`div`, not `/`: double division
-    * loses precision above 2^53 ns). NOTE `div` truncates toward zero,
-    * which equals the DuckDB CAST(ts AS TIMESTAMP) truncation only for
-    * ts >= epoch — the testdata (and any event log) satisfies that;
-    * pre-1970 nanos would round the other way by 1µs. */
+  /** Dual-encoding contract for `events.ts`: the driver has shipped
+    * `events.parquet` with `ts` as parquet TIMESTAMP(NANOS) (rounds
+    * ≤6) and TIMESTAMP(MICROS) (round 7+), and may regenerate either
+    * way again. We branch on the RESOLVED Spark dtype so both (and a
+    * plain TIMESTAMP) load to one canonical type: session-local
+    * `TimestampType` in microseconds.
+    *
+    *  - NANOS: Spark's vectorized reader rejects TIMESTAMP(NANOS)
+    *    outright; `spark.sql.legacy.parquet.nanosAsLong` reads it as a
+    *    nanosecond LONG and we rebuild micros with integer division
+    *    (`div`, not `/`: double division loses precision above 2^53
+    *    ns). `div` truncates toward zero, which equals DuckDB's
+    *    CAST(ts AS TIMESTAMP) truncation only for ts >= epoch — event
+    *    logs satisfy that; pre-1970 nanos would differ by 1µs.
+    *  - MICROS (isAdjustedToUTC=false): resolves as TIMESTAMP_NTZ; a
+    *    cast to TimestampType reinterprets the wall-clock in the
+    *    SESSION time zone. The engine mains pin
+    *    `spark.sql.session.timeZone=UTC` (Verify/Bench/Smoke), which
+    *    makes the cast value-preserving and bit-equal to DuckDB's
+    *    naive CAST — that UTC pin is part of this contract and is
+    *    enforced by EventsEncodingSpec, not an accident of config.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // harmless when the file is micros; required before scan for nanos
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType            => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => df // already TimestampType
+    }
   }
   /** CPU-bound modalities (text shingling/regex, vector math) need
     * scan-stage parallelism even when the input arrives as a handful
@@ -48,8 +68,13 @@ object Tables {
     * is a no-op, preserving pushdown-friendly plain scans. Filters
     * and pruning still reach the scan: Catalyst pushes both through a
     * deterministic Repartition. */
-  private val scanPartitions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+  // Weak session keys: a strong (SparkSession, path) map key would
+  // retain every stopped SparkSession for the life of the JVM — a real
+  // leak in a long-lived service embedding the library. With the weak
+  // outer map, a collected session takes its per-path memo with it.
+  private val scanPartitions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Integer]]())
 
   private def withMinParallelism(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
@@ -57,8 +82,10 @@ object Tables {
     // read a partition count; memoize it per (session, path) so the
     // ~30 consumers (several touching the table more than once per
     // query build) pay the planning cost once, not per call
-    val parts = scanPartitions.computeIfAbsent(
-      (s, key), _ => Integer.valueOf(df.rdd.getNumPartitions))
+    val perSession = scanPartitions.computeIfAbsent(
+      s, _ => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
+    val parts = perSession.computeIfAbsent(
+      key, _ => Integer.valueOf(df.rdd.getNumPartitions))
     if (parts < target) df.repartition(target) else df
   }
 

@@ -593,9 +593,12 @@ object EventAnalytics {
         |SELECT prev_type, next_type, n_trans,
         |  CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS rate_ppm
         |FROM c""".stripMargin,
-    // DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP
-    // truncates to the same microseconds Spark reconstructs (see
-    // Tables.events).
+    // Dual-encoding contract (see Tables.events): with the round-7+
+    // TIMESTAMP(MICROS) files DuckDB's CAST(ts AS TIMESTAMP) is a
+    // no-op on the same micros Spark loads; with the older
+    // TIMESTAMP(NANOS) files DuckDB reads TIMESTAMP_NS and the CAST
+    // truncates to the same microseconds Spark reconstructs. Either
+    // way both sides agree bit-for-bit under the UTC session pin.
     "q34_events_windowed" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |  count(*) AS n_events,
