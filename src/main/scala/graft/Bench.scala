@@ -31,6 +31,14 @@ import java.nio.file.{Files, Paths}
   *    shared materialization paying for the group;
   *  - after the loop, the measured shared-cache footprint (one stderr
   *    line per cached relation) documents the declared memory budget.
+  *
+  * Round-8: BOTH modes in one artifact. The default run is now two
+  * passes — shared-cache (the headline `"queries"`/`"value"`, unchanged
+  * shape for the driver) followed by isolate (added as
+  * `"isolate_queries"`/`"isolate_total"`) — so per-query numbers are
+  * attributable without a second judge run. `SPARK_GRAFT_BENCH_MODE`
+  * = `shared` | `isolate` | `both` (default `both`) selects passes;
+  * the legacy `SPARK_GRAFT_BENCH_ISOLATE=1` still forces isolate-only.
   */
 object Bench {
 
@@ -47,6 +55,9 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // benched plans run with the engine's optimizer rule + function
+      // registry installed (same session shape Verify gates on)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -59,26 +70,41 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val failed = scala.collection.mutable.ListBuffer[String]()
-    names.foreach { name =>
-      if (isolate) { // per-query attribution: no cross-query cache reuse
-        graft.ops.SharedCache.releaseAll()
-        spark.catalog.clearCache()
-      }
-      val fn = SparkEntry.queries(name)
-      val best = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { touch(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            Double.NaN
+    val mode =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")) "isolate"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
+
+    def runPass(isolate: Boolean)
+        : (scala.collection.mutable.LinkedHashMap[String, Double], Seq[String]) = {
+      val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val failed = scala.collection.mutable.ListBuffer[String]()
+      names.foreach { name =>
+        if (isolate) { // per-query attribution: no cross-query cache reuse
+          graft.ops.SharedCache.releaseAll()
+          spark.catalog.clearCache()
         }
-      }.min
-      if (best.isNaN) failed += name else timings(name) = best
+        val fn = SparkEntry.queries(name)
+        val best = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try { touch(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              Double.NaN
+          }
+        }.min
+        if (best.isNaN) failed += name else timings(name) = best
+      }
+      (timings, failed.toSeq)
     }
+
+    // shared pass first (it is the headline and wants warm caches built
+    // on its own clock, as the driver has always measured), then the
+    // isolate pass, which starts by releasing everything anyway
+    val (timings, failed) =
+      if (mode == "isolate") runPass(isolate = true) else runPass(isolate = false)
+    val isolatePass =
+      if (mode == "both") Some(runPass(isolate = true)) else None
 
     // declared-budget evidence: what the shared caches actually hold
     // (RDD names are multi-line plan dumps — flatten + truncate so each
@@ -90,19 +116,24 @@ object Bench {
         f"disk=${i.diskSize / 1048576.0}%.1fMB parts=${i.numCachedPartitions} $name")
     }
 
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def qjson(t: scala.collection.mutable.LinkedHashMap[String, Double]): String =
+      t.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val fl = (failed ++ isolatePass.map(_._2).getOrElse(Nil)).distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.sum
+    val isolateFields = isolatePass.map { case (t, _) =>
+      s""","isolate_total":${f"${t.values.sum}%.3f"},"isolate_queries":${qjson(t)}"""
+    }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","queries":${qjson(timings)}$isolateFields,"failed":$fl,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     println(json)
     // compact summary LAST: survives any tail-truncated log capture
-    println(s"""{"total":${f"$total%.3f"},"n":${timings.size},"failed":${failed.size},"isolate":$isolate}""")
+    val allFailed = (failed ++ isolatePass.map(_._2).getOrElse(Nil)).distinct
+    println(s"""{"total":${f"$total%.3f"},"n":${timings.size},"failed":${allFailed.size},"mode":"$mode"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (allFailed.nonEmpty) sys.exit(1)
   }
 }
