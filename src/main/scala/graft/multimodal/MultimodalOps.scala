@@ -34,14 +34,15 @@ trait Codec extends Serializable {
   def resize(a: Asset, width: Int, height: Int): Asset
 }
 
-/** STUB codec — this container has no image/audio libraries, so the
-  * decode step is a deterministic fake: dimensions, frame count, and
-  * features are pure functions of the byte content (an FNV-1a rolling
-  * hash). Everything AROUND the codec — the typed schema, the
-  * partition-parallel `mapPartitions` plumbing, strided frame
-  * sampling, batch shape — is real and tested (MultimodalOpsSpec).
-  * Swap in a real codec (JPEG decode, PCM resample, …) by implementing
-  * [[Codec]]; no other code changes.
+/** Deterministic fallback codec for modalities the JDK cannot decode
+  * (audio/video — this container has no media libraries): dimensions,
+  * frame count, and features are pure functions of the byte content
+  * (an FNV-1a rolling hash). Images go through the REAL
+  * [[ImageIoCodec]] (JDK `javax.imageio`, below), which falls back
+  * here per-row for non-image mimes, so mixed batches decode without
+  * task failure. Swap in a real audio/video codec (PCM resample,
+  * frame extraction, …) by implementing [[Codec]]; no other code
+  * changes.
   */
 object StubCodec extends Codec {
   private val FeatureDim = 8
@@ -80,6 +81,114 @@ object StubCodec extends Codec {
       val stride = a.bytes.length.toDouble / target
       a.copy(bytes = Array.tabulate(target)(i =>
         a.bytes(math.min(a.bytes.length - 1, (i * stride).toInt))))
+    }
+}
+
+/** Real image codec on the JDK's own `javax.imageio` — no external
+  * libraries. Handles the formats the JDK ships readers for (PNG,
+  * JPEG, GIF, BMP, WBMP); any other mime (audio/video/unknown) falls
+  * back to [[StubCodec]] so mixed-modality batches still decode
+  * row-by-row without partition failure.
+  *
+  *  - `decode`: true raster dimensions, reader frame count (animated
+  *    GIFs report their real frame total), and an 8-dim feature vector
+  *    of deterministic image statistics — mean R/G/B, mean luma, luma
+  *    stddev, aspect ratio, mean gradient magnitude (edge energy), and
+  *    fraction of dark pixels. Pure integer/double arithmetic over
+  *    pixels: identical on every JVM.
+  *  - `resize`: decode → explicit-loop nearest-neighbor resample
+  *    (NOT Graphics2D scaling, whose interpolation is implementation-
+  *    defined) → PNG re-encode (lossless, deterministic payload for a
+  *    given raster).
+  *
+  * Codec instances hold no state; `ImageIO.setUseCache(false)` keeps
+  * executor tasks off local disk for the stream plumbing.
+  */
+object ImageIoCodec extends Codec {
+  import java.awt.image.BufferedImage
+  import javax.imageio.ImageIO
+
+  private def imageMime(m: String): Boolean = m.startsWith("image/")
+
+  private def readImage(a: Asset): Option[(BufferedImage, Int)] = {
+    ImageIO.setUseCache(false)
+    val in = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(a.bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val frames =
+            try math.max(1, r.getNumImages(true))
+            catch { case _: Throwable => 1 }
+          Some((r.read(0), frames))
+        } finally r.dispose()
+      }
+    } catch { case _: Throwable => None } finally in.close()
+  }
+
+  def decode(a: Asset): AssetFeatures =
+    (if (imageMime(a.mime)) readImage(a) else None) match {
+      case None => StubCodec.decode(a) // non-image or undecodable payload
+      case Some((img, frames)) =>
+        val w = img.getWidth; val h = img.getHeight
+        val n = w.toLong * h
+        var sr, sg, sb, sy, syy, grad = 0.0
+        var dark = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            val luma = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sy += luma; syy += luma * luma
+            if (luma < 32.0) dark += 1
+            if (x > 0) { // horizontal gradient: mean |Δluma| across columns
+              val q = img.getRGB(x - 1, y)
+              val ql = 0.299 * ((q >> 16) & 0xff) + 0.587 * ((q >> 8) & 0xff) + 0.114 * (q & 0xff)
+              grad += math.abs(luma - ql)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val meanY = sy / n
+        val stdY = math.sqrt(math.max(0.0, syy / n - meanY * meanY))
+        AssetFeatures(
+          asset_id = a.asset_id, mime = a.mime, n_bytes = a.bytes.length,
+          width = w, height = h, n_frames = frames,
+          features = Array(
+            (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+            (meanY / 255.0).toFloat, (stdY / 255.0).toFloat,
+            (w.toDouble / h).toFloat,
+            (if (w > 1) grad / ((w - 1).toLong * h) / 255.0 else 0.0).toFloat,
+            (dark.toDouble / n).toFloat))
+    }
+
+  def resize(a: Asset, width: Int, height: Int): Asset =
+    (if (imageMime(a.mime)) readImage(a) else None) match {
+      case None => StubCodec.resize(a, width, height)
+      case Some((img, _)) =>
+        val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        val sx = img.getWidth.toDouble / width
+        val sy = img.getHeight.toDouble / height
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            out.setRGB(x, y, img.getRGB(
+              math.min(img.getWidth - 1, (x * sx).toInt),
+              math.min(img.getHeight - 1, (y * sy).toInt)))
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        ImageIO.write(out, "png", buf) // lossless: resize→decode round-trips
+        a.copy(bytes = buf.toByteArray, mime = "image/png")
     }
 }
 

@@ -399,6 +399,52 @@ object LlmPipeline {
     assets.select(outCols: _*)
   }
 
+  // -- q112: REAL image decode (javax.imageio) -----------------------
+
+  /** Real raster decode on the distributed path: synthesize a flat-
+    * color PNG per document (raster size and fill are pure functions
+    * of `doc_id`), push it through [[graft.multimodal.ImageIoCodec]]
+    * (JDK `javax.imageio` — real PNG encode, real decode, real pixel
+    * statistics) via the partition-parallel decode plumbing, and emit
+    * integer-exact decoded stats. The oracle recomputes the same pure
+    * functions of `doc_id`, so a match requires the PNG encode →
+    * decode → pixel-scan round trip to be pixel-exact — this gates
+    * the REAL codec, not the stub. Narrow map end-to-end (no
+    * shuffle); at 100 TB decode parallelism is scan partitioning,
+    * same as every other modality. 10% sample keeps the bench honest
+    * about per-image cost without dominating the suite. */
+  val q112ImageDecodeStats: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.{Asset, ImageIoCodec, MultimodalOps}
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 10 === 0).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((id / 16) % 16).toInt
+        val rgb = (((id * 37) % 256).toInt << 16) |
+          (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Asset(id, buf.toByteArray, "image/png", "synthetic")
+      }
+    }(MultimodalOps.assetEncoder)
+    MultimodalOps.decodeFeatures(assets, ImageIoCodec)
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        // flat fill ⇒ channel means are exactly the fill bytes; ×255
+        // + round undoes the /255 normalization losslessly
+        round(col("features")(0) * 255).cast("long").as("mean_r"),
+        round(col("features")(1) * 255).cast("long").as("mean_g"),
+        round(col("features")(2) * 255).cast("long").as("mean_b"))
+  }
+
   // -- q43: curated-corpus composition -------------------------------
 
   /** The end-to-end curation run the individual operators exist for,
@@ -630,6 +676,7 @@ object LlmPipeline {
     "q24_ann_lsh_bucketed" -> q24AnnLshBucketed,
     "q25_doc_fingerprint" -> q25DocFingerprint,
     "q26_multimodal_features" -> q26MultimodalFeatures,
+    "q112_image_decode_stats" -> q112ImageDecodeStats,
     "q43_curated_corpus" -> q43CuratedCorpus,
     "q44_vocab_top_df" -> q44VocabTopDf,
     "q45_winnow_fingerprint" -> q45WinnowFingerprint)
@@ -928,6 +975,18 @@ object LlmPipeline {
          |  $feats
          |FROM documents""".stripMargin
     },
+    // The oracle recomputes the raster generator's pure functions of
+    // doc_id; Spark must recover the SAME integers by actually
+    // encoding + decoding + pixel-scanning the PNG (ImageIoCodec).
+    "q112_image_decode_stats" ->
+      """SELECT doc_id AS asset_id,
+        |  8 + doc_id % 16 AS width,
+        |  8 + (doc_id // 16) % 16 AS height,
+        |  1 AS n_frames,
+        |  (doc_id * 37) % 256 AS mean_r,
+        |  (doc_id * 59) % 256 AS mean_g,
+        |  (doc_id * 83) % 256 AS mean_b
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
     // Same curation algebra restated: stats -> quality gate -> arg_min
     // dedup on the content hash -> hash split -> (lang, split) rollup.
     "q43_curated_corpus" -> {
