@@ -76,21 +76,27 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Integer]]())
 
-  private def withMinParallelism(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+  private def withMinParallelism(s: SparkSession, d: String, name: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    // df.rdd forces a full analysis + physical-planning pass just to
-    // read a partition count; memoize it per (session, path) so the
-    // ~30 consumers (several touching the table more than once per
-    // query build) pay the planning cost once, not per call
+    val df = apply(s, d, name)
+    // .rdd forces a full analysis + physical-planning pass just to read
+    // a partition count; memoize it per (session, path) so the ~30
+    // consumers (several touching the table more than once per query
+    // build) pay the planning cost once, not per call. The probe runs
+    // on a THROWAWAY re-read, never on the returned DataFrame: forcing
+    // toRdd on the same object whose logical plan the caller then
+    // composes (e.g. q114's index/query self-join) corrupts later
+    // attribute binding in Spark 4 (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    // on first execution) — reproduced and pinned by the q114 path.
     val perSession = scanPartitions.computeIfAbsent(
       s, _ => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
     val parts = perSession.computeIfAbsent(
-      key, _ => Integer.valueOf(df.rdd.getNumPartitions))
+      s"$d/$name", _ => Integer.valueOf(apply(s, d, name).rdd.getNumPartitions))
     if (parts < target) df.repartition(target) else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    withMinParallelism(s, apply(s, d, "documents"), s"$d/documents")
+    withMinParallelism(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    withMinParallelism(s, apply(s, d, "embeddings"), s"$d/embeddings")
+    withMinParallelism(s, d, "embeddings")
 }

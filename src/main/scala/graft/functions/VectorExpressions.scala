@@ -228,6 +228,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
         Literal(0L, LongType), merge: LambdaFunction, finish: LambdaFunction)
         if isPairProduct(prod) && isSumMerge(merge) && isIdentity(finish) &&
           denseArrayOf(l, LongType) && denseArrayOf(r, LongType) =>
+      System.err.println(s"[DPR-DEBUG] fused: l=${l.sql.take(200)} r=${r.sql.take(200)}")
       DotProductLong(l, r)
     case ArrayAggregate(
         ZipWith(l, r, prod: LambdaFunction),

@@ -612,6 +612,82 @@ object Curation {
       .withColumn("coverage_e6", e6Frac(col("n_covered"), col("n_bigrams")))
   }
 
+  // -- q115: cross-source shingle-overlap matrix ------------------------
+
+  /** CORPUS GOVERNANCE: how much does each pair of ingest sources
+    * overlap? For every source pair sharing at least one 5-gram, the
+    * exact Jaccard similarity between the sources' distinct-shingle
+    * SETS — the corpus-level complement of the document-level near-dup
+    * family (q21/q39 ask "which docs repeat"; this asks "which FEEDS
+    * repeat each other", the signal for dropping a mirror site or a
+    * re-crawled dump before paying to dedup it doc-by-doc).
+    *
+    * Plan: distinct (source, gram-hash) — text collapses to 48-bit
+    * keys at the scan, one shuffle; per-source set sizes are an
+    * S-row broadcast; the intersection is a self-equi-join ON THE
+    * GRAM HASH, so the expansion per gram is bounded by the number of
+    * sources sharing it (≤ S, ~20 here) — never quadratic in rows. At
+    * 100 TB: S stays small while rows grow, so the join stays a
+    * hash-partitioned gram-key join; pairs with zero shared shingles
+    * are absent by construction (an S×S dense matrix would need a
+    * cartesian the plan gate forbids). */
+  val q115SourceOverlap: Q = (s, d) => {
+    val sg = Tables.documents(s, d)
+      .select(col("source"), explode(array_distinct(
+        ngrams(tokens(col("text")), ContamN))).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
+      .distinct()
+      .transform(graft.ops.SharedCache.persist)
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sg.select(col("source").as("src_a"), col("gh"))
+      .join(sg.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        e6Frac(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")).as("jaccard_e6"))
+  }
+
+  // -- q113: hashed-feature linear quality classifier -------------------
+
+  private val ClsMix = 2654435761L // Knuth multiplicative mix
+  private val ClsRange = 2001L     // weights span [-1000, 1000]
+
+  /** MODEL-BASED QUALITY FILTER (the fasttext/CCNet-style linear
+    * classifier, serving side): each token is hashed into one of 256
+    * feature buckets (hashing trick — the vocabulary never needs a
+    * join), every bucket carries a frozen weight, and the document's
+    * margin is the token-count-weighted average weight. The weights
+    * here are a deterministic hash-derived stand-in for trained
+    * parameters (the q24 planeWeights convention) — what the operator
+    * contributes is the SERVING PLAN: the whole model lives inside a
+    * constant-size expression tree (`aggregate` over the token array,
+    * md5 bucket + multiplicative mix per token), so scoring is a pure
+    * narrow map — ZERO shuffles, no weight-table join, no UDF — and a
+    * 1000-executor cluster scores 100 TB at scan speed. Swapping real
+    * trained weights in means replacing the mix formula with a 256-
+    * element literal array lookup — same plan.
+    *
+    * Integer contract: per-token shifted weight (b·mix mod 2001) ∈
+    * [0, 2000] keeps every `div` operand non-negative (README div
+    * contract); margin_e3 = avg·1000 − 1 000 000 recovers the signed
+    * scale exactly in both engines. */
+  val q113QualityClassifier: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val wShift = (t: Column) =>
+      (conv(substring(md5(t), 1, 2), 16, 10).cast("long") * ClsMix) % ClsRange
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        aggregate(tk, lit(0L), (acc, t) => acc + wShift(t)).as("sum_shift"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("sum_shift * 1000 div n_tokens") - 1000000L).as("margin_e3"),
+        (expr("sum_shift * 1000 div n_tokens") > 1000000L).as("keep"))
+  }
+
   // -- q70: sliding-window chunking with overlap ------------------------
 
   private val ChunkTokens = 64
@@ -750,6 +826,8 @@ object Curation {
     "q68_temperature_mix" -> q68TemperatureMix,
     "q69_bigram_coverage" -> q69BigramCoverage,
     "q70_stride_chunk" -> q70StrideChunk,
+    "q113_quality_classifier" -> q113QualityClassifier,
+    "q115_source_overlap" -> q115SourceOverlap,
     "q53_exact_k_sample" -> q53ExactKSample,
     "q56_sequence_pack" -> q56SequencePack,
     "q46_repetition_stats" -> q46RepetitionStats,
@@ -877,6 +955,37 @@ object Curation {
          |    / CAST(sum(p.c) AS DOUBLE), 0) AS BIGINT) AS coverage_e6
          |FROM pd p LEFT JOIN top t USING (gh)
          |GROUP BY 1""".stripMargin,
+    "q113_quality_classifier" ->
+      s"""WITH $toksCte, tok AS (
+         |  SELECT doc_id,
+         |    (CAST('0x' || substr(md5(u.t), 1, 2) AS BIGINT) * $ClsMix) % $ClsRange AS wshift
+         |  FROM toks, LATERAL unnest(tk) u(t)
+         |), sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(wshift) AS BIGINT) AS sum_shift
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens,
+         |  (sum_shift * 1000 // n_tokens) - 1000000 AS margin_e3,
+         |  (sum_shift * 1000 // n_tokens) > 1000000 AS keep
+         |FROM sc""".stripMargin,
+    "q115_source_overlap" ->
+      s"""WITH $toksCte, sg AS (
+         |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT source, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
+         |), sizes AS (
+         |  SELECT source, count(*) AS n FROM sg GROUP BY 1
+         |), inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+         |  CAST(round(1e6 * CAST(i.n_shared AS DOUBLE)
+         |    / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+         |FROM inter i
+         |JOIN sizes sa ON sa.source = i.src_a
+         |JOIN sizes sb ON sb.source = i.src_b""".stripMargin,
     "q70_stride_chunk" ->
       s"""WITH $toksCte, b AS (
          |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok

@@ -347,6 +347,36 @@ object EventAnalytics {
           .over(w)).as("us_since_purchase"))
   }
 
+  // -- q116: time-weighted linear interpolation --------------------------
+
+  /** LINEAR INTERPOLATION RESAMPLING — the two-sided complement of
+    * q81's LOCF: each event's value is re-estimated from its
+    * neighbors, weighted by time —
+    * interp(t) = (v_prev·(t_next−t) + v_next·(t−t_prev)) / (t_next−t_prev)
+    * — the classic time-series smoothing/gap-fill primitive (sensor
+    * resampling, anomaly baselines: a value far from its own
+    * interpolation is the outlier candidate). Integer-exact: e2-scaled
+    * values × microsecond timestamps; both numerator terms are
+    * products of non-negatives bounded by the ADJACENT-event gap (not
+    * the stream span), so the math fits a long even on years-long
+    * logs, and every div operand is non-negative (README contract).
+    * Endpoints (no neighbor) and zero-width spans (equal-ts neighbors)
+    * are null, not fabricated. Plan: lag + lead ride ONE (user_id)
+    * sort — a single shuffle at any scale; ordering ties broken by
+    * event_id so both engines see the same neighbor assignment. */
+  val q116LinearInterp: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("v_e2"))
+      .select(col("event_id"), col("user_id"), col("us"), col("v_e2"),
+        lag(col("us"), 1).over(w).as("pus"), lag(col("v_e2"), 1).over(w).as("pv"),
+        lead(col("us"), 1).over(w).as("nus"), lead(col("v_e2"), 1).over(w).as("nv"))
+      .select(col("event_id"), col("user_id"), col("us"), col("v_e2"),
+        when(col("pus").isNotNull && col("nus").isNotNull && col("nus") > col("pus"),
+          expr("(pv * (nus - us) + nv * (us - pus)) div (nus - pus)")).as("interp_e2"))
+  }
+
   // -- registry --------------------------------------------------------
 
   // -- q83: trailing-7-day distinct users (sliding distinct, no DISTINCT) --
@@ -520,6 +550,7 @@ object EventAnalytics {
     "q77_activity_streaks" -> q77ActivityStreaks,
     "q79_hourly_spine" -> q79HourlySpine,
     "q81_forward_fill" -> q81ForwardFill,
+    "q116_linear_interp" -> q116LinearInterp,
     "q108_salted_skew_join" -> q108SaltedSkewJoin)
 
   // -- DuckDB oracles ---------------------------------------------------
@@ -726,6 +757,22 @@ object EventAnalytics {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "q116_linear_interp" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v_e2
+        |  FROM events
+        |), nb AS (
+        |  SELECT event_id, user_id, us, v_e2,
+        |    lag(us) OVER w AS pus, lag(v_e2) OVER w AS pv,
+        |    lead(us) OVER w AS nus, lead(v_e2) OVER w AS nv
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |)
+        |SELECT event_id, user_id, us, v_e2,
+        |  CASE WHEN pus IS NOT NULL AND nus IS NOT NULL AND nus > pus
+        |       THEN (pv * (nus - us) + nv * (us - pus)) // (nus - pus) END AS interp_e2
+        |FROM nb""".stripMargin,
     "q79_hourly_spine" ->
       """WITH ev AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events

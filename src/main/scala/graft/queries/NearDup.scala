@@ -360,6 +360,141 @@ object NearDup {
     graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
   }
 
+  // -- q114: IVF-PQ ANN (compressed-index scale path) ----------------
+
+  private val PqM = 16    // subspaces (64 dims / 4)
+  private val PqDsub = 4  // dims per subspace
+  private val PqK = 64    // codebook entries per subspace
+
+  /** IVF-PQ: the compressed-index ANN the 100 TB story actually
+    * deploys (FAISS's workhorse). q33's IVF probes cells but still
+    * ships full 64-dim vectors through the candidate join; here the
+    * index side is PRODUCT-QUANTIZED — each vector is encoded as 16
+    * codebook ids (one per 4-dim subspace, 64 entries each), so a
+    * candidate row is (vec_id, cell, 16 6-bit codes): the shuffled/
+    * stored index is ~12 bytes of payload per vector instead of 512,
+    * and distance evaluation against a query is 16 table lookups
+    * (ADC — asymmetric distance computation) instead of 64 multiplies.
+    * Encoding is RESIDUAL (v − its cell centroid, the FAISS IVF-PQ
+    * discipline): residuals are small, so the codebook covers them
+    * densely, and within a probed cell query and candidate subtract
+    * the SAME centroid — ADC approximates the true distance with only
+    * residual-quantization error (AnnPqSpec pins the recall).
+    *
+    * Deterministic-seed convention (q33): coarse centroids are the
+    * vectors with vec_id < 16; subspace codebooks are the residual
+    * subvectors of vec_id ∈ [16, 80). Both are CONTROL PLANE — collected once on
+    * the driver (16+16 rows, the q57 centroid discipline) and carried
+    * into the plan as array literals, so cell assignment, PQ encoding,
+    * and the per-query 8×16 distance LUT are all pure narrow maps with
+    * a CONSTANT-SIZE expression tree (the kmAssign lesson: literals
+    * are data, not operators). The only shuffle is the cell equi-join
+    * from probes to the compact code relation, then the map-side TopK
+    * partial aggregate. At production scale the seed convention swaps
+    * for trained centroids (q57's Lloyd) with the identical plan.
+    *
+    * Everything is exact integer math (e4 components, integer squared
+    * L2, ties broken by lowest id), so the DuckDB oracle restates
+    * assignment → encoding → probe → ADC relationally and must agree
+    * bit-for-bit — including every PQ approximation artifact. */
+  val q114AnnIvfPq: Q = (s, d) => {
+    val e = quantized(s, d).select(col("vec_id"), col("q"))
+    // control plane: 16 coarse centroids + 8×16 subspace codebooks
+    val seeds = e.filter(col("vec_id") < IvfCells + PqK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+    val cents = seeds.filter(_._1 < IvfCells)
+    // RESIDUAL codebooks (the FAISS IVF-PQ discipline): entries are
+    // subvectors of (seed − its nearest coarse centroid). Residuals
+    // are small, so a 32-entry codebook covers them far more densely
+    // than it would raw vectors — and within a probed cell the ADC sum
+    // approximates the TRUE distance, since query and candidate
+    // subtract the same centroid. Computed driver-side: seeds are
+    // already-collected control plane.
+    def nearestCent(v: Seq[Long]): Seq[Long] =
+      if (cents.isEmpty) v.map(_ => 0L)
+      else cents.minBy { case (cid, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._2
+    val cbs: Seq[Seq[(Long, Seq[Long])]] = (0 until PqM).map { m =>
+      seeds.filter(_._1 >= IvfCells).map { case (id, v) =>
+        val r = v.zip(nearestCent(v)).map { case (a, b) => a - b }
+        (id - IvfCells, r.slice(m * PqDsub, (m + 1) * PqDsub))
+      }
+    }
+    if (cents.size < IvfCells || cbs.head.size < PqK)
+      // input smaller than the seed convention: schema-correct empty
+      e.select(col("vec_id").as("q_id"), col("vec_id").as("neighbor_id"),
+        lit(0L).as("adc_d2"), lit(0).as("rank")).limit(0)
+    else pqQuery(e, quantized(s, d).select(col("vec_id"), col("q")), cents, cbs)
+  }
+
+  private def pqQuery(
+      e: DataFrame, eQuery: DataFrame, cents: Seq[(Long, Seq[Long])],
+      cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+    val centsLit = typedlit(cents) // array<struct<_1: c_id, _2: 64 longs>>
+    // FLAT codebook literal — (subspace start offset, 8-dim entry) in
+    // (m, c) order — so every HOF below nests at most two deep (the
+    // proven kmAssign shape; a transform-of-transform-of-aggregate over
+    // a nested literal trips Spark 4's lambda-variable resolution)
+    val flatCb = typedlit(for { m <- 0 until PqM; (_, sub) <- cbs(m) }
+      yield (m.toLong * PqDsub, sub))
+    def subL2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    // coarse cells ranked per vector: array_sort over (d2, c_id) structs —
+    // in-row argmin/arg-top2, ties to the lowest c_id
+    val cellsRanked = array_sort(transform(centsLit, c =>
+      struct(subL2(col("q"), c.getField("_2")).as("d2"), c.getField("_1").as("c_id"))))
+    // centroid vector of a cell id: cents are sorted ids 0..15, so the
+    // literal array doubles as an O(1) in-row lookup table
+    def centVec(cell: Column): Column =
+      element_at(centsLit, (cell + 1).cast("int")).getField("_2")
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, centVec(cell), (a, b) => a - b)
+    // all 8×K subspace distances of a residual in ONE flat pass: the
+    // PQ encoder's argmin input and the query-side ADC lookup table
+    // are the same numbers, computed once per row
+    def dflatOn(v: Column): Column = transform(flatCb, en =>
+      subL2(slice(v, en.getField("_1") + 1, lit(PqDsub)), en.getField("_2")))
+    // PQ encode: argmin position within each K-slot subspace block
+    // (array_position finds the FIRST minimum — ties resolve to the
+    // lowest code id); 1-based → −1
+    def codeOf(m: Column): Column = {
+      val block = slice(col("df"), m * PqK + 1, lit(PqK))
+      array_position(block, array_min(block)).cast("int") - 1
+    }
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), codeOf(_))
+    // the residual is materialized as its own projection step: a
+    // zip_with INSIDE the dflatOn transform lambda would nest lambdas
+    // three deep, which trips Spark 4's lambda-variable resolution
+    val idx = e
+      .select(col("vec_id"), col("q"),
+        element_at(cellsRanked, 1).getField("c_id").as("cell"))
+      .select(col("vec_id"), col("cell"), residual(col("q"), col("cell")).as("r"))
+      .select(col("vec_id"), col("cell"), dflatOn(col("r")).as("df"))
+      .select(col("vec_id"), col("cell"), codes.as("codes"))
+    // queries: 4% sample over a SEPARATE scan (no self-join lineage),
+    // 2 nearest cells; the LUT is per probed cell (residuals are
+    // relative to THAT cell's centroid — the IVF-PQ identity that
+    // makes ADC approximate the true distance within the cell)
+    val qs = eQuery.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("q"),
+        explode(transform(slice(cellsRanked, 1, IvfProbes),
+          x => x.getField("c_id"))).as("cell"))
+      .select(col("q_id"), col("cell"), residual(col("q"), col("cell")).as("r"))
+      .select(col("q_id"), col("cell"), dflatOn(col("r")).as("lut"))
+    // probe: equi-join on cell; ADC = Σ_m lut[m·K + code_m] — 8 lookups
+    val adc = idx.join(qs, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            element_at(col("lut"), m * PqK + element_at(col("codes"), m + 1) + 1)),
+          lit(0L), (acc, x) => acc + x).as("adc_d2"))
+    graft.functions.TopK
+      .topKPerGroup(adc.withColumn("neg_d2", -col("adc_d2")), "q_id", "neighbor_id", "neg_d2", 5)
+      .select(col("q_id"), col("neighbor_id"), (-col("neg_d2")).as("adc_d2"), col("rank"))
+  }
+
   // -- q57: k-means clustering (unrolled Lloyd iterations) -----------
 
   private val KmIters = 2
@@ -611,6 +746,7 @@ object NearDup {
     "q31_dedup_simhash" -> q31DedupSimhash,
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
     "q33_ann_ivf" -> q33AnnIvf,
+    "q114_ann_ivf_pq" -> q114AnnIvfPq,
     "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard,
     "q57_kmeans_cluster" -> q57KmeansCluster,
     "q58_semantic_dedup" -> q58SemanticDedup,
@@ -898,5 +1034,58 @@ object NearDup {
          |SELECT q_id, neighbor_id, cos_e6, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored
-         |) WHERE rank <= 5""".stripMargin)
+         |) WHERE rank <= 5""".stripMargin,
+    // q114: assignment → PQ encoding → probe → ADC, restated
+    // relationally; integer L2 everywhere, ties to the lowest id, so
+    // every PQ approximation artifact must reproduce bit-for-bit.
+    "q114_ann_ivf_pq" -> {
+      def l2(n: Int, a: String, b: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, $n), i -> ($a - $b) * ($a - $b))) AS BIGINT)"
+      s"""WITH $quantCte, cents AS (
+         |  SELECT vec_id AS c_id, q AS cq FROM ev WHERE vec_id < $IvfCells
+         |), cranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+         |  FROM (
+         |    SELECT e.vec_id, e.q, c.c_id, ${l2(64, "e.q[i]", "c.cq[i]")} AS d2
+         |    FROM ev e CROSS JOIN cents c)
+         |), assign AS (
+         |  SELECT vec_id, c_id AS cell FROM cranked WHERE rn = 1
+         |), cb AS (
+         |  -- residual codebook: seed minus ITS nearest coarse centroid
+         |  SELECT g.m, s.vec_id - $IvfCells AS c,
+         |    list_transform(generate_series(1, $PqDsub),
+         |      i -> s.q[g.m * $PqDsub + i] - c2.cq[g.m * $PqDsub + i]) AS sub
+         |  FROM cranked s JOIN cents c2 ON c2.c_id = s.c_id,
+         |       (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) g
+         |  WHERE s.vec_id >= $IvfCells AND s.vec_id < ${IvfCells + PqK} AND s.rn = 1
+         |), codes AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS crn
+         |    FROM (
+         |      SELECT e.vec_id, b.m, b.c,
+         |        ${l2(PqDsub, s"e.q[b.m * $PqDsub + i] - c2.cq[b.m * $PqDsub + i]", "b.sub[i]")} AS d2
+         |      FROM ev e
+         |      JOIN assign a2 ON a2.vec_id = e.vec_id
+         |      JOIN cents c2 ON c2.c_id = a2.cell
+         |      CROSS JOIN cb b)
+         |  ) WHERE crn = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, q AS qq, c_id AS cell
+         |  FROM cranked WHERE vec_id % 25 = 0 AND rn <= $IvfProbes
+         |), adc AS (
+         |  -- query residual vs the PROBED cell's centroid (pc)
+         |  SELECT p.q_id, a.vec_id AS neighbor_id,
+         |    CAST(sum(${l2(PqDsub, s"p.qq[b.m * $PqDsub + i] - pc.cq[b.m * $PqDsub + i]", "b.sub[i]")}) AS BIGINT) AS adc_d2
+         |  FROM assign a
+         |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |  JOIN cents pc ON pc.c_id = p.cell
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN cb b ON b.m = co.m AND b.c = co.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT q_id, neighbor_id, adc_d2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, neighbor_id) AS rank
+         |  FROM adc
+         |) WHERE rank <= 5""".stripMargin
+    })
 }
