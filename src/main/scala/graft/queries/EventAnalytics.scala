@@ -80,6 +80,42 @@ object EventAnalytics {
 
   val q35Sessionize: Q = (s, d) => sessionizeBatch(Tables.events(s, d))
 
+  // -- q117: top session paths (user-journey mining) ---------------------
+
+  /** SEQUENCE MINING over q35's sessions: each session becomes its
+    * ordered event-type path (first 5 steps), and the corpus's top-20
+    * paths by session count surface the dominant user journeys — the
+    * funnel-discovery complement of q65 (which checks ONE declared
+    * funnel; this finds which funnels exist). Per-session work is an
+    * in-row fold of a bounded collect (sessions are gap-bounded;
+    * sort_array over (us, event_id, type) structs makes the order
+    * deterministic on both engines), the path aggregate shuffles only
+    * (path, count), and the final top-20 lowers to
+    * TakeOrderedAndProject — Spark's built-in distributed top-k: each
+    * partition keeps its best 20, the driver merges; no global sort at
+    * any corpus size, ties at the cut break by path asc in both
+    * engines. */
+  val q117SessionPaths: Q = (s, d) => {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paths = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapMicros, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("event_type").as("et")))).as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, 5), _.getField("et")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
   // -- q40: as-of join (last-touch attribution) ------------------------
 
   /** AS-OF JOIN: each purchase picks the same user's most recent click
@@ -551,6 +587,7 @@ object EventAnalytics {
     "q79_hourly_spine" -> q79HourlySpine,
     "q81_forward_fill" -> q81ForwardFill,
     "q116_linear_interp" -> q116LinearInterp,
+    "q117_session_paths" -> q117SessionPaths,
     "q108_salted_skew_join" -> q108SaltedSkewJoin)
 
   // -- DuckDB oracles ---------------------------------------------------
@@ -757,6 +794,30 @@ object EventAnalytics {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "q117_session_paths" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+         |  FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > ${30L * 60 * 1000000}
+         |                 THEN 1 ELSE 0 END AS new_session
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |), sess AS (
+         |  SELECT *, CAST(sum(new_session) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged
+         |), paths AS (
+         |  SELECT user_id, session_seq,
+         |    array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+         |  FROM sess GROUP BY 1, 2
+         |), counts AS (
+         |  SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+         |)
+         |SELECT path, n_sessions FROM counts
+         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q116_linear_interp" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -61,6 +61,21 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum_e2"), col("k_sum"))
 
+  /** Stream-static broadcast enrichment — the canonical dimension-
+    * lookup shape of streaming ETL: every incoming event joins a
+    * STATIC user dimension (left join — unknown users pass through
+    * with null attributes, never dropped). The static side is
+    * `broadcast()`: stream-static joins are stateless per micro-batch,
+    * and broadcasting the dim means NO shuffle of the stream at all —
+    * each executor probes its local hash map at scan speed, exactly
+    * how a 1000-executor cluster enriches an unbounded stream against
+    * a bounded dimension. Same function body serves `spark.read` and
+    * `readStream` inputs (EventStreamSpec pins the equality); for a
+    * slowly-changing dim, re-planning per batch picks up a swapped
+    * snapshot (TableSwap) without restarting the query. */
+  def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Exact streaming dedup on `keyCols`, state bounded by a watermark
     * on `tsCol`: duplicates arriving within the watermark horizon are
     * dropped; state for older keys is evicted. */

@@ -150,6 +150,37 @@ class EventStreamSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("stream-static broadcast enrichment equals the batch join; unknown users pass through") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold", 10L), (2L, "silver", 3L))
+      .toDF("user_id", "tier", "lifetime_orders")
+    val events = Seq(
+      Ev(1, ts(0), 1, "view", 1.0, "{}"),
+      Ev(2, ts(1), 2, "click", 2.0, "{}"),
+      Ev(3, ts(2), 7, "view", 3.0, "{}")) // user 7 not in the dim
+
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingEvents.enrichWithDim(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try { in.addData(events); q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("enriched")
+      .select("event_id", "user_id", "tier", "lifetime_orders")
+      .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    val expected = StreamingEvents.enrichWithDim(events.toDF(), dim)
+      .select("event_id", "user_id", "tier", "lifetime_orders")
+      .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    expected shouldBe Set(
+      (1L, 1L, Some("gold"), Some(10L)),
+      (2L, 2L, Some("silver"), Some(3L)),
+      (3L, 7L, None, None)) // left join: unknown user kept, null attrs
+    got shouldBe expected
+    // the static side broadcasts: no shuffle of the stream
+    val plan = StreamingEvents.enrichWithDim(events.toDF(), dim)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
   test("end-to-end streaming sessionize equals batch sessionizeBatch") {
     import spark.implicits._
     val users = Seq(
