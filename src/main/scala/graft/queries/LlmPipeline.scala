@@ -445,6 +445,41 @@ object LlmPipeline {
         round(col("features")(2) * 255).cast("long").as("mean_b"))
   }
 
+  // -- q119: compressibility quality score ---------------------------
+
+  /** COMPRESSIBILITY SIGNAL: per-document deflate ratio — the
+    * information-density heuristic of production corpus filters
+    * (repetitive boilerplate, keyword stuffing and template spam
+    * compress far below fluent prose; near-random noise doesn't
+    * compress at all). The JDK's own Deflater (fixed level 6, raw
+    * mode) — zero external deps, one Deflater instance reused per
+    * task via `mapPartitions` (the MultimodalOps discipline: per-row
+    * imperative work amortizes its native handle across the
+    * partition). A pure narrow map — zero shuffles at any scale.
+    *
+    * NOT SQL-expressible (no deflate in DuckDB), so the driver
+    * records a rows-only check; CompressibilitySpec pins determinism,
+    * the repetitive≪fluent≪random ordering the filter relies on, and
+    * the flag threshold. */
+  val q119Compressibility: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          defl.reset(); defl.setInput(in); defl.finish()
+          var out = 0L
+          while (!defl.finished()) out += defl.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .withColumn("ratio_e6", expr("n_deflate * 1000000 div greatest(n_bytes, 1)"))
+      .withColumn("flag_repetitive", col("ratio_e6") < 250000L)
+  }
+
   // -- q43: curated-corpus composition -------------------------------
 
   /** The end-to-end curation run the individual operators exist for,
@@ -677,6 +712,7 @@ object LlmPipeline {
     "q25_doc_fingerprint" -> q25DocFingerprint,
     "q26_multimodal_features" -> q26MultimodalFeatures,
     "q112_image_decode_stats" -> q112ImageDecodeStats,
+    "q119_compressibility" -> q119Compressibility,
     "q43_curated_corpus" -> q43CuratedCorpus,
     "q44_vocab_top_df" -> q44VocabTopDf,
     "q45_winnow_fingerprint" -> q45WinnowFingerprint)

@@ -387,8 +387,64 @@ object Profiling {
         sum(when(col("qx") < 0, 1L).otherwise(0L)).as("n_neg"))
       .withColumn("mean_e4", expr("(sum_e4 + n * 10000) div n - 10000"))
 
+  // -- q118: per-source token-distribution drift --------------------------
+
+  private val DriftRefK = 100
+
+  /** DISTRIBUTION DRIFT MONITOR: the L1 distance (in integer ppm)
+    * between each source's unigram distribution and the corpus
+    * distribution, restricted to the corpus's top-100 reference
+    * tokens — the data-quality alarm that catches a feed going bad
+    * (language shift, spam flood, encoding break) BEFORE it pollutes
+    * training mixes; the per-source macro complement of q113's
+    * per-document classifier.
+    *
+    * The absent-token mass needs no dense source×vocab grid (a
+    * cartesian the plan gate forbids): for reference tokens a source
+    * never emits, |0 − ppm_c| = ppm_c, so
+    * L1 = Σ_ref ppm_c + Σ_present (|ppm_s − ppm_c| − ppm_c)
+    * — a constant plus a sum over OBSERVED (source, token) pairs only.
+    * Text collapses to 48-bit token hashes at the scan; the reference
+    * relation is a TopK-selected 100-row broadcast; observed pairs
+    * shuffle once on (source, hash). Integer ppm via truncating div on
+    * non-negative operands (README contract) keeps both engines
+    * bit-equal. */
+  val q118SourceDrift: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("t"))
+      .select(col("source"),
+        conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long").as("gh"))
+      .transform(graft.ops.SharedCache.persist)
+    val corpus = toks.groupBy("gh").agg(count(lit(1)).as("n_gh"))
+      .withColumn("grp", lit(1))
+    // the two corpus scalars (total token count, reference ppm mass)
+    // are CONTROL PLANE — driver-hosted like q57's centroids; carrying
+    // them as 1-row relations instead would constant-fold the lit-key
+    // joins into the nested-loop joins the plan gate forbids
+    val nTotal = corpus.agg(sum(col("n_gh"))).collect()(0).getLong(0)
+    val ref = graft.functions.TopK
+      .topKPerGroup(corpus, "grp", "gh", "n_gh", DriftRefK)
+      .select(col("gh"), expr(s"n_gh * 1000000 div ${math.max(nTotal, 1L)}").as("ppm_c"))
+      .transform(graft.ops.SharedCache.persist)
+    val cPpm = Option(ref.agg(sum(col("ppm_c"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val srcTotals = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val present = toks.groupBy("source", "gh").agg(count(lit(1)).as("n_sg"))
+      .join(broadcast(ref), Seq("gh"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .withColumn("ppm_s", expr("n_sg * 1000000 div n_tokens"))
+      .groupBy("source")
+      .agg(sum(abs(col("ppm_s") - col("ppm_c")) - col("ppm_c")).as("adj"))
+    srcTotals
+      .join(present, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        (lit(cPpm) + coalesce(col("adj"), lit(0L))).as("l1_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q41_profile_sketch" -> q41ProfileSketch,
+    "q118_source_drift" -> q118SourceDrift,
     "q111_embedding_dim_profile" -> q111EmbeddingDimProfile,
     "q42_train_test_split" -> q42TrainTestSplit,
     "q76_length_histogram" -> q76LengthHistogram,
@@ -398,6 +454,36 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same absent-mass algebra: L1 = Σ ppm_c + Σ_present(|Δ| − ppm_c).
+    "q118_source_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source, CAST('0x' || substr(md5(u.t), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT source,
+         |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |        FROM documents), LATERAL unnest(tk) u(t)
+         |), corpus AS (
+         |  SELECT gh, count(*) AS n_gh FROM tok GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_gh) AS BIGINT) AS n_total FROM corpus
+         |), ref AS (
+         |  SELECT gh, n_gh * 1000000 // n_total AS ppm_c
+         |  FROM (SELECT gh, n_gh, row_number() OVER (ORDER BY n_gh DESC, gh) AS rn
+         |        FROM corpus), tot
+         |  WHERE rn <= $DriftRefK
+         |), refc AS (
+         |  SELECT CAST(sum(ppm_c) AS BIGINT) AS c_ppm FROM ref
+         |), st AS (
+         |  SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1
+         |), pres AS (
+         |  SELECT sg.source,
+         |    CAST(sum(abs((sg.n_sg * 1000000 // st.n_tokens) - r.ppm_c) - r.ppm_c) AS BIGINT) AS adj
+         |  FROM (SELECT source, gh, count(*) AS n_sg FROM tok GROUP BY 1, 2) sg
+         |  JOIN ref r USING (gh)
+         |  JOIN st ON st.source = sg.source
+         |  GROUP BY 1
+         |)
+         |SELECT st.source, st.n_tokens, c_ppm + coalesce(adj, 0) AS l1_ppm
+         |FROM st LEFT JOIN pres USING (source), refc""".stripMargin,
     // Same e4 quantization; unnest zipped with generate_subscripts
     // (1-based, hence the -1) replaces posexplode.
     "q111_embedding_dim_profile" ->

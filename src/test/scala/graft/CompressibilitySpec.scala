@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.LlmPipeline
+import org.apache.spark.sql.functions._
+
+/** Pins the q119 compressibility signal, whose deflate byte counts no
+  * SQL oracle can restate: determinism across runs, the
+  * repetitive ≪ fluent ≪ random ordering the quality filter relies
+  * on, ratio sanity bounds, and the narrow-map plan shape.
+  */
+class CompressibilitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sfDir/documents.parquet").exists()
+
+  private def ratioOf(text: String): Long = {
+    import spark.implicits._
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val in = t.getBytes("UTF-8")
+          defl.reset(); defl.setInput(in); defl.finish()
+          var out = 0L
+          while (!defl.finished()) out += defl.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflate")
+    val r = df.collect().head
+    r.getLong(2) * 1000000L / math.max(r.getLong(1), 1L)
+  }
+
+  test("deflate ratio orders repetitive < fluent < random") {
+    val repetitive = "spam spam spam spam " * 100
+    val fluent = ("the quick brown fox jumps over the lazy dog and then " +
+      "considers a measured walk along the river bank at dusk ") * 8
+    val random = {
+      val rnd = new scala.util.Random(42)
+      (1 to 2000).map(_ => rnd.nextPrintableChar()).mkString
+    }
+    val (rr, rf, rn) = (ratioOf(repetitive), ratioOf(fluent), ratioOf(random))
+    info(s"repetitive=$rr fluent=$rf random=$rn (ppm of input size)")
+    rr should be < rf
+    rf should be < rn
+    rr should be < 250000L // the flag threshold catches pure repetition
+    rn should be > 800000L // noise stays near incompressible
+  }
+
+  test("q119 is deterministic and sane over the real corpus") {
+    assume(haveData, s"$sfDir not present")
+    val a = LlmPipeline.defs("q119_compressibility")(spark, sfDir)
+      .orderBy("doc_id").collect()
+    val b = LlmPipeline.defs("q119_compressibility")(spark, sfDir)
+      .orderBy("doc_id").collect()
+    a should not be empty
+    a.map(_.toSeq).toSeq shouldBe b.map(_.toSeq).toSeq
+    a.foreach { r =>
+      val (nBytes, nDefl, ratio) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      nBytes should be > 0L
+      nDefl should be > 0L
+      ratio should (be > 0L and be < 1200000L) // deflate overhead bound
+    }
+  }
+
+  test("q119 has no keyed shuffle — only the scan fan-out guard") {
+    assume(haveData, s"$sfDir not present")
+    val p = LlmPipeline.defs("q119_compressibility")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Tables.documents' small-file guard may inject a round-robin
+    // repartition to reach scan parallelism; the OPERATOR itself must
+    // add no keyed exchange
+    p should not include "hashpartitioning"
+    p should not include "rangepartitioning"
+  }
+}

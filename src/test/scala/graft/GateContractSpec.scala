@@ -10,14 +10,13 @@ package graft
   */
 class GateContractSpec extends SparkSpec {
 
-  /** Empty since r6: q41 (KMV + rank-exact percentiles) and q91
-    * (hash-threshold sample) re-expressed their sketches with
-    * engine-exact integer math, so every gated query now carries a
-    * real DuckDB oracle. q24's LSH left in r5 the same way
-    * (integer-quantized planes). The allowlist machinery stays so a
-    * future genuinely-unrestatable operator declares itself here
-    * rather than surfacing as a driver `err` row. */
-  private val rowsOnlyAllowed = Set.empty[String]
+  /** Emptied in r6 (q41/q91 re-expressed their sketches with
+    * engine-exact integer math; q24's planes went integer in r5).
+    * Re-populated in r8 with the first genuinely-unrestatable
+    * operator: q119's deflate byte counts have no DuckDB equivalent —
+    * CompressibilitySpec pins its determinism, ordering contract, and
+    * plan shape instead. */
+  private val rowsOnlyAllowed = Set("q119_compressibility")
 
   test("every query has an oracle unless explicitly allowlisted rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
