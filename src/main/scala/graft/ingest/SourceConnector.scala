@@ -38,6 +38,18 @@ final class ParquetSource(dir: String) extends SourceConnector {
     spark.read.parquet(s"$dir/$table.parquet")
 }
 
+/** ORC-backed source — the second columnar format Spark ships a
+  * vectorized reader for (common in Hive-heritage warehouses). Same
+  * contract as [[ParquetSource]]: typed schema from the file footer,
+  * and the incremental watermark predicate reaches the ORC scan as a
+  * pushed filter + stripe-level min/max skipping (OrcSourceSpec pins
+  * `PushedFilters` in the plan), so a 100 TB incremental load reads
+  * only post-watermark stripes. */
+final class OrcSource(dir: String) extends SourceConnector {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+}
+
 /** Real JDBC source (S1; reference hospitalA_mysqlToLanding.py:155-163,
   * query built :148-152). The incremental path pushes the watermark
   * predicate down as a `dbtable` sub-select, exactly like the
