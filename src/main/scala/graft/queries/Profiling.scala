@@ -387,6 +387,34 @@ object Profiling {
         sum(when(col("qx") < 0, 1L).otherwise(0L)).as("n_neg"))
       .withColumn("mean_e4", expr("(sum_e4 + n * 10000) div n - 10000"))
 
+  // -- q120: per-dimension equi-depth embedding bins ----------------------
+
+  /** FEATURE BINNING over the vector space: per-dimension octile
+    * boundaries with equal value counts — the quantile-bucketing step
+    * of feature stores and monotone-binned GBDT/calibration features,
+    * and the cut-point table an IVF/LSH tuner reads to check dimension
+    * balance. Complements q111 (moments per dim) with the
+    * distribution's SHAPE, and reuses q97's primitive (ntile over a
+    * total order) lifted to the e4-quantized embedding space —
+    * (qx, vec_id) ordering is total, so both engines assign identical
+    * buckets. One shuffle on dim (64 window partitions), ≤ 64·8 output
+    * rows at any corpus size. */
+  val q120EmbeddingBins: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("dim").orderBy(col("qx"), col("vec_id"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT))"))
+        .as(Seq("dim", "qx")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("qx"))
+      .withColumn("bucket", ntile(DepthBuckets).over(w).cast("long"))
+      .groupBy("dim", "bucket")
+      .agg(
+        count(lit(1)).as("n_vals"),
+        min(col("qx")).as("lo_e4"),
+        max(col("qx")).as("hi_e4"))
+  }
+
   // -- q118: per-source token-distribution drift --------------------------
 
   private val DriftRefK = 100
@@ -446,6 +474,7 @@ object Profiling {
     "q41_profile_sketch" -> q41ProfileSketch,
     "q118_source_drift" -> q118SourceDrift,
     "q111_embedding_dim_profile" -> q111EmbeddingDimProfile,
+    "q120_embedding_bins" -> q120EmbeddingBins,
     "q42_train_test_split" -> q42TrainTestSplit,
     "q76_length_histogram" -> q76LengthHistogram,
     "q87_key_skew_profile" -> q87KeySkewProfile,
@@ -484,6 +513,23 @@ object Profiling {
          |)
          |SELECT st.source, st.n_tokens, c_ppm + coalesce(adj, 0) AS l1_ppm
          |FROM st LEFT JOIN pres USING (source), refc""".stripMargin,
+    // Same e4 quantization + (qx, vec_id) total order; DuckDB's ntile
+    // follows the same SQL-standard remainder-to-first-buckets rule.
+    "q120_embedding_bins" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT) AS qx
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |          generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)
+         |), b AS (
+         |  SELECT dim, qx,
+         |    ntile($DepthBuckets) OVER (PARTITION BY dim ORDER BY qx, vec_id) AS bucket
+         |  FROM q
+         |)
+         |SELECT dim, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_vals,
+         |  min(qx) AS lo_e4, max(qx) AS hi_e4
+         |FROM b GROUP BY 1, 2""".stripMargin,
     // Same e4 quantization; unnest zipped with generate_subscripts
     // (1-based, hence the -1) replaces posexplode.
     "q111_embedding_dim_profile" ->
