@@ -572,7 +572,45 @@ object EventAnalytics {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  // -- q122: exponentially weighted moving average ----------------------
+
+  private val EwmaTaps = 8 // α = 1/2 over the trailing 8 events
+
+  /** EWMA SMOOTHING per user: the trailing exponentially weighted
+    * average of the cents value (α = 1/2, truncated at 8 taps — the
+    * tail weight beyond that is < 1/128 of the head), the classic
+    * time-series denoiser next to q38's flat moving average and q116's
+    * gap interpolation. ALL arithmetic is integer: weights are exact
+    * powers of two scaled by 2^7, so
+    * ewma_e2 = Σ v_{t-k}·2^(7-k) div Σ_present 2^(7-k)
+    * with the denominator adapting at partition heads where fewer taps
+    * exist — no float accumulation order anywhere, bit-equal across
+    * engines, and `div` truncation = floor because values are
+    * non-negative (README contract; testdata min value is 0.01).
+    *
+    * Plan: the 8 lag() taps share ONE (user_id, ts, event_id) sort, so
+    * Catalyst evaluates them in a single Window node — one shuffle on
+    * user_id total, per-row work O(taps). At 100 TB this is the
+    * standard per-key window shape: no state beyond the frame, no
+    * iteration, skew bounded by the busiest single user. */
+  val q122EwmaSmooth: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val taps = (0 until EwmaTaps).map { k =>
+      val weight = 1L << (EwmaTaps - 1 - k)
+      val v = if (k == 0) col("v_e2") else lag(col("v_e2"), k).over(w)
+      (coalesce(v * weight, lit(0L)),
+        when(v.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    Tables.events(s, d)
+      .withColumn("v_e2", round(col("value") * 100, 0).cast("long"))
+      .withColumn("num", taps.map(_._1).reduce(_ + _))
+      .withColumn("den", taps.map(_._2).reduce(_ + _))
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_e2"),
+        expr("num div den").as("ewma_e2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q122_ewma_smooth" -> q122EwmaSmooth,
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
     "q91_sliding_sketch" -> q91SlidingSketch,
@@ -593,6 +631,28 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same 8-tap integer formula; `//` floor = Spark's `div` truncate
+    // on the non-negative operands (README div contract).
+    "q122_ewma_smooth" -> {
+      val lags = (1 until EwmaTaps)
+        .map(k => s"lag(v_e2, $k) OVER w AS l$k").mkString(", ")
+      val num = (("128 * v_e2") +: (1 until EwmaTaps)
+        .map(k => s"${1L << (EwmaTaps - 1 - k)} * coalesce(l$k, 0)")).mkString(" + ")
+      val den = ("128" +: (1 until EwmaTaps)
+        .map(k => s"CASE WHEN l$k IS NOT NULL THEN ${1L << (EwmaTaps - 1 - k)} ELSE 0 END"))
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS v_e2
+         |  FROM events
+         |), l AS (
+         |  SELECT event_id, user_id, ts, v_e2, $lags
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT event_id, user_id, ts, v_e2,
+         |  CAST(($num) // ($den) AS BIGINT) AS ewma_e2
+         |FROM l""".stripMargin
+    },
     // The UNSALTED join: salt affects row placement only, so the
     // oracle restates q108 without it.
     "q108_salted_skew_join" ->

@@ -136,9 +136,83 @@ object Graph {
     iterate(iterate(nodes.select(col("node"), lit(r0).as("rank_e9"))))
   }
 
+  // -- q121: triangle counting (degree-ordered compact-forward) --------
+
+  private val TriMinSupport = 2
+
+  /** TRIANGLE COUNTING over the part co-purchase graph (parts bought
+    * together in ≥2 orders, the support floor that separates affinity
+    * from coincidence): per-node triangle participation and the local
+    * clustering coefficient in integer e6 — the cohesion metric next
+    * to q55's reachability and q90's centrality, and the standard
+    * community-density signal for link-graph corpus weighting.
+    *
+    * Scale shape is the compact-forward algorithm: orient every edge
+    * from its (degree, id)-smaller endpoint to the larger, so each
+    * triangle {u<v<w in that total order} is generated EXACTLY once as
+    * a wedge at its lowest-order corner and closed by one equi-join —
+    * and, critically, wedge fan-out at a hub is bounded by its
+    * FORWARD degree (max O(√m) after orientation), not its raw degree:
+    * the celebrity node that would explode a naive wedge join
+    * contributes almost nothing because nearly all its edges point
+    * INTO it. Edge building reuses q96's in-row pair expansion (one
+    * shuffle on l_orderkey, no self-join on raw lineitem); the edge
+    * relation is checkpoint-cut once and re-read by the degree pass
+    * and all three join legs. Everything downstream is equi-joins and
+    * partial-aggregated counts on bounded keys — no cartesian, no
+    * driver-side state. */
+  val q121TriangleCount: Q = (s, d) => {
+    import graft.Tables
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
+          struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= TriMinSupport)
+      .select(col("x"), col("y"))
+      .transform(graft.ops.Checkpoints.cut) // reused: degrees + three join legs
+    val deg = edges.select(col("x").as("node"))
+      .union(edges.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .transform(graft.ops.Checkpoints.cut) // reused: orientation + final join
+    // (deg, id) total order; struct comparison is lexicographic in both
+    // engines (DuckDB row-value compare in the oracle)
+    val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = edges
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+      .select(
+        when(xFirst, col("x")).otherwise(col("y")).as("src"),
+        when(xFirst, col("y")).otherwise(col("x")).as("dst"),
+        when(xFirst, col("dy")).otherwise(col("dx")).as("ddeg"))
+      .transform(graft.ops.Checkpoints.cut) // three self-join legs below
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.ddeg"), col("e1.dst")) <
+            struct(col("e2.ddeg"), col("e2.dst")))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val corners = wedges
+      .join(oriented.as("e3"),
+        col("b") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node").as("p_partkey"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          expr("2 * coalesce(n_triangles, 0L) * 1000000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("clustering_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q55_dup_clusters" -> q55DupClusters,
-    "q90_pagerank" -> q90PageRank)
+    "q90_pagerank" -> q90PageRank,
+    "q121_triangle_count" -> q121TriangleCount)
 
   val oracles: Map[String, String] = Map(
     // The same two unrolled iterations as chained CTEs — integer e9
@@ -170,6 +244,45 @@ object Graph {
         |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = node
         |)
         |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r2""".stripMargin,
+    // Independent restatement: plain a<b pair expansion via self-join
+    // (no in-row expansion), the same (deg, id) orientation via
+    // DuckDB row-value comparison, and the same wedge-close join.
+    "q121_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+        |  ) GROUP BY 1
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN (da.deg, e.x) < (db.deg, e.y) THEN e.x ELSE e.y END AS src,
+        |    CASE WHEN (da.deg, e.x) < (db.deg, e.y) THEN e.y ELSE e.x END AS dst,
+        |    CASE WHEN (da.deg, e.x) < (db.deg, e.y) THEN db.deg ELSE da.deg END AS ddeg
+        |  FROM e JOIN deg da ON da.node = e.x JOIN deg db ON db.node = e.y
+        |), tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM o e1
+        |  JOIN o e2 ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+        |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        |), corners AS (
+        |  SELECT node, count(*) AS n_triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri
+        |  ) GROUP BY 1
+        |)
+        |SELECT deg.node AS p_partkey, deg.deg,
+        |  coalesce(corners.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN 2 * coalesce(corners.n_triangles, 0) * 1000000
+        |           // (deg.deg * (deg.deg - 1))
+        |    ELSE 0 END AS clustering_e6
+        |FROM deg LEFT JOIN corners ON corners.node = deg.node""".stripMargin,
     // Reachability fixpoint per node (recursive CTE), then min label —
     // algorithmically independent of the Spark pointer-doubling loop.
     "q55_dup_clusters" ->
