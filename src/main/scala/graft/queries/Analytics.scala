@@ -648,7 +648,84 @@ object Analytics {
       .limit(PageSize)
   }
 
+  // -- q123: robust outliers via median absolute deviation ------------
+
+  /** ROBUST OUTLIER DETECTION per market segment: flag customers whose
+    * account balance sits more than 3 MADs from the segment median —
+    * the heavy-tail-safe complement of q94's moment-based z-score,
+    * which a single whale customer can drag far enough to mask real
+    * outliers (the median and MAD are 50%-breakdown estimators; the
+    * mean and stddev have breakdown 0). Both medians run on exact
+    * cents integers; the even-count midpoint is the average of two
+    * longs — exact in double on BOTH engines (DuckDB median and
+    * Spark's exact `median` interpolate identically), and the 3×MAD
+    * threshold compare is on quarter-cent-exact doubles, so the flag
+    * is deterministic.
+    *
+    * Plan: two grouped exact medians (each one shuffle on the bounded
+    * segment key; Spark lowers `median` to sort-based percentile
+    * within the group) and two broadcast joins of the 5-row segment
+    * stats back onto customers — no window over the full table, no
+    * global sort. At 100 TB the per-group sort inside the percentile
+    * aggregate is the honest cost of EXACT medians on an unbounded
+    * column; the approximate path for wider keys is q41's
+    * percentile_approx (declared contract there). */
+  val q123MadOutliers: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_e2"))
+      .transform(graft.ops.SharedCache.persist) // median pass + deviation pass + output
+    val med = base.groupBy("c_mktsegment")
+      .agg(median(col("bal_e2")).as("seg_median_e2"))
+    val mad = base.join(broadcast(med), "c_mktsegment")
+      .select(col("c_mktsegment"),
+        abs(col("bal_e2") - col("seg_median_e2")).as("adev"))
+      .groupBy("c_mktsegment")
+      .agg(median(col("adev")).as("seg_mad_e2"))
+    base
+      .join(broadcast(med), "c_mktsegment")
+      .join(broadcast(mad), "c_mktsegment")
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_e2"),
+        col("seg_median_e2"), col("seg_mad_e2"),
+        (abs(col("bal_e2") - col("seg_median_e2")) >
+          col("seg_mad_e2") * 3.0).as("is_outlier"))
+  }
+
+  // -- q126: Pareto frontier (2-D skyline) -----------------------------
+
+  /** SKYLINE QUERY per brand: which parts are Pareto-optimal on
+    * (size max, price min) — no other part of the brand is at least as
+    * large AND strictly cheaper, or strictly larger and no pricier.
+    * The multi-objective "best offers" primitive that single-column
+    * ranking (q37/q95) cannot express.
+    *
+    * The naive formulation is a quadratic NOT EXISTS self-join; the
+    * skyline collapses to TWO window minima over one partition:
+    * dominated ⇔ min(price over strictly larger sizes) ≤ price
+    *           ∨ min(price at the same size) < price.
+    * The strict-size window is a RANGE frame (1 FOLLOWING, UNBOUNDED)
+    * over the integer size — frame bounds are value offsets, so
+    * size+1.. is exactly "strictly larger" with no self-comparison.
+    * Both windows share the (brand | size) sort, one shuffle on brand;
+    * per-row work O(1) — linear scale where the textbook skyline join
+    * is quadratic. */
+  val q126ParetoFrontier: Q = (s, d) => {
+    val larger = Window.partitionBy("p_brand").orderBy(col("p_size"))
+      .rangeBetween(1, Window.unboundedFollowing)
+    val sameSize = Window.partitionBy("p_brand", "p_size")
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_e2"))
+      .withColumn("min_larger_e2", min(col("price_e2")).over(larger))
+      .withColumn("min_same_e2", min(col("price_e2")).over(sameSize))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("price_e2"),
+        (coalesce(col("min_larger_e2") > col("price_e2"), lit(true)) &&
+          col("min_same_e2") === col("price_e2")).as("is_pareto"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q123_mad_outliers" -> q123MadOutliers,
+    "q126_pareto_frontier" -> q126ParetoFrontier,
     "q106_keyset_page" -> q106KeysetPage,
     "q105_winsorized_mean" -> q105WinsorizedMean,
     "q104_cdc_apply" -> q104CdcApply,
@@ -675,6 +752,41 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q123_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2
+        |  FROM customer
+        |), med AS (
+        |  SELECT c_mktsegment, median(bal_e2) AS seg_median_e2
+        |  FROM base GROUP BY 1
+        |), mad AS (
+        |  SELECT b.c_mktsegment,
+        |    median(abs(b.bal_e2 - m.seg_median_e2)) AS seg_mad_e2
+        |  FROM base b JOIN med m USING (c_mktsegment) GROUP BY 1
+        |)
+        |SELECT b.c_custkey, b.c_mktsegment, b.bal_e2,
+        |  m.seg_median_e2, d.seg_mad_e2,
+        |  abs(b.bal_e2 - m.seg_median_e2) > d.seg_mad_e2 * 3.0 AS is_outlier
+        |FROM base b JOIN med m USING (c_mktsegment)
+        |JOIN mad d USING (c_mktsegment)""".stripMargin,
+    // Independent restatement: the textbook NOT EXISTS dominance
+    // anti-join — the quadratic formulation the Spark window plan
+    // avoids.
+    "q126_pareto_frontier" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_e2
+        |  FROM part
+        |)
+        |SELECT a.p_partkey, a.p_brand, a.p_size, a.price_e2,
+        |  NOT EXISTS (
+        |    SELECT 1 FROM p b
+        |    WHERE b.p_brand = a.p_brand AND (
+        |      (b.p_size > a.p_size AND b.price_e2 <= a.price_e2) OR
+        |      (b.p_size = a.p_size AND b.price_e2 < a.price_e2))
+        |  ) AS is_pareto
+        |FROM p a""".stripMargin,
     // Independent relational restatement — no JSON: the same flattened
     // rows read straight off the join, positions via row_number - 1
     // over the same (value, then arbitrary-but-equal) order. Duplicate

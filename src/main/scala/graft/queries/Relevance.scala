@@ -110,9 +110,61 @@ object Relevance {
         first("dl").as("dl"))
   }
 
+  // -- q124: PMI collocation mining ----------------------------------
+
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** COLLOCATION EXTRACTION: the corpus's top-50 bigrams by pointwise
+    * mutual information — the phrase-mining primitive behind tokenizer
+    * vocabulary construction and stop-phrase lists, ranking bigrams by
+    * how much MORE often the words co-occur than independence predicts
+    * (q44 ranks raw document frequency; PMI surfaces "new york", not
+    * "of the"). The log in PMI is monotone, so ranking by the raw
+    * lift ratio needs no libm: lift_e3 = 1000·n_ab·T² / (B·n_a·n_b),
+    * all integer with nested floor division — both engines run the
+    * SAME division sequence, so ties and hashes are bit-equal. The
+    * magnitude bound: n_ab·T ≤ T² ≈ 6×10¹² at sf0.1 and the running
+    * product never exceeds n_ab·T·1000 < 2⁶³ for corpora below ~10¹²
+    * tokens per partition-local vocabulary (declared limit).
+    *
+    * Plan: tokens collapse to (w1, w2) counts in one partial-combined
+    * shuffle (adjacent pairs are built IN-ROW by zipping the token
+    * array with its own tail — no positional explode + self-join);
+    * unigram counts join back BY WORD (vocabulary-sized, AQE
+    * broadcasts); T and B are driver-hosted scalars (q61 convention);
+    * the final top-50 lowers to TakeOrderedAndProject. */
+  val q124PmiCollocations: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(tokens(col("text")).as("tk0"))
+      .select(expr("filter(tk0, t -> length(t) > 0)").as("tk"))
+      .transform(graft.ops.SharedCache.persist) // unigram + bigram branches
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .transform(graft.ops.SharedCache.persist) // totals scalar + two joins
+    val nTokens = uni.agg(sum(col("n_w"))).head().getLong(0)
+    val bi = base.select(explode(expr(
+        """filter(zip_with(tk, slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |  (a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .transform(graft.ops.SharedCache.persist) // totals scalar + scoring
+    val nBigrams = bi.agg(sum(col("n_ab"))).head().getLong(0)
+    bi.filter(col("n_ab") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"(((((n_ab * ${nTokens}L) div n_a) * ${nTokens}L) div n_b)" +
+          s" * 1000L) div ${nBigrams}L").as("lift_e3"))
+      .orderBy(col("lift_e3").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_tfidf_terms" -> q60TfidfTerms,
-    "q61_bm25_search" -> q61Bm25Search)
+    "q61_bm25_search" -> q61Bm25Search,
+    "q124_pmi_collocations" -> q124PmiCollocations)
 
   private val toksCte =
     """toks AS (
@@ -164,5 +216,33 @@ object Relevance {
          |  CAST(count(*) AS BIGINT) AS n_query_terms,
          |  CAST(min(dl) AS BIGINT) AS dl
          |FROM scored GROUP BY 1""".stripMargin
-    })
+    },
+    // Independent restatement: positional tokens via lateral index
+    // unnest and an adjacency SELF-JOIN on (doc, pos+1) — the
+    // formulation the Spark plan avoids by zipping in-row. Same nested
+    // floor-division sequence, parenthesized identically.
+    "q124_pmi_collocations" ->
+      s"""WITH $toksCte, pos AS (
+         |  SELECT t.doc_id, t.tk[u.i] AS tok, u.i AS ord
+         |  FROM toks t, unnest(range(1, len(t.tk) + 1)) AS u(i)
+         |  WHERE length(t.tk[u.i]) > 0
+         |), uni AS (
+         |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS n_w FROM pos GROUP BY 1
+         |), tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS t FROM uni),
+         |bi AS (
+         |  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+         |  GROUP BY 1, 2
+         |), btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS b FROM bi)
+         |SELECT bi.w1, bi.w2, bi.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+         |  CAST((((((bi.n_ab * tot.t) // ua.n_w) * tot.t) // ub.n_w) * 1000)
+         |    // btot.b AS BIGINT) AS lift_e3
+         |FROM bi
+         |JOIN uni ua ON ua.w = bi.w1
+         |JOIN uni ub ON ub.w = bi.w2
+         |CROSS JOIN tot CROSS JOIN btot
+         |WHERE bi.n_ab >= $PmiMinCount
+         |ORDER BY lift_e3 DESC, bi.w1, bi.w2
+         |LIMIT $PmiTopK""".stripMargin)
 }
