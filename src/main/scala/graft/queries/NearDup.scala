@@ -740,7 +740,55 @@ object NearDup {
         coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
   }
 
+  // -- q125: sorted-neighborhood record linkage ----------------------
+
+  private val SnWindow = 3 // neighbors compared per record
+  private val SnMinJacE3 = 300L // ≥ share-a-word on 2-word names
+
+  /** ENTITY RESOLUTION via sorted-neighborhood blocking: candidate
+    * part pairs that are plausibly the same product — blocked by
+    * brand, sorted by name, each record compared only against its next
+    * 3 neighbors in sort order, verified by exact word-set Jaccard
+    * (integer e3). This is the THIRD blocking modality in the engine:
+    * hash-banded (q21/q31 LSH), prefix-filtered (q39 PPJoin), and now
+    * ORDER-based — the classic merge-purge shape for dirty tabular
+    * entities where lexicographic closeness is the similarity prior
+    * (typos aside, variants sort together).
+    *
+    * Scale shape: ONE shuffle on the block key, one within-block sort,
+    * and the neighbor fan-out is a CONSTANT (3 lead() taps sharing a
+    * single Window sort — never a within-block self-join, whose hot
+    * block would be quadratic). Verification is in-row array math on
+    * the two candidate word sets. At 100 TB the block key must be
+    * chosen so blocks fit a partition (brand here; composite keys or
+    * multi-pass windows when they don't — documented knob, plan
+    * unchanged). */
+  val q125BlockedLinkage: Q = (s, d) => {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_name"), col("p_partkey"))
+    // lead() taps materialize in a projection BEFORE the explode —
+    // a generator may not contain window expressions
+    val neighbors = (1 to SnWindow).map { k =>
+      struct(lead(col("p_partkey"), k).over(w).as("pb"),
+        lead(col("ws"), k).over(w).as("wsb"), lit(k.toLong).as("dist")).as(s"c$k")
+    }
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        array_distinct(split(col("p_name"), " ")).as("ws"))
+      .select(Seq(col("p_partkey"), col("p_brand"), col("ws")) ++ neighbors: _*)
+      .withColumn("cand", explode(array((1 to SnWindow).map(k => col(s"c$k")): _*)))
+      .filter(col("cand.pb").isNotNull)
+      .select(col("p_brand"), col("p_partkey").as("part_a"),
+        col("cand.pb").as("part_b"), col("cand.dist").as("neighbor_dist"),
+        (size(array_intersect(col("ws"), col("cand.wsb"))) * 1000L).as("i1000"),
+        (size(col("ws")) + size(col("cand.wsb")) -
+          size(array_intersect(col("ws"), col("cand.wsb")))).as("u"))
+      .select(col("p_brand"), col("part_a"), col("part_b"), col("neighbor_dist"),
+        expr("i1000 div u").as("jac_e3"))
+      .filter(col("jac_e3") >= SnMinJacE3)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q125_blocked_linkage" -> q125BlockedLinkage,
     "q85_edit_distance_dedup" -> q85EditDistanceDedup,
     "q110_exact_substr_spans" -> q110ExactSubstrSpans,
     "q31_dedup_simhash" -> q31DedupSimhash,
@@ -753,6 +801,42 @@ object NearDup {
     "q71_containment_dedup" -> q71ContainmentDedup)
 
   // -- DuckDB oracles ------------------------------------------------
+
+  /** q125 oracle: the rank self-join restatement (row_number + band
+    * join), with the Jaccard computed the RELATIONAL way — exploded
+    * distinct tokens, intersection by join — rather than list math. */
+  private val q125Oracle: String =
+    s"""WITH pos AS (
+       |  SELECT p_partkey, p_brand, p_name,
+       |    row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY p_name, p_partkey) AS rn
+       |  FROM part
+       |), toks AS (
+       |  SELECT DISTINCT p.p_partkey, u.tok
+       |  FROM part p, unnest(string_split(p.p_name, ' ')) AS u(tok)
+       |), tsz AS (
+       |  SELECT p_partkey, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+       |), cand AS (
+       |  SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       |    CAST(b.rn - a.rn AS BIGINT) AS neighbor_dist
+       |  FROM pos a JOIN pos b
+       |    ON a.p_brand = b.p_brand AND b.rn - a.rn BETWEEN 1 AND $SnWindow
+       |), isect AS (
+       |  SELECT c.part_a, c.part_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN toks ta ON ta.p_partkey = c.part_a
+       |  JOIN toks tb ON tb.p_partkey = c.part_b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.p_brand, c.part_a, c.part_b, c.neighbor_dist,
+       |  CAST((coalesce(i.i, 0) * 1000) // (sa.n + sb.n - coalesce(i.i, 0))
+       |    AS BIGINT) AS jac_e3
+       |FROM cand c
+       |JOIN tsz sa ON sa.p_partkey = c.part_a
+       |JOIN tsz sb ON sb.p_partkey = c.part_b
+       |LEFT JOIN isect i ON i.part_a = c.part_a AND i.part_b = c.part_b
+       |WHERE (coalesce(i.i, 0) * 1000) // (sa.n + sb.n - coalesce(i.i, 0))
+       |  >= $SnMinJacE3""".stripMargin
 
   /** Quantized embeddings + self-dot, shared by q32/q33 oracles. */
   private val quantCte =
@@ -803,6 +887,7 @@ object NearDup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q125_blocked_linkage" -> q125Oracle,
     // Independent restatement: per-position unnest, HAVING-filtered
     // gram frequency, and the same running-max interval sweep.
     "q110_exact_substr_spans" ->
