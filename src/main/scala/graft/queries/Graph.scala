@@ -161,20 +161,11 @@ object Graph {
     * and all three join legs. Everything downstream is equi-joins and
     * partial-aggregated counts on bounded keys — no cartesian, no
     * driver-side state. */
-  val q121TriangleCount: Q = (s, d) => {
-    import graft.Tables
-    val edges = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
-      .filter(size(col("items")) >= 2)
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
-          struct(x.as("x"), y.as("y")))))).as("p"))
-      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= TriMinSupport)
-      .select(col("x"), col("y"))
+  /** Core of q121: per-node (deg, n_triangles, clustering_e6) for an
+    * undirected simple graph given as (x, y) pairs with x ≠ y, each
+    * edge listed once. Exposed for spec fixtures (K4, paths). */
+  private[graft] def triangleStats(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("x"), col("y"))
       .transform(graft.ops.Checkpoints.cut) // reused: degrees + three join legs
     val deg = edges.select(col("x").as("node"))
       .union(edges.select(col("y").as("node")))
@@ -202,11 +193,28 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     deg.join(corners, Seq("node"), "left")
-      .select(col("node").as("p_partkey"), col("deg"),
+      .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
           expr("2 * coalesce(n_triangles, 0L) * 1000000 div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("clustering_e6"))
+  }
+
+  val q121TriangleCount: Q = (s, d) => {
+    import graft.Tables
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
+          struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= TriMinSupport)
+      .select(col("x"), col("y"))
+    triangleStats(edges).withColumnRenamed("node", "p_partkey")
   }
 
   val defs: Map[String, Q] = Map(
