@@ -817,7 +817,35 @@ object Curation {
         (col("jhi") - col("jlo") + 1L).as("n_points"))
   }
 
+  // -- q128: weighted bottom-k priority sample -------------------------
+
+  private val PrioritySampleK = 200
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT via bottom-k priorities
+    * (the deterministic cousin of sequential-Poisson/A-ES sampling):
+    * every document gets priority = h48 div weight — a 48-bit salted
+    * content hash divided by its char count — and the k smallest
+    * priorities win, so a document's inclusion odds scale ~linearly
+    * with its weight while the choice stays a pure function of the
+    * data (no RNG; the engine's q49/q91 determinism convention).
+    * Complements q102's systematic PPS: PPS strides a prefix-sum for
+    * fixed-rate inclusion; bottom-k gives an EXACT sample size and is
+    * MERGEABLE — the union of two shards' bottom-k is a superset of
+    * the corpus bottom-k, so the plan is TakeOrderedAndProject
+    * (per-partition best-k, driver merge), no global sort, no prefix
+    * sum, one narrow map at any corpus size. */
+  val q128PrioritySample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        conv(substring(md5(concat(lit("prio"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("long").as("h48"))
+      .withColumn("priority", expr("h48 div greatest(n_chars, 1L)"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(PrioritySampleK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+
   val defs: Map[String, Q] = Map(
+    "q128_priority_sample" -> q128PrioritySample,
     "q102_pps_sample" -> q102PpsSample,
     "q92_url_domains" -> q92UrlDomains,
     "q59_chunk_dedup" -> q59ChunkDedup,
@@ -874,6 +902,13 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q128_priority_sample" ->
+      s"""SELECT doc_id, source, n_chars,
+         |  CAST('0x' || substr(md5('prio' || CAST(doc_id AS VARCHAR)), 1, 12)
+         |    AS BIGINT) // greatest(n_chars, 1) AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id
+         |LIMIT $PrioritySampleK""".stripMargin,
     // Independent restatement: materialize the K selection points and
     // RANGE-JOIN them into the cumulative intervals (the Spark side
     // inverts the same comparison in closed form).

@@ -609,7 +609,34 @@ object EventAnalytics {
         expr("num div den").as("ewma_e2"))
   }
 
+  // -- q127: OHLC bars --------------------------------------------------
+
+  /** OHLC BARS per (hour, event_type): open/high/low/close of the
+    * cents value plus the event count — the time-series downsampling
+    * primitive (candlesticks, telemetry rollups) that needs ORDERED
+    * endpoints, not just extrema. open/close use min_by/max_by over
+    * the (ts, event_id) struct — ONE hash aggregate with map-side
+    * partials carrying a single (key, value) pair per group per
+    * partition; no window function, no per-group sort, one shuffle on
+    * the bounded (bar, type) key. The (ts, event_id) tiebreak makes
+    * the endpoints total-order deterministic; the oracle restates
+    * them independently via dual row_number() passes. */
+  val q127OhlcBars: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("v_e2", round(col("value") * 100, 0).cast("long"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("v_e2"), struct(col("ts"), col("event_id"))).as("open_e2"),
+        max(col("v_e2")).as("high_e2"),
+        min(col("v_e2")).as("low_e2"),
+        max_by(col("v_e2"), struct(col("ts"), col("event_id"))).as("close_e2"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col("open_e2"), col("high_e2"), col("low_e2"), col("close_e2"),
+        col("n_events"))
+
   val defs: Map[String, Q] = Map(
+    "q127_ohlc_bars" -> q127OhlcBars,
     "q122_ewma_smooth" -> q122EwmaSmooth,
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
@@ -631,6 +658,30 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Independent restatement of the ordered endpoints: dual
+    // row_number() passes (asc / desc over the same tiebreak) instead
+    // of min_by/max_by aggregates.
+    "q127_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bar_start,
+        |    event_type, CAST(round(value * 100, 0) AS BIGINT) AS v_e2,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bar_start, event_type
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY bar_start, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b
+        |)
+        |SELECT bar_start, event_type,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN v_e2 END) AS BIGINT) AS open_e2,
+        |  CAST(max(v_e2) AS BIGINT) AS high_e2,
+        |  CAST(min(v_e2) AS BIGINT) AS low_e2,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN v_e2 END) AS BIGINT) AS close_e2,
+        |  count(*) AS n_events
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // Same 8-tap integer formula; `//` floor = Spark's `div` truncate
     // on the non-negative operands (README div contract).
     "q122_ewma_smooth" -> {

@@ -470,7 +470,58 @@ object Profiling {
         (lit(cPpm) + coalesce(col("adj"), lit(0L))).as("l1_ppm"))
   }
 
+  // -- q129: oracle-gated HyperLogLog --------------------------------
+
+  /** HYPERLOGLOG distinct-user estimate per event_type, built from
+    * first principles so the DuckDB oracle gates it BIT-FOR-BIT (the
+    * engine-private `approx_count_distinct`/`hll_sketch_agg` stay
+    * spec-pinned library variants; this is the estimator itself as a
+    * relational plan): 48-bit salted hash → 4-bit bucket (m=16) +
+    * 44-bit suffix; register = max leading-zero rank per bucket (rank
+    * via binary-string length — an integer identity, no libm log2);
+    * the harmonic mean runs in EXACT integer arithmetic because every
+    * 2^(-r) term is scaled by 2^45 (absent buckets contribute 2^45
+    * each), and est = ⌊α₁₆·m²·2^45 / S⌋ with the numerator a compile-
+    * time constant that fits int64. m=16 ⇒ rsd ≈ 26% — sized for the
+    * oracle demo; growing m widens the numerator, same plan. No
+    * small/large-range corrections (declared; the exact count sits in
+    * the next column). Plan: one partial-aggregated shuffle of
+    * (type, bucket) pairs — registers merge with MAX, the mergeable-
+    * sketch property that makes HLL the 100 TB cardinality tool —
+    * plus the exact countDistinct for the error column.
+    */
+  private val HllRegBits = 4 // m = 16 buckets
+  private val HllAlphaNumerator = // ⌊0.673 · m² · 2^45⌋ via integer e3
+    673L * 256L * (1L << 45) / 1000L
+
+  val q129HllDistinct: Q = (s, d) => {
+    val regs = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("hll"), col("user_id").cast("string"))),
+          1, 12), 16, 10).cast("long").as("h48"))
+      .withColumn("bucket", expr(s"h48 div ${1L << 44}L"))
+      .withColumn("w", expr(s"h48 % ${1L << 44}L"))
+      // rank of the first set bit in the 44-bit suffix (1-based);
+      // all-zero suffix => 45. length(bin(w)) = floor(log2 w)+1 exactly.
+      .withColumn("rho",
+        when(col("w") === 0, lit(45L))
+          .otherwise(lit(45L) - length(bin(col("w"))).cast("long")))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+    val s45 = regs.groupBy("event_type")
+      .agg(sum(expr("shiftleft(1L, cast(45 - r as int))")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("s45",
+        col("s_present") + (lit(16L) - col("n_present")) * lit(1L << 45))
+      .withColumn("est_users", expr(s"${HllAlphaNumerator}L div s45"))
+    val exact = graft.Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    s45.join(exact, "event_type")
+      .select(col("event_type"), col("est_users"), col("n_users"),
+        expr("abs(est_users - n_users) * 100 div n_users").as("err_pct"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q129_hll_distinct" -> q129HllDistinct,
     "q41_profile_sketch" -> q41ProfileSketch,
     "q118_source_drift" -> q118SourceDrift,
     "q111_embedding_dim_profile" -> q111EmbeddingDimProfile,
@@ -483,6 +534,34 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same estimator restated relationally: '0x' hex cast, length(bin)
+    // rank, integer-scaled harmonic sum with the absent-bucket term.
+    "q129_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type, user_id,
+         |    CAST('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS h48
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h48 // ${1L << 44} AS bucket,
+         |    CAST(max(CASE WHEN h48 % ${1L << 44} = 0 THEN 45
+         |      ELSE 45 - length(bin(h48 % ${1L << 44})) END) AS BIGINT) AS reg
+         |  FROM h GROUP BY 1, 2
+         |), s AS (
+         |  SELECT event_type,
+         |    CAST(sum(1::BIGINT << CAST(45 - reg AS INTEGER)) AS BIGINT)
+         |      + (16 - count(*)) * (1::BIGINT << 45) AS s45
+         |  FROM r GROUP BY 1
+         |), est AS (
+         |  SELECT event_type, CAST($HllAlphaNumerator // s45 AS BIGINT) AS est_users
+         |  FROM s
+         |), exact AS (
+         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT e.event_type, e.est_users, x.n_users,
+         |  CAST(abs(e.est_users - x.n_users) * 100 // x.n_users AS BIGINT) AS err_pct
+         |FROM est e JOIN exact x USING (event_type)""".stripMargin,
     // Same absent-mass algebra: L1 = Σ ppm_c + Σ_present(|Δ| − ppm_c).
     "q118_source_drift" ->
       s"""WITH tok AS (

@@ -111,6 +111,66 @@ class Round8OpsSpec extends SparkSpec {
     r.toSet shouldBe Set((1L, 2L, 1000L))
   }
 
+  // -- q127: OHLC bars -----------------------------------------------
+
+  test("q127 endpoints follow (ts, event_id) order, extrema are free") {
+    val dir = tmpDir("ohlc")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:01")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:20:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:40:00")
+    Seq((1L, t0, 7L, 5.00, "{}", "click"), (2L, t1, 7L, 9.00, "{}", "click"),
+      (3L, t2, 7L, 2.00, "{}", "click"))
+      .toDF("event_id", "ts", "user_id", "value", "props", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.EventAnalytics.q127OhlcBars(spark, dir)
+      .select("open_e2", "high_e2", "low_e2", "close_e2", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    r shouldBe Array((500L, 900L, 200L, 200L, 3L))
+  }
+
+  // -- q128: priority sample -----------------------------------------
+
+  test("q128 priorities are the pure hash/weight function, ascending") {
+    val r = SparkEntry.queries("q128_priority_sample")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars", "priority").as[(Long, Long, Long)].collect()
+    r.length shouldBe 200
+    // recompute each winner's priority from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    r.foreach { case (id, nc, p) =>
+      val hex = md.digest(s"prio$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      p shouldBe java.lang.Long.parseLong(hex, 16) / math.max(nc, 1L)
+    }
+    r.map(_._3).toSeq shouldBe r.map(_._3).sorted.toSeq
+  }
+
+  // -- q129: HLL -----------------------------------------------------
+
+  test("q129 registers and estimate match a from-scratch replica") {
+    val dir = tmpDir("hll")
+    val users = (1L to 300L)
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    users.map(u => (u, t, u, 1.0, "{}", "click")).toSeq
+      .toDF("event_id", "ts", "user_id", "value", "props", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = new Array[Long](16)
+    users.foreach { u =>
+      val hex = md.digest(s"hll$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val b = (h >> 44).toInt
+      val w = h & ((1L << 44) - 1)
+      val rho = if (w == 0) 45L else 45L - java.lang.Long.toBinaryString(w).length
+      regs(b) = math.max(regs(b), rho)
+    }
+    val s45 = regs.map(r => 1L << (45 - r)).sum
+    val expected = (673L * 256L * (1L << 45) / 1000L) / s45
+    val row = graft.queries.Profiling.q129HllDistinct(spark, dir)
+      .select("est_users", "n_users").as[(Long, Long)].head()
+    row shouldBe ((expected, 300L))
+  }
+
   // -- q126: Pareto frontier -----------------------------------------
 
   test("q126 keeps exactly the non-dominated (size, price) points") {
