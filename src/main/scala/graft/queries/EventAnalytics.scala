@@ -635,7 +635,165 @@ object EventAnalytics {
         col("open_e2"), col("high_e2"), col("low_e2"), col("close_e2"),
         col("n_events"))
 
+  // -- q132: lag-1 autocorrelation of the daily series ------------------
+
+  /** SERIAL-CORRELATION PROFILE: Pearson autocorrelation at lag 1 day
+    * of each event type's daily total value — the time-series health
+    * check behind seasonality detection and forecast-model selection
+    * (white noise ≈ 0, trending/persistent ≈ +1, alternating ≈ −1).
+    *
+    * Determinism contract: the six moment sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) are EXACT cents-scaled BIGINTs — integer addition commutes,
+    * so partition order cannot perturb them — and the final Pearson
+    * value is one fixed-shape double expression over those exact
+    * integers (IEEE ÷/×/sqrt are correctly rounded, so JVM and DuckDB
+    * agree bit-for-bit; no libm transcendentals per the repo log rule).
+    * Pairs are CONSECUTIVE calendar days only (day = prev + 1) so data
+    * gaps don't silently become lag-2 comparisons.
+    *
+    * Plan: one shuffle to (event_type, day) daily partials
+    * (map-side-combined), one |types|-partition window for the lag,
+    * one tiny final aggregate. At 100 TB the daily relation is
+    * |types|×|days| rows — the raw events never pass the window. */
+  val q132Autocorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("y", lag(col("x"), 1).over(w))
+      .filter(col("prev_day").isNotNull &&
+        col("day") === col("prev_day") + expr("INTERVAL 1 DAY"))
+    pairs.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("acf1",
+        expr("""CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+               | THEN (CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+               |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+               |         * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+               | END""".stripMargin))
+      .select("event_type", "n_pairs", "acf1")
+  }
+
+  // -- q133: deterministic-split A/B z-test -----------------------------
+
+  /** EXPERIMENT READOUT: Welch two-sample z-test of mean event value,
+    * variant assigned by the deterministic user-id parity split
+    * (`user_id % 2` — the SQL-expressible stand-in for a salted
+    * assignment hash; both engines and any replay agree on every
+    * user's arm). One conditional aggregate per event type computes
+    * both arms' count / Σv / Σv² in a single shuffle — no self-join,
+    * no second scan.
+    *
+    * Determinism: the six accumulators are exact cents BIGINTs; means,
+    * Welch variances and the z statistic are one fixed-shape double
+    * expression over them (IEEE-exact ops only). Σv² of cents at 100 TB
+    * would overflow BIGINT around 3×10¹⁸ cents² — the decimal money
+    * mode (HealthSilver) is the declared escape hatch there. */
+  val q133AbZtest: Q = (s, d) => {
+    val e = Tables.events(s, d).select(
+      col("event_type"),
+      (col("user_id") % 2 === 1).as("treat"),
+      round(col("value") * 100, 0).cast("long").as("v"))
+    e.groupBy("event_type")
+      .agg(
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("treat"), col("v")).otherwise(0L)).as("s0"),
+        sum(when(col("treat"), col("v")).otherwise(0L)).as("s1"),
+        sum(when(!col("treat"), col("v") * col("v")).otherwise(0L)).as("q0"),
+        sum(when(col("treat"), col("v") * col("v")).otherwise(0L)).as("q1"))
+      .withColumn("z_score",
+        expr("""CASE WHEN n0 > 1 AND n1 > 1 THEN
+               |  (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               |  / sqrt(
+               |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+               |    + ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
+               | END""".stripMargin))
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("s0 div n0").as("mean0_e2"), expr("s1 div n1").as("mean1_e2"),
+        col("z_score"))
+  }
+
+  // -- q134: CUSUM change-point detection -------------------------------
+
+  /** CHANGE-POINT SCAN: for each event type's daily-count series, the
+    * day where the cumulative sum of deviations from the series mean
+    * peaks in magnitude — the classic CUSUM estimator of a level
+    * shift's location (Page 1954), the batch primitive behind "when
+    * did this feed's volume regime change".
+    *
+    * Integer-exact trick: instead of subtracting the truncated mean
+    * (which drifts the walk by up to n·ε), every deviation is scaled
+    * by n: dev = x·n − total, so S_t = n·Σx_{≤t} − t·total is EXACT in
+    * units of (count × n) and both engines agree with no division
+    * anywhere. The argmax tiebreak is (|S| desc, day asc) via
+    * row_number — fully ordered, no nondeterministic max_by.
+    *
+    * Plan: daily partials (one map-combined shuffle of the raw scan),
+    * then mean + running sum + argmax all over |types|×|days| rows. */
+  val q134CusumChangepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.groupBy("event_type")
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum_xn")).desc, col("day").asc)
+    daily
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("cusum_xn", sum(col("x") * col("n_days") - col("total")).over(wRun))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("day").as("change_day"), col("cusum_xn"),
+        abs(col("cusum_xn")).as("max_abs_xn"))
+  }
+
+  // -- q135: seasonal baseline anomalies --------------------------------
+
+  /** SEASONAL ANOMALY FLAGS: compare every (event_type, hour) bucket's
+    * event count against that type's MEDIAN count for the same
+    * hour-of-week slot — the "is this Tuesday 3pm unusually hot"
+    * monitor that a global mean (q93) or per-segment MAD (q123) can't
+    * express because weekly seasonality IS the baseline. A bucket is a
+    * spike above 2× its slot median, a dip below half of it.
+    *
+    * The slot median interpolates on even counts exactly as DuckDB
+    * does ((a+b)/2 on exact ints → one IEEE double op); the 2×/½×
+    * comparisons run in doubles derived only from exact ints. Plan:
+    * hourly partials (one map-combined shuffle), slot medians over
+    * |types|×168 groups, broadcast back — the raw scan is aggregated
+    * before anything wide. */
+  val q135SeasonalBaseline: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("slot",
+        (dayofweek(col("hour_ts")) - 1) * 24 + hour(col("hour_ts")))
+    val baseline = hourly.groupBy("event_type", "slot")
+      .agg(median(col("cnt")).as("slot_median"), count(lit(1)).as("n_weeks"))
+    hourly
+      .join(broadcast(baseline), Seq("event_type", "slot"))
+      .select(col("event_type"), col("hour_ts"), col("slot").cast("long").as("slot"),
+        col("cnt"), col("slot_median"), col("n_weeks"),
+        (col("cnt").cast("double") > col("slot_median") * 2.0).as("is_spike"),
+        (col("cnt").cast("double") < col("slot_median") * 0.5).as("is_dip"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q132_autocorr_daily" -> q132Autocorr,
+    "q133_ab_ztest" -> q133AbZtest,
+    "q134_cusum_changepoint" -> q134CusumChangepoint,
+    "q135_seasonal_baseline" -> q135SeasonalBaseline,
     "q127_ohlc_bars" -> q127OhlcBars,
     "q122_ewma_smooth" -> q122EwmaSmooth,
     "q83_trailing_distinct" -> q83TrailingDistinct,
@@ -658,6 +816,110 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Exact integer moment sums; the Pearson value is the same
+    // fixed-shape IEEE double expression (README float contract).
+    "q132_autocorr_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT event_type, day, x,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily
+        |), pairs AS (
+        |  SELECT * FROM lagged
+        |  WHERE prev_day IS NOT NULL AND day = prev_day + INTERVAL 1 DAY
+        |), m AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        |   THEN (CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+        |        / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |           * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+        |   END AS acf1
+        |FROM m""".stripMargin,
+    // Same parity split and accumulator set; Welch z in one IEEE
+    // double expression over the exact BIGINTs.
+    "q133_ab_ztest" ->
+      """WITH e AS (
+        |  SELECT event_type, (user_id % 2 = 1) AS treat,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT treat THEN v ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN treat THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN NOT treat THEN v * v ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN treat THEN v * v ELSE 0 END) AS BIGINT) AS q1
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n0, n1,
+        |  CAST(s0 // n0 AS BIGINT) AS mean0_e2,
+        |  CAST(s1 // n1 AS BIGINT) AS mean1_e2,
+        |  CASE WHEN n0 > 1 AND n1 > 1 THEN
+        |    (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+        |    / sqrt(
+        |        ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+        |      + ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)) / n0)
+        |   END AS z_score
+        |FROM m""".stripMargin,
+    // Same n-scaled exact walk; argmax via the identical
+    // (|S| desc, day asc) row_number tiebreak.
+    "q134_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+        |    count(*) AS n_days
+        |  FROM daily GROUP BY 1
+        |), walk AS (
+        |  SELECT d.event_type, t.n_days, d.day,
+        |    CAST(sum(d.x * t.n_days - t.total) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_xn
+        |  FROM daily d JOIN t USING (event_type)
+        |), picked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY abs(cusum_xn) DESC, day ASC) AS rn
+        |  FROM walk
+        |)
+        |SELECT event_type, n_days, day AS change_day, cusum_xn,
+        |  CAST(abs(cusum_xn) AS BIGINT) AS max_abs_xn
+        |FROM picked WHERE rn = 1""".stripMargin,
+    // dayofweek: DuckDB is 0=Sunday, Spark 1=Sunday — both sides
+    // normalize to slot 0 = Sunday 00h. median((a+b)/2) interpolation
+    // matches Spark's percentile-based median on exact ints.
+    "q135_seasonal_baseline" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), slotted AS (
+        |  SELECT *, dayofweek(hour_ts) * 24 + hour(hour_ts) AS slot
+        |  FROM hourly
+        |), base AS (
+        |  SELECT event_type, slot,
+        |    median(cnt) AS slot_median, count(*) AS n_weeks
+        |  FROM slotted GROUP BY 1, 2
+        |)
+        |SELECT s.event_type, s.hour_ts, CAST(s.slot AS BIGINT) AS slot,
+        |  s.cnt, CAST(b.slot_median AS DOUBLE) AS slot_median, b.n_weeks,
+        |  CAST(s.cnt AS DOUBLE) > b.slot_median * 2.0 AS is_spike,
+        |  CAST(s.cnt AS DOUBLE) < b.slot_median * 0.5 AS is_dip
+        |FROM slotted s JOIN base b USING (event_type, slot)""".stripMargin,
     // Independent restatement of the ordered endpoints: dual
     // row_number() passes (asc / desc over the same tiebreak) instead
     // of min_by/max_by aggregates.

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixture pins for the q132–q135 time-series family: each operator's
+  * core math on a tiny hand-derivable events table (the oracle gate
+  * checks the same functions against DuckDB on the driver testdata;
+  * these pin the SEMANTICS — pair gating, exact walks, argmax
+  * tiebreaks — on inputs where the answer is checkable by hand).
+  */
+class Round8bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, String, Long, String, Double)]): Unit =
+    rows.map { case (id, ts, uid, et, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), uid, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  // -- q132: autocorrelation ------------------------------------------
+
+  test("q132: perfectly persistent series → acf1 = 1, calendar gaps drop pairs") {
+    val dir = tmpDir("acf")
+    // one event per day, linearly rising values Jan 1–4 (3 consecutive
+    // pairs, exactly correlated), plus an isolated day Jan 10 whose
+    // lag-pair must be gated out by the day = prev + 1 check
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 12:00:00", 1L, "a", 1.00),
+      (2L, "2024-01-02 12:00:00", 1L, "a", 2.00),
+      (3L, "2024-01-03 12:00:00", 1L, "a", 3.00),
+      (4L, "2024-01-04 12:00:00", 1L, "a", 4.00),
+      (5L, "2024-01-10 12:00:00", 1L, "a", 9.99)))
+    val r = graft.queries.EventAnalytics.q132Autocorr(spark, dir)
+      .select("event_type", "n_pairs", "acf1")
+      .as[(String, Long, Option[Double])].collect()
+    r.length shouldBe 1
+    val (_, nPairs, acf) = r.head
+    nPairs shouldBe 3L
+    // y = x − 100 cents: shift-invariant Pearson is exactly 1 up to
+    // the sqrt(A)·sqrt(B) vs √(AB) ulp
+    acf.get shouldBe 1.0 +- 1e-12
+  }
+
+  test("q132: constant series has zero variance → acf1 is null") {
+    val dir = tmpDir("acf0")
+    writeEvents(dir, (1 to 4).map(i =>
+      (i.toLong, f"2024-01-0$i 00:30:00", 1L, "flat", 5.00)))
+    val r = graft.queries.EventAnalytics.q132Autocorr(spark, dir)
+      .select("n_pairs", "acf1").as[(Long, Option[Double])].collect()
+    r shouldBe Array((3L, None))
+  }
+
+  // -- q133: A/B z-test -----------------------------------------------
+
+  test("q133: parity split arms, Welch z from the exact moment sums") {
+    val dir = tmpDir("ab")
+    // control (even uid): 100.00, 300.00 → mean 200.00, var 2e8 cents²
+    // treat (odd uid):    200.00, 600.00 → mean 400.00, var 8e8 cents²
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 00:00:00", 0L, "x", 100.00),
+      (2L, "2024-01-01 01:00:00", 2L, "x", 300.00),
+      (3L, "2024-01-01 02:00:00", 1L, "x", 200.00),
+      (4L, "2024-01-01 03:00:00", 3L, "x", 600.00)))
+    val r = graft.queries.EventAnalytics.q133AbZtest(spark, dir)
+      .select("n0", "n1", "mean0_e2", "mean1_e2", "z_score")
+      .as[(Long, Long, Long, Long, Double)].head()
+    r._1 shouldBe 2L
+    r._2 shouldBe 2L
+    r._3 shouldBe 20000L
+    r._4 shouldBe 40000L
+    // z = (40000−20000)/√(8e8/2 + 2e8/2) — same IEEE ops, exact match
+    r._5 shouldBe 20000.0 / math.sqrt(5e8)
+  }
+
+  // -- q134: CUSUM change point ---------------------------------------
+
+  test("q134: level shift peaks the exact n-scaled walk at the last low day") {
+    val dir = tmpDir("cusum")
+    // counts/day: 1,1,1 then 3,3,3 — walk (×n=6): −6,−12,−18,−12,−6,0
+    val rows = (1 to 6).flatMap { day =>
+      val n = if (day <= 3) 1 else 3
+      (1 to n).map(k =>
+        ((day * 10 + k).toLong, f"2024-01-0$day 0$k:00:00", 1L, "load", 1.0))
+    }
+    writeEvents(dir, rows)
+    val r = graft.queries.EventAnalytics.q134CusumChangepoint(spark, dir)
+      .select(col("n_days"), date_format(col("change_day"), "yyyy-MM-dd"),
+        col("cusum_xn"), col("max_abs_xn"))
+      .as[(Long, String, Long, Long)].head()
+    r shouldBe ((6L, "2024-01-03", -18L, 18L))
+  }
+
+  // -- q135: seasonal baseline ----------------------------------------
+
+  test("q135: spike vs the same-slot median, quiet weeks stay unflagged") {
+    val dir = tmpDir("seasonal")
+    // same weekday+hour across three weeks: counts 1, 1, 10 → slot
+    // median 1.0; only the 10 is a spike (10 > 2×1); nothing dips
+    // (all ≥ 0.5)
+    val weeks = Seq("2024-01-05", "2024-01-12", "2024-01-19") // Fridays
+    val rows = weeks.zipWithIndex.flatMap { case (day, wi) =>
+      val n = if (wi == 2) 10 else 1
+      (1 to n).map(k => ((wi * 100 + k).toLong, s"$day 09:${10 + k}:00", 1L, "beat", 1.0))
+    }
+    writeEvents(dir, rows)
+    val r = graft.queries.EventAnalytics.q135SeasonalBaseline(spark, dir)
+      .select(col("hour_ts").cast("string"), col("cnt"), col("slot_median"),
+        col("is_spike"), col("is_dip"))
+      .as[(String, Long, Double, Boolean, Boolean)].collect()
+      .sortBy(_._1)
+    r.map(_._2).toSeq shouldBe Seq(1L, 1L, 10L)
+    r.map(_._3).distinct.toSeq shouldBe Seq(1.0)
+    r.map(_._4).toSeq shouldBe Seq(false, false, true)
+    r.forall(!_._5) shouldBe true
+    // all three land in one slot: Friday (Spark dayofweek 6) 09h
+    graft.queries.EventAnalytics.q135SeasonalBaseline(spark, dir)
+      .select("slot").distinct().as[Long].collect().toSeq shouldBe Seq(5 * 24 + 9)
+  }
+
+  // -- q130: Gini -----------------------------------------------------
+
+  test("q130: equal spends → 0, a 1:3 split → exactly 250000 e6") {
+    val dir = tmpDir("gini")
+    Seq((0L, "EQ"), (1L, "CONC")).toDF("n_nationkey", "n_name")
+      .withColumn("n_regionkey", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+      .withColumn("c_name", concat(lit("c"), col("c_custkey")))
+      .withColumn("c_mktsegment", lit("S"))
+      .withColumn("c_acctbal", lit(0.0))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // EQ: both customers spend 100 → G = 0
+    // CONC: spends 100 and 300 → G = (2·700 − 3·400)/(2·400) = 0.25
+    Seq((10L, 1L, 100.00), (11L, 2L, 100.00), (12L, 3L, 100.00),
+      (13L, 4L, 200.00), (14L, 4L, 100.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Analytics.q130Gini(spark, dir)
+      .select("n_name", "n_cust", "total_e0", "gini_e6")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    r("EQ") shouldBe (("EQ", 2L, 200L, 0L))
+    r("CONC") shouldBe (("CONC", 2L, 400L, 250000L))
+  }
+
+  // -- q131: Benford digits -------------------------------------------
+
+  test("q131: integer digit extraction spans magnitudes; ppm vs the literal") {
+    val dir = tmpDir("benford")
+    // cents: 12300 → 1, 1999 → 1, 7 → 7, 90000 → 9
+    Seq((1L, 123.00), (2L, 19.99), (3L, 0.07), (4L, 900.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Analytics.q131Benford(spark, dir)
+      .select("digit", "n", "n_total", "share_ppm", "benford_ppm", "dev_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    r.keySet shouldBe Set(1L, 7L, 9L)
+    r(1L) shouldBe ((1L, 2L, 4L, 500000L, 301030L, 198970L))
+    r(7L)._4 shouldBe 250000L
+    r(9L)._5 shouldBe 45757L // round(1e6·log10(10/9))
+  }
+
+  // -- q136: resource-allocation link prediction ----------------------
+
+  test("q136: small baskets outweigh megabaskets; singletons filtered") {
+    val dir = tmpDir("ra")
+    // order 1: {1,2}         → w = 500000
+    // order 2: {1,2,3,4}     → w = 250000
+    // order 3: {1,2}         → w = 500000
+    // pair (1,2): 3 shared orders, ra = 1250000; all other pairs share
+    // only order 2 → below the ≥2 floor
+    val rows = Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Graph.q136LinkPrediction(spark, dir)
+      .select("x", "y", "shared_orders", "ra_e6")
+      .as[(Long, Long, Long, Long)].collect()
+    r.toSeq shouldBe Seq((1L, 2L, 3L, 1250000L))
+  }
+
+  // -- q137: chi-square independence ----------------------------------
+
+  test("q137: independent table → zero cells; absent-cell mass lands in the total") {
+    val dir = tmpDir("chisq")
+    def docs(rows: Seq[(String, String, Int)]) = rows
+      .flatMap { case (src, lang, n) => (1 to n).map(i => (src, lang, i)) }
+      .zipWithIndex
+      .map { case ((src, lang, _), i) => (i.toLong, s"text $i", lang, src, 6L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // perfectly independent 2×2: e = o for every cell → chi2 = 0
+    docs(Seq(("a", "en", 2), ("a", "fr", 2), ("b", "en", 1), ("b", "fr", 1)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r0 = graft.queries.Profiling.q137ChisqIndependence(spark, dir)
+      .select("cell_chi2_e6", "chi2_total_e6").as[(Long, Long)].collect()
+    r0.length shouldBe 4
+    r0.map(_._1).sum shouldBe 0L
+    r0.map(_._2).distinct.toSeq shouldBe Seq(0L)
+
+    // diagonal 2×2 with an UNOBSERVED off-diagonal: a/en=2, b/fr=2.
+    // Observed cells: e = 1 each, contribution (2·4−2·2)²/(4·2·2) = 1
+    // → 1e6 each; absent mass = G·1e6 − Σe_e6 = 4e6 − 2e6 = 2e6;
+    // total = 2e6 + 2e6 = 4e6 (= exact χ² = n for a perfect 2×2
+    // association: 4).
+    docs(Seq(("a", "en", 2), ("b", "fr", 2)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r1 = graft.queries.Profiling.q137ChisqIndependence(spark, dir)
+      .select("cell_chi2_e6", "chi2_total_e6").as[(Long, Long)].collect()
+    r1.length shouldBe 2
+    r1.map(_._1).toSeq.sorted shouldBe Seq(1000000L, 1000000L)
+    r1.map(_._2).distinct.toSeq shouldBe Seq(4000000L)
+  }
+}
