@@ -35,6 +35,13 @@ object Analytics {
   private def sumE2(c: Column): Column = sum(round(c * lit(100.0), 0).cast("long"))
   private def sumE4(c: Column): Column = sum(round(c * lit(10000.0), 0).cast("long"))
 
+  /** Benford expected first-digit mass, ppm: round(1e6·log₁₀(1+1/d)).
+    * Computed once on the driver and baked as the SAME literal into
+    * the Spark plan and the oracle SQL — no runtime libm on either
+    * engine (README log rule). */
+  private val BenfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(dd => dd -> math.round(math.log10(1.0 + 1.0 / dd) * 1000000))
+
   // -- q36: ROLLUP over (nation, order year) -------------------------
 
   /** Order revenue at three levels — (nation, year), (nation), grand
@@ -723,7 +730,86 @@ object Analytics {
           col("min_same_e2") === col("price_e2")).as("is_pareto"))
   }
 
+  // -- q130: Gini concentration of customer spend ---------------------
+
+  /** INEQUALITY PROFILE: the Gini coefficient of order spend across
+    * each nation's purchasing customers — the one-number concentration
+    * summary behind "is this market a few whales or a broad base",
+    * complementing q87's raw key-skew counts with the canonical
+    * 0 (equal) … 1 (winner-take-all) index.
+    *
+    * Exact-integer form of the rank formula on the ascending-sorted
+    * spends: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ). Spend is
+    * whole-currency BIGINT (e0 — cents would overflow 2·10⁶·Σ i·xᵢ
+    * at sf≥1; the decimal money mode is the declared escape at that
+    * scale), ranks come from a total (spend, custkey) order, and the
+    * final e6 value is ONE truncating div on non-negative operands —
+    * bit-equal across engines, no doubles anywhere.
+    *
+    * Plan: per-customer spend is a map-combined groupBy; the rank
+    * window shuffles once on nation (25 partitions of ~n/25 — at
+    * 100 TB swap the partition key for (nation, salt) + two-phase
+    * rank only if a single nation outgrows an executor, declared
+    * limit); the final aggregate reuses the nation partitioning. */
+  val q130Gini: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("spend_e0"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("spend_e0").asc, col("o_custkey").asc)
+    spend
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("spend_e0")).as("total_e0"),
+        sum(col("i") * col("spend_e0")).as("s1"))
+      .withColumn("gini_e6",
+        expr("(1000000 * (2 * s1 - (n_cust + 1) * total_e0)) div (n_cust * total_e0)"))
+      .select("n_name", "n_cust", "total_e0", "gini_e6")
+  }
+
+  // -- q131: Benford first-digit conformance --------------------------
+
+  /** FRAUD/QUALITY SCREEN: the first-significant-digit distribution of
+    * order totals per order priority against Benford's law — the
+    * classic forensic test for fabricated or truncated monetary data
+    * (synthetic uniform generators, like this testdata's, fail it
+    * loudly; organic multiplicative totals follow it).
+    *
+    * The digit is pure integer math on the cents value — no
+    * double→string formatting (engine-dependent) and no log10 (libm):
+    * d = cents div 10^(digits(cents)−1), where digits() is the length
+    * of the BIGINT's decimal string — exact on both engines.
+    * Expected ppm per digit (log₁₀(1+1/d)) is a COMPILE-TIME literal
+    * baked identically into plan and oracle. One map-combined shuffle
+    * to (priority, digit) cells, a 45-row window for totals. */
+  val q131Benford: Q = (s, d) => {
+    val benfordSql = BenfordPpm
+      .map { case (dd, ppm) => s"WHEN $dd THEN $ppm" }
+      .mkString("CAST(CASE digit ", " ", " END AS BIGINT)")
+    val wp = Window.partitionBy("o_orderpriority")
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("digit",
+        expr("cents div CAST(pow(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)"))
+      .groupBy("o_orderpriority", "digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(wp))
+      .withColumn("share_ppm", expr("n * 1000000 div n_total"))
+      .withColumn("benford_ppm", expr(benfordSql))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q130_gini_spend" -> q130Gini,
+    "q131_benford_digits" -> q131Benford,
     "q123_mad_outliers" -> q123MadOutliers,
     "q126_pareto_frontier" -> q126ParetoFrontier,
     "q106_keyset_page" -> q106KeysetPage,
@@ -752,6 +838,58 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same rank formula; `//` floor = Spark `div` truncate on the
+    // non-negative numerator/denominator (README div contract).
+    "q130_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS spend_e0
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT n_name, spend_e0,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY spend_e0, o_custkey) AS BIGINT) AS i
+        |  FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), agg AS (
+        |  SELECT n_name, count(*) AS n_cust,
+        |    CAST(sum(spend_e0) AS BIGINT) AS total_e0,
+        |    CAST(sum(i * spend_e0) AS BIGINT) AS s1
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT n_name, n_cust, total_e0,
+        |  CAST((1000000 * (2 * s1 - (n_cust + 1) * total_e0))
+        |    // (n_cust * total_e0) AS BIGINT) AS gini_e6
+        |FROM agg""".stripMargin,
+    // Identical integer digit extraction and the same baked literals.
+    "q131_benford_digits" -> {
+      val benfCase = BenfordPpm
+        .map { case (dd, ppm) => s"WHEN $dd THEN $ppm" }
+        .mkString("CAST(CASE digit ", " ", " END AS BIGINT)")
+      s"""WITH c AS (
+         |  SELECT o_orderpriority,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders WHERE o_totalprice > 0
+         |), dig AS (
+         |  SELECT o_orderpriority,
+         |    cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
+         |      AS digit
+         |  FROM c
+         |), cells AS (
+         |  SELECT o_orderpriority, digit, count(*) AS n
+         |  FROM dig GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT *, CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         |    AS n_total
+         |  FROM cells
+         |)
+         |SELECT o_orderpriority, digit, n, n_total,
+         |  CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+         |  $benfCase AS benford_ppm,
+         |  CAST(abs(n * 1000000 // n_total - $benfCase) AS BIGINT) AS dev_ppm
+         |FROM tot""".stripMargin
+    },
     "q123_mad_outliers" ->
       """WITH base AS (
         |  SELECT c_custkey, c_mktsegment,

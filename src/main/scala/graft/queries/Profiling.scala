@@ -520,7 +520,59 @@ object Profiling {
         expr("abs(est_users - n_users) * 100 div n_users").as("err_pct"))
   }
 
+  // -- q137: chi-square independence of source × language ----------------
+
+  /** CONTINGENCY-TABLE DRIFT TEST: Pearson's chi-square statistic for
+    * independence between ingest source and document language — the
+    * hypothesis-test complement of q118's L1 drift distance: q118
+    * measures HOW FAR a source's distribution sits from the corpus,
+    * this says whether source and language are associated AT ALL and
+    * which cells drive it (the standardized per-cell contributions are
+    * the actionable output — "src7 is overweight zh").
+    *
+    * Determinism: observed / row / column / grand totals are exact
+    * BIGINTs; each cell's contribution (o·G − r·c)²/(G·r·c) is one
+    * fixed-shape IEEE double expression over them (the algebraic form
+    * of (o−e)²/e that never materializes a rounded e), then snapped to
+    * e6 BIGINT so the cross-cell total is an order-free integer sum.
+    * UNOBSERVED cells (o=0) never need a dense S×L grid (which would
+    * be the cartesian the plan gate forbids): their contribution is
+    * exactly e, and Σ_all e = G, so the total adds the absent mass
+    * algebraically — Σ_observed cell + (G·1e6 − Σ_observed e_e6) —
+    * the same absent-mass trick as q118. The o·G cross-product needs
+    * BIGINT headroom up to G²; beyond ~3·10⁹ documents the decimal
+    * money mode is the declared escape.
+    *
+    * Plan: the raw corpus collapses to |S|×|L| cells in one
+    * map-combined shuffle; marginals and the statistic are window
+    * sums OVER THE CELL RELATION (bounded rows at any corpus size —
+    * the single-partition windows are on a ≤few-hundred-row relation,
+    * declared control-plane). */
+  val q137ChisqIndependence: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy("source")))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy("lang")))
+      .withColumn("g", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("expected_e6",
+        expr("CAST(round(CAST(rt AS DOUBLE) * ct / g * 1000000, 0) AS BIGINT)"))
+      .withColumn("cell_chi2_e6",
+        expr("""CAST(round(
+               |  (CAST(o * g - rt * ct AS DOUBLE) * (o * g - rt * ct))
+               |  / (CAST(g AS DOUBLE) * rt * ct) * 1000000, 0) AS BIGINT)""".stripMargin))
+      .withColumn("chi2_total_e6",
+        sum(col("cell_chi2_e6")).over(Window.partitionBy()) +
+          col("g") * lit(1000000L) -
+          sum(col("expected_e6")).over(Window.partitionBy()))
+      .select("source", "lang", "o", "rt", "ct", "g",
+        "expected_e6", "cell_chi2_e6", "chi2_total_e6")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q137_chisq_independence" -> q137ChisqIndependence,
     "q129_hll_distinct" -> q129HllDistinct,
     "q41_profile_sketch" -> q41ProfileSketch,
     "q118_source_drift" -> q118SourceDrift,
@@ -534,6 +586,31 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same marginal windows and the identical algebraic double shape.
+    "q137_chisq_independence" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *,
+        |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS ct,
+        |    CAST(sum(o) OVER () AS BIGINT) AS g
+        |  FROM cells
+        |), c2 AS (
+        |  SELECT *,
+        |    CAST(round(CAST(rt AS DOUBLE) * ct / g * 1000000, 0) AS BIGINT)
+        |      AS expected_e6,
+        |    CAST(round(
+        |      (CAST(o * g - rt * ct AS DOUBLE) * (o * g - rt * ct))
+        |      / (CAST(g AS DOUBLE) * rt * ct) * 1000000, 0) AS BIGINT)
+        |      AS cell_chi2_e6
+        |  FROM m
+        |)
+        |SELECT source, lang, o, rt, ct, g, expected_e6, cell_chi2_e6,
+        |  CAST(sum(cell_chi2_e6) OVER ()
+        |    + g * 1000000 - sum(expected_e6) OVER () AS BIGINT)
+        |    AS chi2_total_e6
+        |FROM c2""".stripMargin,
     // Same estimator restated relationally: '0x' hex cast, length(bin)
     // rank, integer-scaled harmonic sum with the absent-bucket term.
     "q129_hll_distinct" ->
