@@ -789,7 +789,51 @@ object EventAnalytics {
         (col("cnt").cast("double") < col("slot_median") * 0.5).as("is_dip"))
   }
 
+  // -- q139: multi-touch linear attribution -----------------------------
+
+  private val AttribWindowUs = 86400L * 1000000 // 24 h
+
+  /** MULTI-TOUCH ATTRIBUTION: split every purchase's value linearly
+    * across the user's view/click touchpoints in the trailing 24 h —
+    * the credit model between q40's winner-take-all last-touch and
+    * q65's unweighted funnel. Channel credits are exact integer
+    * cents: view gets value·nv div T, click gets the complement, so
+    * per-purchase credits always sum to the full value (remainder
+    * rides the click channel, declared); T = 0 purchases surface with
+    * zero credits and n_touches = 0 for the unattributed report.
+    *
+    * Plan: both channel counts are conditional sums over ONE
+    * value-RANGE frame [(ts−24h)µs, ts−1µs] on a shared (user_id, µs)
+    * sort — a single Window node, one shuffle on user_id; the scan
+    * pre-filters to the three relevant types so the pushed predicate
+    * shrinks the window input; value-based frames make same-µs ties
+    * irrelevant. */
+  val q139MultiTouch: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-AttribWindowUs, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("value_e2"))
+      .select(col("*"),
+        // empty trailing frame → sum is NULL, not 0, on both engines
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w),
+          lit(0L)).as("nv"),
+        coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w),
+          lit(0L)).as("nc"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("n_touches", col("nv") + col("nc"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("nv"), col("nc"), col("n_touches"), col("value_e2"),
+        when(col("n_touches") > 0, expr("value_e2 * nv div n_touches"))
+          .otherwise(lit(0L)).as("credit_view_e2"),
+        when(col("n_touches") > 0, expr("value_e2 - value_e2 * nv div n_touches"))
+          .otherwise(lit(0L)).as("credit_click_e2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q139_multitouch_attribution" -> q139MultiTouch,
     "q132_autocorr_daily" -> q132Autocorr,
     "q133_ab_ztest" -> q133AbZtest,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -816,6 +860,34 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same value-RANGE frame; integer floor split with the complement
+    // on the click channel.
+    "q139_multitouch_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS value_e2
+         |  FROM events
+         |  WHERE event_type IN ('view', 'click', 'purchase')
+         |), t AS (
+         |  SELECT *,
+         |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY us
+         |      RANGE BETWEEN $AttribWindowUs PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nv,
+         |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY us
+         |      RANGE BETWEEN $AttribWindowUs PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nc
+         |  FROM e
+         |)
+         |SELECT event_id AS purchase_id, user_id, nv, nc,
+         |  nv + nc AS n_touches, value_e2,
+         |  CASE WHEN nv + nc > 0 THEN value_e2 * nv // (nv + nc)
+         |    ELSE 0 END AS credit_view_e2,
+         |  CASE WHEN nv + nc > 0 THEN value_e2 - value_e2 * nv // (nv + nc)
+         |    ELSE 0 END AS credit_click_e2
+         |FROM t WHERE event_type = 'purchase'""".stripMargin,
     // Exact integer moment sums; the Pearson value is the same
     // fixed-shape IEEE double expression (README float contract).
     "q132_autocorr_daily" ->

@@ -200,9 +200,14 @@ object Graph {
           .otherwise(lit(0L)).as("clustering_e6"))
   }
 
-  val q121TriangleCount: Q = (s, d) => {
+  /** The support-floored part co-purchase graph (parts bought together
+    * in ≥ [[TriMinSupport]] orders), built with the in-row pair
+    * expansion — one shuffle on l_orderkey, no self-join on raw
+    * lineitem. Shared by q121 (triangles, ≥2 support) and q138
+    * (k-core, all pairs). */
+  private def copurchaseEdges(s: SparkSession, d: String, minSupport: Int): DataFrame = {
     import graft.Tables
-    val edges = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
@@ -212,10 +217,12 @@ object Graph {
           struct(x.as("x"), y.as("y")))))).as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= TriMinSupport)
+      .filter(col("n_orders") >= minSupport)
       .select(col("x"), col("y"))
-    triangleStats(edges).withColumnRenamed("node", "p_partkey")
   }
+
+  val q121TriangleCount: Q = (s, d) =>
+    triangleStats(copurchaseEdges(s, d, TriMinSupport)).withColumnRenamed("node", "p_partkey")
 
   private val RaMaxBasket = 64
   private val RaMinShared = 2
@@ -254,13 +261,90 @@ object Graph {
       .filter(col("shared_orders") >= RaMinShared)
   }
 
+  private val KCoreK = 90
+  private val KCorePeels = 4
+
+  /** Core of q138: [[KCorePeels]] unrolled rounds of k-core peeling —
+    * drop every node with degree < k, delete its edges, recompute,
+    * repeat — over an undirected simple graph given as (x, y) pairs,
+    * each edge listed once. Returns surviving nodes with their
+    * residual in-core degree. Exposed for spec fixtures. */
+  private[graft] def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges0.transform(graft.ops.Checkpoints.cut)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+        .transform(graft.ops.Checkpoints.cut) // feeds BOTH semi-join legs
+      e = e
+        .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
+        .transform(graft.ops.Checkpoints.cut) // next round reads e twice
+    }
+    degrees(e).select(col("node"), col("deg").as("deg_in_core"))
+  }
+
+  /** K-CORE DECOMPOSITION (90-core, 4 unrolled peels): the maximal-ish
+    * subgraph where every part keeps ≥90 co-purchase neighbors (the
+    * testdata's co-purchase degrees center near 115 at every sf, so
+    * k=90 peels a substantial fringe and cascades across rounds
+    * without collapsing the core — the support-floored q121 graph is
+    * near-forest at sf0.1, hence ALL pairs here) — the
+    * density backbone that separates a genuinely cohesive product
+    * community from stars and chains that triangle counts (q121) and
+    * centrality (q90) each miss in their own way. Peeling is the
+    * textbook Matula–Beck reduction; FOUR unrolled rounds is the
+    * repo's iterative convention (q90's Jacobi / q57's Lloyd) so the
+    * oracle restates each round as a chained CTE — a fixpoint loop at
+    * 100 TB keeps the same per-round plan (degree aggregate + two
+    * semi-joins, all partial-aggregated equi-joins on node keys) with
+    * a driver-side convergence check on a one-row count, and each
+    * round STRICTLY shrinks the edge set, so later rounds get cheaper.
+    * Checkpoint cuts bound the lineage exactly as q55's pointer
+    * doubling does. */
+  val q138KCore: Q = (s, d) =>
+    kcorePeel(copurchaseEdges(s, d, 1), KCoreK, KCorePeels)
+      .withColumnRenamed("node", "p_partkey")
+
   val defs: Map[String, Q] = Map(
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
     "q121_triangle_count" -> q121TriangleCount,
-    "q136_link_prediction" -> q136LinkPrediction)
+    "q136_link_prediction" -> q136LinkPrediction,
+    "q138_kcore" -> q138KCore)
 
   val oracles: Map[String, String] = Map(
+    // The same four peel rounds as chained CTEs over the self-join
+    // edge restatement (q121 oracle convention for the edge builder).
+    // Every round's CTEs are multi-referenced by later rounds, so they
+    // MUST be AS MATERIALIZED: DuckDB otherwise inlines each reference
+    // and the re-evaluation tree grows exponentially across rounds
+    // (observed: temp-disk exhaustion at sf0.1).
+    "q138_kcore" -> {
+      val rounds = (1 to KCorePeels).map { r =>
+        s"""d${r - 1} AS MATERIALIZED (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT x AS node FROM e${r - 1} UNION ALL SELECT y FROM e${r - 1}
+           |  ) GROUP BY 1
+           |), k${r - 1} AS MATERIALIZED (SELECT node FROM d${r - 1} WHERE deg >= $KCoreK),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.x, e.y FROM e${r - 1} e
+           |  JOIN k${r - 1} a ON e.x = a.node
+           |  JOIN k${r - 1} b ON e.y = b.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |),
+         |$rounds
+         |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS deg_in_core FROM (
+         |  SELECT x AS node FROM e$KCorePeels UNION ALL SELECT y FROM e$KCorePeels
+         |) GROUP BY 1""".stripMargin
+    },
     // Independent restatement: distinct-item self-join (a < b) against
     // the in-row pair expansion; same basket cap, weight, and floor.
     "q136_link_prediction" ->

@@ -221,4 +221,39 @@ class Round8bOpsSpec extends SparkSpec {
     r1.map(_._1).toSeq.sorted shouldBe Seq(1000000L, 1000000L)
     r1.map(_._2).distinct.toSeq shouldBe Seq(4000000L)
   }
+
+  // -- q138: k-core peeling -------------------------------------------
+
+  test("q138 kcorePeel: cascading tail peels over multiple rounds, K4 survives") {
+    // K4 on 1..4 plus a tail: 5—4, 5—6, 5—7, 6—7. Round 1 removes 6,7
+    // (deg 2); that drops 5 to deg 1 → round 2 removes 5; K4 is the
+    // stable 3-core with every node at residual degree 3.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)).toDF("x", "y")
+    val r = graft.queries.Graph.kcorePeel(edges, 3, 4)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  // -- q139: multi-touch attribution ----------------------------------
+
+  test("q139: linear split, exact-24h boundary in, same-instant out, T=0 visible") {
+    val dir = tmpDir("mta")
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "view", 0.0), // exactly 24 h before → in
+      (2L, "2024-01-01 23:00:00", 7L, "click", 0.0),
+      (3L, "2024-01-02 00:00:00", 7L, "view", 0.0), // same µs as purchase → out
+      (4L, "2024-01-02 00:00:00", 7L, "purchase", 100.00),
+      (5L, "2024-01-05 00:00:00", 7L, "purchase", 50.00), // nothing trailing
+      (6L, "2024-01-01 00:00:00", 8L, "error", 1.0))) // wrong type+user
+    val r = graft.queries.EventAnalytics.q139MultiTouch(spark, dir)
+      .select("purchase_id", "nv", "nc", "n_touches", "credit_view_e2", "credit_click_e2")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // purchase 4: one view (the boundary one), one click → 5000/5000
+    r(4L) shouldBe ((4L, 1L, 1L, 2L, 5000L, 5000L))
+    // purchase 5: unattributed
+    r(5L) shouldBe ((5L, 0L, 0L, 0L, 0L, 0L))
+  }
 }
