@@ -832,7 +832,65 @@ object EventAnalytics {
           .otherwise(lit(0L)).as("credit_click_e2"))
   }
 
+  // -- q141: Wilson-bound conversion ranking ----------------------------
+
+  /** RANKING BY UNCERTAINTY-ADJUSTED RATE: per event-type cohort (users
+    * who emitted the type in the first week of the dataset), the share
+    * who purchase afterwards — scored by the WILSON 95% lower bound,
+    * the interval-estimation fix for "a 2/2 channel outranks a
+    * 950/1000 one" that raw rates (and q133's z-test, which compares
+    * two arms, not many) cannot express.
+    *
+    * The week-boundary scalar is driver-hosted control plane (q61/q118
+    * convention); cohort and converter sets are exact distinct-user
+    * relations, their intersection a keyed semi-join — at 100 TB all
+    * shuffles are on user_id and the final relation is |types| rows.
+    * x and n are exact BIGINTs; p̂ and the Wilson bound are ONE
+    * fixed-shape IEEE expression with z²=3.8416 a decimal literal
+    * parsed to the same double by both engines — no libm. */
+  /** Wilson 95% lower bound over columns (n_converted, n_cohort) — ONE
+    * SQL snippet shared verbatim by the Spark plan and the DuckDB
+    * oracle so the IEEE expression shape is identical by construction.
+    * All constants are explicit DOUBLE casts: a bare `3.8416` parses
+    * as DECIMAL on both engines and decimal division rounds
+    * differently than binary doubles. */
+  private val WilsonLbE6Sql =
+    """CAST(round((
+      |  (CAST(n_converted AS DOUBLE) / n_cohort
+      |   + CAST(3.8416 AS DOUBLE) / (2 * n_cohort)
+      |   - CAST(1.96 AS DOUBLE) * sqrt(
+      |       (CAST(n_converted AS DOUBLE) / n_cohort
+      |        * (1 - CAST(n_converted AS DOUBLE) / n_cohort)
+      |        + CAST(3.8416 AS DOUBLE) / (4 * CAST(n_cohort AS DOUBLE) * n_cohort))
+      |       / n_cohort)
+      |  ) / (1 + CAST(3.8416 AS DOUBLE) / n_cohort)) * 1000000, 0) AS BIGINT)""".stripMargin
+
+  private val WeekUs = 7L * 86400 * 1000000
+
+  val q141WilsonConversion: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .transform(graft.ops.SharedCache.persist) // min-ts scalar + cohort + converters
+    // µs-exact boundary: a millisecond-truncated Timestamp scalar would
+    // misclassify events inside the dropped fraction
+    val cutoffUs = e.agg(min(col("us"))).head().getLong(0) + WeekUs
+    val cohort = e.filter(col("us") < cutoffUs)
+      .select(col("event_type"), col("user_id")).distinct()
+    val converters = e
+      .filter(col("us") >= cutoffUs && col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    cohort
+      .join(converters.withColumn("converted", lit(1L)), Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cohort"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+      .withColumn("cvr_ppm", expr("n_converted * 1000000 div n_cohort"))
+      .withColumn("wilson_lb_e6", expr(WilsonLbE6Sql))
+      .select("event_type", "n_cohort", "n_converted", "cvr_ppm", "wilson_lb_e6")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q141_wilson_conversion" -> q141WilsonConversion,
     "q139_multitouch_attribution" -> q139MultiTouch,
     "q132_autocorr_daily" -> q132Autocorr,
     "q133_ab_ztest" -> q133AbZtest,
@@ -860,6 +918,34 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Shares the Wilson snippet VERBATIM with the Spark plan; the
+    // week boundary is the same µs-integer scalar, inlined as a
+    // subquery instead of a driver value.
+    "q141_wilson_conversion" ->
+      s"""WITH e AS (
+         |  SELECT event_type, user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events
+         |), b AS (
+         |  SELECT min(us) + $WeekUs AS cutoff_us FROM e
+         |), cohort AS (
+         |  SELECT DISTINCT event_type, user_id
+         |  FROM e, b WHERE us < cutoff_us
+         |), conv AS (
+         |  SELECT DISTINCT user_id
+         |  FROM e, b WHERE us >= cutoff_us AND event_type = 'purchase'
+         |), m AS (
+         |  SELECT c.event_type,
+         |    count(*) AS n_cohort,
+         |    CAST(sum(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_converted
+         |  FROM cohort c LEFT JOIN conv v USING (user_id)
+         |  GROUP BY 1
+         |)
+         |SELECT event_type, n_cohort, n_converted,
+         |  CAST(n_converted * 1000000 // n_cohort AS BIGINT) AS cvr_ppm,
+         |  $WilsonLbE6Sql AS wilson_lb_e6
+         |FROM m""".stripMargin,
     // Same value-RANGE frame; integer floor split with the complement
     // on the click channel.
     "q139_multitouch_attribution" ->

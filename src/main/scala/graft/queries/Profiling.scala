@@ -571,7 +571,44 @@ object Profiling {
         "expected_e6", "cell_chi2_e6", "chi2_total_e6")
   }
 
+  // -- q140: cross-source quantile normalization -------------------------
+
+  private val QnCentiles = 100
+
+  /** QUANTILE NORMALIZATION (the genomics/feature-prep calibration,
+    * Bolstad et al. 2003, adapted cross-source): map every document's
+    * length onto a COMMON target distribution so sources with
+    * systematically long/short documents become comparable before
+    * length-based quality cuts — the remedy for exactly the per-source
+    * shift q118/q137 only DETECT. Each doc gets its within-source
+    * centile (ntile over a total (n_chars, doc_id) order); the target
+    * value for centile c is the cross-source mean of each source's
+    * centile-c representative (its max n_chars in the bucket),
+    * truncating-integer so both engines agree.
+    *
+    * Plan: one window shuffle partitioned BY SOURCE (the q97/q73
+    * per-group window precedent — a single source at 100 TB would want
+    * the q102 two-phase rank, declared), then a |S|×100-row aggregate
+    * broadcast back on centile. */
+  val q140QuantileNormalize: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("centile", ntile(QnCentiles).over(w).cast("long"))
+      .transform(graft.ops.SharedCache.persist) // window output feeds target build + final join
+    val target = ranked
+      .groupBy("source", "centile").agg(max(col("n_chars")).as("rep"))
+      .groupBy("centile")
+      .agg(expr("sum(rep) div count(1)").as("norm_chars"),
+        count(lit(1)).as("n_sources"))
+    ranked.join(broadcast(target), Seq("centile"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("centile"), col("norm_chars"), col("n_sources"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q140_quantile_normalize" -> q140QuantileNormalize,
     "q137_chisq_independence" -> q137ChisqIndependence,
     "q129_hll_distinct" -> q129HllDistinct,
     "q41_profile_sketch" -> q41ProfileSketch,
@@ -586,6 +623,26 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same per-source ntile (deterministic under the total order) and
+    // the same truncating cross-source mean.
+    "q140_quantile_normalize" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(ntile($QnCentiles) OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS centile
+         |  FROM documents
+         |), rep AS (
+         |  SELECT source, centile, max(n_chars) AS rep
+         |  FROM ranked GROUP BY 1, 2
+         |), target AS (
+         |  SELECT centile,
+         |    CAST(sum(rep) // count(*) AS BIGINT) AS norm_chars,
+         |    count(*) AS n_sources
+         |  FROM rep GROUP BY 1
+         |)
+         |SELECT r.doc_id, r.source, r.n_chars, r.centile,
+         |  t.norm_chars, t.n_sources
+         |FROM ranked r JOIN target t USING (centile)""".stripMargin,
     // Same marginal windows and the identical algebraic double shape.
     "q137_chisq_independence" ->
       """WITH cells AS (

@@ -256,4 +256,50 @@ class Round8bOpsSpec extends SparkSpec {
     // purchase 5: unattributed
     r(5L) shouldBe ((5L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  // -- q140: quantile normalization -----------------------------------
+
+  test("q140: same centile across sources maps to the cross-source mean rep") {
+    val dir = tmpDir("qn")
+    // srcA lengths 10..40, srcB 100..400: with 4 docs per source each
+    // doc is its own centile bucket; target(centile of the i-th doc)
+    // = (10i + 100i) div 2 = 55i
+    val rows =
+      (1 to 4).map(i => (i.toLong, s"a$i", "en", "srcA", 10L * i)) ++
+        (1 to 4).map(i => (10L + i, s"b$i", "en", "srcB", 100L * i))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Profiling.q140QuantileNormalize(spark, dir)
+      .select("doc_id", "n_chars", "norm_chars", "n_sources")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    r.values.foreach(_._4 shouldBe 2L)
+    r(1L)._3 shouldBe 55L // (10 + 100) / 2
+    r(11L)._3 shouldBe 55L // same centile, same target
+    r(4L)._3 shouldBe 220L // (40 + 400) / 2
+    r(14L)._3 shouldBe 220L
+  }
+
+  // -- q141: Wilson conversion ----------------------------------------
+
+  test("q141: week-1 cohort, post-week conversion, Wilson LB from exact counts") {
+    val dir = tmpDir("wilson")
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0), // cohort: view {1,2}
+      (2L, "2024-01-02 00:00:00", 2L, "view", 0.0),
+      (3L, "2024-01-03 00:00:00", 2L, "purchase", 5.0), // week-1 purchase: cohort, NOT conversion
+      (4L, "2024-01-10 00:00:00", 1L, "purchase", 9.0))) // converts user 1
+    val r = graft.queries.EventAnalytics.q141WilsonConversion(spark, dir)
+      .select("event_type", "n_cohort", "n_converted", "cvr_ppm", "wilson_lb_e6")
+      .as[(String, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    r("view")._2 shouldBe 2L
+    r("view")._3 shouldBe 1L
+    r("view")._4 shouldBe 500000L
+    val lb = (0.5 + 3.8416 / (2 * 2) - 1.96 * math.sqrt(
+      (0.5 * (1 - 0.5) + 3.8416 / (4.0 * 2 * 2)) / 2)) / (1 + 3.8416 / 2)
+    r("view")._5 shouldBe math.round(lb * 1000000)
+    // the week-1 purchaser (user 2) is a purchase-type cohort of 1
+    // with zero conversions
+    r("purchase")._2 shouldBe 1L
+    r("purchase")._3 shouldBe 0L
+  }
 }
