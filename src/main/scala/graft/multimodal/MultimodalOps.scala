@@ -34,8 +34,10 @@ trait Codec extends Serializable {
   def resize(a: Asset, width: Int, height: Int): Asset
 }
 
-/** Deterministic fallback codec for modalities the JDK cannot decode
-  * (audio/video — this container has no media libraries): dimensions,
+/** Deterministic fallback codec for modalities with no real decoder
+  * wired up (video — this container has no media libraries; images go
+  * through [[ImageIoCodec]] and raw PCM audio through
+  * [[PcmAudio]]): dimensions,
   * frame count, and features are pure functions of the byte content
   * (an FNV-1a rolling hash). Images go through the REAL
   * [[ImageIoCodec]] (JDK `javax.imageio`, below), which falls back

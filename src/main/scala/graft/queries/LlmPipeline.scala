@@ -445,6 +445,42 @@ object LlmPipeline {
         round(col("features")(2) * 255).cast("long").as("mean_b"))
   }
 
+  // -- q142: REAL audio decode (S16LE PCM frame stats) ----------------
+
+  private val AudioSamples = 2048
+  private val AudioFrameLen = 256
+
+  /** Real audio-path decode on the distributed path, the PCM sibling
+    * of q112: synthesize a sawtooth S16LE waveform per sampled
+    * document (amplitude trajectory a pure integer function of
+    * `doc_id`), push the BYTES through the real encode → parse round
+    * trip in [[graft.multimodal.PcmAudio]], then tumble into 256-
+    * sample frames with exact integer signal stats (sum of squares,
+    * peak |sample|, strict sign-flip zero crossings). The oracle
+    * recomputes every frame from the generating function alone — SQL
+    * never sees the bytes — so a hash match gates the 16-bit
+    * little-endian byte layout bit-for-bit (a sign-extension or
+    * endianness bug flips thousands of rows). Narrow map end-to-end;
+    * at 100 TB decode parallelism is scan partitioning, exactly like
+    * the image path. */
+  val q142AudioFrameStats: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.PcmAudio
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 10 === 0).as[Long]
+    ids.flatMap { id =>
+      val step = 1 + (id % 7).toInt
+      val off = (id % 11).toInt
+      val samples = Array.tabulate(AudioSamples)(i => ((i * step + off) % 2000) - 1000)
+      PcmAudio.frameStats(id,
+        PcmAudio.decodeS16LE(PcmAudio.encodeS16LE(samples)), AudioFrameLen)
+    }.toDF()
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_samples").cast("long").as("n_samples"), col("sumsq"),
+        col("peak_abs").cast("long").as("peak_abs"),
+        col("zero_cross").cast("long").as("zero_cross"))
+  }
+
   // -- q119: compressibility quality score ---------------------------
 
   /** COMPRESSIBILITY SIGNAL: per-document deflate ratio — the
@@ -712,6 +748,7 @@ object LlmPipeline {
     "q25_doc_fingerprint" -> q25DocFingerprint,
     "q26_multimodal_features" -> q26MultimodalFeatures,
     "q112_image_decode_stats" -> q112ImageDecodeStats,
+    "q142_audio_frame_stats" -> q142AudioFrameStats,
     "q119_compressibility" -> q119Compressibility,
     "q43_curated_corpus" -> q43CuratedCorpus,
     "q44_vocab_top_df" -> q44VocabTopDf,
@@ -1014,6 +1051,26 @@ object LlmPipeline {
     // The oracle recomputes the raster generator's pure functions of
     // doc_id; Spark must recover the SAME integers by actually
     // encoding + decoding + pixel-scanning the PNG (ImageIoCodec).
+    // Recomputed from the generating function alone — the bytes never
+    // reach SQL, so agreement gates the S16LE layout round trip.
+    "q142_audio_frame_stats" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS asset_id, 1 + doc_id % 7 AS step, doc_id % 11 AS off
+         |  FROM documents WHERE doc_id % 10 = 0
+         |), s AS (
+         |  SELECT asset_id, i, ((i * step + off) % 2000) - 1000 AS v
+         |  FROM ids, range(0, $AudioSamples) t(i)
+         |), w AS (
+         |  SELECT asset_id, i // $AudioFrameLen AS frame_idx, v,
+         |    lag(v) OVER (PARTITION BY asset_id, i // $AudioFrameLen ORDER BY i) AS pv
+         |  FROM s
+         |)
+         |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  count(*) AS n_samples,
+         |  CAST(sum(v * v) AS BIGINT) AS sumsq,
+         |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+         |  CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "q112_image_decode_stats" ->
       """SELECT doc_id AS asset_id,
         |  8 + doc_id % 16 AS width,

@@ -302,4 +302,22 @@ class Round8bOpsSpec extends SparkSpec {
     r("purchase")._2 shouldBe 1L
     r("purchase")._3 shouldBe 0L
   }
+
+  // -- q142: PCM audio path -------------------------------------------
+
+  test("PcmAudio: S16LE round trip over the full int16 range; odd tail dropped") {
+    import graft.multimodal.PcmAudio
+    val samples = Array(-1000, 0, 1000, -32768, 32767, 5)
+    PcmAudio.decodeS16LE(PcmAudio.encodeS16LE(samples)).toSeq shouldBe samples.toSeq
+    // a truncated trailing byte is not half a sample
+    PcmAudio.decodeS16LE(PcmAudio.encodeS16LE(samples) :+ 0x7f.toByte)
+      .toSeq shouldBe samples.toSeq
+  }
+
+  test("PcmAudio.frameStats: exact sums, peaks, and within-frame-only crossings") {
+    import graft.multimodal.PcmAudio
+    val fs = PcmAudio.frameStats(9L, Array(-3, -1, 2, 4, -5), 4).toSeq
+    fs.map(f => (f.frame_idx, f.n_samples, f.sumsq, f.peak_abs, f.zero_cross)) shouldBe
+      Seq((0, 4, 30L, 4, 1), (1, 1, 25L, 5, 0)) // the 4 → −5 boundary flip is NOT counted
+  }
 }
