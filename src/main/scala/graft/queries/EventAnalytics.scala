@@ -739,9 +739,12 @@ object EventAnalytics {
     * Plan: daily partials (one map-combined shuffle of the raw scan),
     * then mean + running sum + argmax all over |types|×|days| rows. */
   val q134CusumChangepoint: Q = (s, d) => {
+    // persisted: the daily relation feeds BOTH the per-type totals and
+    // the walk — without the cache each branch re-scans raw events
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
+      .transform(graft.ops.SharedCache.persist)
     val totals = daily.groupBy("event_type")
       .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
     val wRun = Window.partitionBy("event_type").orderBy("day")
@@ -774,11 +777,14 @@ object EventAnalytics {
     * |types|×168 groups, broadcast back — the raw scan is aggregated
     * before anything wide. */
   val q135SeasonalBaseline: Q = (s, d) => {
+    // persisted: hourly feeds the slot-median baseline AND the probe
+    // side of the join — one raw-events scan, not two
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("slot",
         (dayofweek(col("hour_ts")) - 1) * 24 + hour(col("hour_ts")))
+      .transform(graft.ops.SharedCache.persist)
     val baseline = hourly.groupBy("event_type", "slot")
       .agg(median(col("cnt")).as("slot_median"), count(lit(1)).as("n_weeks"))
     hourly
