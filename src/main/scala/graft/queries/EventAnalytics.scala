@@ -621,19 +621,11 @@ object EventAnalytics {
     * the bounded (bar, type) key. The (ts, event_id) tiebreak makes
     * the endpoints total-order deterministic; the oracle restates
     * them independently via dual row_number() passes. */
+  /** Delegates to the batch/stream-shared transform (q34 convention):
+    * the oracle gate on this batch form transitively verifies the
+    * streaming OHLC plan pinned by EventStreamSpec. */
   val q127OhlcBars: Q = (s, d) =>
-    Tables.events(s, d)
-      .withColumn("v_e2", round(col("value") * 100, 0).cast("long"))
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        min_by(col("v_e2"), struct(col("ts"), col("event_id"))).as("open_e2"),
-        max(col("v_e2")).as("high_e2"),
-        min(col("v_e2")).as("low_e2"),
-        max_by(col("v_e2"), struct(col("ts"), col("event_id"))).as("close_e2"),
-        count(lit(1)).as("n_events"))
-      .select(col("w.start").as("bar_start"), col("event_type"),
-        col("open_e2"), col("high_e2"), col("low_e2"), col("close_e2"),
-        col("n_events"))
+    graft.streaming.StreamingEvents.ohlcBars(Tables.events(s, d))
 
   // -- q132: lag-1 autocorrelation of the daily series ------------------
 

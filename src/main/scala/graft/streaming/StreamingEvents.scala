@@ -50,6 +50,28 @@ object StreamingEvents {
     * streams; the batch q34 keeps it). Works on batch and streaming
     * inputs alike; callers of the streaming form must set a watermark
     * upstream for append-mode output. */
+  /** Hourly OHLC bars per event_type — q127's downsampling aggregate,
+    * written against a plain DataFrame so the SAME function runs over
+    * `spark.read` and `spark.readStream` (the q127 batch oracle then
+    * transitively verifies the streaming plan; EventStreamSpec pins
+    * the equality). The ordered open/close endpoints ride min_by/
+    * max_by pairs — incremental-merge-safe aggregates, so streaming
+    * state per (window, type) group is ONE row of endpoints, never
+    * the events. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withColumn("v_e2", round(col("value") * 100, 0).cast("long"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("v_e2"), struct(col("ts"), col("event_id"))).as("open_e2"),
+        max(col("v_e2")).as("high_e2"),
+        min(col("v_e2")).as("low_e2"),
+        max_by(col("v_e2"), struct(col("ts"), col("event_id"))).as("close_e2"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bar_start"), col("event_type"),
+        col("open_e2"), col("high_e2"), col("low_e2"), col("close_e2"),
+        col("n_events"))
+
   def windowedKpis(events: DataFrame): DataFrame =
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

@@ -52,6 +52,31 @@ class EventStreamSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("streaming ohlcBars equals batch ohlcBars over the same landing") {
+    assume(haveData, s"$sfDir not present")
+    import spark.implicits._
+    val landing = tmpDir("ohlc-landing")
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    Tables.events(spark, sfDir)
+      .write.mode("overwrite").option("timestampFormat", fmt).json(landing)
+
+    val batchIn = spark.read.schema(StreamingEvents.eventSchema)
+      .option("timestampFormat", fmt).json(landing)
+    val expected = StreamingEvents.ohlcBars(batchIn)
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val stream = spark.readStream.schema(StreamingEvents.eventSchema)
+      .option("timestampFormat", fmt).json(landing)
+    val q = StreamingEvents.ohlcBars(stream)
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("ohlc")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long)].collect().toSet
+    got shouldBe expected
+  }
+
   test("foldUser closes a session in-batch on a >30min gap and keeps the last open") {
     val state = TestGroupState.create[SessionState](
       Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
