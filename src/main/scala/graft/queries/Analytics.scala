@@ -807,7 +807,52 @@ object Analytics {
       .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
   }
 
+  // -- q143: incremental JOIN-view maintenance -------------------------
+
+  /** DELTA MAINTENANCE OF A JOIN VIEW — the join-side extension of
+    * q99's aggregate-only incremental rollup. The revenue-per-
+    * (nation, year) view over orders ⋈ customer ⋈ nation is maintained
+    * under simultaneous deltas on BOTH join inputs (late-arriving
+    * orders A∆ = orderkey≡0 mod 10, late-registered customers
+    * B∆ = custkey≡0 mod 7) via the textbook delta algebra
+    * V(A∪A∆, B∪B∆) = V(A,B) ⊎ V(A∆,B) ⊎ V(A,B∆) ⊎ V(A∆,B∆)
+    * where ⊎ is the aggregate-state merge (sum of partial sums — the
+    * cross term A∆⋈B∆ is exactly what naive "join the deltas to the
+    * old other side" forgets). The oracle computes the view by FULL
+    * recompute, so the hash match proves the incremental fold
+    * bit-equal to recomputation.
+    *
+    * In production the V(A,B) term is pre-existing materialized state
+    * (read, not recomputed) and the delta cost is |∆|-proportional;
+    * here all four terms evaluate in one plan, with the two base
+    * relations cached once (one scan each, four cheap in-memory
+    * filters) and the dim broadcast. */
+  val q143IncrementalJoinView: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .transform(graft.ops.SharedCache.persist) // four partials, one scan
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .transform(graft.ops.SharedCache.persist)
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val aOld = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val aNew = orders.filter(col("o_orderkey") % 10 === 0)
+    val bOld = cust.filter(col("c_custkey") % 7 =!= 0)
+    val bNew = cust.filter(col("c_custkey") % 7 === 0)
+    def partial(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(sumE2(col("o_totalprice")).as("revenue_e2"),
+          count(lit(1)).as("n_orders"))
+    partial(aOld, bOld).unionByName(partial(aNew, bOld))
+      .unionByName(partial(aOld, bNew)).unionByName(partial(aNew, bNew))
+      .groupBy("n_name", "order_year")
+      .agg(sum(col("revenue_e2")).as("revenue_e2"),
+        sum(col("n_orders")).as("n_orders"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q143_incremental_join_view" -> q143IncrementalJoinView,
     "q130_gini_spend" -> q130Gini,
     "q131_benford_digits" -> q131Benford,
     "q123_mad_outliers" -> q123MadOutliers,
@@ -838,6 +883,18 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // FULL recompute — deliberately NOT the delta algebra: agreement
+    // proves the incremental fold equals recomputation.
+    "q143_incremental_join_view" ->
+      """SELECT n_name,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_e2,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     // Same rank formula; `//` floor = Spark `div` truncate on the
     // non-negative numerator/denominator (README div contract).
     "q130_gini_spend" ->

@@ -43,6 +43,12 @@ object Graph {
   /** Connected components of an undirected graph given as (a, b)
     * pairs; returns (id, lbl) with lbl = min node id reachable. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // UNBOUNDED driver loop ⇒ durable cuts are mandatory: in local
+    // mode each round's blocks keep object references into the
+    // previous round, and the driver-side walk doubles per round from
+    // ~round 18 (see Checkpoints.ensureDurable) — long-diameter
+    // graphs (q144's 28-round merge chains) hang without this.
+    graft.ops.Checkpoints.ensureDurable(pairs.sparkSession)
     // the pair source is materialized BEFORE symmetrization: the
     // union references it twice, and without the checkpoint the whole
     // upstream pair-detection plan (q21's joins, for q55) would be
@@ -61,8 +67,17 @@ object Graph {
       val viaEdge = sym.join(lbl, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       val ptr = lbl.select(col("id").as("pid"), col("lbl").as("plbl"))
+      // The jump leg is cut on its own BEFORE the union: as components
+      // converge, label values concentrate on the roots (half the
+      // graph can carry one key in the final doubling rounds), and
+      // with the self-join inlined in the union+aggregate plan the
+      // round time DOUBLES per round on long-diameter graphs
+      // (measured: 1.2s → 18s/round on a 1M-node chain). Materialized
+      // alone, AQE plans the skewed join by itself and every round
+      // stays flat — the extra n-row checkpoint is noise next to that.
       val viaPtr = lbl.join(ptr, col("lbl") === col("pid"))
         .select(col("id"), col("plbl").as("lbl"))
+        .transform(graft.ops.Checkpoints.cut)
       val next = lbl.union(viaEdge).union(viaPtr)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .transform(graft.ops.Checkpoints.cut)

@@ -787,7 +787,43 @@ object NearDup {
       .filter(col("jac_e3") >= SnMinJacE3)
   }
 
+  // -- q144: survivorship (golden-record consolidation) ----------------
+
+  /** SURVIVORSHIP: the step AFTER record linkage — q125 emits "these
+    * part records are the same real-world product"; this consolidates
+    * each linked CLUSTER (transitive closure via the q55 pointer-
+    * doubling connected components) into one GOLDEN RECORD with
+    * field-level survivorship rules: the most descriptive name
+    * (longest, lexicographic-max tiebreak — ties can only be the same
+    * string, so the pick is order-free), the lowest observed price,
+    * the largest size, and the member count for audit. The canonical
+    * MDM merge-purge output.
+    *
+    * Plan: pairs → CC (log-diameter rounds, checkpoint-cut) → one
+    * keyed join back to part attributes → one partial-aggregated
+    * groupBy on cluster id. Singletons (never linked) are not
+    * emitted — at scale they are the overwhelming majority and carry
+    * no merge decision (q55 convention). */
+  val q144Survivorship: Q = (s, d) => {
+    val pairs = q125BlockedLinkage(s, d)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val lbl = Graph.connectedComponents(pairs)
+    lbl
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_e2"),
+        col("p_size").cast("long").as("p_size")),
+        col("id") === col("p_partkey"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("p_name"), struct(length(col("p_name")), col("p_name")))
+          .as("golden_name"),
+        min(col("price_e2")).as("min_price_e2"),
+        max(col("p_size")).as("max_size"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
     "q85_edit_distance_dedup" -> q85EditDistanceDedup,
     "q110_exact_substr_spans" -> q110ExactSubstrSpans,
@@ -802,11 +838,11 @@ object NearDup {
 
   // -- DuckDB oracles ------------------------------------------------
 
-  /** q125 oracle: the rank self-join restatement (row_number + band
-    * join), with the Jaccard computed the RELATIONAL way — exploded
-    * distinct tokens, intersection by join — rather than list math. */
-  private val q125Oracle: String =
-    s"""WITH pos AS (
+  /** q125 oracle CTE body + final select, factored so q144's
+    * survivorship oracle can mount the SAME pair relation under its
+    * recursive-closure WITH (the q55 `minhashPairCtes` convention). */
+  private val q125OracleCtes: String =
+    s"""pos AS (
        |  SELECT p_partkey, p_brand, p_name,
        |    row_number() OVER (PARTITION BY p_brand
        |      ORDER BY p_name, p_partkey) AS rn
@@ -827,8 +863,10 @@ object NearDup {
        |  JOIN toks ta ON ta.p_partkey = c.part_a
        |  JOIN toks tb ON tb.p_partkey = c.part_b AND tb.tok = ta.tok
        |  GROUP BY 1, 2
-       |)
-       |SELECT c.p_brand, c.part_a, c.part_b, c.neighbor_dist,
+       |)""".stripMargin
+
+  private val q125OracleSelect: String =
+    s"""SELECT c.p_brand, c.part_a, c.part_b, c.neighbor_dist,
        |  CAST((coalesce(i.i, 0) * 1000) // (sa.n + sb.n - coalesce(i.i, 0))
        |    AS BIGINT) AS jac_e3
        |FROM cand c
@@ -837,6 +875,39 @@ object NearDup {
        |LEFT JOIN isect i ON i.part_a = c.part_a AND i.part_b = c.part_b
        |WHERE (coalesce(i.i, 0) * 1000) // (sa.n + sb.n - coalesce(i.i, 0))
        |  >= $SnMinJacE3""".stripMargin
+
+  private val q125Oracle: String = s"WITH $q125OracleCtes\n$q125OracleSelect"
+
+  /** q144 oracle: the q125 pair relation + recursive min-label closure
+    * (q55's independent-algorithm convention) + windowed survivorship. */
+  private val q144Oracle: String =
+    s"""WITH RECURSIVE $q125OracleCtes, pairs AS (
+       |  $q125OracleSelect
+       |), edges AS (
+       |  SELECT part_a AS src, part_b AS dst FROM pairs
+       |  UNION
+       |  SELECT part_b AS src, part_a AS dst FROM pairs
+       |), walk AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |), comp AS (
+       |  SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id
+       |), mem AS (
+       |  SELECT c.cluster_id, p.p_name,
+       |    CAST(round(p.p_retailprice * 100, 0) AS BIGINT) AS price_e2,
+       |    CAST(p.p_size AS BIGINT) AS p_size
+       |  FROM comp c JOIN part p ON p.p_partkey = c.id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY length(p_name) DESC, p_name DESC) AS rn
+       |  FROM mem
+       |)
+       |SELECT cluster_id, count(*) AS n_members,
+       |  max(CASE WHEN rn = 1 THEN p_name END) AS golden_name,
+       |  CAST(min(price_e2) AS BIGINT) AS min_price_e2,
+       |  CAST(max(p_size) AS BIGINT) AS max_size
+       |FROM ranked GROUP BY 1""".stripMargin
 
   /** Quantized embeddings + self-dot, shared by q32/q33 oracles. */
   private val quantCte =
@@ -888,6 +959,7 @@ object NearDup {
 
   val oracles: Map[String, String] = Map(
     "q125_blocked_linkage" -> q125Oracle,
+    "q144_survivorship" -> q144Oracle,
     // Independent restatement: per-position unnest, HAVING-filtered
     // gram frequency, and the same running-max interval sweep.
     "q110_exact_substr_spans" ->

@@ -303,6 +303,49 @@ class Round8bOpsSpec extends SparkSpec {
     r("purchase")._3 shouldBe 0L
   }
 
+  // -- q143: incremental join view -------------------------------------
+
+  test("q143: the A∆⋈B∆ cross term lands in the folded view") {
+    val dir = tmpDir("ijv")
+    Seq((0L, "NEW")).toDF("n_nationkey", "n_name")
+      .withColumn("n_regionkey", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    // customer 7 is a DELTA customer (7 % 7 == 0); order 10 a DELTA
+    // order (10 % 10 == 0): their revenue exists ONLY in the A∆⋈B∆
+    // term — a fold that dropped it would lose these 123.00
+    Seq((7L, 0L), (1L, 0L)).toDF("c_custkey", "c_nationkey")
+      .withColumn("c_name", lit("c")).withColumn("c_mktsegment", lit("S"))
+      .withColumn("c_acctbal", lit(0.0))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 7L, 123.00), (11L, 1L, 1000.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Analytics.q143IncrementalJoinView(spark, dir)
+      .select("n_name", "order_year", "revenue_e2", "n_orders")
+      .as[(String, Long, Long, Long)].collect()
+    r.toSeq shouldBe Seq(("NEW", 2024L, 112300L, 2L))
+  }
+
+  // -- q144: survivorship ----------------------------------------------
+
+  test("q144: transitive chain merges to one golden record; singletons absent") {
+    val dir = tmpDir("surv")
+    Seq(
+      (1L, "alpha beta", "B1", 30.00, 5),
+      (2L, "alpha beta gamma", "B1", 10.00, 9),
+      (3L, "beta gamma", "B1", 20.00, 7),
+      (4L, "zzz unrelated", "B1", 1.00, 1))
+      .toDF("p_partkey", "p_name", "p_brand", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = graft.queries.NearDup.q144Survivorship(spark, dir)
+      .select("cluster_id", "n_members", "golden_name", "min_price_e2", "max_size")
+      .as[(Long, Long, String, Long, Long)].collect()
+    r.toSeq shouldBe Seq((1L, 3L, "alpha beta gamma", 1000L, 9L))
+  }
+
   // -- q142: PCM audio path -------------------------------------------
 
   test("PcmAudio: S16LE round trip over the full int16 range; odd tail dropped") {
