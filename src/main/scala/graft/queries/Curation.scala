@@ -844,7 +844,39 @@ object Curation {
       .limit(PrioritySampleK)
       .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
 
+  // -- q145: balanced class downsampling --------------------------------
+
+  /** CLASS BALANCING: downsample every label stratum of the embedding
+    * corpus to EXACTLY the minority-class size — the standard remedy
+    * before training a classifier on skewed labels, and the
+    * label-space sibling of q68's source-temperature mixing (which
+    * reweights by sampling RATE; this equalizes by exact COUNT).
+    * Selection is a salted-hash priority order (hash16 convention —
+    * deterministic, replay-stable, uncorrelated with the q42/q49/q68
+    * streams), so the kept subset is a uniform random sample of each
+    * class, not a prefix of ingestion order.
+    *
+    * Plan: the compact (vec_id, label) projection is cached once and
+    * feeds the |labels|-row count aggregate (min → driver scalar,
+    * q61 convention) and the per-label rank window (q97-precedent
+    * partitioned window; labels are few and big at scale — the
+    * declared per-group-window limit applies). */
+  val q145BalancedDownsample: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .transform(graft.ops.SharedCache.persist) // min-count scalar + rank pass
+    val minCount = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    val w = Window.partitionBy("label").orderBy(col("rk_hash"), col("vec_id"))
+    emb
+      .withColumn("rk_hash", hash16("balance", col("vec_id")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= minCount)
+      .select("vec_id", "label", "rk")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q145_balanced_downsample" -> q145BalancedDownsample,
     "q128_priority_sample" -> q128PrioritySample,
     "q102_pps_sample" -> q102PpsSample,
     "q92_url_domains" -> q92UrlDomains,
@@ -902,6 +934,24 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same salted-hash priority and scalar min; the 1-row min relation
+    // mounts as a cross join (oracle side only).
+    "q145_balanced_downsample" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    ${hash16Sql("balance", "vec_id")} AS rk_hash
+         |  FROM embeddings
+         |), m AS (
+         |  SELECT min(n) AS mn FROM (
+         |    SELECT count(*) AS n FROM e GROUP BY label
+         |  )
+         |), r AS (
+         |  SELECT vec_id, label,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |      ORDER BY rk_hash, vec_id) AS BIGINT) AS rk
+         |  FROM e
+         |)
+         |SELECT vec_id, label, rk FROM r, m WHERE rk <= mn""".stripMargin,
     "q128_priority_sample" ->
       s"""SELECT doc_id, source, n_chars,
          |  CAST('0x' || substr(md5('prio' || CAST(doc_id AS VARCHAR)), 1, 12)

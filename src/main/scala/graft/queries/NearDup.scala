@@ -822,7 +822,35 @@ object NearDup {
         max(col("p_size")).as("max_size"))
   }
 
+  // -- q146: LSH recall audit -------------------------------------------
+
+  /** SKETCH-QUALITY AUDIT: the measured recall of the q21 MinHash-LSH
+    * dedup against the EXACT q39 PPJoin truth — the governance number
+    * ("are the bands missing real duplicates, and how many?") that
+    * production dedup pipelines must publish before anyone trusts the
+    * approximate path at 100 TB. Both operators hash the SAME word-
+    * 3-gram universe to the same 48-bit keys and verify exact Jaccard
+    * ≥ 0.5 on their candidates, so q21's pairs are a provable SUBSET
+    * of q39's and precision is 1 by construction — the single output
+    * row reports the truth size, the hits, the missed pairs, and
+    * recall in ppm. Plan: the two pair relations (each already
+    * bucketed candidate generation + verification) meet in one keyed
+    * left join and collapse to one row — audit cost is dominated by
+    * the operators being audited, as it should be. */
+  val q146LshRecall: Q = (s, d) => {
+    val exact = q39DedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val lsh = LlmPipeline.q21DedupMinhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_lsh_hit"))
+      .select(col("n_exact"), col("n_lsh_hit"),
+        (col("n_exact") - col("n_lsh_hit")).as("n_missed"),
+        expr("n_lsh_hit * 1000000 div n_exact").as("recall_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q146_lsh_recall" -> q146LshRecall,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
     "q85_edit_distance_dedup" -> q85EditDistanceDedup,
@@ -960,6 +988,39 @@ object NearDup {
   val oracles: Map[String, String] = Map(
     "q125_blocked_linkage" -> q125Oracle,
     "q144_survivorship" -> q144Oracle,
+    // Truth side recomputed from the minhash CTEs' own 48-bit shingle
+    // sets via a value-ordered prefix filter (ANY total order keeps
+    // PPJoin lossless), so one WITH hosts both relations without
+    // duplicating the q39 text; LSH side is q21's select verbatim.
+    "q146_lsh_recall" ->
+      s"""WITH ${LlmPipeline.minhashPairCtes}, lsh AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), sset AS (
+         |  SELECT doc_id, list_sort(hs) AS shs, n FROM sig
+         |), tpre AS (
+         |  SELECT doc_id, unnest(shs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sset
+         |), tcand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM tpre l JOIN tpre r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), truth AS (
+         |  SELECT doc_a, doc_b FROM tcand
+         |  JOIN sset a ON doc_a = a.doc_id
+         |  JOIN sset b ON doc_b = b.doc_id
+         |  WHERE CAST(round(1e6 * CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / CAST(a.n + b.n - len(list_intersect(a.shs, b.shs)) AS DOUBLE), 0)
+         |    AS BIGINT) >= $JaccardThresholdE6
+         |), j AS (
+         |  SELECT t.doc_a, t.doc_b,
+         |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth t LEFT JOIN lsh l
+         |    ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+         |)
+         |SELECT count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_lsh_hit,
+         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
+         |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM j""".stripMargin,
     // Independent restatement: per-position unnest, HAVING-filtered
     // gram frequency, and the same running-max interval sweep.
     "q110_exact_substr_spans" ->

@@ -346,6 +346,23 @@ class Round8bOpsSpec extends SparkSpec {
     r.toSeq shouldBe Seq((1L, 3L, "alpha beta gamma", 1000L, 9L))
   }
 
+  // -- q145: balanced downsampling --------------------------------------
+
+  test("q145: every class lands exactly at the minority count") {
+    val dir = tmpDir("balance")
+    val rows = (1 to 7).map(i => (i.toLong, Array(0.1f), 0)) ++
+      (11 to 13).map(i => (i.toLong, Array(0.2f), 1)) ++
+      (21 to 25).map(i => (i.toLong, Array(0.3f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.queries.Curation.q145BalancedDownsample(spark, dir)
+      .select("label", "vec_id").as[(Long, Long)].collect()
+    r.groupBy(_._1).view.mapValues(_.length).toMap shouldBe
+      Map(0L -> 3, 1L -> 3, 2L -> 3)
+    // the minority class keeps everything
+    r.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(11L, 12L, 13L)
+  }
+
   // -- q142: PCM audio path -------------------------------------------
 
   test("PcmAudio: S16LE round trip over the full int16 range; odd tail dropped") {
