@@ -34,10 +34,11 @@ trait Codec extends Serializable {
   def resize(a: Asset, width: Int, height: Int): Asset
 }
 
-/** Deterministic fallback codec for modalities with no real decoder
-  * wired up (video — this container has no media libraries; images go
-  * through [[ImageIoCodec]] and raw PCM audio through
-  * [[PcmAudio]]): dimensions,
+/** Deterministic fallback codec for payload formats with no real
+  * decoder wired up (e.g. MP4/AVI — this container ships no media
+  * libraries; images go through [[ImageIoCodec]], raw PCM audio
+  * through [[PcmAudio]], and GVID frame containers through
+  * [[VideoContainer]] + per-frame image decode): dimensions,
   * frame count, and features are pure functions of the byte content
   * (an FNV-1a rolling hash). Images go through the REAL
   * [[ImageIoCodec]] (JDK `javax.imageio`, below), which falls back

@@ -481,6 +481,63 @@ object LlmPipeline {
         col("zero_cross").cast("long").as("zero_cross"))
   }
 
+  // -- q147: REAL video-container frame sampling ----------------------
+
+  private val VideoFrames = 4
+  private val VideoStride = 2
+
+  /** Real video-path decode, completing the q112/q142 modality
+    * triangle: per sampled document, PACK four flat-color PNG frames
+    * (raster and per-frame fill pure functions of `doc_id`) into the
+    * [[graft.multimodal.VideoContainer]] byte format, then run the
+    * full consumer path — container parse (magic/length/bounds walk),
+    * keyframe-style stride-2 sampling, and a REAL `javax.imageio`
+    * decode of each sampled frame — emitting integer-exact per-frame
+    * raster stats. The oracle recomputes everything from the
+    * generating functions; the bytes never reach SQL, so a hash match
+    * gates the pack → demux → decode round trip end-to-end. Narrow
+    * map; decode parallelism is scan partitioning (the multimodal
+    * discipline). */
+  val q147VideoFrameStats: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.VideoContainer
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 10 === 0).as[Long]
+    ids.flatMap { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id / 16) % 16).toInt
+      val frames = (0 until VideoFrames).map { f =>
+        val rgb = (((id * 37 + f * 11) % 256).toInt << 16) |
+          (((id * 59 + f * 23) % 256).toInt << 8) | ((id * 83 + f * 31) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      val container = VideoContainer.pack(frames)
+      VideoContainer.sampleFrames(container, VideoStride).map { fr =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.bytes))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        (id, fr.idx.toLong, img.getWidth.toLong, img.getHeight.toLong,
+          sr / n, sg / n, sb / n)
+      }
+    }.toDF("asset_id", "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
   // -- q119: compressibility quality score ---------------------------
 
   /** COMPRESSIBILITY SIGNAL: per-document deflate ratio — the
@@ -749,6 +806,7 @@ object LlmPipeline {
     "q26_multimodal_features" -> q26MultimodalFeatures,
     "q112_image_decode_stats" -> q112ImageDecodeStats,
     "q142_audio_frame_stats" -> q142AudioFrameStats,
+    "q147_video_frame_stats" -> q147VideoFrameStats,
     "q119_compressibility" -> q119Compressibility,
     "q43_curated_corpus" -> q43CuratedCorpus,
     "q44_vocab_top_df" -> q44VocabTopDf,
@@ -1051,6 +1109,21 @@ object LlmPipeline {
     // The oracle recomputes the raster generator's pure functions of
     // doc_id; Spark must recover the SAME integers by actually
     // encoding + decoding + pixel-scanning the PNG (ImageIoCodec).
+    // Pure-function restatement (flat fill ⇒ exact means); the pack →
+    // demux → decode round trip happens only on the Spark side.
+    "q147_video_frame_stats" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 10 = 0
+         |), f AS (
+         |  SELECT asset_id, unnest([0, 2]) AS frame_idx FROM ids
+         |)
+         |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(8 + asset_id % 16 AS BIGINT) AS width,
+         |  CAST(8 + (asset_id // 16) % 16 AS BIGINT) AS height,
+         |  CAST((asset_id * 37 + frame_idx * 11) % 256 AS BIGINT) AS mean_r,
+         |  CAST((asset_id * 59 + frame_idx * 23) % 256 AS BIGINT) AS mean_g,
+         |  CAST((asset_id * 83 + frame_idx * 31) % 256 AS BIGINT) AS mean_b
+         |FROM f""".stripMargin,
     // Recomputed from the generating function alone — the bytes never
     // reach SQL, so agreement gates the S16LE layout round trip.
     "q142_audio_frame_stats" ->

@@ -363,6 +363,24 @@ class Round8bOpsSpec extends SparkSpec {
     r.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(11L, 12L, 13L)
   }
 
+  // -- q147: video container ------------------------------------------
+
+  test("VideoContainer: pack/parse round trip, stride sampling, loud demux failures") {
+    import graft.multimodal.VideoContainer
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](), Array[Byte](9), Array[Byte](7, 7))
+    val c = VideoContainer.pack(frames)
+    val parsed = VideoContainer.parse(c)
+    parsed.map(_.idx) shouldBe Seq(0, 1, 2, 3)
+    parsed.map(_.bytes.toSeq) shouldBe frames.map(_.toSeq)
+    VideoContainer.sampleFrames(c, 2).map(_.idx) shouldBe Seq(0, 2)
+    VideoContainer.sampleFrames(c, 3).map(_.idx) shouldBe Seq(0, 3)
+    // truncated payload and corrupt magic both refuse, never yield junk
+    an[IllegalArgumentException] should be thrownBy
+      VideoContainer.parse(c.dropRight(1))
+    val bad = c.clone(); bad(0) = 'X'
+    an[IllegalArgumentException] should be thrownBy VideoContainer.parse(bad)
+  }
+
   // -- q142: PCM audio path -------------------------------------------
 
   test("PcmAudio: S16LE round trip over the full int16 range; odd tail dropped") {
