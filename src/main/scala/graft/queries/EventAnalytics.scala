@@ -887,7 +887,43 @@ object EventAnalytics {
       .select("event_type", "n_cohort", "n_converted", "cvr_ppm", "wilson_lb_e6")
   }
 
+  // -- q150: OLS trend slope + fit -------------------------------------
+
+  /** VOLUME-TREND DETECTION: per event type, the least-squares slope
+    * of daily event counts over epoch-day x (events/day of drift) and
+    * the fit's r² — the DRIFT complement to q134's CUSUM (which finds
+    * a level SHIFT's location; this measures a steady ramp and how
+    * linear it is). Moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * BIGINTs over epoch days and daily counts; slope and r² are
+    * fixed-shape IEEE double expressions e6-snapped at the end.
+    * Plan: one map-combined shuffle to |types|×|days| daily rows,
+    * then a |types|-row aggregate. */
+  val q150TrendSlope: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", expr("CAST(datediff(day, TIMESTAMP '1970-01-01 00:00:00') AS BIGINT)"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n_days"),
+        expr("""CASE WHEN n_days * sxx - sx * sx > 0 THEN
+               | CAST(round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+               |   / (n_days * sxx - sx * sx) * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("slope_e6"),
+        expr("""CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0 THEN
+               | CAST(round(
+               |   (CAST(n_days * sxy - sx * sy AS DOUBLE) * (n_days * sxy - sx * sy))
+               |   / (CAST(n_days * sxx - sx * sx AS DOUBLE) * (n_days * syy - sy * sy))
+               |   * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("r2_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q150_trend_slope" -> q150TrendSlope,
     "q141_wilson_conversion" -> q141WilsonConversion,
     "q139_multitouch_attribution" -> q139MultiTouch,
     "q132_autocorr_daily" -> q132Autocorr,
@@ -916,6 +952,37 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same exact moments over epoch days; identical IEEE shapes.
+    "q150_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2
+        |), dx AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00', day) AS BIGINT) AS x,
+        |    y
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM dx GROUP BY 1
+        |)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx > 0 THEN
+        |    CAST(round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (n_days * sxx - sx * sx) * 1000000, 0) AS BIGINT)
+        |    END AS slope_e6,
+        |  CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0 THEN
+        |    CAST(round(
+        |      (CAST(n_days * sxy - sx * sy AS DOUBLE) * (n_days * sxy - sx * sy))
+        |      / (CAST(n_days * sxx - sx * sx AS DOUBLE) * (n_days * syy - sy * sy))
+        |      * 1000000, 0) AS BIGINT)
+        |    END AS r2_e6
+        |FROM m""".stripMargin,
     // Shares the Wilson snippet VERBATIM with the Spark plan; the
     // week boundary is the same µs-integer scalar, inlined as a
     // subquery instead of a driver value.

@@ -607,7 +607,75 @@ object Profiling {
         col("centile"), col("norm_chars"), col("n_sources"))
   }
 
+  // -- q148: decile lift / cumulative gains ------------------------------
+
+  /** MODEL-EVAL LIFT TABLE: rank documents by a scorer (doc length as
+    * the classic quality proxy) within each source, cut into deciles,
+    * and report each decile's positive rate (lang='en') as LIFT over
+    * the source base rate plus the cumulative-gains capture — the
+    * decile table every targeting/filtering model ships with before
+    * anyone trusts its threshold. All ratios are exact-integer ppm
+    * cross-products (n_pos_d·n_total vs n_d·n_pos_total) — no rate
+    * double ever divides another double. Per-source ntile windows
+    * (q73/q97 precedent); the decile relation is |S|×10 rows. */
+  val q148DecileLift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wCum = Window.partitionBy("source").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      .withColumn("n_total", sum(col("n_docs")).over(wSrc))
+      .withColumn("n_pos_total", sum(col("n_pos")).over(wSrc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("source"), col("decile"), col("n_docs"), col("n_pos"),
+        expr("CASE WHEN n_pos_total > 0 THEN n_pos * n_total * 1000000 div (n_docs * n_pos_total) END")
+          .as("lift_e6"),
+        expr("CASE WHEN n_pos_total > 0 THEN cum_pos * 1000000 div n_pos_total END")
+          .as("cum_capture_e6"))
+  }
+
+  // -- q149: exact AUC (Mann–Whitney rank-sum) ---------------------------
+
+  /** EXACT AUC of a scorer against a binary label, per source — the
+    * Mann–Whitney identity AUC = (Σ_pos r̄ − n₊(n₊+1)/2)/(n₊·n₋) with
+    * TIE-CORRECT average ranks, all in integers: 2·r̄ = 2·rank_min +
+    * (tie_size − 1) is exact, so 2U is an exact BIGINT and the single
+    * e6 division happens once at the end — a distributed exact AUC
+    * with no per-pair comparison (the naive definition is quadratic;
+    * rank-sum is one sort). Scorer: doc length; label: lang='en' —
+    * the same pair q148 tables, here collapsed to the one-number
+    * ranking quality. Per-source rank windows (declared per-group
+    * window limit); output is |S| rows. */
+  val q149ExactAuc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("source").orderBy("n_chars")
+    val wTie = Window.partitionBy("source", "n_chars")
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("rank_min", rank().over(wRank).cast("long"))
+      .withColumn("tie_n", count(lit(1)).over(wTie))
+      .withColumn("two_r", lit(2) * col("rank_min") + col("tie_n") - 1)
+      .groupBy("source")
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1L, col("two_r")).otherwise(0L)).as("sum_two_r"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               | (sum_two_r - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)
+               | END""".stripMargin).as("auc_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q148_decile_lift" -> q148DecileLift,
+    "q149_exact_auc" -> q149ExactAuc,
     "q140_quantile_normalize" -> q140QuantileNormalize,
     "q137_chisq_independence" -> q137ChisqIndependence,
     "q129_hll_distinct" -> q129HllDistinct,
@@ -623,6 +691,57 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same decile windows; every ratio an integer cross-product.
+    "q148_decile_lift" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS decile
+        |  FROM documents
+        |), cells AS (
+        |  SELECT source, decile, count(*) AS n_docs,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM base GROUP BY 1, 2
+        |), t AS (
+        |  SELECT *,
+        |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS n_total,
+        |    CAST(sum(n_pos) OVER (PARTITION BY source) AS BIGINT) AS n_pos_total,
+        |    CAST(sum(n_pos) OVER (PARTITION BY source ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM cells
+        |)
+        |SELECT source, decile, n_docs, n_pos,
+        |  CASE WHEN n_pos_total > 0
+        |    THEN CAST(n_pos * n_total * 1000000 // (n_docs * n_pos_total) AS BIGINT)
+        |    END AS lift_e6,
+        |  CASE WHEN n_pos_total > 0
+        |    THEN CAST(cum_pos * 1000000 // n_pos_total AS BIGINT)
+        |    END AS cum_capture_e6
+        |FROM t""".stripMargin,
+    // Same tie-correct 2·r̄ integers and the single e6 division.
+    "q149_exact_auc" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)
+        |      AS rank_min,
+        |    CAST(count(*) OVER (PARTITION BY source, n_chars) AS BIGINT) AS tie_n
+        |  FROM documents
+        |), m AS (
+        |  SELECT source,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN pos = 1 THEN 2 * rank_min + tie_n - 1 ELSE 0 END)
+        |      AS BIGINT) AS sum_two_r
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST((sum_two_r - n_pos * (n_pos + 1)) * 1000000
+        |      // (2 * n_pos * n_neg) AS BIGINT)
+        |    END AS auc_e6
+        |FROM m""".stripMargin,
     // Same per-source ntile (deterministic under the total order) and
     // the same truncating cross-source mean.
     "q140_quantile_normalize" ->

@@ -363,6 +363,54 @@ class Round8bOpsSpec extends SparkSpec {
     r.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(11L, 12L, 13L)
   }
 
+  // -- q148/q149: lift and AUC -----------------------------------------
+
+  test("q148: deciles of a clean separator double the base rate up top") {
+    val dir = tmpDir("lift")
+    // 10 docs, lengths 10..100; English iff length > 50 (5 of 10)
+    (1 to 10).map(i => (i.toLong, s"t$i", if (i > 5) "en" else "fr", "s0", 10L * i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Profiling.q148DecileLift(spark, dir)
+      .select("decile", "n_pos", "lift_e6", "cum_capture_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // top decile: 1 doc, positive → lift = (1·10)/(1·5) = 2.0
+    r.head shouldBe ((1L, 1L, 2000000L, 200000L))
+    // all positives captured by decile 5
+    r(4)._4 shouldBe 1000000L
+    r.last._2 shouldBe 0L
+  }
+
+  test("q149: perfect separation → 1.0; fully tied → exactly 0.5") {
+    val dir = tmpDir("auc")
+    val rows = Seq(
+      // sep: both positives outrank both negatives
+      (1L, "sep", "en", 200L), (2L, "sep", "en", 100L),
+      (3L, "sep", "fr", 20L), (4L, "sep", "fr", 10L),
+      // tied: identical scores → tie-corrected AUC is exactly 1/2
+      (11L, "tied", "en", 50L), (12L, "tied", "fr", 50L))
+      .map { case (id, src, lang, n) => (id, s"t$id", lang, src, n) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Profiling.q149ExactAuc(spark, dir)
+      .select("source", "auc_e6").as[(String, Long)].collect().toMap
+    r("sep") shouldBe 1000000L
+    r("tied") shouldBe 500000L
+  }
+
+  // -- q150: trend slope ------------------------------------------------
+
+  test("q150: a perfect +1/day ramp fits slope 1 with r² = 1") {
+    val dir = tmpDir("trend")
+    val rows = (1 to 4).flatMap { day =>
+      (1 to day).map(k => ((day * 10 + k).toLong, f"2024-02-0$day 0$k:00:00", 1L, "ramp", 1.0))
+    }
+    writeEvents(dir, rows)
+    val r = graft.queries.EventAnalytics.q150TrendSlope(spark, dir)
+      .select("n_days", "slope_e6", "r2_e6").as[(Long, Long, Long)].head()
+    r shouldBe ((4L, 1000000L, 1000000L))
+  }
+
   // -- q147: video container ------------------------------------------
 
   test("VideoContainer: pack/parse round trip, stride sampling, loud demux failures") {
