@@ -851,7 +851,86 @@ object Analytics {
         sum(col("n_orders")).as("n_orders"))
   }
 
+  // -- q151: Spearman rank correlation ---------------------------------
+
+  /** MONOTONE-ASSOCIATION TEST: per nation, Spearman's ρ between a
+    * customer's account balance and their total order spend — "do
+    * richer accounts actually buy more", robust to outliers and any
+    * monotone transform, which q132/q150's Pearson machinery is not.
+    * Both rankings use a total (value, custkey) order ⇒ distinct
+    * ranks, so the exact ρ = 1 − 6·Σd²/(n(n²−1)) identity applies
+    * with Σd² an exact BIGINT and ONE IEEE division e6-snapped at the
+    * end. Both rank windows share the nation partition (one shuffle,
+    * two sorts); output is 25 rows. */
+  val q151SpearmanRho: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("spend_e0"))
+    val joined = spend
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_e2")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    val wBal = Window.partitionBy("n_name").orderBy(col("bal_e2"), col("c_custkey"))
+    val wSp = Window.partitionBy("n_name").orderBy(col("spend_e0"), col("c_custkey"))
+    joined
+      .withColumn("r_bal", row_number().over(wBal).cast("long"))
+      .withColumn("r_spend", row_number().over(wSp).cast("long"))
+      .withColumn("d2",
+        (col("r_bal") - col("r_spend")) * (col("r_bal") - col("r_spend")))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum(col("d2")).as("sum_d2"))
+      .select(col("n_name"), col("n_cust"),
+        expr("""CASE WHEN n_cust > 1 THEN
+               | CAST(round((1 - CAST(6 * sum_d2 AS DOUBLE)
+               |   / (n_cust * (n_cust * n_cust - 1))) * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("rho_e6"))
+  }
+
+  // -- q152: association rules (confidence / lift) ----------------------
+
+  private val RuleMinSupport = 2L
+
+  /** ASSOCIATION RULES: the directed Apriori output on top of q96's
+    * symmetric pair counts — for every co-purchase pair with support
+    * ≥ 2 orders, BOTH directed rules a→b with exact-integer
+    * confidence (n_ab/n_a) and lift (n_ab·N/(n_a·n_b)) in ppm — the
+    * "customers who bought X buy Y" primitive, where confidence picks
+    * the direction and lift filters popularity-driven coincidences.
+    * Plan: per-order item sets once (map-combined), in-row pair
+    * expansion (q121 discipline, no self-join), item supports as a
+    * second aggregate joined back BY ITEM; N is a driver scalar (q61
+    * convention). */
+  val q152AssociationRules: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(graft.ops.SharedCache.persist) // N scalar + supports + pairs
+    val nOrders = items.select(col("l_orderkey")).distinct().count()
+    val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = items
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
+      .filter(size(col("its")) >= 2)
+      .select(explode(flatten(transform(col("its"), (x, i) =>
+        transform(slice(col("its"), i + lit(2), size(col("its"))), y =>
+          struct(x.as("x"), y.as("y")))))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= RuleMinSupport)
+    val directed = pairs.select(col("x").as("a"), col("y").as("b"), col("n_ab"))
+      .unionByName(pairs.select(col("y").as("a"), col("x").as("b"), col("n_ab")))
+    directed
+      .join(supp.select(col("l_partkey").as("a"), col("n_item").as("n_a")), Seq("a"))
+      .join(supp.select(col("l_partkey").as("b"), col("n_item").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+        expr(s"n_ab * 1000000 * $nOrders div (n_a * n_b)").as("lift_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q151_spearman_rho" -> q151SpearmanRho,
+    "q152_association_rules" -> q152AssociationRules,
     "q143_incremental_join_view" -> q143IncrementalJoinView,
     "q130_gini_spend" -> q130Gini,
     "q131_benford_digits" -> q131Benford,
@@ -883,6 +962,64 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same distinct-rank windows and the exact 6Σd² identity.
+    "q151_spearman_rho" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS spend_e0
+        |  FROM orders GROUP BY 1
+        |), j AS (
+        |  SELECT n_name, c_custkey, spend_e0,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_e2
+        |  FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), r AS (
+        |  SELECT n_name,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY bal_e2, c_custkey) AS BIGINT) AS r_bal,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY spend_e0, c_custkey) AS BIGINT) AS r_spend
+        |  FROM j
+        |), m AS (
+        |  SELECT n_name, count(*) AS n_cust,
+        |    CAST(sum((r_bal - r_spend) * (r_bal - r_spend)) AS BIGINT) AS sum_d2
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT n_name, n_cust,
+        |  CASE WHEN n_cust > 1 THEN
+        |    CAST(round((1 - CAST(6 * sum_d2 AS DOUBLE)
+        |      / (n_cust * (n_cust * n_cust - 1))) * 1000000, 0) AS BIGINT)
+        |    END AS rho_e6
+        |FROM m""".stripMargin,
+    // Independent self-join restatement of the in-row pair expansion;
+    // same floors, same integer ppm cross-products.
+    "q152_association_rules" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |), n AS (
+         |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+         |), supp AS (
+         |  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_ab
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $RuleMinSupport
+         |), directed AS (
+         |  SELECT x AS a, y AS b, n_ab FROM pairs
+         |  UNION ALL
+         |  SELECT y, x, n_ab FROM pairs
+         |)
+         |SELECT d.a, d.b, CAST(d.n_ab AS BIGINT) AS n_ab,
+         |  CAST(sa.n_item AS BIGINT) AS n_a, CAST(sb.n_item AS BIGINT) AS n_b,
+         |  CAST(d.n_ab * 1000000 // sa.n_item AS BIGINT) AS confidence_ppm,
+         |  CAST(d.n_ab * 1000000 * n.n_orders // (sa.n_item * sb.n_item) AS BIGINT)
+         |    AS lift_ppm
+         |FROM directed d
+         |JOIN supp sa ON d.a = sa.l_partkey
+         |JOIN supp sb ON d.b = sb.l_partkey
+         |CROSS JOIN n""".stripMargin,
     // FULL recompute — deliberately NOT the delta algebra: agreement
     // proves the incremental fold equals recomputation.
     "q143_incremental_join_view" ->

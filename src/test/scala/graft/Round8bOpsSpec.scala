@@ -411,6 +411,47 @@ class Round8bOpsSpec extends SparkSpec {
     r shouldBe ((4L, 1000000L, 1000000L))
   }
 
+  // -- q151/q152: Spearman + association rules --------------------------
+
+  test("q151: monotone → +1, reversed → −1, exactly") {
+    val dir = tmpDir("rho")
+    Seq((0L, "MONO"), (1L, "REV")).toDF("n_nationkey", "n_name")
+      .withColumn("n_regionkey", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    (Seq((1L, 0L, 10.0), (2L, 0L, 20.0), (3L, 0L, 30.0),
+      (11L, 1L, 10.0), (12L, 1L, 20.0), (13L, 1L, 30.0)))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .withColumn("c_name", lit("c")).withColumn("c_mktsegment", lit("S"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // MONO spends rise with balance; REV spends fall
+    Seq((1L, 1L, 100.0), (2L, 2L, 200.0), (3L, 3L, 300.0),
+      (11L, 11L, 300.0), (12L, 12L, 200.0), (13L, 13L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Analytics.q151SpearmanRho(spark, dir)
+      .select("n_name", "rho_e6").as[(String, Long)].collect().toMap
+    r("MONO") shouldBe 1000000L
+    r("REV") shouldBe -1000000L
+  }
+
+  test("q152: directed confidence is asymmetric, lift is not") {
+    val dir = tmpDir("rules")
+    // orders: {1,2}, {1,2}, {1,3}, {1}: only (1,2) reaches support 2
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Analytics.q152AssociationRules(spark, dir)
+      .select("a", "b", "confidence_ppm", "lift_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(t => (t._1, t._2) -> t).toMap
+    r.keySet shouldBe Set((1L, 2L), (2L, 1L))
+    r((1L, 2L))._3 shouldBe 500000L // 2 of item-1's 4 orders
+    r((2L, 1L))._3 shouldBe 1000000L // every item-2 order has item 1
+    r.values.map(_._4).toSet shouldBe Set(1000000L) // lift symmetric: 2·4/(4·2)
+  }
+
   // -- q147: video container ------------------------------------------
 
   test("VideoContainer: pack/parse round trip, stride sampling, loud demux failures") {
