@@ -228,7 +228,6 @@ object DotProductRewrite extends Rule[LogicalPlan] {
         Literal(0L, LongType), merge: LambdaFunction, finish: LambdaFunction)
         if isPairProduct(prod) && isSumMerge(merge) && isIdentity(finish) &&
           denseArrayOf(l, LongType) && denseArrayOf(r, LongType) =>
-      System.err.println(s"[DPR-DEBUG] fused: l=${l.sql.take(200)} r=${r.sql.take(200)}")
       DotProductLong(l, r)
     case ArrayAggregate(
         ZipWith(l, r, prod: LambdaFunction),
@@ -254,6 +253,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_double"),
       (es: Seq[Expression]) => DotProductDouble(es(0), es(1))))
+    GearFunctions.inject(ext)
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

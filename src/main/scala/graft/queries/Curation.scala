@@ -422,7 +422,8 @@ object Curation {
     * per-position explode, document text never leaves the scan stage;
     * only fixed-width (hash, len) rows shuffle. Work is O(corpus
     * chars) with a W-byte md5 per position; at 100 TB the md5 gram
-    * hash swaps for a gear/rolling-hash `Expression` without touching
+    * hash swaps for a gear/rolling-hash `Expression` (shipped: q153's
+    * [[graft.functions.GearBoundaries]]) without touching
     * the plan shape. Docs shorter than W never cut (the i ≥ W
     * conjunct) and always emit their single terminal chunk. */
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
@@ -875,7 +876,28 @@ object Curation {
       .select("vec_id", "label", "rk")
   }
 
+  // -- q153: native gear-hash chunk boundaries ---------------------------
+
+  /** CDC BOUNDARIES VIA THE NATIVE EXPRESSION — discharges q109's
+    * declared scale note: the md5-per-gram boundary rule swapped for
+    * [[graft.functions.GearBoundaries]], a codegen'd one-pass rolling
+    * hash (no per-position explode, no sliding-substring md5, no
+    * intermediate arrays — the string is scanned once inside
+    * whole-stage codegen). The boundary definition was chosen to be
+    * SQL-restatable, so this is a FULL oracle on a custom Catalyst
+    * expression: DuckDB recomputes every boundary as an 8-lag window
+    * sum over per-codepoint md5 g-values. Plan: scan → narrow
+    * project/generate; the only shuffle is whatever the consumer
+    * adds. */
+  val q153GearChunks: Q = (s, d) => {
+    graft.functions.GearFunctions.register(s) // idempotent; extensions sessions already have it
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GearFunctions.gearBoundaries(col("text"))).as("pos"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q153_gear_chunks" -> q153GearChunks,
     "q145_balanced_downsample" -> q145BalancedDownsample,
     "q128_priority_sample" -> q128PrioritySample,
     "q102_pps_sample" -> q102PpsSample,
@@ -934,6 +956,27 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The gear definition restated relationally: per-codepoint g from
+    // the same md5, the 8-tap window as explicit lags — agreement
+    // gates the native expression's ring buffer bit-for-bit.
+    "q153_gear_chunks" -> {
+      val taps = (0 until 8)
+        .map(k => if (k == 0) "g" else s"lag(g, $k) OVER w * ${1L << k}")
+        .mkString(" + ")
+      s"""WITH chars AS (
+         |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         |    unicode(substr(text, CAST(t.i AS INT), 1)) % 256 AS b
+         |  FROM documents, LATERAL unnest(generate_series(1, length(text))) t(i)
+         |), gv AS (
+         |  SELECT doc_id, i,
+         |    CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 12) AS BIGINT) AS g
+         |  FROM chars
+         |), h AS (
+         |  SELECT doc_id, i, $taps AS h
+         |  FROM gv WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+         |)
+         |SELECT doc_id, i AS pos FROM h WHERE i >= 8 AND h % 64 = 0""".stripMargin
+    },
     // Same salted-hash priority and scalar min; the 1-row min relation
     // mounts as a cross join (oracle side only).
     "q145_balanced_downsample" ->

@@ -452,6 +452,48 @@ class Round8bOpsSpec extends SparkSpec {
     r.values.map(_._4).toSet shouldBe Set(1000000L) // lift symmetric: 2·4/(4·2)
   }
 
+  // -- q153: native gear-hash boundaries --------------------------------
+
+  test("q153 GearBoundaries: matches a from-scratch fold; boundaries re-align after a prefix") {
+    import graft.functions.{GearFunctions, GearHash}
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent brute-force restatement of the definition
+    def brute(s: String): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (1 to cps.length).flatMap { i =>
+        if (i < 8) None
+        else {
+          val h = (0 until 8).map { k =>
+            GearHash.GTable(cps(i - 1 - k) % 256) << k
+          }.sum
+          if (h % 64 == 0) Some(i.toLong) else None
+        }
+      }
+    }
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val got = GearHash.compute(UTF8String.fromString(text)).toLongArray.toSeq
+    got shouldBe brute(text)
+    got should not be empty
+
+    // CONTENT-DEFINED property: after an inserted prefix, boundaries
+    // past the 8-char junction window are the same positions shifted
+    // by the prefix length — fixed-stride chunking has no such
+    // re-alignment
+    val prefix = "INSERTED-PREFIX-123 "
+    val shifted = GearHash.compute(UTF8String.fromString(prefix + text))
+      .toLongArray.toSeq
+    val junction = prefix.length + 8
+    shifted.filter(_ > junction).map(_ - prefix.length) shouldBe
+      got.filter(_ > 8)
+
+    // the registered function runs the same scan through codegen
+    GearFunctions.register(spark)
+    val viaSql = Seq(text).toDF("text")
+      .select(explode(GearFunctions.gearBoundaries(col("text"))).as("pos"))
+      .as[Long].collect().toSeq
+    viaSql shouldBe got
+  }
+
   // -- q147: video container ------------------------------------------
 
   test("VideoContainer: pack/parse round trip, stride sampling, loud demux failures") {
