@@ -896,7 +896,38 @@ object Curation {
         explode(graft.functions.GearFunctions.gearBoundaries(col("text"))).as("pos"))
   }
 
+  // -- q154: distribution-matching sampling rates ------------------------
+
+  /** MIX REPAIR RATES: for every (source, language) cell, the keep
+    * rate that aligns each source's language mix to the CORPUS-WIDE
+    * language distribution — rate = min(1, target_share/source_share)
+    * — the per-class complement of q68's source-level temperature
+    * mixing (q68 reweights whole feeds; this fixes WITHIN-feed class
+    * skew, the "this crawl is 80% English but the corpus target is
+    * 55%" repair). Exact-integer ppm cross-products
+    * (n_lang·n_source·1e6 vs N·n_cell), capped at 1e6; expected kept
+    * counts come from one more truncating multiply so downstream
+    * budget math stays integer. Plan: one map-combined shuffle to
+    * |S|×|L| cells, marginals as window sums over that bounded
+    * relation (q137 discipline). */
+  val q154MixRepairRates: Q = (s, d) => {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_cell"))
+    cells
+      .withColumn("n_source", sum(col("n_cell")).over(Window.partitionBy("source")))
+      .withColumn("n_lang", sum(col("n_cell")).over(Window.partitionBy("lang")))
+      .withColumn("n_total", sum(col("n_cell")).over(Window.partitionBy()))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("n_lang * n_source * 1000000 div (n_total * n_cell)")))
+      .withColumn("n_kept", expr("n_cell * rate_ppm div 1000000"))
+      .select("source", "lang", "n_cell", "n_source", "n_lang", "n_total",
+        "rate_ppm", "n_kept")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q154_mix_repair_rates" -> q154MixRepairRates,
     "q153_gear_chunks" -> q153GearChunks,
     "q145_balanced_downsample" -> q145BalancedDownsample,
     "q128_priority_sample" -> q128PrioritySample,
@@ -956,6 +987,26 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same marginal windows and capped integer cross-products.
+    "q154_mix_repair_rates" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n_cell FROM documents GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *,
+        |    CAST(sum(n_cell) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+        |    CAST(sum(n_cell) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+        |    CAST(sum(n_cell) OVER () AS BIGINT) AS n_total
+        |  FROM cells
+        |), r AS (
+        |  SELECT *,
+        |    least(1000000,
+        |      CAST(n_lang * n_source * 1000000 // (n_total * n_cell) AS BIGINT))
+        |      AS rate_ppm
+        |  FROM m
+        |)
+        |SELECT source, lang, n_cell, n_source, n_lang, n_total, rate_ppm,
+        |  CAST(n_cell * rate_ppm // 1000000 AS BIGINT) AS n_kept
+        |FROM r""".stripMargin,
     // The gear definition restated relationally: per-codepoint g from
     // the same md5, the 8-tap window as explicit lags — agreement
     // gates the native expression's ring buffer bit-for-bit.

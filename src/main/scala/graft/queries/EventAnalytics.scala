@@ -922,7 +922,61 @@ object EventAnalytics {
                | END""".stripMargin).as("r2_e6"))
   }
 
+  // -- q155: lead–lag cross-correlation ---------------------------------
+
+  private val XcorrMaxLag = 3
+
+  /** LEAD–LAG DISCOVERY: Pearson correlation between daily click
+    * volume and purchase volume shifted by 0–3 days — "does click
+    * activity LEAD purchases, and by how much", the cross-series
+    * completion of the family (q132 auto-, q151 rank-, q150 trend-):
+    * the argmax lag is the attribution window a marketer should use,
+    * found from data instead of assumed (q139 hardcodes 24 h).
+    *
+    * All four lags ride ONE lead() window over the daily relation
+    * (bounded by the calendar at any corpus size — the global-order
+    * window is a declared control-plane relation like q137's cells),
+    * stacked in-row and reduced with exact BIGINT moments; r is the
+    * fixed-shape IEEE Pearson e6-snapped, and the best lag is a total
+    * (|r| desc, lag asc) rank — no nondeterministic argmax. */
+  val q155LaggedXcorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy("day")
+    val led = daily.select(
+      (Seq(col("day"), col("x")) ++
+        (0 to XcorrMaxLag).map(l => lead(col("y"), l).over(w).as(s"y$l"))): _*)
+    val stacked = led.select(col("x"), expr(
+      s"stack(${XcorrMaxLag + 1}, " +
+        (0 to XcorrMaxLag).map(l => s"${l}L, y$l").mkString(", ") +
+        ") AS (lag, y)"))
+      .filter(col("y").isNotNull)
+    val moments = stacked.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r_e6",
+        expr("""CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+               | THEN CAST(round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               |   / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+               |      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) * 1000000, 0)
+               |   AS BIGINT)
+               | END""".stripMargin))
+    moments
+      .withColumn("best_rank", row_number().over(
+        Window.orderBy(coalesce(abs(col("r_e6")), lit(-1L)).desc, col("lag").asc)))
+      .select(col("lag"), col("n_pairs"), col("r_e6"),
+        (col("best_rank") === 1).as("is_best_lag"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q155_lagged_xcorr" -> q155LaggedXcorr,
     "q150_trend_slope" -> q150TrendSlope,
     "q141_wilson_conversion" -> q141WilsonConversion,
     "q139_multitouch_attribution" -> q139MultiTouch,
@@ -952,6 +1006,45 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same single lead() window, lag stack as UNION ALL, identical
+    // IEEE Pearson shape and (|r| desc, lag) tiebreak.
+    "q155_lagged_xcorr" -> {
+      val leads = (0 to XcorrMaxLag)
+        .map(l => s"lead(y, $l) OVER w AS y$l").mkString(", ")
+      val stack = (0 to XcorrMaxLag)
+        .map(l => s"SELECT CAST($l AS BIGINT) AS lag, x, y$l AS y FROM led WHERE y$l IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+         |), led AS (
+         |  SELECT x, $leads FROM daily WINDOW w AS (ORDER BY day)
+         |), stacked AS (
+         |  $stack
+         |), m AS (
+         |  SELECT lag, count(*) AS n_pairs,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM stacked GROUP BY 1
+         |), r AS (
+         |  SELECT lag, n_pairs,
+         |    CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+         |     THEN CAST(round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         |       / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+         |          * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) * 1000000, 0)
+         |       AS BIGINT)
+         |     END AS r_e6
+         |  FROM m
+         |)
+         |SELECT lag, n_pairs, r_e6,
+         |  row_number() OVER (ORDER BY coalesce(abs(r_e6), -1) DESC, lag) = 1
+         |    AS is_best_lag
+         |FROM r""".stripMargin
+    },
     // Same exact moments over epoch days; identical IEEE shapes.
     "q150_trend_slope" ->
       """WITH daily AS (

@@ -494,6 +494,44 @@ class Round8bOpsSpec extends SparkSpec {
     viaSql shouldBe got
   }
 
+  // -- q154: mix repair rates -------------------------------------------
+
+  test("q154: over-represented class is throttled, under-represented capped at 1") {
+    val dir = tmpDir("mixfix")
+    val rows = (1 to 8).map(i => (i, "srcA", "en")) ++ (9 to 10).map(i => (i, "srcA", "fr")) ++
+      (11 to 12).map(i => (i, "srcB", "en")) ++ (13 to 20).map(i => (i, "srcB", "fr"))
+    rows.map { case (i, s0, l) => (i.toLong, s"t$i", l, s0, 5L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Curation.q154MixRepairRates(spark, dir)
+      .select("source", "lang", "rate_ppm", "n_kept")
+      .as[(String, String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // corpus is 50/50; srcA is 80% en → en throttled to 5/8, fr capped
+    r(("srcA", "en")) shouldBe ((625000L, 5L))
+    r(("srcA", "fr")) shouldBe ((1000000L, 2L))
+    r(("srcB", "fr")) shouldBe ((625000L, 5L))
+  }
+
+  // -- q155: lagged cross-correlation -----------------------------------
+
+  test("q155: a 2-day click→purchase echo wins the lag scan with r = 1") {
+    val dir = tmpDir("xcorr")
+    val clicks = (1 to 5).flatMap { day =>
+      (1 to day).map(k => ((day * 100 + k).toLong, f"2024-03-0$day 0$k:00:00", 1L, "click", 0.0))
+    }
+    val purchases = (3 to 7).flatMap { day =>
+      (1 to (day - 2)).map(k => ((day * 1000 + k).toLong, f"2024-03-0$day 1$k:00:00", 1L, "purchase", 0.0))
+    }
+    writeEvents(dir, clicks ++ purchases)
+    val r = graft.queries.EventAnalytics.q155LaggedXcorr(spark, dir)
+      .select("lag", "r_e6", "is_best_lag")
+      .as[(Long, Option[Long], Boolean)].collect().map(t => t._1 -> t).toMap
+    r(2L)._2 shouldBe Some(1000000L)
+    r(2L)._3 shouldBe true
+    r.filter(_._1 != 2L).values.forall(!_._3) shouldBe true
+  }
+
   // -- q147: video container ------------------------------------------
 
   test("VideoContainer: pack/parse round trip, stride sampling, loud demux failures") {
