@@ -41,8 +41,9 @@ class GateContractSpec extends SparkSpec {
       "orders", "lineitem", "events", "documents", "embeddings")
     val fromPat = """(?i)(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      // strip CTE names declared in this statement; they are legal targets
-      val ctePat = """(?i)([a-z_][a-z0-9_]*)\s+as\s*\(""".r
+      // strip CTE names declared in this statement; they are legal
+      // targets (q138's loop CTEs are AS MATERIALIZED — see its oracle)
+      val ctePat = """(?i)([a-z_][a-z0-9_]*)\s+as\s*(?:materialized\s*)?\(""".r
       val ctes = ctePat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromPat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       withClue(s"$name references unknown relations:") {
