@@ -67,17 +67,13 @@ object Graph {
       val viaEdge = sym.join(lbl, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       val ptr = lbl.select(col("id").as("pid"), col("lbl").as("plbl"))
-      // The jump leg is cut on its own BEFORE the union: as components
-      // converge, label values concentrate on the roots (half the
-      // graph can carry one key in the final doubling rounds), and
-      // with the self-join inlined in the union+aggregate plan the
-      // round time DOUBLES per round on long-diameter graphs
-      // (measured: 1.2s → 18s/round on a 1M-node chain). Materialized
-      // alone, AQE plans the skewed join by itself and every round
-      // stays flat — the extra n-row checkpoint is noise next to that.
+      // Note: under ensureDurable the jump self-join needs no extra
+      // per-round cut — the file-backed checkpoint of `next` alone
+      // keeps rounds flat (A/B measured 20.1s vs 22.0s for q144's
+      // 28-round loop WITH an extra viaPtr cut; in the old local-only
+      // mode no amount of cutting prevented the ~round-18 blowup).
       val viaPtr = lbl.join(ptr, col("lbl") === col("pid"))
         .select(col("id"), col("plbl").as("lbl"))
-        .transform(graft.ops.Checkpoints.cut)
       val next = lbl.union(viaEdge).union(viaPtr)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .transform(graft.ops.Checkpoints.cut)
