@@ -928,7 +928,77 @@ object Analytics {
         expr(s"n_ab * 1000000 * $nOrders div (n_a * n_b)").as("lift_ppm"))
   }
 
+  // -- q156: ABC (Pareto-class) analysis --------------------------------
+
+  /** ABC CLASSIFICATION: rank each nation's customers by spend and cut
+    * the classic A/B/C inventory classes — A carries the first 80% of
+    * cumulative revenue, B the next 15%, C the tail — the operational
+    * complement of q130's Gini (one number says HOW concentrated; this
+    * says WHICH accounts to manage). The cumulative share is an exact
+    * integer comparison — cum_spend·100 ≤ threshold·total — evaluated
+    * on the PREVIOUS row's cumulative (strictly-before frame) so the
+    * row that CROSSES 80% still belongs to A (the textbook
+    * convention). One rank window + one running-sum window sharing the
+    * (nation | spend desc, custkey) sort. */
+  val q156AbcClasses: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("spend_e0"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("spend_e0").desc, col("o_custkey"))
+    val wCumPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    spend
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_prev", coalesce(sum(col("spend_e0")).over(wCumPrev), lit(0L)))
+      .withColumn("total", sum(col("spend_e0")).over(Window.partitionBy("n_name")))
+      .withColumn("abc_class",
+        when(col("cum_prev") * 100 < col("total") * 80, "A")
+          .when(col("cum_prev") * 100 < col("total") * 95, "B")
+          .otherwise("C"))
+      .select("n_name", "o_custkey", "spend_e0", "rnk", "abc_class")
+  }
+
+  // -- q157: robust trend (median daily delta) --------------------------
+
+  /** ROBUST TREND: per event type, the MEDIAN of day-over-day count
+    * deltas (consecutive days only) and the MAD of those deltas — the
+    * 50%-breakdown complement of q150's OLS slope, immune to the
+    * single spike day that drags a least-squares fit (exactly the
+    * q94-vs-q123 relationship, applied to trends). Deltas are exact
+    * integers; the two medians interpolate identically on both
+    * engines ((a+b)/2 on ints). Daily partials once, |types|-sized
+    * median groups. */
+  val q157RobustTrend: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val deltas = daily
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_x", lag(col("x"), 1).over(w))
+      .filter(col("prev_day").isNotNull &&
+        col("day") === col("prev_day") + expr("INTERVAL 1 DAY"))
+      .select(col("event_type"), (col("x") - col("prev_x")).as("delta"))
+      .transform(graft.ops.SharedCache.persist) // median pass + MAD pass
+    val med = deltas.groupBy("event_type")
+      .agg(median(col("delta")).as("med_delta"), count(lit(1)).as("n_deltas"))
+    deltas
+      .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n_deltas"), col("med_delta"),
+        abs(col("delta") - col("med_delta")).as("adev"))
+      .groupBy("event_type")
+      .agg(first(col("n_deltas")).as("n_deltas"),
+        first(col("med_delta")).as("med_delta"),
+        median(col("adev")).as("mad_delta"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q156_abc_classes" -> q156AbcClasses,
+    "q157_robust_trend" -> q157RobustTrend,
     "q151_spearman_rho" -> q151SpearmanRho,
     "q152_association_rules" -> q152AssociationRules,
     "q143_incremental_join_view" -> q143IncrementalJoinView,
@@ -962,6 +1032,54 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same strictly-before cumulative frame and integer thresholds.
+    "q156_abc_classes" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS spend_e0
+        |  FROM orders GROUP BY 1
+        |), j AS (
+        |  SELECT n_name, o_custkey, spend_e0 FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), r AS (
+        |  SELECT n_name, o_custkey, spend_e0,
+        |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |    CAST(coalesce(sum(spend_e0) OVER (
+        |      PARTITION BY n_name ORDER BY spend_e0 DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_prev,
+        |    CAST(sum(spend_e0) OVER (PARTITION BY n_name) AS BIGINT) AS total
+        |  FROM j WINDOW w AS (PARTITION BY n_name ORDER BY spend_e0 DESC, o_custkey)
+        |)
+        |SELECT n_name, o_custkey, spend_e0, rnk,
+        |  CASE WHEN cum_prev * 100 < total * 80 THEN 'A'
+        |       WHEN cum_prev * 100 < total * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r""".stripMargin,
+    // Same consecutive-day gating and interpolating medians.
+    "q157_robust_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT event_type, day, x,
+        |    lag(day) OVER w AS prev_day, lag(x) OVER w AS prev_x
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), deltas AS (
+        |  SELECT event_type, CAST(x - prev_x AS BIGINT) AS delta
+        |  FROM lagged
+        |  WHERE prev_day IS NOT NULL AND day = prev_day + INTERVAL 1 DAY
+        |), med AS (
+        |  SELECT event_type, CAST(median(delta) AS DOUBLE) AS med_delta,
+        |    count(*) AS n_deltas
+        |  FROM deltas GROUP BY 1
+        |)
+        |SELECT d.event_type, m.n_deltas, m.med_delta,
+        |  CAST(median(abs(d.delta - m.med_delta)) AS DOUBLE) AS mad_delta
+        |FROM deltas d JOIN med m USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // Same distinct-rank windows and the exact 6Σd² identity.
     "q151_spearman_rho" ->
       """WITH spend AS (

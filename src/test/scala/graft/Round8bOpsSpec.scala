@@ -532,6 +532,42 @@ class Round8bOpsSpec extends SparkSpec {
     r.filter(_._1 != 2L).values.forall(!_._3) shouldBe true
   }
 
+  // -- q156/q157: ABC classes + robust trend ----------------------------
+
+  test("q156: the 80% crosser stays in A; textbook 80/15/5 split") {
+    val dir = tmpDir("abc")
+    Seq((0L, "N")).toDF("n_nationkey", "n_name")
+      .withColumn("n_regionkey", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("c_custkey", "c_nationkey")
+      .withColumn("c_name", lit("c")).withColumn("c_mktsegment", lit("S"))
+      .withColumn("c_acctbal", lit(0.0))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, 80.0), (2L, 2L, 15.0), (3L, 3L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Analytics.q156AbcClasses(spark, dir)
+      .select("o_custkey", "abc_class").as[(Long, String)].collect().toMap
+    r shouldBe Map(1L -> "A", 2L -> "B", 3L -> "C")
+  }
+
+  test("q157: a spike day cannot drag the median delta") {
+    val dir = tmpDir("rtrend")
+    // counts 1,2,3,10 → deltas 1,1,7 → median 1.0, MAD 0.0 (the OLS
+    // slope over the same series is ~2.8 — the robustness gap)
+    val rows = Seq(1, 2, 3, 10).zipWithIndex.flatMap { case (n, di) =>
+      (1 to n).map(k => ((di * 100 + k).toLong, f"2024-04-0${di + 1} 0${k % 10}:0$k:00", 1L, "load", 1.0))
+    }
+    writeEvents(dir, rows)
+    val r = graft.queries.Analytics.q157RobustTrend(spark, dir)
+      .select("n_deltas", "med_delta", "mad_delta")
+      .as[(Long, Double, Double)].head()
+    r shouldBe ((3L, 1.0, 0.0))
+  }
+
   // -- q147: video container ------------------------------------------
 
   test("VideoContainer: pack/parse round trip, stride sampling, loud demux failures") {
