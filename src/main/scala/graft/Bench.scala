@@ -126,9 +126,19 @@ object Bench {
     }.getOrElse("")
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","queries":${qjson(timings)}$isolateFields,"failed":$fl,"sf":"$sfDir"}"""
+    // TWO file copies: the driver-pointed one, and a durable repo-local
+    // one (target/bench_full.json) so every per-query number survives
+    // even when the round artifact captures only the stdout tail —
+    // commit it as BENCH_FULL_r{N}.json alongside the round artifacts
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try Files.writeString(Paths.get(outPath), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    Seq(outPath, "target/bench_full.json").foreach { p =>
+      try {
+        Option(Paths.get(p).getParent).foreach(Files.createDirectories(_))
+        Files.writeString(Paths.get(p), json + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] write $p: ${e.getMessage}")
+      }
+    }
     println(json)
     // compact summary LAST: survives any tail-truncated log capture
     val allFailed = (failed ++ isolatePass.map(_._2).getOrElse(Nil)).distinct

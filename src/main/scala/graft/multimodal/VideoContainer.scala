@@ -44,7 +44,9 @@ object VideoContainer {
     (0 until n).map { i =>
       require(off + 4 <= container.length, s"truncated header at frame $i")
       val len = readInt(container, off)
-      require(len >= 0 && off + 4 + len <= container.length,
+      // bounds math in Long: an Int sum wraps negative for len near
+      // Int.MaxValue and would misreport the failure as copyOfRange's
+      require(len >= 0 && off.toLong + 4L + len <= container.length,
         s"truncated frame $i (len=$len)")
       val bytes = java.util.Arrays.copyOfRange(container, off + 4, off + 4 + len)
       off += 4 + len

@@ -52,8 +52,24 @@ object Checkpoints {
     * small-round loops (q90's 2, q138's 4) are safe in local mode. */
   def ensureDurable(spark: org.apache.spark.sql.SparkSession): Unit =
     if (spark.conf.getOption(DirKey).forall(_.isEmpty)) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
-      spark.conf.set(DirKey, dir)
+      // a driver-local temp default is only sound when the driver IS
+      // the executor: on a multi-node master each executor would
+      // read/write file:/tmp on its OWN disk and the checkpoint is
+      // silently not durable — fail loudly instead of corrupting
+      require(spark.sparkContext.isLocal,
+        s"unbounded iterative plans need a durable checkpoint dir on " +
+          s"cluster storage (HDFS/object store): set $DirKey explicitly")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+      // bound the accumulation for long-lived local sessions: whatever
+      // per-loop reclamation (drop/releaseAll) missed dies with the JVM
+      sys.addShutdownHook {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+      spark.conf.set(DirKey, dir.toString)
     }
 
   /** Materialize `df` eagerly and truncate its lineage; durable iff
@@ -74,6 +90,33 @@ object Checkpoints {
       case None => df.localCheckpoint()
     }
   }
+
+  /** The reliable-checkpoint directory backing a [[cut]] result, when
+    * it was cut in durable mode (a checkpointed Dataset's plan is a
+    * LogicalRDD over the checkpointed RDD; local checkpoints have no
+    * file). None for anything else — callers treat that as "nothing
+    * to reclaim". */
+  private def fileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  /** Reclaim the checkpoint files behind superseded [[cut]] results —
+    * the per-round boundary of an iterative loop: once round N+1 is
+    * materialized, round N's files are dead weight, and a 30-round CC
+    * run would otherwise hold 30 copies of the label table on disk.
+    * The caller asserts nothing will read these DataFrames again.
+    * No-op per df when it has no reliable checkpoint file. */
+  def drop(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      fileOf(df).foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        val fs = path.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+    }
 
   /** Delete everything under the durable checkpoint directory. Call
     * ONLY at a boundary where no checkpointed DataFrame from this

@@ -925,6 +925,11 @@ object Analytics {
       .join(supp.select(col("l_partkey").as("b"), col("n_item").as("n_b")), Seq("b"))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+        // BIGINT headroom (q130/q133/q137 convention): n_ab·1e6·N fits
+        // Long while n_ab·N < 9.2e12 — at the declared 100 TB scale
+        // (N≈1.5e9 orders) that caps n_ab at ~6e3; beyond it, reorder
+        // as (n_ab·1e6 div n_a)·N div n_b or switch the money-mode
+        // decimal escape hatch. Documented, not silently wrapped.
         expr(s"n_ab * 1000000 * $nOrders div (n_a * n_b)").as("lift_ppm"))
   }
 

@@ -10,27 +10,17 @@ import org.apache.spark.sql.functions._
   * copies of the cluster {a,b,c}. q55 closes that gap: connected
   * components over the near-dup pair graph, one keeper per component.
   *
-  * Algorithm: min-label propagation with pointer doubling. Each node
-  * starts labeled with itself; every round a node takes the min of its
-  * own label, its neighbors' labels, and its LABEL'S label (the
-  * pointer-doubling hop that short-circuits long chains: label paths
-  * halve every round, so convergence is O(log diameter) rounds, not
-  * O(diameter) — the property that makes this runnable on a 100 TB
-  * pair graph where a plain flood fill on a chain-shaped component
-  * would need thousands of barriers). Each round is two keyed
-  * equi-joins + one min-aggregate — all partial-aggregated shuffles on
-  * bounded keys, nothing quadratic, nothing driver-side except the
-  * O(1) convergence counter. Lineage is truncated per round via
-  * [[graft.ops.Checkpoints.cut]] so the plan does not grow with
-  * iterations (the standard iterative-algorithm discipline on Spark):
-  * executor-local by default, durable `checkpoint()` for
-  * executor-loss recovery when `spark.graft.checkpointDir` points at
-  * cluster storage — the mode a 100 TB run must use.
-  *
-  * The driver-side loop is control plane, not data plane: the number
-  * of rounds is ~log2 of the largest component's diameter (2-3 in
-  * practice for dedup graphs), and the only values crossing the
-  * driver are per-round change counts.
+  * Two closure algorithms, chosen by what the pair generator
+  * guarantees: [[connectedComponents]] is the general graph-
+  * contraction fixpoint (hook → jump → contract → recurse, geometric
+  * shrink per level — see its scaladoc); [[connectedComponentsBlocked]]
+  * exploits a blocking key that components provably never cross
+  * (q125's per-brand window) to close everything in ONE shuffle +
+  * per-partition union-find. Lineage of the iterative path is
+  * truncated per level via [[graft.ops.Checkpoints.cut]]: executor-
+  * local by default, durable `checkpoint()` for executor-loss
+  * recovery when `spark.graft.checkpointDir` points at cluster
+  * storage — the mode a 100 TB run must use.
   *
   * Oracle: an independent DuckDB restatement — WITH RECURSIVE
   * min-label reachability over the same pair relation (q21's oracle
@@ -41,47 +31,136 @@ object Graph {
   private type Q = (SparkSession, String) => DataFrame
 
   /** Connected components of an undirected graph given as (a, b)
-    * pairs; returns (id, lbl) with lbl = min node id reachable. */
+    * pairs; returns (id, lbl) with lbl = min node id reachable.
+    *
+    * GRAPH CONTRACTION (the round-9 rewrite — the previous min-label
+    * + pointer-jump loop needed ~28 rounds / 17.7 s on q144's merge
+    * chains because a jump lands on the ARGMIN of the covered window,
+    * which is its own fixpoint almost immediately: measured, extra
+    * jumps beyond the second made zero additional progress, so every
+    * round degenerated to the one-hop hook — flood fill in disguise).
+    * Per LEVEL:
+    *   1. hook: m(v) = min(v, neighbors(v)) — one map-combined
+    *      aggregate over the symmetric edge list, no join (the first
+    *      hook's labels are the identity, so the usual edge⋈label
+    *      propagation join is algebraically a rename);
+    *   2. two label-chasing jumps m∘m — each ONE 1:1 equi-join, no
+    *      aggregate (every label IS a node id with an entry and
+    *      m(j) ≤ j monotonically, so min(m, m∘m) = m∘m);
+    *   3. CONTRACT: collapse each label group to a super-node and
+    *      recurse on the strictly smaller graph of cross-group edges;
+    *      on unwind, one join composes the child's component labels
+    *      onto this level's.
+    * Each group is a connected star (a node and its label share an
+    * edge), so contraction preserves components exactly; a chain
+    * shrinks ≥4× per level (collapse factor ≈ 2 + jumps) and real
+    * dedup/linkage graphs collapse 10–50×, so levels are
+    * O(log diameter) with GEOMETRICALLY decreasing work — the per-unit
+    * scale shape of the alternating-star family (Kiveris et al.,
+    * MapReduce CC), not 28 flat full-size rounds. q144 measured
+    * 4 levels where the old loop ran 30 rounds.
+    *
+    * Durability/lineage discipline: the driver recursion is control
+    * plane (depth = levels, one isEmpty scalar each). Each level's
+    * contracted edge list is durably checkpoint-cut (severs the
+    * cross-level RDD object chain that melted the old loop from
+    * ~round 18 — see Checkpoints.ensureDurable) and its files are
+    * reclaimed as soon as the child level returns; within a level the
+    * hooked labels use a LAZY localCheckpoint (plan-tree truncation
+    * for the self-joins, no extra job, lineage ends at the level's
+    * own file scan). Only the final composed labeling keeps files. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // UNBOUNDED driver loop ⇒ durable cuts are mandatory: in local
-    // mode each round's blocks keep object references into the
-    // previous round, and the driver-side walk doubles per round from
-    // ~round 18 (see Checkpoints.ensureDurable) — long-diameter
-    // graphs (q144's 28-round merge chains) hang without this.
     graft.ops.Checkpoints.ensureDurable(pairs.sparkSession)
-    // the pair source is materialized BEFORE symmetrization: the
-    // union references it twice, and without the checkpoint the whole
-    // upstream pair-detection plan (q21's joins, for q55) would be
-    // computed once per union leg
+    // materialized BEFORE symmetrization: the union references it
+    // twice, and without the checkpoint the whole upstream
+    // pair-detection plan (q21's joins, for q55) would run per leg
     val p = pairs.select(col("a"), col("b")).transform(graft.ops.Checkpoints.cut)
-    // symmetric edge list, materialized ONCE — every round re-reads it
-    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+    val sym0 = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .transform(graft.ops.Checkpoints.cut)
-    var lbl = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .transform(graft.ops.Checkpoints.cut)
-    var changed = 1L
-    while (changed > 0) {
-      val viaEdge = sym.join(lbl, col("src") === col("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val ptr = lbl.select(col("id").as("pid"), col("lbl").as("plbl"))
-      // Note: under ensureDurable the jump self-join needs no extra
-      // per-round cut — the file-backed checkpoint of `next` alone
-      // keeps rounds flat (A/B measured 20.1s vs 22.0s for q144's
-      // 28-round loop WITH an extra viaPtr cut; in the old local-only
-      // mode no amount of cutting prevented the ~round-18 blowup).
-      val viaPtr = lbl.join(ptr, col("lbl") === col("pid"))
-        .select(col("id"), col("plbl").as("lbl"))
-      val next = lbl.union(viaEdge).union(viaPtr)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+    graft.ops.Checkpoints.drop(p) // sym materialized; p is dead
+    // sym: symmetric, distinct, self-loop-free is NOT assumed (self
+    // loops hook to themselves and contract away). Returns (id, lbl).
+    def level(sym: DataFrame): DataFrame = {
+      // hook over identity labels = plain neighbor-min aggregate;
+      // every node appears as dst of the symmetric list
+      val m = sym.groupBy(col("dst").as("id")).agg(min(col("src")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("lbl"))
+        .localCheckpoint(false) // self-joined below; lazy, no job
+      def jump(x: DataFrame): DataFrame =
+        x.join(x.select(col("id").as("pid"), col("lbl").as("plbl")),
+            col("lbl") === col("pid"))
+          .select(col("id"), col("plbl").as("lbl"))
+      val lbl = jump(jump(m)).localCheckpoint(false) // read 3× below
+      val contracted = sym
+        .join(lbl.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+        .filter(col("ls") =!= col("ld"))
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .distinct() // already symmetric: (u,v)+(v,u) were both present
         .transform(graft.ops.Checkpoints.cut)
-      changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      lbl = next
+      if (contracted.isEmpty) { graft.ops.Checkpoints.drop(contracted); lbl }
+      else {
+        val up = level(contracted) // labels of the super-nodes
+        graft.ops.Checkpoints.drop(contracted) // child consumed it
+        // compose: groups untouched by cross edges keep their label
+        lbl.join(up.select(col("id").as("l2"), col("lbl").as("l3")),
+            col("lbl") === col("l2"), "left")
+          .select(col("id"), coalesce(col("l3"), col("lbl")).as("lbl"))
+      }
     }
-    lbl
+    val out = level(sym0).transform(graft.ops.Checkpoints.cut)
+    graft.ops.Checkpoints.drop(sym0) // only the final labels keep files
+    out
+  }
+
+  /** Connected components of a BLOCKED linkage graph: (block, a, b)
+    * pairs where the pair-generation contract guarantees no edge ever
+    * crosses a block (q125's sorted-neighborhood window is per-brand,
+    * so every component lives inside one brand). That guarantee turns
+    * CC from an iterative global fixpoint into ONE shuffle: co-locate
+    * each block's edges (hash-partition on the block key), then run
+    * in-memory union-find per partition — the classic MDM merge-purge
+    * closure. The per-partition memory contract is EXACTLY the one
+    * q125 already declares for its Window blocks ("blocks fit a
+    * partition; composite keys when they don't"), so this adds no new
+    * scale assumption: a partition holds whole blocks (hash
+    * partitioning never splits one) and union-find state is two longs
+    * per distinct node in the partition's blocks. Returns (id, lbl)
+    * with lbl = min node id of the component, identical to
+    * [[connectedComponents]] on any blocked input. */
+  private[graft] def connectedComponentsBlocked(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("block"), col("a").cast("long"), col("b").cast("long"))
+      .repartition(col("block")) // whole blocks co-locate
+      .select(col("a"), col("b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        // union-find with path-halving; attaching the larger root
+        // under the smaller makes every root the component min, and
+        // keeps trees shallow in practice (linkage blocks are small)
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val seen = scala.collection.mutable.LongMap.empty[Boolean]
+        def find(x0: Long): Long = {
+          var x = x0
+          var px = parent.getOrElse(x, x)
+          while (px != x) { // path-halving walk to the root
+            val ppx = parent.getOrElse(px, px)
+            parent(x) = ppx
+            x = ppx; px = parent.getOrElse(x, x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          seen(a) = true; seen(b) = true
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        seen.keysIterator.map(id => (id, find(id)))
+      }.toDF("id", "lbl")
   }
 
   /** q55: near-duplicate clusters over the q21 MinHash-verified pair
@@ -118,7 +197,11 @@ object Graph {
     * scale shape (edges re-read per round from a checkpoint; the
     * node-count scalar is driver-hosted control plane like q61's
     * corpus stats). */
-  val q90PageRank: Q = (s, d) => {
+  /** The static shipment-graph relations shared by q90/q90b: the
+    * checkpointed distinct edge list, the node universe, and the
+    * degree-annotated edges. */
+  private def shipmentGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.Tables
     val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -130,21 +213,68 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .transform(graft.ops.Checkpoints.cut)
-    val n = nodes.count() // control-plane scalar (q61 convention)
-    val r0 = 1000000000L / n
-    val base = 150000000L / n // (1 - 0.85) * 1e9 / N, floor
     val wedges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .transform(graft.ops.Checkpoints.cut) // static (src, dst, deg), built once
-    def iterate(r: DataFrame): DataFrame = {
-      val inflow = wedges.join(r, col("src") === col("node"))
-        .select(col("dst"), expr("rank_e9 div deg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      nodes.join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(inflow, 0) div 100")).as("rank_e9"))
-    }
-    iterate(iterate(nodes.select(col("node"), lit(r0).as("rank_e9"))))
+    (edges, nodes, wedges)
+  }
+
+  /** One PageRank Jacobi step at damping 0.85, integer e9:
+    * rank'(v) = base + 85·(inflow(v) + dShare) div 100, where dShare
+    * is the per-node redistributed dangling mass (0 for the plain
+    * q90 form). */
+  private def prStep(nodes: DataFrame, wedges: DataFrame, base: Long,
+      dShare: Long)(r: DataFrame): DataFrame = {
+    val inflow = wedges.join(r, col("src") === col("node"))
+      .select(col("dst"), expr("rank_e9 div deg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("inflow"))
+    nodes.join(inflow, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"85 * (coalesce(inflow, 0) + $dShare) div 100"))
+          .as("rank_e9"))
+  }
+
+  val q90PageRank: Q = (s, d) => {
+    val (_, nodes, wedges) = shipmentGraph(s, d)
+    val n = nodes.count() // control-plane scalar (q61 convention)
+    val r0 = 1000000000L / n
+    val base = 150000000L / n // (1 - 0.85) * 1e9 / N, floor
+    val step = prStep(nodes, wedges, base, 0L) _
+    step(step(nodes.select(col("node"), lit(r0).as("rank_e9"))))
+  }
+
+  /** q90b: the TEXTBOOK-COMPLETE PageRank — same two unrolled Jacobi
+    * iterations as q90 but with the DANGLING MASS REDISTRIBUTED
+    * instead of dropped: every customer node is a sink here, so q90
+    * leaks 85% of roughly half the mass per iteration; q90b hands
+    * each iteration's dangling mass back uniformly
+    * (dShare = D div N, folded into the damped term), which is what
+    * makes Σ rank_e9 ≈ 1e9 hold — the ranks are an e9-scaled
+    * probability distribution (GraphSpec pins conservation to within
+    * the floor-division loss bound, and pins that q90 leaks). The per-iteration cost of
+    * completeness is ONE scalar aggregate: iteration 1's dangling sum
+    * is a closed form of the uniform start (r0·|dangling| div N, no
+    * job at all); iteration 2's is a single anti-join + sum on the
+    * checkpointed rank-1 relation — a driver-hosted control-plane
+    * scalar like the node count (q61 convention). Everything else —
+    * plan shape, integer e9 floor math, oracle restatement as chained
+    * CTEs with scalar subqueries — is q90's. */
+  val q90bPageRankMass: Q = (s, d) => {
+    val (edges, nodes, wedges) = shipmentGraph(s, d)
+    val n = nodes.count()
+    val r0 = 1000000000L / n
+    val base = 150000000L / n
+    val srcs = edges.select(col("src").as("node")).distinct()
+      .transform(graft.ops.Checkpoints.cut) // both dangling passes
+    val nDangling = nodes.join(srcs, Seq("node"), "left_anti").count()
+    val share1 = r0 * nDangling / n // uniform start: closed form
+    val r1 = prStep(nodes, wedges, base, share1)(
+        nodes.select(col("node"), lit(r0).as("rank_e9")))
+      .transform(graft.ops.Checkpoints.cut) // read by d2 sum + step 2
+    val d2 = r1.join(srcs, Seq("node"), "left_anti")
+      .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("s"))
+      .first().getLong(0)
+    prStep(nodes, wedges, base, d2 / n)(r1)
   }
 
   // -- q121: triangle counting (degree-ordered compact-forward) --------
@@ -272,55 +402,79 @@ object Graph {
       .filter(col("shared_orders") >= RaMinShared)
   }
 
-  private val KCoreK = 90
-  private val KCorePeels = 4
+  private val KCoreK = 80
+  /** Unroll depth of the q138 ORACLE only — the Spark side peels to
+    * convergence (below). Rounds past convergence are exact no-ops
+    * (the edge set is stable), so the oracle over-unrolling is free;
+    * if a dataset ever cascades deeper than this, the gate fails
+    * LOUDLY (Spark fully peeled vs oracle under-peeled) instead of
+    * both silently under-peeling — then bump this constant. The
+    * current testdata converges in 4 rounds at every sf. */
+  private val KCoreOracleRounds = 8
 
-  /** Core of q138: [[KCorePeels]] unrolled rounds of k-core peeling —
-    * drop every node with degree < k, delete its edges, recompute,
-    * repeat — over an undirected simple graph given as (x, y) pairs,
-    * each edge listed once. Returns surviving nodes with their
-    * residual in-core degree. Exposed for spec fixtures. */
-  private[graft] def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Core of q138: k-core peeling to the FIXPOINT — drop every node
+    * with degree < k, delete its edges, recompute, repeat until a
+    * round deletes nothing — over an undirected simple graph given as
+    * (x, y) pairs, each edge listed once. Returns surviving nodes
+    * with their residual in-core degree. Exposed for spec fixtures.
+    *
+    * The driver loop is control plane: one edge-count scalar per
+    * round read from the just-checkpointed (tiny-scan) edge list —
+    * edge-count-unchanged ⟺ no node was removed, because a removed
+    * node always had ≥1 incident edge (degree rows only exist for
+    * such nodes). Rounds 9-fixed the silent-under-peel hazard of the
+    * old 4-round unroll: a deeper cascade now just runs more rounds
+    * (each strictly cheaper — the edge set shrinks monotonically),
+    * with per-round durable checkpoint cuts and immediate reclamation
+    * of the superseded round's files, same discipline as
+    * [[connectedComponents]]. */
+  private[graft] def kcorePeel(edges0: DataFrame, k: Int): DataFrame = {
+    graft.ops.Checkpoints.ensureDurable(edges0.sparkSession)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("x").as("node")).union(e.select(col("y").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
     var e = edges0.transform(graft.ops.Checkpoints.cut)
-    for (_ <- 1 to rounds) {
+    var n = e.count()
+    var converged = n == 0L
+    while (!converged) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
-        .transform(graft.ops.Checkpoints.cut) // feeds BOTH semi-join legs
-      e = e
+        .localCheckpoint(false) // feeds BOTH semi-join legs; lazy
+      val next = e
         .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
         .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
-        .transform(graft.ops.Checkpoints.cut) // next round reads e twice
+        .transform(graft.ops.Checkpoints.cut) // read by count + next round
+      val n2 = next.count()
+      graft.ops.Checkpoints.drop(e)
+      converged = n2 == n || n2 == 0L
+      e = next; n = n2
     }
     degrees(e).select(col("node"), col("deg").as("deg_in_core"))
   }
 
-  /** K-CORE DECOMPOSITION (90-core, 4 unrolled peels): the maximal-ish
-    * subgraph where every part keeps ≥90 co-purchase neighbors (the
-    * testdata's co-purchase degrees center near 115 at every sf, so
-    * k=90 peels a substantial fringe and cascades across rounds
-    * without collapsing the core — the support-floored q121 graph is
-    * near-forest at sf0.1, hence ALL pairs here) — the
-    * density backbone that separates a genuinely cohesive product
-    * community from stars and chains that triangle counts (q121) and
-    * centrality (q90) each miss in their own way. Peeling is the
-    * textbook Matula–Beck reduction; FOUR unrolled rounds is the
-    * repo's iterative convention (q90's Jacobi / q57's Lloyd) so the
-    * oracle restates each round as a chained CTE — a fixpoint loop at
-    * 100 TB keeps the same per-round plan (degree aggregate + two
-    * semi-joins, all partial-aggregated equi-joins on node keys) with
-    * a driver-side convergence check on a one-row count, and each
-    * round STRICTLY shrinks the edge set, so later rounds get cheaper.
-    * Checkpoint cuts bound the lineage exactly as q55's pointer
-    * doubling does. */
+  /** K-CORE DECOMPOSITION (80-core, peeled to the FIXPOINT): the
+    * maximal subgraph where every part keeps ≥80 co-purchase
+    * neighbors — the density backbone that separates a genuinely
+    * cohesive product community from stars and chains that triangle
+    * counts (q121) and centrality (q90) each miss in their own way
+    * (the support-floored q121 graph is near-forest at sf0.1, hence
+    * ALL pairs here). Peeling is the textbook Matula–Beck reduction,
+    * run by [[kcorePeel]] as a true convergence loop (round-9 fix:
+    * the old FOUR fixed rounds silently under-peeled — full
+    * convergence here takes 5 cascades at sf0.01/sf0.1, and the old
+    * k=90 actually peels to EMPTY once run to fixpoint, the measured
+    * co-purchase degeneracy being 82–84; k=80 keeps a real core of
+    * ~1.9k/18.9k parts). The oracle restates [[KCoreOracleRounds]]
+    * unrolled CTE rounds — past-convergence rounds are exact no-ops,
+    * and a dataset cascading deeper than the unroll fails the gate
+    * LOUDLY instead of matching a shared under-peel. */
   val q138KCore: Q = (s, d) =>
-    kcorePeel(copurchaseEdges(s, d, 1), KCoreK, KCorePeels)
+    kcorePeel(copurchaseEdges(s, d, 1), KCoreK)
       .withColumnRenamed("node", "p_partkey")
 
   val defs: Map[String, Q] = Map(
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
+    "q90b_pagerank_mass" -> q90bPageRankMass,
     "q121_triangle_count" -> q121TriangleCount,
     "q136_link_prediction" -> q136LinkPrediction,
     "q138_kcore" -> q138KCore)
@@ -333,7 +487,7 @@ object Graph {
     // and the re-evaluation tree grows exponentially across rounds
     // (observed: temp-disk exhaustion at sf0.1).
     "q138_kcore" -> {
-      val rounds = (1 to KCorePeels).map { r =>
+      val rounds = (1 to KCoreOracleRounds).map { r =>
         s"""d${r - 1} AS MATERIALIZED (
            |  SELECT node, count(*) AS deg FROM (
            |    SELECT x AS node FROM e${r - 1} UNION ALL SELECT y FROM e${r - 1}
@@ -353,7 +507,7 @@ object Graph {
          |),
          |$rounds
          |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS deg_in_core FROM (
-         |  SELECT x AS node FROM e$KCorePeels UNION ALL SELECT y FROM e$KCorePeels
+         |  SELECT x AS node FROM e$KCoreOracleRounds UNION ALL SELECT y FROM e$KCoreOracleRounds
          |) GROUP BY 1""".stripMargin
     },
     // Independent restatement: distinct-item self-join (a < b) against
@@ -377,6 +531,47 @@ object Graph {
          |  CAST(sum(w_e6) AS BIGINT) AS ra_e6
          |FROM pairs GROUP BY 1, 2
          |HAVING count(*) >= $RaMinShared""".stripMargin,
+    // q90's chained-CTE restatement plus the dangling-mass scalars:
+    // iteration 1's share in closed form off the uniform start,
+    // iteration 2's as a scalar subquery over r1 — the same integer
+    // e9 floor arithmetic as the Spark side, term for term.
+    "q90b_pagerank_mass" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e)),
+        |s1 AS (
+        |  SELECT (1000000000 // n) * (SELECT count(*) FROM dang) // n AS share
+        |  FROM nn
+        |),
+        |r0 AS (SELECT node, 1000000000 // n AS rank_e9 FROM nodes CROSS JOIN nn),
+        |i1 AS (
+        |  SELECT e.dst, sum(r.rank_e9 // d.deg) AS inflow
+        |  FROM e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY 1
+        |), r1 AS MATERIALIZED (
+        |  SELECT node,
+        |    150000000 // n + 85 * (coalesce(inflow, 0) + share) // 100 AS rank_e9
+        |  FROM nodes CROSS JOIN nn CROSS JOIN s1 LEFT JOIN i1 ON i1.dst = node
+        |), s2 AS (
+        |  SELECT coalesce((SELECT sum(rank_e9) FROM r1
+        |    WHERE node IN (SELECT node FROM dang)), 0) // n AS share
+        |  FROM nn
+        |), i2 AS (
+        |  SELECT e.dst, sum(r.rank_e9 // d.deg) AS inflow
+        |  FROM e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT node,
+        |    150000000 // n + 85 * (coalesce(inflow, 0) + share) // 100 AS rank_e9
+        |  FROM nodes CROSS JOIN nn CROSS JOIN s2 LEFT JOIN i2 ON i2.dst = node
+        |)
+        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r2""".stripMargin,
     // The same two unrolled iterations as chained CTEs — integer e9
     // floor arithmetic reproduces exactly (q57 unrolled-Lloyd
     // convention for iterative algorithms).

@@ -41,6 +41,61 @@ class GraphSpec extends SparkSpec {
     cc() shouldBe empty
   }
 
+  private def ccBlocked(pairs: (String, Long, Long)*): Map[Long, Long] =
+    Graph.connectedComponentsBlocked(pairs.toDF("block", "a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("blocked CC agrees with generic CC when no edge crosses a block") {
+    // three brands, each with its own chain/star/self-loop topology;
+    // ids deliberately non-monotone along the chains
+    val blocked = Seq(
+      ("B1", 9L, 4L), ("B1", 4L, 11L), ("B1", 11L, 2L), // chain, min inside
+      ("B2", 20L, 25L), ("B2", 20L, 23L), ("B2", 23L, 25L), // triangle
+      ("B3", 31L, 31L), // self-loop singleton
+      ("B3", 35L, 33L), ("B3", 33L, 35L)) // duplicate + reversed
+    val generic = cc(blocked.map(t => (t._2, t._3)): _*)
+    ccBlocked(blocked: _*) shouldBe generic
+    generic shouldBe Map(9L -> 2L, 4L -> 2L, 11L -> 2L, 2L -> 2L,
+      20L -> 20L, 25L -> 20L, 23L -> 20L,
+      31L -> 31L, 35L -> 33L, 33L -> 33L)
+  }
+
+  test("blocked CC: a long within-block chain closes in the one pass") {
+    // 200-node chain with shuffled ids — the adversarial shape that
+    // cost the old iterative CC ~28 global rounds
+    val ids = scala.util.Random.shuffle((1L to 200L).toVector)
+    val pairs = ids.sliding(2).map(w => ("B", w(0), w(1))).toSeq
+    val got = ccBlocked(pairs: _*)
+    got.values.toSet shouldBe Set(1L)
+    got.keySet shouldBe (1L to 200L).toSet
+  }
+
+  test("generic CC (contraction): shuffled long chain and nested components") {
+    val ids = scala.util.Random.shuffle((101L to 228L).toVector)
+    val chain = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+    val got = cc(chain :+ (500L, 501L): _*)
+    got.filter(_._1 <= 228L).values.toSet shouldBe Set(101L)
+    got(500L) shouldBe 500L
+    got(501L) shouldBe 500L
+  }
+
+  test("q90b conserves rank mass; q90 (dropped dangling mass) does not") {
+    val dir = "/root/testdata/sf0.001"
+    val massB = Graph.q90bPageRankMass(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("rank_e9")).as[Long].first()
+    // ranks are an e9-scaled probability distribution: Σ rank_e9 ≈ 1e9
+    val total = 1000000000L
+    // conservation up to integer floor losses: each of the two
+    // iterations floors once per edge (rank div deg), once per node
+    // (85·x div 100, base), once for the share — a loss far under
+    // 0.1% of total mass at any sf
+    math.abs(massB - total).toDouble / total should be < 0.001
+    // the plain q90 leaks the sinks' damped mass — strictly below
+    val massA = Graph.q90PageRank(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("rank_e9")).as[Long].first()
+    massA should be < (total * 9 / 10)
+  }
+
   test("durable-checkpoint mode (spark.graft.checkpointDir) agrees with local mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val local = cc((5L, 2L), (2L, 9L), (30L, 40L))

@@ -231,9 +231,24 @@ class Round8bOpsSpec extends SparkSpec {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)).toDF("x", "y")
-    val r = graft.queries.Graph.kcorePeel(edges, 3, 4)
+    val r = graft.queries.Graph.kcorePeel(edges, 3)
       .as[(Long, Long)].collect().toMap
     r shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("q138 kcorePeel: fixpoint outlasts the old 4-round unroll") {
+    // an 11-node path under k=2 cascades from both ends: round r
+    // removes the current endpoints, so full convergence (to empty)
+    // takes 5 rounds — the old fixed 4-round unroll silently left
+    // the middle 5—6—7 stub behind
+    val path = (1L until 11L).map(i => (i, i + 1)).toDF("x", "y")
+    graft.queries.Graph.kcorePeel(path, 2).count() shouldBe 0L
+    // and a core that exists is reached, not peeled through: a cycle
+    // is its own 2-core at any cascade depth
+    val cycle = ((1L until 8L).map(i => (i, i + 1)) :+ (8L, 1L)).toDF("x", "y")
+    val r = graft.queries.Graph.kcorePeel(cycle, 2)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe (1L to 8L).map(_ -> 2L).toMap
   }
 
   // -- q139: multi-touch attribution ----------------------------------
