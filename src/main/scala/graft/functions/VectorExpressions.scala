@@ -254,6 +254,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_double"),
       (es: Seq[Expression]) => DotProductDouble(es(0), es(1))))
     GearFunctions.inject(ext)
+    StringSimFunctions.inject(ext)
     ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

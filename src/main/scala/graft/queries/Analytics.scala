@@ -1001,7 +1001,41 @@ object Analytics {
         median(col("adev")).as("mad_delta"))
   }
 
+  // -- q160: Theil–Sen robust slope -------------------------------------
+
+  /** THEIL–SEN ESTIMATOR: per event type, the median of ALL pairwise
+    * slopes (x_j − x_i)/(t_j − t_i) over the daily count series — the
+    * 29%-breakdown regression complement to q150's OLS (one outlier
+    * day moves OLS arbitrarily; Theil–Sen needs ~a third of the days
+    * corrupted) and the all-pairs big sibling of q157's
+    * consecutive-delta median. Days are exact integer offsets from
+    * epoch (datediff — no timezone arithmetic), each slope ONE IEEE
+    * divide of exact ints, the median the same (a+b)/2 interpolation
+    * both engines share.
+    *
+    * The pair stage is a DECLARED |days|² per type (an equi-join on
+    * event_type then a t1<t2 filter) — bounded by the calendar, not
+    * the data: 10 years of dailies is ~6.7M pairs per type, constant
+    * with corpus size, because the daily rollup (the only pass over
+    * raw events, map-side combined) collapses volume first. */
+  val q160TheilSen: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .transform(graft.ops.SharedCache.persist) // both sides of the pair join
+    val a = daily.select(col("event_type"), col("t").as("t1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("t").as("t2"), col("x").as("x2"))
+    a.join(b, Seq("event_type"))
+      .filter(col("t1") < col("t2"))
+      .withColumn("slope",
+        (col("x2") - col("x1")).cast("double") / (col("t2") - col("t1")).cast("double"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), median(col("slope")).as("ts_slope"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q160_theil_sen" -> q160TheilSen,
     "q156_abc_classes" -> q156AbcClasses,
     "q157_robust_trend" -> q157RobustTrend,
     "q151_spearman_rho" -> q151SpearmanRho,
@@ -1037,6 +1071,23 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same day-integer offsets (date_diff from epoch), one divide per
+    // pair, identical median interpolation over doubles.
+    "q160_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), pts AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT) AS t,
+        |    x
+        |  FROM daily
+        |)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  median(CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)) AS ts_slope
+        |FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.t < b.t
+        |GROUP BY 1""".stripMargin,
     // Same strictly-before cumulative frame and integer thresholds.
     "q156_abc_classes" ->
       """WITH spend AS (

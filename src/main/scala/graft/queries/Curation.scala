@@ -926,7 +926,55 @@ object Curation {
         "rate_ppm", "n_kept")
   }
 
+  // -- q161: importance weights (DSIR-style unigram LLR) ----------------
+
+  /** IMPORTANCE WEIGHTS for targeted data selection (the DSIR recipe,
+    * Xie et al. 2023, made engine-exact): score every document by the
+    * log-likelihood ratio of its unigrams under a TARGET distribution
+    * (here the `lang='en'` slice — stand-in for "looks like the
+    * high-quality domain") vs the RAW corpus distribution, with
+    * add-one smoothing. High scorers are up-sampled into the training
+    * mix; the generative complement of q113's discriminative
+    * hashed-feature classifier.
+    *
+    * Determinism discipline: each vocab term's LLR is ONE double
+    * expression over exact integer counts, quantized to e6 by floor()
+    * BEFORE any summation, so the per-doc score is an exact integer
+    * sum (order-free under Spark's nondeterministic partial-agg order
+    * — the float rules at the top of Relational.scala).
+    *
+    * Scale shape: token explode is narrow; (doc, token) occurrence
+    * counts are ONE map-combined shuffle; the vocab LLR table derives
+    * from those partials (second tiny shuffle on token) and comes back
+    * as a BROADCAST (vocab ≪ corpus); the per-doc score is a third
+    * map-combined shuffle on doc_id. Corpus totals (N_target, N_all,
+    * |V|) are three control-plane scalars — one driver action. */
+  val q161ImportanceWeights: Q = (s, d) => {
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n_occ"))
+      .transform(graft.ops.SharedCache.persist) // vocab + probe sides
+    val vocab = docTok.groupBy("tok").agg(
+      sum(col("n_occ")).as("c_all"),
+      sum(when(col("lang") === "en", col("n_occ")).otherwise(0L)).as("c_tgt"))
+    // corpus totals: three control-plane scalars, one driver action
+    val tot = vocab.agg(sum(col("c_all")), sum(col("c_tgt")), count(lit(1))).head()
+    val (nAll, nTgt, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val llr = vocab.select(col("tok"),
+      floor((log((col("c_tgt") + 1L).cast("double")) - log(lit((nTgt + v).toDouble))
+        - log((col("c_all") + 1L).cast("double")) + log(lit((nAll + v).toDouble)))
+        * 1000000d).cast("long").as("llr_e6"))
+    docTok
+      .join(broadcast(llr), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ") * col("llr_e6")).as("llr_e6_sum"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q161_importance_weights" -> q161ImportanceWeights,
     "q154_mix_repair_rates" -> q154MixRepairRates,
     "q153_gear_chunks" -> q153GearChunks,
     "q145_balanced_downsample" -> q145BalancedDownsample,
@@ -987,6 +1035,37 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same add-one LLR per vocab term (identical ln/sub/add order),
+    // floor-quantized to e6 BEFORE summation — per-doc sums are exact
+    // integers on both engines.
+    "q161_importance_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM tok WHERE tok <> '' GROUP BY 1, 2, 3
+        |), vocab AS (
+        |  SELECT tok, CAST(sum(n_occ) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN n_occ ELSE 0 END) AS BIGINT) AS c_tgt
+        |  FROM dt GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+        |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM vocab
+        |), llr AS (
+        |  SELECT tok,
+        |    CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE)) - ln(CAST(n_tgt + v AS DOUBLE))
+        |      - ln(CAST(c_all + 1 AS DOUBLE)) + ln(CAST(n_all + v AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS llr_e6
+        |  FROM vocab, s
+        |)
+        |SELECT doc_id, lang, CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_occ * llr_e6) AS BIGINT) AS llr_e6_sum
+        |FROM dt JOIN llr USING (tok)
+        |GROUP BY 1, 2""".stripMargin,
     // Same marginal windows and capped integer cross-products.
     "q154_mix_repair_rates" ->
       """WITH cells AS (

@@ -737,6 +737,19 @@ object EventAnalytics {
       .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
       .transform(graft.ops.SharedCache.persist)
+    cusumFromDaily(daily)
+  }
+
+  /** q134's finalization, factored over ANY per-(event_type, day)
+    * count relation (columns `event_type, day, x`): mean + exact
+    * n-scaled CUSUM walk + deterministic argmax. Shared verbatim by
+    * the batch query above and the streaming incremental fold
+    * ([[graft.streaming.StreamingAnomaly]]), so the q134 DuckDB oracle
+    * transitively verifies the streaming finalizer (the streaming
+    * difference is only WHERE `daily` comes from: a raw scan vs an
+    * incrementally-maintained count state). Callers persist `daily`
+    * when it is expensive — it feeds both the totals and the walk. */
+  private[graft] def cusumFromDaily(daily: DataFrame): DataFrame = {
     val totals = daily.groupBy("event_type")
       .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
     val wRun = Window.partitionBy("event_type").orderBy("day")
@@ -774,9 +787,18 @@ object EventAnalytics {
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("slot",
-        (dayofweek(col("hour_ts")) - 1) * 24 + hour(col("hour_ts")))
       .transform(graft.ops.SharedCache.persist)
+    seasonalFromHourly(hourly)
+  }
+
+  /** q135's finalization over ANY per-(event_type, hour) count
+    * relation (columns `event_type, hour_ts, cnt`): hour-of-week slot
+    * medians + spike/dip flags. Shared verbatim by the batch query and
+    * [[graft.streaming.StreamingAnomaly]] — same transitive-oracle
+    * discipline as [[cusumFromDaily]]. */
+  private[graft] def seasonalFromHourly(hourlyCounts: DataFrame): DataFrame = {
+    val hourly = hourlyCounts.withColumn("slot",
+      (dayofweek(col("hour_ts")) - 1) * 24 + hour(col("hour_ts")))
     val baseline = hourly.groupBy("event_type", "slot")
       .agg(median(col("cnt")).as("slot_median"), count(lit(1)).as("n_weeks"))
     hourly

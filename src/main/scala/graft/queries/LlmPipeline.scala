@@ -573,6 +573,57 @@ object LlmPipeline {
       .withColumn("flag_repetitive", col("ratio_e6") < 250000L)
   }
 
+  // -- q158: character-entropy quality score -------------------------
+
+  /** Symbols scored by q158: the corpus alphabet (lowercased letters,
+    * digits, space) — anything else lands in one "other" bucket. */
+  private val EntropyAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** CHARACTER-ENTROPY SIGNAL: per-document Shannon entropy (nats) of
+    * the lowercased character distribution — the quality-filter
+    * complement of q119's deflate ratio: keyword stuffing and template
+    * boilerplate sit LOW (few symbols dominate), encoding junk and
+    * binary-pasted noise sit HIGH (near-uniform). Production corpus
+    * filters gate on both ends.
+    *
+    * Plan shape is the whole point: ZERO shuffles, zero explodes. The
+    * per-symbol counts come from the `length − length(replace(·))`
+    * identity over a FIXED 37-symbol alphabet + an "other" remainder
+    * bucket, so the entire histogram is one codegen'd projection (37
+    * linear string passes, no per-character row blowup), and
+    *   H = ln(n) − (Σ c·ln c)/n
+    * folds over that 38-array with a left-to-right `aggregate` — the
+    * identical fold order DuckDB's list_sum uses, so the doubles match
+    * bit-for-bit (each term is one IEEE ln/mul over exact ints).
+    * Thresholds (2.75 / 2.89 nats ≈ the measured p10/p90 at sf0.01)
+    * flag the repetitive and noisy tails. */
+  val q158CharEntropy: Q = (s, d) => {
+    val lo = lower(col("text"))
+    val counts = array(EntropyAlphabet.map(ch =>
+      (length(lo) - length(replace(lo, lit(ch), lit("")))).cast("long")): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n"),
+        counts.as("cnts"))
+      .withColumn("other",
+        col("n") - aggregate(col("cnts"), lit(0L), (a, c) => a + c))
+      .withColumn("sum_clnc",
+        aggregate(filter(concat(col("cnts"), array(col("other"))), c => c > 0L),
+          lit(0.0d), (a, c) => a + c.cast("double") * log(c.cast("double"))))
+      .withColumn("entropy",
+        when(col("n") > 0, log(col("n").cast("double")) - col("sum_clnc") / col("n"))
+          .otherwise(lit(0.0d)))
+      // e6 quantization: Spark's JIT-intrinsic Math.log drifts 1 ulp
+      // from libm's ln (measured: doc 13 at sf0.01 ends ...75 vs
+      // ...751 in DuckDB/Python/fdlibm), so the raw double is NOT a
+      // stable oracle column; micro-nat floors are (boundary odds
+      // ~1e-9/row) and are ample precision for a quality gate
+      .select(col("doc_id"), col("lang"), col("n").as("n_chars"),
+        floor(col("entropy") * 1000000d).cast("long").as("entropy_e6"),
+        (col("entropy") < 2.75d).as("flag_repetitive"),
+        (col("entropy") > 2.89d).as("flag_noisy"))
+  }
+
   // -- q43: curated-corpus composition -------------------------------
 
   /** The end-to-end curation run the individual operators exist for,
@@ -808,6 +859,7 @@ object LlmPipeline {
     "q142_audio_frame_stats" -> q142AudioFrameStats,
     "q147_video_frame_stats" -> q147VideoFrameStats,
     "q119_compressibility" -> q119Compressibility,
+    "q158_char_entropy" -> q158CharEntropy,
     "q43_curated_corpus" -> q43CuratedCorpus,
     "q44_vocab_top_df" -> q44VocabTopDf,
     "q45_winnow_fingerprint" -> q45WinnowFingerprint)
@@ -878,6 +930,40 @@ object LlmPipeline {
       s"(strpos('0123456789abcdef', substr(md5($c),4,1))-1)"
 
   val oracles: Map[String, String] = Map(
+    // q158: the same 37-symbol histogram via length-diff, the same
+    // left-to-right fold (list_reduce ≡ Spark's aggregate: 0.0 + t1
+    // is exact, so the fold orders coincide bit-for-bit).
+    "q158_char_entropy" -> {
+      val cntExprs = EntropyAlphabet
+        .map(ch => s"length(lo) - length(replace(lo, '$ch', ''))")
+        .mkString(",\n        ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, lower(text) AS lo, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents
+         |), hist AS (
+         |  SELECT doc_id, lang, n,
+         |    [$cntExprs] AS cnts
+         |  FROM base
+         |), fullh AS (
+         |  SELECT doc_id, lang, n,
+         |    list_append(cnts, n - list_reduce(cnts, (x, y) -> x + y)) AS allc
+         |  FROM hist
+         |), e AS (
+         |  SELECT doc_id, lang, n AS n_chars,
+         |    CASE WHEN n > 0 THEN
+         |      ln(CAST(n AS DOUBLE)) - list_reduce(
+         |        list_transform(list_filter(allc, c -> c > 0),
+         |          c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+         |        (x, y) -> x + y) / n
+         |    ELSE 0.0 END AS entropy_nats
+         |  FROM fullh
+         |)
+         |SELECT doc_id, lang, n_chars,
+         |  CAST(floor(entropy_nats * 1000000) AS BIGINT) AS entropy_e6,
+         |  entropy_nats < 2.75 AS flag_repetitive,
+         |  entropy_nats > 2.89 AS flag_noisy
+         |FROM e""".stripMargin
+    },
     // q21's pair CTEs unchanged; symmetrize `scored` (no threshold),
     // rank per source doc with the TopK tiebreak (score desc, id asc).
     "q101_knn_graph" ->

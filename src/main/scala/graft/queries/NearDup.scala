@@ -831,6 +831,44 @@ object NearDup {
         max(col("p_size")).as("max_size"))
   }
 
+  // -- q159: Jaro–Winkler fuzzy linkage ---------------------------------
+
+  /** FUZZY NAME LINKAGE: the similarity tier q125's token-Jaccard
+    * sorted-neighborhood can't express — character-level tolerance for
+    * short name-like strings (transpositions, truncations, shared
+    * prefixes), scored with the engine's native codegen'd
+    * [[graft.functions.JaroWinkler]] expression and pinned BIT-FOR-BIT
+    * against DuckDB's built-in `jaro_winkler_similarity` — a genuine
+    * cross-engine oracle on a nontrivial double-valued string kernel.
+    *
+    * Scale shape: similarity runs over DISTINCT name VALUES, never
+    * over rows — the name dictionary is orders of magnitude smaller
+    * than the part table (64 distinct vs 2k rows at sf0.01, and the
+    * gap widens with scale), so the quadratic-ish pair stage is
+    * O(|dict|²/|blocks|) while the row tables only contribute two
+    * keyed COUNT aggregates (n_a/n_b carrier counts, broadcast back).
+    * Blocking = first character (the standard Jaro-Winkler block in
+    * record-linkage practice: the prefix boost means cross-first-char
+    * pairs rarely clear a 0.85 threshold anyway); pairs are ordered
+    * (name_a < name_b) so each undirected pair appears once. */
+  val q159JaroLinkage: Q = (s, d) => {
+    graft.functions.StringSimFunctions.register(s)
+    val nameCounts = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", substring(col("p_name"), 1, 1))
+      .transform(graft.ops.SharedCache.persist) // both sides of the pair join
+    val a = nameCounts.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = nameCounts.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw",
+        graft.functions.StringSimFunctions.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= 0.85d)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
+  }
+
   // -- q146: LSH recall audit -------------------------------------------
 
   /** SKETCH-QUALITY AUDIT: the measured recall of the q21 MinHash-LSH
@@ -859,6 +897,7 @@ object NearDup {
   }
 
   val defs: Map[String, Q] = Map(
+    "q159_jaro_linkage" -> q159JaroLinkage,
     "q146_lsh_recall" -> q146LshRecall,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -995,6 +1034,20 @@ object NearDup {
   }
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's NATIVE jaro_winkler_similarity — the cross-engine pin
+    // of the custom JaroWinkler expression's exact double semantics.
+    "q159_jaro_linkage" ->
+      """WITH names AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |    substring(p_name, 1, 1) AS blk
+        |  FROM part GROUP BY 1
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  a.n_parts AS n_a, b.n_parts AS n_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85""".stripMargin,
     "q125_blocked_linkage" -> q125Oracle,
     "q144_survivorship" -> q144Oracle,
     // Truth side recomputed from the minhash CTEs' own 48-bit shingle

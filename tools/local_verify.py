@@ -46,10 +46,41 @@ def canon(con, rel):
     return cols, dtypes, len(df), h, out
 
 
+# --- Python-side oracles for queries whose math SQL can't express ----
+# q119's deflate ratio: recompute with Python's zlib (raw deflate,
+# level 6, default memLevel/strategy — the same zlib configuration the
+# JDK Deflater(6, nowrap=true) uses), making the board's one rows-only
+# query a real cross-IMPLEMENTATION check: two independent zlib
+# bindings must agree byte-for-byte on every document's compressed
+# size, plus the integer ratio/flag restated here from first
+# principles.
+def py_oracle_q119(con, sf_dir):
+    import zlib
+    import pandas as pd
+    docs = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        raw = text.encode("utf-8")
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        n_defl = len(c.compress(raw)) + len(c.flush())
+        ratio = n_defl * 1000000 // max(len(raw), 1)
+        rows.append((int(doc_id), len(raw), n_defl, ratio, ratio < 250000))
+    out = pd.DataFrame(rows, columns=[
+        "doc_id", "n_bytes", "n_deflate", "ratio_e6", "flag_repetitive"])
+    con.register("py_q119", out)
+    return con.sql(
+        "SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(n_deflate AS BIGINT) AS n_deflate, "
+        "CAST(ratio_e6 AS BIGINT) AS ratio_e6, flag_repetitive FROM py_q119")
+
+
+PY_ORACLES = {"q119_compressibility": py_oracle_q119}
+
+
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    for name in sorted(oracle):
+    for name in sorted(set(oracle) | set(PY_ORACLES)):
         res_path = os.path.join(out_dir, name)
         if not glob.glob(os.path.join(res_path, "*.parquet")):
             results[name] = "MISSING_RESULT"
@@ -64,7 +95,8 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM '{res_path}/*.parquet'")
             rel = spark_rel
             s_cols, s_t, s_n, s_h, s_rows = canon(con, rel)
-            rel = con.sql(oracle[name])
+            rel = (PY_ORACLES[name](con, sf_dir) if name in PY_ORACLES
+                   else con.sql(oracle[name]))
             o_cols, o_t, o_n, o_h, o_rows = canon(con, rel)
         except Exception as e:
             results[name] = f"ERROR: {e}"
@@ -88,7 +120,7 @@ def main(sf_dir, out_dir):
     # queries without an oracle: rows-only
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
-        if os.path.isdir(p) and d not in oracle:
+        if os.path.isdir(p) and d not in oracle and d not in PY_ORACLES:
             try:
                 con = duckdb.connect()
                 n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
@@ -97,13 +129,14 @@ def main(sf_dir, out_dir):
             except Exception as e:
                 results[d] = f"ROWS_ONLY ERROR: {e}"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_oracle = len(set(oracle) | set(PY_ORACLES))
     def passed(v):
         return v.startswith("OK") or ("ROWS_ONLY rows" in v and "EMPTY" not in v)
     for k, v in results.items():
         print(f"{'PASS' if passed(v) else 'FAIL':4} {k}: {v}")
-    print(f"\n{ok}/{len(oracle)} oracle-checked OK, {len(results)} total")
+    print(f"\n{ok}/{n_oracle} oracle-checked OK, {len(results)} total")
     # rows-only EMPTY/ERROR results are failures too, not just oracle misses
-    return 0 if all(passed(v) for v in results.values()) and ok == len(oracle) else 1
+    return 0 if all(passed(v) for v in results.values()) and ok == n_oracle else 1
 
 
 if __name__ == "__main__":
