@@ -973,7 +973,75 @@ object Curation {
         sum(col("n_occ") * col("llr_e6")).as("llr_e6_sum"))
   }
 
+  // -- q165: BPE merge learning -----------------------------------------
+
+  private val BpeSep = "\u0001" // symbol separator; never occurs in tokens
+  private val BpeRounds = 2
+  private val BpeTopK = 5
+
+  /** TOKENIZER TRAINING KERNEL: the first [[BpeRounds]] merge rounds of
+    * byte-pair encoding (Sennrich et al. 2016) over the corpus — each
+    * round counts every adjacent symbol pair (weighted by word
+    * frequency), promotes the most frequent pair (ties → lexicographic)
+    * to a new merged symbol, and rewrites the dictionary. Output: the
+    * top-[[BpeTopK]] pair candidates of each round with counts — rank 1
+    * is the applied merge, the rest are the runners-up a tokenizer
+    * trainer logs.
+    *
+    * The scale shape IS the classic BPE trick: after ONE pass over the
+    * corpus (token explode → word-frequency dictionary, map-combined),
+    * every round operates on the DICTIONARY (|vocab| rows, frequencies
+    * attached) — corpus volume is never touched again, so 100 TB of
+    * text costs the same per round as 100 MB once the dictionary is
+    * built. Pair expansion is in-row (zip_with over shifted slices, no
+    * per-position explode rows beyond the pair list), the winning pair
+    * is ONE control-plane scalar per round, and the rewrite is a
+    * narrow `replace` projection — both engines' replace is
+    * left-to-right non-overlapping, so "aaaa" merges to (aa)(aa), the
+    * BPE convention, identically (pinned by Round9OpsSpec).
+    */
+  val q165BpeMerges: Q = (s, d) => {
+    val sepCol = lit(BpeSep)
+    val dict = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("seq", array_join(split(col("w"), ""), BpeSep))
+      .select(col("f"), col("seq"))
+      .transform(graft.ops.SharedCache.persist) // base of every round
+
+    def pairCounts(words: DataFrame): DataFrame = {
+      val syms = split(col("seq"), BpeSep)
+      words
+        .select(col("f"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, sepCol, b))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+    }
+
+    var words = dict
+    val perRound = (1 to BpeRounds).map { r =>
+      // TakeOrderedAndProject (map-side top-k), never a global sort
+      val ranked = pairCounts(words)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(BpeTopK)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc)))
+        .localCheckpoint(true) // tiny; winner + output read it
+      // the applied merge: one control-plane scalar per round
+      val top = ranked.filter(col("rank") === 1).head().getAs[String]("pair")
+      words = words.withColumn("seq",
+        replace(col("seq"), lit(top), lit(top.replace(BpeSep, ""))))
+      ranked.select(lit(r.toLong).as("round"), col("rank").cast("long").as("rank"),
+        split(col("pair"), BpeSep).getItem(0).as("left_sym"),
+        split(col("pair"), BpeSep).getItem(1).as("right_sym"),
+        col("cnt"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q165_bpe_merges" -> q165BpeMerges,
     "q161_importance_weights" -> q161ImportanceWeights,
     "q154_mix_repair_rates" -> q154MixRepairRates,
     "q153_gear_chunks" -> q153GearChunks,
@@ -1035,6 +1103,45 @@ object Curation {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same dictionary build, same in-row adjacent-pair expansion, same
+    // (cnt desc, pair asc) promotion and left-to-right non-overlapping
+    // rewrite — the winning pair rides a scalar subquery instead of the
+    // engine's control-plane collect.
+    "q165_bpe_merges" -> {
+      val roundCtes = (1 to BpeRounds).map { r =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+           |    SELECT t.f, t.syms[u.i] || chr(1) || t.syms[u.i + 1] AS pair
+           |    FROM (SELECT f, string_split(seq, chr(1)) AS syms FROM s${r - 1}) t,
+           |      LATERAL unnest(generate_series(1, len(t.syms) - 1)) u(i))
+           |  GROUP BY 1
+           |), r$r AS MATERIALIZED (
+           |  SELECT pair, cnt, rn FROM (
+           |    SELECT pair, cnt,
+           |      row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+           |    FROM p$r) WHERE rn <= $BpeTopK
+           |), s$r AS MATERIALIZED (
+           |  SELECT f, replace(seq, (SELECT pair FROM r$r WHERE rn = 1),
+           |    replace((SELECT pair FROM r$r WHERE rn = 1), chr(1), '')) AS seq
+           |  FROM s${r - 1}
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, CAST(rn AS BIGINT) AS rank,
+           |  split_part(pair, chr(1), 1) AS left_sym,
+           |  split_part(pair, chr(1), 2) AS right_sym, cnt
+           |FROM r$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |    FROM documents) WHERE tok <> '' GROUP BY 1
+         |), s0 AS MATERIALIZED (
+         |  SELECT f, array_to_string(string_split(w, ''), chr(1)) AS seq FROM words
+         |),
+         |$roundCtes
+         |$rounds""".stripMargin
+    },
     // Same add-one LLR per vocab term (identical ln/sub/add order),
     // floor-quantized to e6 BEFORE summation — per-doc sums are exact
     // integers on both engines.

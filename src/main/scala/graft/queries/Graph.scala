@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster graph analytics — the stage AFTER pair-emitting
@@ -471,15 +472,93 @@ object Graph {
     kcorePeel(copurchaseEdges(s, d, 1), KCoreK)
       .withColumnRenamed("node", "p_partkey")
 
+  // -- q162: label-propagation communities ------------------------------
+
+  private val LpaRounds = 2
+
+  /** Synchronous deterministic label propagation over an undirected
+    * edge relation: every node starts as its own label; each round it
+    * adopts the MOST FREQUENT label among its neighbors, ties broken
+    * by smallest label — the determinism fix that makes classic LPA
+    * (Raghavan et al. 2007, which breaks ties randomly and so cannot
+    * be oracle-checked) engine-exact. Fixed [[LpaRounds]] synchronous
+    * rounds, mirrored by unrolled CTEs in the oracle.
+    *
+    * Per round: ONE keyed join (adjacency ⋈ labels on the neighbor
+    * key) + one map-combined (node, label) count + one per-node argmax
+    * window — all shuffles on node ids, nothing driver-side, label
+    * relation always |V| rows. The adjacency is persisted once and
+    * reused every round (the q90 static-relation discipline). */
+  private[graft] def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("x").as("node"), col("y").as("nbr"))
+      .unionByName(edges.select(col("y").as("node"), col("x").as("nbr")))
+      .transform(graft.ops.SharedCache.persist) // reused by every round
+    var lbl = adj.select(col("node")).distinct().withColumn("lbl", col("node"))
+    (1 to rounds).foreach { _ =>
+      val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("nlbl").asc)
+      lbl = adj
+        .join(lbl.select(col("node").as("nbr"), col("lbl").as("nlbl")), Seq("nbr"))
+        .groupBy(col("node"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("nlbl").as("lbl"))
+    }
+    lbl
+  }
+
+  /** COMMUNITY DETECTION: 2-round deterministic LPA over the q121
+    * co-purchase graph — the mesoscale complement of the family: q55
+    * finds CONNECTED components (too coarse — one giant blob), q138
+    * the dense CORE (too strict — one subgraph), LPA the frequency-
+    * driven middle: locally cohesive product communities. */
+  val q162LabelProp: Q = (s, d) => {
+    val lbl = labelPropagate(copurchaseEdges(s, d, TriMinSupport), LpaRounds)
+    lbl
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("lbl")).cast("long"))
+      .select(col("node").as("p_partkey"), col("lbl").as("community"),
+        col("n_members"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
     "q90b_pagerank_mass" -> q90bPageRankMass,
     "q121_triangle_count" -> q121TriangleCount,
     "q136_link_prediction" -> q136LinkPrediction,
-    "q138_kcore" -> q138KCore)
+    "q138_kcore" -> q138KCore,
+    "q162_label_prop" -> q162LabelProp)
 
   val oracles: Map[String, String] = Map(
+    // Same synchronous rounds as unrolled MATERIALIZED CTEs (the q138
+    // discipline), same (count desc, label asc) argmax tiebreak.
+    "q162_label_prop" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""r$r AS MATERIALIZED (
+           |  SELECT node, nlbl AS lbl FROM (
+           |    SELECT a.node, l.lbl AS nlbl, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY a.node
+           |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+           |    FROM adj a JOIN r${r - 1} l ON l.node = a.nbr
+           |    GROUP BY a.node, l.lbl)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
+         |), adj AS MATERIALIZED (
+         |  SELECT x AS node, y AS nbr FROM e UNION ALL SELECT y, x FROM e
+         |), r0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+         |$rounds
+         |SELECT node AS p_partkey, lbl AS community,
+         |  CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_members
+         |FROM r$LpaRounds""".stripMargin
+    },
     // The same four peel rounds as chained CTEs over the self-join
     // edge restatement (q121 oracle convention for the edge builder).
     // Every round's CTEs are multi-referenced by later rounds, so they

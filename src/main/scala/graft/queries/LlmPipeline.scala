@@ -624,6 +624,68 @@ object LlmPipeline {
         (col("entropy") > 2.89d).as("flag_noisy"))
   }
 
+  // -- q163: retrieval NDCG audit ------------------------------------
+
+  private val NdcgK = 10
+
+  /** Integer DCG discount table: D_i = ⌊1e9 / log₂(i+1)⌋ for ranks
+    * 1..K, computed ONCE here and inlined as the SAME literals in the
+    * oracle — cross-engine ln never happens at query time. */
+  private[graft] val NdcgDiscE9: Seq[Long] =
+    (1 to NdcgK).map(i => math.floor(1e9 * (math.log(2.0) / math.log(i + 1.0))).toLong)
+
+  /** Cumulative discounts: IDCG for n relevant items (n capped at K)
+    * is just CumE9(n) — the ideal ranking puts them first. */
+  private[graft] val NdcgCumE9: Seq[Long] = NdcgDiscE9.scanLeft(0L)(_ + _).tail
+
+  /** RETRIEVAL-QUALITY AUDIT: NDCG@10 of exact-cosine retrieval
+    * against the embeddings' class labels (rel = same label as the
+    * query) — the graded-ranking complement of q146's pair recall:
+    * recall says WHETHER the sketch finds the true pairs, NDCG says
+    * whether a retriever RANKS same-class items first, the metric a
+    * RAG/embedding pipeline actually reports.
+    *
+    * Exactness: scores are the q23 quantized-integer cosine; DCG uses
+    * the e9-integer discount literals above, so per-query DCG/IDCG are
+    * exact integer sums and NDCG is ONE final IEEE divide. Plan: the
+    * scoring pass is q23's broadcast-query stream (declared baseline;
+    * an audit runs over a SAMPLED query set by construction — the 1/25
+    * slice IS the sample), the top-10 ride the map-side TopK
+    * aggregator, and the tiny |Q|·10 relation then BROADCASTS against
+    * the label dimension — the big side never shuffles. */
+  val q163NdcgAudit: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("q"))
+      .withColumn("sq", dotL(col("q"), col("q")))
+      .transform(graft.ops.SharedCache.persist) // scoring + labels + counts
+    val queries = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("sq").as("qsq"))
+    val scored = e.join(broadcast(queries.select("q_id", "qq", "qsq")),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosE6(dotL(col("q"), col("qq")), col("sq"), col("qsq")).as("cos_e6"))
+    val top = graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", NdcgK)
+    val lblCnt = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val qmeta = queries.select(col("q_id"), col("q_label"))
+      .join(broadcast(lblCnt), col("q_label") === col("label")).drop("label")
+      .select(col("q_id"), col("q_label"), (col("n_label") - 1L).as("n_rel"))
+    val disc = array(NdcgDiscE9.map(lit): _*)
+    val cum = array(NdcgCumE9.map(lit): _*)
+    broadcast(top)
+      .join(e.select(col("vec_id"), col("label")), col("neighbor_id") === col("vec_id"))
+      .join(broadcast(qmeta), Seq("q_id"))
+      .groupBy(col("q_id"), col("q_label"), col("n_rel"))
+      .agg(sum(when(col("label") === col("q_label"),
+        element_at(disc, col("rank").cast("int"))).otherwise(0L)).as("dcg_e9"))
+      .withColumn("idcg_e9", // n_rel = 0 → null (ndcg undefined), not index-0
+        when(col("n_rel") >= 1L,
+          element_at(cum, least(col("n_rel"), lit(NdcgK.toLong)).cast("int"))))
+      .withColumn("ndcg", col("dcg_e9").cast("double") / col("idcg_e9").cast("double"))
+      .select("q_id", "q_label", "n_rel", "dcg_e9", "idcg_e9", "ndcg")
+  }
+
   // -- q43: curated-corpus composition -------------------------------
 
   /** The end-to-end curation run the individual operators exist for,
@@ -860,6 +922,7 @@ object LlmPipeline {
     "q147_video_frame_stats" -> q147VideoFrameStats,
     "q119_compressibility" -> q119Compressibility,
     "q158_char_entropy" -> q158CharEntropy,
+    "q163_ndcg_audit" -> q163NdcgAudit,
     "q43_curated_corpus" -> q43CuratedCorpus,
     "q44_vocab_top_df" -> q44VocabTopDf,
     "q45_winnow_fingerprint" -> q45WinnowFingerprint)
@@ -963,6 +1026,63 @@ object LlmPipeline {
          |  entropy_nats < 2.75 AS flag_repetitive,
          |  entropy_nats > 2.89 AS flag_noisy
          |FROM e""".stripMargin
+    },
+    // q23's pair/dot/rank CTEs + the SAME e9 discount literals (VALUES
+    // rows generated from NdcgDiscE9/NdcgCumE9 — no SQL-side ln).
+    "q163_ndcg_audit" -> {
+      val discRows = NdcgDiscE9.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, ${v}::BIGINT)" }.mkString(", ")
+      val cumRows = NdcgCumE9.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, ${v}::BIGINT)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), sq AS (
+         |  SELECT vec_id, label, qv,
+         |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS s2 FROM q
+         |), pairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |         a.qv AS qa, b.qv AS qb, a.s2 AS sa, b.s2 AS sb
+         |  FROM sq a JOIN sq b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 25 = 0
+         |), dots AS (
+         |  SELECT q_id, neighbor_id, CAST(sum(qa[u.i] * qb[u.i]) AS BIGINT) AS dot
+         |  FROM pairs, LATERAL unnest(generate_series(1, len(qa))) u(i)
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT q_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT p.q_id, p.neighbor_id,
+         |      CAST(round(1e6 * CAST(d.dot AS DOUBLE)
+         |        / (sqrt(CAST(p.sa AS DOUBLE)) * sqrt(CAST(p.sb AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+         |    FROM pairs p JOIN dots d ON p.q_id = d.q_id AND p.neighbor_id = d.neighbor_id)
+         |), disc(i, d_e9) AS (VALUES $discRows),
+         |cum(n, c_e9) AS (VALUES $cumRows),
+         |meta AS (
+         |  SELECT e.vec_id AS q_id, e.label AS q_label,
+         |    CAST(c.n_label - 1 AS BIGINT) AS n_rel
+         |  FROM embeddings e
+         |  JOIN (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1) c
+         |    ON c.label = e.label
+         |  WHERE e.vec_id % 25 = 0
+         |), dcg AS (
+         |  SELECT r.q_id,
+         |    CAST(sum(CASE WHEN l.label = m.q_label THEN d.d_e9 ELSE 0 END) AS BIGINT) AS dcg_e9
+         |  FROM ranked r
+         |  JOIN embeddings l ON l.vec_id = r.neighbor_id
+         |  JOIN meta m ON m.q_id = r.q_id
+         |  JOIN disc d ON d.i = r.rank
+         |  WHERE r.rank <= $NdcgK
+         |  GROUP BY 1
+         |)
+         |SELECT m.q_id, m.q_label, m.n_rel, g.dcg_e9,
+         |  CAST(c.c_e9 AS BIGINT) AS idcg_e9,
+         |  CAST(g.dcg_e9 AS DOUBLE) / CAST(c.c_e9 AS DOUBLE) AS ndcg
+         |FROM meta m
+         |JOIN dcg g ON g.q_id = m.q_id
+         |LEFT JOIN cum c ON c.n = least(m.n_rel, $NdcgK) AND m.n_rel >= 1""".stripMargin
     },
     // q21's pair CTEs unchanged; symmetrize `scored` (no threshold),
     // rank per source doc with the TopK tiebreak (score desc, id asc).

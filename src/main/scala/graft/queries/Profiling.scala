@@ -673,7 +673,55 @@ object Profiling {
                | END""".stripMargin).as("auc_e6"))
   }
 
+  // -- q164: Merkle-style partition fingerprints ------------------------
+
+  private val MerkleBuckets = 256L
+
+  /** REPLICA-SYNC FINGERPRINTS: two-level content checksums over the
+    * orders table — 256 key-bucket leaves (row count + XOR of 48-bit
+    * md5 row digests) plus one root — the cheap divergence precheck
+    * that makes cross-site replica verification O(buckets) instead of
+    * O(rows): compare roots, then leaves, and only ship actual rows
+    * (q78's snapshot diff) for the buckets that disagree. The
+    * anti-entropy pattern of Dynamo-style replication, expressed
+    * relationally.
+    *
+    * XOR is the right fold: order-independent (any partial-agg order),
+    * overflow-free at any row count (unlike a sum of 48-bit values),
+    * and incrementally maintainable (XOR the digests of changed rows
+    * in and out). The digest covers the business columns via ONE
+    * canonical '|'-joined rendering (integer cents, explicit
+    * yyyy-MM-dd date) so both engines hash identical bytes. Plan: one
+    * narrow digest projection + ONE map-combined 256-group aggregate;
+    * the root folds the 256 leaves. */
+  /** The leaf computation, shared VERBATIM with the streaming twin
+    * ([[graft.streaming.StreamingMerkle]] folds per-batch partials of
+    * exactly this relation into its state), so the q164 oracle
+    * transitively verifies the streaming digest path. */
+  private[graft] def merkleLeaves(orders: DataFrame): DataFrame =
+    orders.select(
+      (col("o_orderkey") % MerkleBuckets).as("bucket"),
+      conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))), 1, 12), 16, 10)
+        .cast("long").as("h48"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h48)").as("fp"))
+
+  val q164MerkleFingerprint: Q = (s, d) => {
+    val leaves = merkleLeaves(Tables.orders(s, d))
+      .transform(graft.ops.SharedCache.persist) // leaves + root
+    val root = leaves
+      .agg(sum(col("n_rows")).as("n_rows"), expr("bit_xor(fp)").as("fp"))
+      .select(lit(-1L).as("bucket"), col("n_rows"), col("fp"))
+    leaves.select(col("bucket"), col("n_rows"), col("fp"))
+      .unionByName(root)
+      .withColumn("level", when(col("bucket") === -1L, lit(0L)).otherwise(lit(1L)))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q164_merkle_fingerprint" -> q164MerkleFingerprint,
     "q148_decile_lift" -> q148DecileLift,
     "q149_exact_auc" -> q149ExactAuc,
     "q140_quantile_normalize" -> q140QuantileNormalize,
@@ -691,6 +739,27 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same canonical row rendering ('|'-joined, integer cents,
+    // explicit date format), same 48-bit '0x' hex cast, same XOR fold.
+    "q164_merkle_fingerprint" ->
+      s"""WITH r AS (
+         |  SELECT o_orderkey % $MerkleBuckets AS bucket,
+         |    CAST('0x' || substr(md5(concat_ws('|',
+         |      o_orderkey, o_custkey, o_orderstatus,
+         |      CAST(round(o_totalprice * 100, 0) AS BIGINT),
+         |      strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d'))), 1, 12)
+         |      AS BIGINT) AS h48
+         |  FROM orders
+         |), leaves AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(bit_xor(h48) AS BIGINT) AS fp
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT bucket, n_rows, fp, CAST(1 AS BIGINT) AS level FROM leaves
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(sum(n_rows) AS BIGINT),
+         |  CAST(bit_xor(fp) AS BIGINT), CAST(0 AS BIGINT)
+         |FROM leaves""".stripMargin,
     // Same decile windows; every ratio an integer cross-product.
     "q148_decile_lift" ->
       """WITH base AS (

@@ -42,8 +42,10 @@ class GateContractSpec extends SparkSpec {
     val fromPat = """(?i)(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // strip CTE names declared in this statement; they are legal
-      // targets (q138's loop CTEs are AS MATERIALIZED — see its oracle)
-      val ctePat = """(?i)([a-z_][a-z0-9_]*)\s+as\s*(?:materialized\s*)?\(""".r
+      // targets (q138's loop CTEs are AS MATERIALIZED — see its
+      // oracle; q163's VALUES CTEs carry a column-alias list)
+      val ctePat =
+        """(?i)([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_,\s]*\))?\s+as\s*(?:materialized\s*)?\(""".r
       val ctes = ctePat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromPat.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       withClue(s"$name references unknown relations:") {

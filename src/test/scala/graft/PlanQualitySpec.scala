@@ -19,9 +19,12 @@ class PlanQualitySpec extends SparkSpec {
     * against a broadcast side that is bounded by design: q23's
     * brute-force baseline (declared quadratic), q33's K=16 centroid
     * assignment, q79's types×hours spine grid (two control-plane
-    * relations). Everything else must be hash/sort-merge equi-joins. */
+    * relations), and q163's NDCG audit (the q23 scoring pass over the
+    * SAMPLED query slice — an audit is a baseline consumer by
+    * design). Everything else must be hash/sort-merge equi-joins. */
   private val nestedLoopAllowed =
-    Set("q23_ann_brute_force", "q33_ann_ivf", "q79_hourly_spine")
+    Set("q23_ann_brute_force", "q33_ann_ivf", "q79_hourly_spine",
+      "q163_ndcg_audit")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")

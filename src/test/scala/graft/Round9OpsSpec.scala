@@ -85,6 +85,102 @@ class Round9OpsSpec extends SparkSpec {
     r(0).getDouble(2) shouldBe 2.0 +- 1e-9
   }
 
+  // -- q162 core: deterministic LPA hand-derivation --------------------
+
+  test("q162 labelPropagate matches the hand-derived 2-round sync LPA") {
+    // two triangles {1,2,3}, {10,11,12} bridged 3-10; sync rounds with
+    // (count desc, label asc) tiebreak derive exactly:
+    //   r1: 1→2, 2→1, 3→1, 10→3, 11→10, 12→10
+    //   r2: 1→1, 2→1, 3→1, 10→10, 11→3, 12→3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("x", "y")
+    val r = graft.queries.Graph.labelPropagate(edges, 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 3L, 12L -> 3L)
+  }
+
+  // -- q163 core: discount table + perfect-retrieval fixture -----------
+
+  test("q163 discount literals are the floor-e9 log2 table") {
+    graft.queries.LlmPipeline.NdcgDiscE9.head shouldBe 1000000000L
+    graft.queries.LlmPipeline.NdcgDiscE9(1) shouldBe 630929753L // 1e9/log2(3)
+    graft.queries.LlmPipeline.NdcgCumE9.head shouldBe 1000000000L
+    graft.queries.LlmPipeline.NdcgCumE9(1) shouldBe 1630929753L
+    graft.queries.LlmPipeline.NdcgCumE9.last shouldBe
+      graft.queries.LlmPipeline.NdcgDiscE9.sum
+  }
+
+  test("q163 scores a perfectly separated corpus at NDCG exactly 1.0") {
+    val dir = tmpDir("ndcg-emb")
+    // 26 vectors, two orthogonal label clusters with tiny in-cluster
+    // spread: every same-label cosine ≫ every cross-label cosine, so
+    // the top-10 for query 0 (label 0, 12 same-label others) are all
+    // relevant → dcg = idcg → ndcg = 1.0
+    val dim = 64
+    (0 until 26).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(i % 2) = 1.0f
+      v(3 + i % 2) = 0.001f * i
+      (i.toLong, v.toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = graft.queries.LlmPipeline.q163NdcgAudit(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(5))).toMap
+    r.keySet shouldBe Set(0L, 25L)
+    r(0L)._1 shouldBe 12L // 13 even ids, minus the query itself
+    r(0L)._2 shouldBe 1.0
+    r(25L)._2 shouldBe 1.0
+  }
+
+  // -- q164 core: XOR fingerprint localization -------------------------
+
+  test("q164 a single-row change flips exactly its leaf and the root") {
+    def write(dir: String, price42: Double): Unit =
+      (0 until 600).map(i => (i.toLong, (i % 37).toLong,
+        if (i % 3 == 0) "F" else "O",
+        if (i == 42) price42 else 100.0 + i,
+        java.sql.Timestamp.valueOf("2024-05-01 00:00:00"),
+        "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val d1 = tmpDir("merkle-a"); val d2 = tmpDir("merkle-b")
+    write(d1, 142.0); write(d2, 999.0)
+    def fps(d: String): Map[Long, (Long, Long)] =
+      graft.queries.Profiling.q164MerkleFingerprint(spark, d)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (a, b) = (fps(d1), fps(d2))
+    a.keySet shouldBe b.keySet
+    val diff = a.keySet.filter(k => a(k) != b(k))
+    diff shouldBe Set(42L, -1L) // the changed row's bucket and the root
+    a(42L)._1 shouldBe b(42L)._1 // row COUNTS agree; only content differs
+  }
+
+  // -- q165 core: BPE merge rounds ------------------------------------
+
+  test("q165 learns the hand-derived merges, non-overlapping left-to-right") {
+    val dir = tmpDir("bpe-docs")
+    // corpus: "abab abab aaaa" ×3 docs → dict {abab: 6, aaaa: 3}
+    // round 1 pairs: (a,b) 2·6=12, (b,a) 6, (a,a) 3·3=9 → merge a+b
+    // round 2 seqs: (ab)(ab), a·a·a·a → pairs: (ab,ab) 6, (a,a) 9 → a+a
+    //   — and "aaaa" must contribute THREE (a,a) pairs (overlapping
+    //   positions count in the pair statistics) yet rewrite to exactly
+    //   (aa)(aa) under the non-overlapping left-to-right replace
+    Seq((1L, "abab abab aaaa", "en", "s", 14L),
+      (2L, "abab abab aaaa", "en", "s", 14L),
+      (3L, "abab abab aaaa", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Curation.q165BpeMerges(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getString(2), x.getString(3), x.getLong(4))).toMap
+    r((1L, 1L)) shouldBe (("a", "b", 12L))
+    r((1L, 2L)) shouldBe (("a", "a", 9L))
+    r((1L, 3L)) shouldBe (("b", "a", 6L))
+    r((2L, 1L)) shouldBe (("a", "a", 9L))
+    r((2L, 2L)) shouldBe (("ab", "ab", 6L))
+  }
+
   // -- q161 core: LLR sign contract -----------------------------------
 
   test("q161 weights rank target-exclusive vocabulary above off-target") {
