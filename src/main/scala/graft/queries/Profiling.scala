@@ -699,15 +699,22 @@ object Profiling {
     * exactly this relation into its state), so the q164 oracle
     * transitively verifies the streaming digest path. */
   private[graft] def merkleLeaves(orders: DataFrame): DataFrame =
+    merkleRows(orders)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h48)").as("fp"))
+
+  /** The per-row digest relation the leaves fold — (bucket, o_orderkey,
+    * h48) under q164's canonical rendering. Kept separate so q166's
+    * repair pass can re-read digests for JUST the diverged buckets. */
+  private[graft] def merkleRows(orders: DataFrame): DataFrame =
     orders.select(
       (col("o_orderkey") % MerkleBuckets).as("bucket"),
+      col("o_orderkey"),
       conv(substring(md5(concat_ws("|",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100, 0).cast("long"),
         date_format(col("o_orderdate"), "yyyy-MM-dd"))), 1, 12), 16, 10)
         .cast("long").as("h48"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h48)").as("fp"))
 
   val q164MerkleFingerprint: Q = (s, d) => {
     val leaves = merkleLeaves(Tables.orders(s, d))
@@ -720,8 +727,109 @@ object Profiling {
       .withColumn("level", when(col("bucket") === -1L, lit(0L)).otherwise(lit(1L)))
   }
 
+  // -- q166: Merkle-guided replica repair diff --------------------------
+
+  private val RepairMod = 4096L
+  private val RepairUpdKey = 257L // lands in bucket 1
+  private val RepairDelKey = 514L // lands in bucket 2
+  private val RepairMoveKey = 771L // lands in bucket 3…
+  private val RepairMoveDelta = 1000000000L // …and 1e9 ≡ 0 (mod 256) keeps it there
+
+  /** The deterministic "drifted replica" of orders both engines derive
+    * identically — one cell update (bucket 1), one row deletion
+    * (bucket 2) and one key rewrite (bucket 3, bucket-preserving so
+    * the divergence stays localized); every other bucket is
+    * bit-identical to base. Stands in for the remote copy a real
+    * anti-entropy pass would fetch leaves from. */
+  private[graft] def replicaOrders(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey") % RepairMod =!= RepairDelKey)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % RepairMod === RepairUpdKey,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") % RepairMod === RepairMoveKey,
+          col("o_orderkey") + RepairMoveDelta).otherwise(col("o_orderkey")))
+
+  /** The REPAIR step q164's scaladoc promises: compare the two sides'
+    * 256 leaf fingerprints first, then row-diff ONLY the buckets whose
+    * (count, xor) disagree — at 100 TB with bucket-aligned layout the
+    * second pass is partition-pruned to the diverged slices, so repair
+    * cost is O(buckets + changed rows), not O(rows). Emits one row per
+    * diverging key: changed / base_only / replica_only. */
+  private[graft] def merkleRepair(base: DataFrame, replica: DataFrame): DataFrame = {
+    val bl = merkleLeaves(base)
+      .select(col("bucket"), col("n_rows").as("bn"), col("fp").as("bfp"))
+    val rl = merkleLeaves(replica)
+      .select(col("bucket"), col("n_rows").as("rn"), col("fp").as("rfp"))
+    // the diverged-bucket set: tiny (≤256 rows) ⇒ broadcast into both
+    // row-pass semi-joins; a leaf missing on either side also diverges
+    val diffBuckets = bl.join(rl, Seq("bucket"), "full_outer")
+      .filter(col("bn").isNull || col("rn").isNull ||
+        col("bn") =!= col("rn") || col("bfp") =!= col("rfp"))
+      .select("bucket")
+    val bRows = merkleRows(base)
+      .join(broadcast(diffBuckets), Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("o_orderkey"), col("h48").as("h_base"))
+    val rRows = merkleRows(replica)
+      .join(broadcast(diffBuckets), Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("o_orderkey"), col("h48").as("h_replica"))
+    bRows.join(rRows, Seq("bucket", "o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("h_base").isNull, lit("replica_only"))
+          .when(col("h_replica").isNull, lit("base_only"))
+          .when(col("h_base") =!= col("h_replica"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("bucket"), col("o_orderkey"), col("status"))
+  }
+
+  val q166MerkleRepair: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+    merkleRepair(base, replicaOrders(base))
+  }
+
+  // -- q167: functional-dependency validation (g3 error) ----------------
+
+  /** One candidate FD X→Y scored with the standard approximation
+    * measures (Kivinen–Mannila g3): per LHS group the rows that must
+    * be DELETED for the FD to hold are everything outside the group's
+    * plurality RHS value, so g3 = Σ_x (n_x − max_y n_xy). Exact
+    * integers end to end; two map-combined aggregates, group count
+    * bounded by |distinct X| — nothing row-sized shuffles twice. */
+  private[graft] def fdProfile(
+      df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l")
+      .agg(sum("cnt").as("n"), max("cnt").as("keep"), count(lit(1)).as("n_rhs"))
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(col("n") - col("keep")).as("g3_rows"))
+      .select(lit(name).as("fd"), col("n_rows"), col("n_groups"),
+        col("n_violating_groups"), col("g3_rows"),
+        expr("g3_rows * 1000000 div n_rows").as("g3_e6"))
+
+  /** DATA-QUALITY FD VALIDATION over a declared candidate list — the
+    * profiling complement to q98's per-column expectations: does
+    * column X determine column Y, and if not, how far off (g3 = the
+    * minimum fraction of rows to delete)? Five candidates spanning
+    * held (key→attr) and violated (attr→attr) dependencies; output is
+    * one summary row per FD. */
+  val q167FdCheck: Q = (s, d) =>
+    fdProfile(Tables.part(s, d), "part.p_brand->p_type", "p_brand", "p_type")
+      .unionByName(fdProfile(
+        Tables.part(s, d), "part.p_type->p_brand", "p_type", "p_brand"))
+      .unionByName(fdProfile(Tables.customer(s, d),
+        "customer.c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+      .unionByName(fdProfile(Tables.customer(s, d),
+        "customer.c_custkey->c_nationkey", "c_custkey", "c_nationkey"))
+      .unionByName(fdProfile(Tables.orders(s, d),
+        "orders.o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+
   val defs: Map[String, Q] = Map(
     "q164_merkle_fingerprint" -> q164MerkleFingerprint,
+    "q166_merkle_repair" -> q166MerkleRepair,
+    "q167_fd_check" -> q167FdCheck,
     "q148_decile_lift" -> q148DecileLift,
     "q149_exact_auc" -> q149ExactAuc,
     "q140_quantile_normalize" -> q140QuantileNormalize,
@@ -760,6 +868,82 @@ object Profiling {
          |SELECT CAST(-1 AS BIGINT), CAST(sum(n_rows) AS BIGINT),
          |  CAST(bit_xor(fp) AS BIGINT), CAST(0 AS BIGINT)
          |FROM leaves""".stripMargin,
+    // Same replica derivation (two stages so the key rewrite can't
+    // shadow the update predicate), same canonical digest, same
+    // leaf-compare → bucket-pruned full-join repair.
+    "q166_merkle_repair" ->
+      s"""WITH replica0 AS (
+         |  SELECT o_orderkey AS k0, o_custkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % $RepairMod = $RepairUpdKey
+         |      THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         |    o_orderdate
+         |  FROM orders WHERE o_orderkey % $RepairMod <> $RepairDelKey
+         |), replica AS (
+         |  SELECT CASE WHEN k0 % $RepairMod = $RepairMoveKey
+         |      THEN k0 + $RepairMoveDelta ELSE k0 END AS o_orderkey,
+         |    o_custkey, o_orderstatus, o_totalprice, o_orderdate
+         |  FROM replica0
+         |), rb AS (
+         |  SELECT o_orderkey % $MerkleBuckets AS bucket, o_orderkey,
+         |    CAST('0x' || substr(md5(concat_ws('|',
+         |      o_orderkey, o_custkey, o_orderstatus,
+         |      CAST(round(o_totalprice * 100, 0) AS BIGINT),
+         |      strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d'))), 1, 12)
+         |      AS BIGINT) AS h48
+         |  FROM orders
+         |), rr AS (
+         |  SELECT o_orderkey % $MerkleBuckets AS bucket, o_orderkey,
+         |    CAST('0x' || substr(md5(concat_ws('|',
+         |      o_orderkey, o_custkey, o_orderstatus,
+         |      CAST(round(o_totalprice * 100, 0) AS BIGINT),
+         |      strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d'))), 1, 12)
+         |      AS BIGINT) AS h48
+         |  FROM replica
+         |), lb AS (
+         |  SELECT bucket, count(*) AS n, bit_xor(h48) AS fp FROM rb GROUP BY 1
+         |), lr AS (
+         |  SELECT bucket, count(*) AS n, bit_xor(h48) AS fp FROM rr GROUP BY 1
+         |), db AS (
+         |  SELECT coalesce(lb.bucket, lr.bucket) AS bucket
+         |  FROM lb FULL JOIN lr ON lb.bucket = lr.bucket
+         |  WHERE lb.bucket IS NULL OR lr.bucket IS NULL
+         |     OR lb.n <> lr.n OR lb.fp <> lr.fp
+         |), fb AS (SELECT rb.* FROM rb JOIN db USING (bucket)),
+         |fr AS (SELECT rr.* FROM rr JOIN db USING (bucket))
+         |SELECT bucket, o_orderkey, status FROM (
+         |  SELECT coalesce(fb.bucket, fr.bucket) AS bucket,
+         |    coalesce(fb.o_orderkey, fr.o_orderkey) AS o_orderkey,
+         |    CASE WHEN fb.h48 IS NULL THEN 'replica_only'
+         |         WHEN fr.h48 IS NULL THEN 'base_only'
+         |         WHEN fb.h48 <> fr.h48 THEN 'changed' END AS status
+         |  FROM fb FULL JOIN fr
+         |    ON fb.bucket = fr.bucket AND fb.o_orderkey = fr.o_orderkey
+         |) WHERE status IS NOT NULL""".stripMargin,
+    // Same two-level aggregate and the same g3 identity per candidate.
+    "q167_fd_check" -> {
+      def fdSql(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_groups,
+           |  CAST(sum(n - keep) AS BIGINT) AS g3_rows,
+           |  CAST(sum(n - keep) * 1000000 // sum(n) AS BIGINT) AS g3_e6
+           |FROM (
+           |  SELECT l, sum(cnt) AS n, max(cnt) AS keep, count(*) AS n_rhs
+           |  FROM (SELECT $lhs AS l, $rhs AS r, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM $tbl GROUP BY 1, 2)
+           |  GROUP BY 1)""".stripMargin
+      Seq(
+        fdSql("part.p_brand->p_type", "part", "p_brand", "p_type"),
+        fdSql("part.p_type->p_brand", "part", "p_type", "p_brand"),
+        fdSql("customer.c_nationkey->c_mktsegment",
+          "customer", "c_nationkey", "c_mktsegment"),
+        fdSql("customer.c_custkey->c_nationkey",
+          "customer", "c_custkey", "c_nationkey"),
+        fdSql("orders.o_custkey->o_orderpriority",
+          "orders", "o_custkey", "o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
     // Same decile windows; every ratio an integer cross-product.
     "q148_decile_lift" ->
       """WITH base AS (

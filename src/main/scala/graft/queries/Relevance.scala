@@ -161,10 +161,73 @@ object Relevance {
       .limit(PmiTopK)
   }
 
+  // -- q168: reciprocal-rank-fusion hybrid retrieval ------------------
+
+  private val RrfK = 60L // the standard RRF damping constant
+  private val RrfTopN = 20
+
+  /** e4-quantized integer embedding (q23 convention — exact integer
+    * dots, order- and engine-independent). */
+  private def quantE(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
+
+  /** The fusion step alone, spec-testable on hand-built rank lists:
+    * RRF(d) = Σ_legs 1e6 div (k + rank_leg(d)), absent legs contribute
+    * 0 — the score that makes two incomparable score scales (BM25 vs
+    * cosine) combinable using only their rankings. */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame =
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + sem_rank)"), lit(0L)))
+          .as("rrf_e6"))
+
+  /** HYBRID SEARCH: fuse the lexical BM25 ranking (q61's scorer) with
+    * a semantic cosine ranking (query = embedding 0, q23's exact
+    * quantized dot) by Reciprocal Rank Fusion — the standard
+    * score-free merge behind production hybrid retrieval (RAG recall
+    * stacks): ranks, not raw scores, so neither scale dominates.
+    *
+    * Scale shape: each leg ends in the map-side [[graft.functions.TopK]]
+    * aggregator under a constant group — the shuffle carries ≤ N
+    * rows per input partition, never the full score stream — and the
+    * fusion joins two ≤ N-row relations. The BM25 leg prices the
+    * corpus once (same plan as q61); the semantic leg is one
+    * broadcast-1-row hash join + narrow dot products. */
+  val q168RrfFusion: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val lex = graft.functions.TopK.topKPerGroup(
+      q61Bm25Search(s, d).select(lit(0L).as("g"), col("doc_id"), col("bm25_e6")),
+      "g", "doc_id", "bm25_e6", RrfTopN)
+      .select(col("doc_id").as("id"), col("rank").cast("long").as("lex_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantE(col("embedding")).as("q"))
+      .withColumn("s2",
+        graft.functions.VectorFunctions.dotLong(col("q"), col("q")))
+    // the query vector is a driver-hosted control-plane scalar (q57
+    // centroid convention): ONE 64-long row collected once, inlined as
+    // a literal — not a 1-row join that Catalyst would constant-fold
+    // into a nested-loop
+    val q0 = e.filter(col("vec_id") === 0L).select("q", "s2").head()
+    val qq = typedLit(q0.getSeq[Long](0))
+    val qs2 = lit(q0.getLong(1))
+    val sem0 = e.filter(col("vec_id") =!= 0L)
+      .select(lit(0L).as("g"), col("vec_id"),
+        round(lit(1e6) * graft.functions.VectorFunctions
+          .dotLong(col("q"), qq).cast("double") /
+          (sqrt(col("s2").cast("double")) * sqrt(qs2.cast("double"))), 0)
+          .cast("long").as("cos_e6"))
+    val sem = graft.functions.TopK
+      .topKPerGroup(sem0, "g", "vec_id", "cos_e6", RrfTopN)
+      .select(col("vec_id").as("id"), col("rank").cast("long").as("sem_rank"))
+    rrfFuse(lex, sem)
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_tfidf_terms" -> q60TfidfTerms,
     "q61_bm25_search" -> q61Bm25Search,
-    "q124_pmi_collocations" -> q124PmiCollocations)
+    "q124_pmi_collocations" -> q124PmiCollocations,
+    "q168_rrf_fusion" -> q168RrfFusion)
 
   private val toksCte =
     """toks AS (
@@ -244,5 +307,66 @@ object Relevance {
          |CROSS JOIN tot CROSS JOIN btot
          |WHERE bi.n_ab >= $PmiMinCount
          |ORDER BY lift_e3 DESC, bi.w1, bi.w2
-         |LIMIT $PmiTopK""".stripMargin)
+         |LIMIT $PmiTopK""".stripMargin,
+    // BM25 leg = q61's oracle CTEs + a rank window; semantic leg =
+    // q23's quantized-cosine restatement against embedding 0; fusion
+    // by the same integer 1e6 // (k + rank) sums.
+    "q168_rrf_fusion" -> {
+      val inList = BmQuery.map(t => s"'$t'").mkString(", ")
+      s"""WITH $toksCte, tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(min(dl) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM toks)
+         |  WHERE tok IN ($inList) GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |avgdl AS (
+         |  SELECT CAST((1000 * sum(len(tk))) // count(*) AS BIGINT) AS avgdl_e3
+         |  FROM toks
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    ((2 * n.n_docs - 2 * dfreq.df + 1) * 1000000) // (2 * dfreq.df + 1) AS idf_e6,
+         |    ($BmK1E3 * ((1000 - $BmBE3) + ($BmBE3 * 1000 * tf.dl) // avgdl.avgdl_e3)) // 1000 AS norm_e3,
+         |    tf.tf
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n CROSS JOIN avgdl
+         |), bm AS (
+         |  SELECT doc_id,
+         |    CAST(sum((idf_e6 * tf * ${BmK1E3 + 1000}) // (tf * 1000 + norm_e3)) AS BIGINT) AS bm25_e6
+         |  FROM scored GROUP BY 1
+         |), lex AS (
+         |  SELECT doc_id AS id, lex_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id)
+         |      AS BIGINT) AS lex_rank
+         |    FROM bm) WHERE lex_rank <= $RrfTopN
+         |), q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), sq AS (
+         |  SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS s2 FROM q
+         |), q0 AS (SELECT qv AS qv0, s2 AS s20 FROM sq WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT b.vec_id, b.s2, q0.s20,
+         |    CAST(sum(b.qv[u.i] * q0.qv0[u.i]) AS BIGINT) AS dot
+         |  FROM sq b CROSS JOIN q0,
+         |    LATERAL unnest(generate_series(1, len(b.qv))) u(i)
+         |  WHERE b.vec_id <> 0
+         |  GROUP BY 1, 2, 3
+         |), semscore AS (
+         |  SELECT vec_id,
+         |    CAST(round(1e6 * CAST(dot AS DOUBLE)
+         |      / (sqrt(CAST(s2 AS DOUBLE)) * sqrt(CAST(s20 AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+         |  FROM dots
+         |), sem AS (
+         |  SELECT vec_id AS id, sem_rank FROM (
+         |    SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_e6 DESC, vec_id)
+         |      AS BIGINT) AS sem_rank
+         |    FROM semscore) WHERE sem_rank <= $RrfTopN
+         |)
+         |SELECT coalesce(lex.id, sem.id) AS doc_id, lex_rank, sem_rank,
+         |  coalesce(1000000 // ($RrfK + lex_rank), 0)
+         |    + coalesce(1000000 // ($RrfK + sem_rank), 0) AS rrf_e6
+         |FROM lex FULL JOIN sem ON lex.id = sem.id""".stripMargin
+    })
 }
