@@ -905,9 +905,81 @@ object LlmPipeline {
     graft.functions.TopK.topKPerGroup(sym, "doc_id", "neighbor_id", "jaccard_e6", KnnK)
   }
 
+  // -- q169: exact heavy hitters via distributed Misra–Gries ----------
+
+  private val MgCapacity = 512
+
+  /** One partition's Misra–Gries summary: m counters, decrement-all on
+    * a full-map miss. Returns the SURVIVING KEYS — the MG guarantee is
+    * that any item with local count > localN/m is among them. Exposed
+    * for spec fixtures. */
+  private[graft] def mgKeys(it: Iterator[String], m: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(c) => counts(t) = c + 1L
+        case None if counts.size < m => counts(t) = 1L
+        case None =>
+          // decrement-all; evict zeros (two passes over a snapshot —
+          // the map mutates underneath a live keysIterator otherwise)
+          val dead = counts.iterator
+            .collect { case (k, c) if c == 1L => k }.toArray
+          dead.foreach(counts.remove)
+          counts.keys.toArray.foreach(k => counts(k) -= 1L)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** The operator core over a one-column `tok` relation, partitioning-
+    * independent by construction (spec-pinned): candidates ⊇ answers
+    * for ANY partitioning, and exact counts + a fixed threshold decide
+    * membership. */
+  private[graft] def heavyTokens(toks: DataFrame, m: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    // ONE sketch pass emits each partition's MG keys plus a sentinel
+    // ("", localN) row, so the corpus-total scalar rides the same scan
+    val sk = toks.as[String].mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { t => n += 1L; t }
+      val keys = mgKeys(counted, m).map((_, 0L)).toArray
+      (keys.iterator ++ Iterator(("" , n)))
+    }.toDF("tok", "n")
+      .localCheckpoint(true) // ≤ m+1 rows per partition; read twice
+    val nTotal = sk.filter(col("tok") === "").agg(sum(col("n")))
+      .head().getLong(0)
+    val thresh = nTotal / m + 1 // strictly > N/m: the MG completeness bound
+    val cands = sk.filter(col("tok") =!= "").select("tok").distinct()
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thresh)
+  }
+
+  /** EXACT HEAVY HITTERS over the corpus token stream — the two-phase
+    * sketch-then-verify pattern that makes a frequency sketch
+    * oracle-checkable: phase 1 runs per-partition Misra–Gries (m=512
+    * counters, bounded memory, NO vocabulary shuffle — the shuffle
+    * carries ≤ m keys per partition instead of the billion-token junk
+    * vocabulary a 100 TB corpus has); the union of partition summaries
+    * is a guaranteed superset of every token with global count > N/m
+    * (averaging: freq(x) > N/m ⇒ some partition has count_p(x) >
+    * N_p/m ⇒ that partition's MG retains x). Phase 2 exact-counts the
+    * candidates only (broadcast semi-join, map-side) and keeps
+    * count ≥ ⌊N/m⌋+1. Output = exactly the above-threshold tokens with
+    * EXACT counts, independent of partitioning — stopword/boilerplate
+    * discovery at corpus scale. */
+  val q169HeavyTokens: Q = (s, d) =>
+    heavyTokens(
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0),
+      MgCapacity)
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "q169_heavy_tokens" -> q169HeavyTokens,
     "q101_knn_graph" -> q101KnnGraph,
     "q100_pretrain_pipeline" -> q100PretrainPipeline,
     "q20_dedup_exact" -> q20DedupExact,
@@ -993,6 +1065,16 @@ object LlmPipeline {
       s"(strpos('0123456789abcdef', substr(md5($c),4,1))-1)"
 
   val oracles: Map[String, String] = Map(
+    // q169: the sketch phase only ROUTES — the answer set is "exact
+    // count ≥ ⌊N/512⌋+1", which plain SQL states directly.
+    "q169_heavy_tokens" ->
+      s"""WITH $toksCte, tok AS (
+         |  SELECT u.t AS tok FROM toks, LATERAL unnest(tk) u(t)
+         |  WHERE length(u.t) > 0
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tok GROUP BY tok
+         |HAVING count(*) >= (SELECT n // $MgCapacity + 1 FROM n)""".stripMargin,
     // q158: the same 37-symbol histogram via length-diff, the same
     // left-to-right fold (list_reduce ≡ Spark's aggregate: 0.0 + t1
     // is exact, so the fold orders coincide bit-for-bit).

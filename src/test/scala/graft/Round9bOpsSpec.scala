@@ -111,6 +111,35 @@ class Round9bOpsSpec extends SparkSpec {
       (30L, 16129L)) // sem only, rank 2
   }
 
+  // -- q169: Misra–Gries heavy hitters ------------------------------------
+
+  test("mgKeys retains every item above the n/m frequency bound") {
+    // n=12, m=3: bound is count > 4; 'a' (6 occurrences) must survive
+    val stream = Seq("a", "b", "a", "c", "a", "d", "a", "e", "a", "f", "a", "g")
+    val keys = graft.queries.LlmPipeline.mgKeys(stream.iterator, 3).toSet
+    keys should contain("a")
+    keys.size should be <= 3
+  }
+
+  test("heavyTokens output is exact and partitioning-independent") {
+    val words =
+      Seq.fill(50)("the") ++ Seq.fill(20)("of") ++
+        (1 to 30).map(i => s"rare$i")
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(words.map(org.apache.spark.sql.Row(_)), parts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType))))
+      graft.queries.LlmPipeline.heavyTokens(df, 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    // N=100, m=4 → threshold 26: only "the" (50) qualifies; "of" (20) not
+    val expected = Set(("the", 50L))
+    run(2) shouldBe expected
+    run(7) shouldBe expected
+  }
+
   test("q168 fuses both legs over testdata with bounded ranks") {
     val rows = graft.queries.Relevance
       .q168RrfFusion(spark, "/root/testdata/sf0.001").collect()
