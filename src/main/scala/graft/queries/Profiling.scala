@@ -826,10 +826,50 @@ object Profiling {
       .unionByName(fdProfile(Tables.orders(s, d),
         "orders.o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
 
+  // -- q170: referential-integrity audit (orphan FK rates) --------------
+
+  /** One FK edge child.fk → parent.pk, scored as (child rows, distinct
+    * fk values, orphan rows, orphan ppm) in ONE pass: left-join the
+    * distinct parent key set (unique by PK contract; distinct() keeps
+    * the 1:≤1 join shape honest) and aggregate — a keyed shuffle, or
+    * broadcast when the parent key set fits. NULL fks count as orphans
+    * (a NULL never equi-matches: the row cannot be resolved). */
+  private[graft] def riEdge(
+      child: DataFrame, fk: String, parent: DataFrame, pk: String,
+      name: String): DataFrame =
+    child.select(col(fk).as("fkv"))
+      .join(parent.select(col(pk).as("fkv")).distinct()
+        .withColumn("hit", lit(1)), Seq("fkv"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count_distinct(col("fkv")).as("n_fk_values"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_child"), col("n_fk_values"),
+        col("n_orphans"),
+        expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+
+  /** CROSS-TABLE REFERENTIAL-INTEGRITY AUDIT — the inter-table
+    * complement of q167's intra-table FDs: for each declared FK edge
+    * of the warehouse star, how many child rows point at a missing
+    * parent? Clean on the driver testdata by construction, which is
+    * itself the assertion a DQ gate wants to make (orphan_ppm = 0);
+    * the spec feeds a broken fixture to pin the orphan arithmetic. */
+  val q170RiCheck: Q = (s, d) =>
+    riEdge(Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d),
+      "o_orderkey", "lineitem.l_orderkey->orders")
+      .unionByName(riEdge(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", "orders.o_custkey->customer"))
+      .unionByName(riEdge(Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", "customer.c_nationkey->nation"))
+      .unionByName(riEdge(Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey", "lineitem.l_partkey->part"))
+      .unionByName(riEdge(Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", "lineitem.l_suppkey->supplier"))
+
   val defs: Map[String, Q] = Map(
     "q164_merkle_fingerprint" -> q164MerkleFingerprint,
     "q166_merkle_repair" -> q166MerkleRepair,
     "q167_fd_check" -> q167FdCheck,
+    "q170_ri_check" -> q170RiCheck,
     "q148_decile_lift" -> q148DecileLift,
     "q149_exact_auc" -> q149ExactAuc,
     "q140_quantile_normalize" -> q140QuantileNormalize,
@@ -942,6 +982,32 @@ object Profiling {
           "customer", "c_custkey", "c_nationkey"),
         fdSql("orders.o_custkey->o_orderpriority",
           "orders", "o_custkey", "o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
+    // Same one-pass left-join-then-aggregate per FK edge.
+    "q170_ri_check" -> {
+      def riSql(name: String, child: String, fk: String,
+          parent: String, pk: String) =
+        s"""SELECT '$name' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(count(DISTINCT c.fkv) AS BIGINT) AS n_fk_values,
+           |  CAST(sum(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans,
+           |  CAST(sum(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS orphan_ppm
+           |FROM (SELECT $fk AS fkv FROM $child) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS fkv, 1 AS hit FROM $parent) p
+           |  USING (fkv)""".stripMargin
+      Seq(
+        riSql("lineitem.l_orderkey->orders",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        riSql("orders.o_custkey->customer",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        riSql("customer.c_nationkey->nation",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        riSql("lineitem.l_partkey->part",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        riSql("lineitem.l_suppkey->supplier",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"))
         .mkString("\nUNION ALL\n")
     },
     // Same decile windows; every ratio an integer cross-product.

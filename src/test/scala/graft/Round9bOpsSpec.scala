@@ -111,6 +111,27 @@ class Round9bOpsSpec extends SparkSpec {
       (30L, 16129L)) // sem only, rank 2
   }
 
+  // -- q170: referential-integrity audit -----------------------------------
+
+  test("riEdge counts orphans including NULL fks, on a broken fixture") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None, Some(3L))
+      .toDF("fk")
+    val parent = Seq(1L, 3L).toDF("pk")
+    val r = graft.queries.Profiling.riEdge(child, "fk", parent, "pk", "t").head()
+    r.getString(0) shouldBe "t"
+    r.getLong(1) shouldBe 5L // n_child
+    r.getLong(2) shouldBe 3L // distinct non-null fks
+    r.getLong(3) shouldBe 2L // fk=2 and the NULL
+    r.getLong(4) shouldBe 400000L
+  }
+
+  test("q170 over testdata: every declared FK edge is clean") {
+    val rows = graft.queries.Profiling.q170RiCheck(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.length shouldBe 5
+    rows.foreach(r => r.getLong(3) shouldBe 0L)
+  }
+
   // -- q169: Misra–Gries heavy hitters ------------------------------------
 
   test("mgKeys retains every item above the n/m frequency bound") {
