@@ -81,6 +81,11 @@ object Bench {
       names.foreach { name =>
         if (isolate) { // per-query attribution: no cross-query cache reuse
           graft.ops.SharedCache.releaseAll()
+          // same boundary bounds checkpoint-file accumulation: nothing
+          // from a prior query is re-read once its result was touched,
+          // so a 171-query session doesn't accrete every CC/k-core
+          // loop's final files until JVM exit
+          graft.ops.Checkpoints.releaseAll(spark)
           spark.catalog.clearCache()
         }
         val fn = SparkEntry.queries(name)
