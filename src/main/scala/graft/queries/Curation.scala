@@ -172,6 +172,32 @@ object Curation {
     * positives only enlarge the pruned candidate set and the exact
     * join removes them, so the result — and the oracle — is
     * bit-for-bit q47's. */
+  /** q171 — MEMORIZATION / OVERLAP AUDIT: the eval-side reverse of
+    * q47. Decontamination asks "which TRAIN docs leak into the test
+    * set"; an evaluation pipeline also needs the per-TEST-doc view:
+    * what fraction of each held-out document's distinct 5-grams
+    * appears ANYWHERE in the training split — the standard
+    * memorization-risk / benchmark-overlap figure quoted alongside
+    * eval scores. Same inverted-index shape as q47 (the SharedCache'd
+    * contamGrams relation, one keyed equi-join on the 48-bit gram
+    * hash, one per-doc aggregate — never doc×doc); the train side
+    * collapses to a DISTINCT gram set so the left join is 1:≤1 and
+    * counting stays exact. q107's bloom-prune applies here verbatim
+    * when the test split is the small side at 100 TB. Test docs
+    * shorter than 5 tokens have no grams and are absent by contract. */
+  val q171MemorizationScan: Q = (s, d) => {
+    val grams = contamGrams(s, d)
+    val trainSet = grams.filter(col("b") < 8).select("gh").distinct()
+      .withColumn("hit", lit(1))
+    grams.filter(col("b") === 9)
+      .join(trainSet, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        expr("n_hit * 1000000 div n_grams").as("memorized_ppm"))
+  }
+
   val q107BloomDecontaminate: Q = (s, d) => {
     graft.functions.BloomFunctions.register(s)
     val grams = contamGrams(s, d)
@@ -1061,6 +1087,7 @@ object Curation {
     "q56_sequence_pack" -> q56SequencePack,
     "q46_repetition_stats" -> q46RepetitionStats,
     "q47_decontaminate" -> q47Decontaminate,
+    "q171_memorization_scan" -> q171MemorizationScan,
     "q107_bloom_decontaminate" -> q107BloomDecontaminate,
     "q48_incremental_dedup" -> q48IncrementalDedup,
     "q49_stratified_sample" -> q49StratifiedSample,
@@ -1490,6 +1517,23 @@ object Curation {
          |   OR (n_tokens >= 10 AND CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000)) AS is_repetitive
          |FROM m JOIN top ON m.doc_id = top.doc_id""".stripMargin,
     "q47_decontaminate" -> decontamOracleSql,
+    // Same gram relation as q47; per-TEST-doc coverage via the same
+    // 1:<=1 left join against the distinct train-gram set.
+    "q171_memorization_scan" ->
+      s"""WITH $toksCte, grams AS (
+         |  SELECT doc_id, $splitBucketSql AS b,
+         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
+         |), train_g AS (
+         |  SELECT DISTINCT gh FROM grams WHERE b < 8
+         |)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN t.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN t.gh IS NULL THEN 0 ELSE 1 END) * 1000000
+         |    // count(*) AS BIGINT) AS memorized_ppm
+         |FROM (SELECT doc_id, gh FROM grams WHERE b = 9) g
+         |LEFT JOIN train_g t ON g.gh = t.gh
+         |GROUP BY 1""".stripMargin,
     // q107: the bloom only PRUNES the train side ahead of the exact
     // join (false positives are removed by it), so the relation — and
     // therefore the oracle — is exactly q47's

@@ -132,6 +132,20 @@ class Round9bOpsSpec extends SparkSpec {
     rows.foreach(r => r.getLong(3) shouldBe 0L)
   }
 
+  // -- q171: memorization scan ---------------------------------------------
+
+  test("q171 reports bounded per-test-doc train coverage") {
+    val rows = graft.queries.Curation
+      .q171MemorizationScan(spark, "/root/testdata/sf0.001").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (n, hit, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      n should be > 0L
+      hit should be <= n
+      ppm shouldBe hit * 1000000L / n
+    }
+  }
+
   // -- q169: Misra–Gries heavy hitters ------------------------------------
 
   test("mgKeys retains every item above the n/m frequency bound") {
