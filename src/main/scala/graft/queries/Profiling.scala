@@ -798,8 +798,18 @@ object Profiling {
     * bounded by |distinct X| — nothing row-sized shuffles twice. */
   private[graft] def fdProfile(
       df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
-    df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
-      .agg(count(lit(1)).as("cnt"))
+    fdFromCells(
+      df.groupBy(col(lhs).as("l"), col(rhs).as("r"))
+        .agg(count(lit(1)).as("cnt")),
+      name)
+
+  /** The g3 finalizer over an (l, r, cnt) cell relation. Cells merge
+    * by `+` (associative/commutative), so a streaming monitor can
+    * maintain them incrementally and re-run EXACTLY this finalizer —
+    * [[graft.streaming.StreamingFdMonitor]] does, which is what makes
+    * its batch-equality spec possible. */
+  private[graft] def fdFromCells(cells: DataFrame, name: String): DataFrame =
+    cells
       .groupBy("l")
       .agg(sum("cnt").as("n"), max("cnt").as("keep"), count(lit(1)).as("n_rhs"))
       .agg(sum("n").as("n_rows"), count(lit(1)).as("n_groups"),
