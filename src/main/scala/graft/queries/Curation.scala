@@ -1066,7 +1066,58 @@ object Curation {
     perRound.reduce(_ unionByName _)
   }
 
+  // -- q172: per-source data cards --------------------------------------
+
+  private val CardShortChars = 100L
+
+  /** DATA CARDS: the one-row-per-source datasheet a curation pipeline
+    * publishes next to a release (model-card §data convention) —
+    * volume (docs, chars, mean length), composition (language count,
+    * plurality language + its share), and hygiene (short-doc rate,
+    * exact-duplicate rate = rows removable by md5 dedup within the
+    * source). Everything integer-exact (div / ×1e6 div) so both
+    * engines agree bit-for-bit.
+    *
+    * Plan: THREE map-combined aggregates over one narrow projection —
+    * per-source scalars, per-(source, md5) dup cells collapsed to a
+    * per-source sum, per-(source, lang) counts collapsed to a
+    * plurality pick via a per-source window (|sources| partitions,
+    * |langs| rows each) — then two keyed joins on the |sources|-row
+    * spine. Raw text never shuffles: the md5 digest (16 bytes) is the
+    * widest thing that moves. */
+  val q172SourceDatacard: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .transform(graft.ops.SharedCache.persist) // three aggregate legs
+    val spine = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(when(col("n_chars") < CardShortChars, 1L).otherwise(0L))
+        .as("short_docs"),
+      count_distinct(col("lang")).as("n_langs"))
+    val dups = base.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(col("c") - 1L).as("dup_docs"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_lang_docs"))
+    spine.join(dups, "source").join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        expr("sum_chars div n_docs").as("mean_chars"),
+        expr("short_docs * 1000000 div n_docs").as("short_ppm"),
+        col("n_langs"), col("top_lang"),
+        expr("top_lang_docs * 1000000 div n_docs").as("top_lang_ppm"),
+        col("dup_docs"),
+        expr("dup_docs * 1000000 div n_docs").as("dup_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q172_source_datacard" -> q172SourceDatacard,
     "q165_bpe_merges" -> q165BpeMerges,
     "q161_importance_weights" -> q161ImportanceWeights,
     "q154_mix_repair_rates" -> q154MixRepairRates,
@@ -1517,6 +1568,38 @@ object Curation {
          |   OR (n_tokens >= 10 AND CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000)) AS is_repetitive
          |FROM m JOIN top ON m.doc_id = top.doc_id""".stripMargin,
     "q47_decontaminate" -> decontamOracleSql,
+    // Same three aggregates + plurality window + integer ratios.
+    "q172_source_datacard" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, n_chars, md5(text) AS h FROM documents
+         |), spine AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(CASE WHEN n_chars < $CardShortChars THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS short_docs,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM base GROUP BY 1
+         |), dups AS (
+         |  SELECT source, CAST(sum(c - 1) AS BIGINT) AS dup_docs FROM (
+         |    SELECT source, h, count(*) AS c FROM base GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), top_lang AS (
+         |  SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_lang_docs
+         |  FROM (
+         |    SELECT source, lang, count(*) AS c,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY count(*) DESC, lang) AS rk
+         |    FROM base GROUP BY source, lang)
+         |  WHERE rk = 1
+         |)
+         |SELECT s.source, s.n_docs, s.sum_chars,
+         |  CAST(s.sum_chars // s.n_docs AS BIGINT) AS mean_chars,
+         |  CAST(s.short_docs * 1000000 // s.n_docs AS BIGINT) AS short_ppm,
+         |  s.n_langs, t.top_lang,
+         |  CAST(t.top_lang_docs * 1000000 // s.n_docs AS BIGINT) AS top_lang_ppm,
+         |  d.dup_docs,
+         |  CAST(d.dup_docs * 1000000 // s.n_docs AS BIGINT) AS dup_ppm
+         |FROM spine s JOIN dups d USING (source) JOIN top_lang t USING (source)""".stripMargin,
     // Same gram relation as q47; per-TEST-doc coverage via the same
     // 1:<=1 left join against the distinct train-gram set.
     "q171_memorization_scan" ->

@@ -132,6 +132,23 @@ class Round9bOpsSpec extends SparkSpec {
     rows.foreach(r => r.getLong(3) shouldBe 0L)
   }
 
+  // -- q172: per-source data cards -----------------------------------------
+
+  test("q172 data cards partition the corpus and keep ratio identities") {
+    val rows = graft.queries.Curation
+      .q172SourceDatacard(spark, "/root/testdata/sf0.001").collect()
+    rows.length should be > 0
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    rows.map(_.getLong(1)).sum shouldBe corpus // n_docs partitions docs
+    rows.foreach { r =>
+      val (nDocs, sumChars, meanChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      meanChars shouldBe sumChars / nDocs
+      r.getLong(7) should be <= 1000000L // top_lang_ppm
+      r.getLong(9) should be <= 1000000L // dup_ppm
+    }
+  }
+
   // -- q171: memorization scan ---------------------------------------------
 
   test("q171 reports bounded per-test-doc train coverage") {
