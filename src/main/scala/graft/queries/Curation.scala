@@ -1116,7 +1116,38 @@ object Curation {
         expr("dup_docs * 1000000 div n_docs").as("dup_ppm"))
   }
 
+  // -- q176: per-language tokenizer fertility ----------------------------
+
+  /** TOKENIZER FERTILITY PROFILE — the per-language budget table a
+    * multilingual pretrain run plans against (how many tokens a
+    * language yields per character/byte drives both tokenizer vocab
+    * allocation and per-language sampling weights): per lang, docs /
+    * whitespace tokens / chars / UTF-8 bytes, plus the fertility
+    * ratios in e3 fixed point. Complements q172's per-SOURCE cards on
+    * the language axis.
+    *
+    * Plan: one narrow projection computing per-row token and byte
+    * counts in-row (no explode — the token ARRAY never materializes
+    * into rows, only its length), then a single map-combined groupBy
+    * on the ~|langs|-row key. Raw text never shuffles; at 100 TB this
+    * is one scan + one tiny aggregate. */
+  val q176TokenFertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        col("n_chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"), sum(col("bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_bytes"),
+        expr("n_chars * 1000 div n_tokens").as("chars_per_token_e3"),
+        expr("n_bytes * 1000 div n_chars").as("bytes_per_char_e3"),
+        expr("n_tokens * 1000 div n_docs").as("tokens_per_doc_e3"))
+
   val defs: Map[String, Q] = Map(
+    "q176_token_fertility" -> q176TokenFertility,
     "q172_source_datacard" -> q172SourceDatacard,
     "q165_bpe_merges" -> q165BpeMerges,
     "q161_importance_weights" -> q161ImportanceWeights,
@@ -1568,6 +1599,27 @@ object Curation {
          |   OR (n_tokens >= 10 AND CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000)) AS is_repetitive
          |FROM m JOIN top ON m.doc_id = top.doc_id""".stripMargin,
     "q47_decontaminate" -> decontamOracleSql,
+    // Same in-row token length (len of the same split), strlen for
+    // UTF-8 bytes (DuckDB's byte-length of VARCHAR, = Spark's
+    // octet_length), same e3 floor-division ratios.
+    "q176_token_fertility" ->
+      s"""WITH base AS (
+         |  SELECT lang,
+         |    len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+         |    n_chars, strlen(text) AS bytes
+         |  FROM documents
+         |), agg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(bytes) AS BIGINT) AS n_bytes
+         |  FROM base GROUP BY 1
+         |)
+         |SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+         |  n_chars * 1000 // n_tokens AS chars_per_token_e3,
+         |  n_bytes * 1000 // n_chars AS bytes_per_char_e3,
+         |  n_tokens * 1000 // n_docs AS tokens_per_doc_e3
+         |FROM agg""".stripMargin,
     // Same three aggregates + plurality window + integer ratios.
     "q172_source_datacard" ->
       s"""WITH base AS (

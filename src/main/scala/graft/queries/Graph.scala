@@ -563,7 +563,54 @@ object Graph {
         col("n_members"))
   }
 
+  // -- q175: community modularity audit ---------------------------------
+
+  /** MODULARITY AUDIT — scores the q162 partition with Newman–Girvan
+    * modularity, the standard "are these communities real" check a
+    * pipeline runs before acting on a clustering: per community c,
+    * contribution Q_c = intra_c/m − (deg_c/2m)², all in floor-division
+    * e6 fixed point (engine-exact; headroom: deg_c·1e6 ≤ 2m·1e6
+    * overflows only past m ≈ 9e12 edges — far beyond the ~1.5e9 of
+    * the 100 TB contract; decimal mode is the documented escape).
+    * Σ Q_c over the output rows is the partition's modularity.
+    *
+    * Plan: the persisted edge relation is consumed three times (LPA
+    * rounds, intra-edge labeling, degrees) — one materialization, no
+    * rescan; intra-edges = two keyed joins label-mapping both
+    * endpoints then a |communities|-row count; degrees = one
+    * map-combined count over the doubled endpoint projection joined to
+    * the |V|-row label relation. m is a driver scalar (q61 avgdl
+    * convention), entering the plan as a literal. */
+  val q175Modularity: Q = (s, d) => {
+    val edges = graft.ops.SharedCache.persist(
+      copurchaseEdges(s, d, TriMinSupport))
+    val lbl = labelPropagate(edges, LpaRounds)
+    val m = edges.count()
+    val intra = edges
+      .join(lbl.select(col("node").as("x"), col("lbl").as("lx")), Seq("x"))
+      .join(lbl.select(col("node").as("y"), col("lbl").as("ly")), Seq("y"))
+      .filter(col("lx") === col("ly"))
+      .groupBy(col("lx")).agg(count(lit(1)).as("intra_edges"))
+      .select(col("lx").as("community"), col("intra_edges"))
+    val deg = edges.select(col("x").as("node"))
+      .unionByName(edges.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(lbl, "node")
+      .groupBy(col("lbl"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"), col("deg_sum"))
+      .join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .select(col("community"), col("n_members"), col("intra_edges"),
+        col("deg_sum"),
+        expr(s"intra_edges * 1000000 div $m - " +
+          s"((deg_sum * 1000000 div (2 * $m)) * " +
+          s"(deg_sum * 1000000 div (2 * $m))) div 1000000")
+          .as("q_contrib_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q175_modularity" -> q175Modularity,
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
     "q90b_pagerank_mass" -> q90bPageRankMass,
@@ -572,35 +619,67 @@ object Graph {
     "q138_kcore" -> q138KCore,
     "q162_label_prop" -> q162LabelProp)
 
+  /** Shared oracle prefix for q162/q175: the co-purchase edge build +
+    * [[LpaRounds]] unrolled synchronous LPA rounds as MATERIALIZED
+    * CTEs (the q138 discipline), same (count desc, label asc) argmax
+    * tiebreak as [[labelPropagate]]. Final labels are in r`LpaRounds`. */
+  private def lpaOracleCtes: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT node, nlbl AS lbl FROM (
+         |    SELECT a.node, l.lbl AS nlbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY a.node
+         |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |    FROM adj a JOIN r${r - 1} l ON l.node = a.nbr
+         |    GROUP BY a.node, l.lbl)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.l_partkey AS x, b.l_partkey AS y
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
+       |), adj AS MATERIALIZED (
+       |  SELECT x AS node, y AS nbr FROM e UNION ALL SELECT y, x FROM e
+       |), r0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // Same synchronous rounds as unrolled MATERIALIZED CTEs (the q138
-    // discipline), same (count desc, label asc) argmax tiebreak.
-    "q162_label_prop" -> {
-      val rounds = (1 to LpaRounds).map { r =>
-        s"""r$r AS MATERIALIZED (
-           |  SELECT node, nlbl AS lbl FROM (
-           |    SELECT a.node, l.lbl AS nlbl, count(*) AS cnt,
-           |      row_number() OVER (PARTITION BY a.node
-           |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
-           |    FROM adj a JOIN r${r - 1} l ON l.node = a.nbr
-           |    GROUP BY a.node, l.lbl)
-           |  WHERE rn = 1
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e AS MATERIALIZED (
-         |  SELECT a.l_partkey AS x, b.l_partkey AS y
-         |  FROM li a JOIN li b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
-         |), adj AS MATERIALIZED (
-         |  SELECT x AS node, y AS nbr FROM e UNION ALL SELECT y, x FROM e
-         |), r0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
-         |$rounds
+    "q162_label_prop" ->
+      s"""WITH $lpaOracleCtes
          |SELECT node AS p_partkey, lbl AS community,
          |  CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS n_members
-         |FROM r$LpaRounds""".stripMargin
-    },
+         |FROM r$LpaRounds""".stripMargin,
+    // Same LPA labels, then the same three relations: per-community
+    // intra-edge counts over the (x<y) edge set, degree sums over the
+    // doubled adjacency, and the identical floor-division e6 formula.
+    "q175_modularity" ->
+      s"""WITH $lpaOracleCtes,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM adj GROUP BY 1),
+         |intra AS (
+         |  SELECT l1.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM e
+         |  JOIN r$LpaRounds l1 ON l1.node = e.x
+         |  JOIN r$LpaRounds l2 ON l2.node = e.y
+         |  WHERE l1.lbl = l2.lbl GROUP BY 1
+         |), degc AS (
+         |  SELECT l.lbl AS community, CAST(sum(d.deg) AS BIGINT) AS deg_sum,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM deg d JOIN r$LpaRounds l USING (node) GROUP BY 1
+         |)
+         |SELECT dc.community, dc.n_members,
+         |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+         |  dc.deg_sum,
+         |  coalesce(i.intra_edges, 0) * 1000000 // m.m
+         |    - ((dc.deg_sum * 1000000 // (2 * m.m))
+         |       * (dc.deg_sum * 1000000 // (2 * m.m))) // 1000000
+         |    AS q_contrib_e6
+         |FROM degc dc LEFT JOIN intra i USING (community) CROSS JOIN m""".stripMargin,
     // The same four peel rounds as chained CTEs over the self-join
     // edge restatement (q121 oracle convention for the edge builder).
     // Every round's CTEs are multi-referenced by later rounds, so they

@@ -875,7 +875,51 @@ object Profiling {
       .unionByName(riEdge(Tables.lineitem(s, d), "l_suppkey",
         Tables.supplier(s, d), "s_suppkey", "lineitem.l_suppkey->supplier"))
 
+  // -- q173: k-anonymity audit ------------------------------------------
+
+  /** Risk thresholds: a row is "at risk at k" when its quasi-identifier
+    * equivalence class holds fewer than k rows. */
+  private[graft] val KAnonThresholds = Seq(2L, 5L, 10L, 20L)
+
+  /** K-ANONYMITY AUDIT — the release-gate privacy check for a table
+    * about to leave the curation boundary (Sweeney 2002; the PII
+    * complement of q67's in-text redaction): group rows by the
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band of 1000) and, for each declared threshold k, report how many
+    * rows/classes sit in equivalence classes smaller than k. A release
+    * gate reads `risk_ppm` at its policy k and blocks the export.
+    *
+    * Plan: one map-combined groupBy on the QI tuple (|classes| rows —
+    * bounded by the QI domain product, NOT the table size), one scalar
+    * aggregate folding every threshold's conditional sums in a single
+    * pass, then a constant-width `stack` unpivot to one row per k.
+    * Nothing here scales with rows except the first partial aggregate;
+    * at 100 TB the QI class relation is the only shuffle and it is
+    * domain-bounded (25 nations × 5 segments × ~12 bands). */
+  val q173KAnonymity: Q = (s, d) => {
+    val sizes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("cls"))
+    val perK = KAnonThresholds.flatMap { k =>
+      Seq(sum(when(col("cls") < k, col("cls")).otherwise(0L)).as(s"r$k"),
+        sum(when(col("cls") < k, 1L).otherwise(0L)).as(s"c$k"))
+    }
+    val stackArgs = KAnonThresholds
+      .map(k => s"${k}L, r$k, c$k").mkString(", ")
+    val aggs = Seq(sum(col("cls")).as("n_rows"),
+      count(lit(1)).as("n_classes")) ++ perK
+    sizes
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${KAnonThresholds.size}, $stackArgs) " +
+        "AS (k, rows_at_risk, classes_at_risk)", "n_rows", "n_classes")
+      .select(col("k"), col("n_rows"), col("n_classes"),
+        col("rows_at_risk"), col("classes_at_risk"),
+        expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q173_k_anonymity" -> q173KAnonymity,
     "q164_merkle_fingerprint" -> q164MerkleFingerprint,
     "q166_merkle_repair" -> q166MerkleRepair,
     "q167_fd_check" -> q167FdCheck,
@@ -897,6 +941,32 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same QI tuple (nation, segment, 1000-band of acctbal), same
+    // conditional sums per threshold; the UNION ALL restates the
+    // engine's stack unpivot.
+    "q173_k_anonymity" -> {
+      val perK = KAnonThresholds.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(coalesce(sum(CASE WHEN cls < $k THEN cls ELSE 0 END), 0)
+           |    AS BIGINT) AS rows_at_risk,
+           |  CAST(coalesce(sum(CASE WHEN cls < $k THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS classes_at_risk
+           |FROM sizes""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sizes AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |    count(*) AS cls
+         |  FROM customer GROUP BY 1, 2, 3
+         |), tot AS (
+         |  SELECT CAST(sum(cls) AS BIGINT) AS n_rows,
+         |    CAST(count(*) AS BIGINT) AS n_classes
+         |  FROM sizes
+         |)
+         |SELECT k, n_rows, n_classes, rows_at_risk, classes_at_risk,
+         |  rows_at_risk * 1000000 // n_rows AS risk_ppm
+         |FROM ($perK), tot""".stripMargin
+    },
     // Same canonical row rendering ('|'-joined, integer cents,
     // explicit date format), same 48-bit '0x' hex cast, same XOR fold.
     "q164_merkle_fingerprint" ->

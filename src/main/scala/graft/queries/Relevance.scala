@@ -223,11 +223,55 @@ object Relevance {
     rrfFuse(lex, sem)
   }
 
+  // -- q174: unigram-LM surprisal quality score ----------------------
+
+  /** Docs averaging more than this many e3-scaled bits/token are
+    * flagged as distribution outliers (rare-token-heavy: garbled or
+    * off-domain text under a unigram model of the corpus). */
+  private val SurprisalFlagBitsE3 = 12000L
+
+  /** LM-BASED QUALITY SCORING — the perplexity-filtering primitive of
+    * production pretrain curation (CCNet-style: score each document by
+    * how surprising its tokens are under a corpus language model; here
+    * the model is the corpus's own unigram distribution), restated
+    * engine-exact: per token instance, surprisal ≈ −log2 p(t) is
+    * computed as ilog2(T) − ilog2(C(t)) where ilog2(x) =
+    * length(bin(x)) − 1 is the INTEGER floor log2 — no libm, so both
+    * engines agree bit-for-bit. A doc's score is the token-count-
+    * weighted mean in e3 bits; far-tail docs get `is_suspect`.
+    *
+    * Plan shape (the q60 discipline): one map-combined (doc, token)
+    * count — raw text never shuffles — then token totals as a second
+    * partial aggregate over the already-collapsed rows, joined back BY
+    * TOKEN (Zipf-small vocabulary; AQE broadcasts it when it fits),
+    * then one per-doc aggregate. The corpus token total T is a
+    * driver-hosted scalar (q61's avgdl convention): its ilog2 enters
+    * the plan as a literal. */
+  val q174LmSurprisal: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+    val totalT = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    val ilogT = 63 - java.lang.Long.numberOfLeadingZeros(totalT)
+    tf.join(vocab, "tok")
+      .withColumn("bits",
+        col("tf") * (lit(ilogT.toLong) - (length(bin(col("cnt"))) - 1)
+          .cast("long")))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("bits")).as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        expr("bits * 1000 div n_tokens").as("bits_e3"),
+        (expr("bits * 1000 div n_tokens") > SurprisalFlagBitsE3)
+          .as("is_suspect"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_tfidf_terms" -> q60TfidfTerms,
     "q61_bm25_search" -> q61Bm25Search,
     "q124_pmi_collocations" -> q124PmiCollocations,
-    "q168_rrf_fusion" -> q168RrfFusion)
+    "q168_rrf_fusion" -> q168RrfFusion,
+    "q174_lm_surprisal" -> q174LmSurprisal)
 
   private val toksCte =
     """toks AS (
@@ -237,6 +281,29 @@ object Relevance {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same (doc, token) counts, same integer floor-log2 via the binary
+    // string length, same e3 mean and flag threshold; the corpus total
+    // T is recomputed in SQL where the engine hosts it driver-side.
+    "q174_lm_surprisal" ->
+      s"""WITH $toksCte, tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+         |), vocab AS (
+         |  SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+         |), tot AS (
+         |  SELECT length(bin(CAST(sum(cnt) AS BIGINT))) - 1 AS ilog_t
+         |  FROM vocab
+         |), perdoc AS (
+         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tf.tf * (tot.ilog_t - (length(bin(vocab.cnt)) - 1)))
+         |      AS BIGINT) AS bits
+         |  FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id, n_tokens, bits,
+         |  bits * 1000 // n_tokens AS bits_e3,
+         |  bits * 1000 // n_tokens > $SurprisalFlagBitsE3 AS is_suspect
+         |FROM perdoc""".stripMargin,
     "q60_tfidf_terms" ->
       s"""WITH $toksCte, tf AS (
          |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf

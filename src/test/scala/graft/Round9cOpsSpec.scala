@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixture pins for the third round-9 operator batch: the k-anonymity
+  * release gate (q173), unigram-LM surprisal scoring (q174 — the
+  * integer floor-log2 arithmetic on a hand-built corpus), community
+  * modularity (q175 — partition/degree identities against q162), and the
+  * per-language fertility profile (q176 — ratio identities).
+  */
+class Round9cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // -- q173: k-anonymity audit -------------------------------------------
+
+  test("q173 reports one row per threshold with monotone risk") {
+    val rows = graft.queries.Profiling.q173KAnonymity(spark, sf)
+      .orderBy("k").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(2L, 5L, 10L, 20L)
+    val nCustomers = spark.read.parquet(s"$sf/customer.parquet").count()
+    rows.foreach { r =>
+      r.getLong(1) shouldBe nCustomers // n_rows partitions the table
+      r.getLong(3) should be <= r.getLong(1) // rows_at_risk ≤ n_rows
+      r.getLong(4) should be <= r.getLong(2) // classes_at_risk ≤ n_classes
+      r.getLong(5) shouldBe r.getLong(3) * 1000000L / r.getLong(1)
+    }
+    // risk can only grow with k
+    rows.map(_.getLong(3)).toSeq shouldBe sorted
+    rows.map(_.getLong(4)).toSeq shouldBe sorted
+  }
+
+  // -- q174: unigram-LM surprisal ----------------------------------------
+
+  test("q174 surprisal bits match the hand-derived floor-log2 fixture") {
+    // corpus: doc 1 = "a a b", doc 2 = "a c"; T = 5 tokens →
+    // ilog2(5)=2; counts a=3 (ilog2=1→s=1), b=1 (s=2), c=1 (s=2)
+    val dir = java.nio.file.Files.createTempDirectory("q174fix").toString
+    Seq((1L, "a a b", "en", "s1", 5L), (2L, "a c", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Relevance.q174LmSurprisal(spark, dir)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    got shouldBe Seq(
+      (1L, 3L, 2L * 1 + 1L * 2, 1333L, false), // (2·s_a + 1·s_b)·1000 div 3
+      (2L, 2L, 1L + 2L, 1500L, false))
+  }
+
+  test("q174 over testdata covers every document with sane scores") {
+    val rows = graft.queries.Relevance.q174LmSurprisal(spark, sf).collect()
+    rows.length shouldBe
+      spark.read.parquet(s"$sf/documents.parquet").count().toInt
+    rows.foreach { r =>
+      r.getLong(1) should be > 0L // n_tokens
+      r.getLong(2) should be >= 0L // bits
+      r.getLong(3) shouldBe r.getLong(2) * 1000L / r.getLong(1)
+    }
+  }
+
+  // -- q175: community modularity ----------------------------------------
+
+  test("q175 holds the partition and degree identities against q162") {
+    val mods = graft.queries.Graph.q175Modularity(spark, sf).collect()
+    val communities = graft.queries.Graph.q162LabelProp(spark, sf)
+      .select("community").distinct().count()
+    mods.length shouldBe communities.toInt
+    val nNodes = graft.queries.Graph.q162LabelProp(spark, sf).count()
+    mods.map(_.getLong(1)).sum shouldBe nNodes // Σ n_members = |V|
+    // Σ deg_c = 2m and Σ intra ≤ m ⇒ recover m from the degree sums
+    val degTotal = mods.map(_.getLong(3)).sum
+    degTotal % 2 shouldBe 0L
+    mods.map(_.getLong(2)).sum should be <= degTotal / 2
+    // each contribution is bounded by the intra share (≤ 1e6)
+    mods.foreach(_.getLong(4) should be <= 1000000L)
+  }
+
+  // -- q176: per-language fertility --------------------------------------
+
+  test("q176 partitions the corpus by lang and keeps ratio identities") {
+    val rows = graft.queries.Curation.q176TokenFertility(spark, sf).collect()
+    rows.length should be > 0
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.map(_.getLong(1)).sum shouldBe corpus
+    rows.foreach { r =>
+      val (nDocs, nToks, nChars, nBytes) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      nBytes should be >= nChars // UTF-8: ≥1 byte per char
+      r.getLong(5) shouldBe nChars * 1000L / nToks
+      r.getLong(6) shouldBe nBytes * 1000L / nChars
+      r.getLong(7) shouldBe nToks * 1000L / nDocs
+    }
+  }
+}
