@@ -896,11 +896,11 @@ object Profiling {
     * Nothing here scales with rows except the first partial aggregate;
     * at 100 TB the QI class relation is the only shuffle and it is
     * domain-bounded (25 nations × 5 segments × ~12 bands). */
-  val q173KAnonymity: Q = (s, d) => {
-    val sizes = Tables.customer(s, d)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
-      .agg(count(lit(1)).as("cls"))
+  /** The q173 finalizer over a class-size relation (any QI identity
+    * columns; only `cls` is read) — shared verbatim with
+    * [[graft.streaming.StreamingKAnonymity]] so the chunk-folded
+    * streaming state reports bit-equal risk. */
+  private[graft] def kanonFromSizes(sizes: DataFrame): DataFrame = {
     val perK = KAnonThresholds.flatMap { k =>
       Seq(sum(when(col("cls") < k, col("cls")).otherwise(0L)).as(s"r$k"),
         sum(when(col("cls") < k, 1L).otherwise(0L)).as(s"c$k"))
@@ -917,6 +917,12 @@ object Profiling {
         col("rows_at_risk"), col("classes_at_risk"),
         expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
   }
+
+  val q173KAnonymity: Q = (s, d) =>
+    kanonFromSizes(Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("cls")))
 
   val defs: Map[String, Q] = Map(
     "q173_k_anonymity" -> q173KAnonymity,
