@@ -896,7 +896,62 @@ object NearDup {
         expr("n_lsh_hit * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  // -- q177: embedding-space health (centroid drift + tightness) -----
+
+  /** EMBEDDING-SPACE HEALTH CHECK — the per-class geometry audit run
+    * before trusting an embedding column for dedup/ANN/curation
+    * decisions: per label, (a) how far its centroid drifts from the
+    * corpus centroid (cosine — detects a class collapsing onto the
+    * mean or escaping the manifold) and (b) how TIGHT the class is
+    * (mean member-to-centroid cosine — detects classes whose vectors
+    * are incoherent noise). Cosine is scale-invariant, so centroid
+    * SUMS stand in for means and everything before the final cosine
+    * stays in exact integer arithmetic on the e4-quantized vectors
+    * (q23 convention; the cosine itself is the established
+    * round-1e6-double form the q32/q168 oracles already pin).
+    * BIGINT headroom: component sums overflow the s2 dot only past
+    * ~3e9 vectors/label at e4 quantization — the documented decimal
+    * escape applies.
+    *
+    * Plan: the quantized relation is persisted once and consumed by
+    * both legs; centroid sums are one map-combined (label, dim)
+    * aggregate (|labels|·64 rows); the per-vector cosine leg joins the
+    * BROADCAST |labels|-row centroid relation and aggregates straight
+    * back to |labels| rows. The global centroid is a driver-hosted
+    * 64-long control-plane scalar (q57 centroid convention). */
+  val q177EmbeddingHealth: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val vecs = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        quant(col("embedding")).as("q"))
+      .withColumn("s2", dotL(col("q"), col("q")))
+      .transform(graft.ops.SharedCache.persist) // sums leg + cosine leg
+    val dims = vecs
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum(col("x")).as("sx"))
+      .transform(graft.ops.SharedCache.persist) // centroids + global
+    val cents = dims
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("sx")))).as("pc"))
+      .select(col("label"), transform(col("pc"), _.getField("sx")).as("cq"))
+      .withColumn("cs2", dotL(col("cq"), col("cq")))
+    val g = dims.groupBy("pos").agg(sum(col("sx")).as("gx"))
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    val gq = typedLit(g)
+    val gs2 = lit(g.map(x => x * x).sum)
+    val tight = vecs.join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("cosc"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cosc")).as("sum_cos"))
+    cents.join(tight, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        cosE6(dotL(col("cq"), gq), col("cs2"), gs2).as("cos_to_global_e6"),
+        expr("sum_cos div n_vecs").as("tightness_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q177_embedding_health" -> q177EmbeddingHealth,
     "q159_jaro_linkage" -> q159JaroLinkage,
     "q146_lsh_recall" -> q146LshRecall,
     "q144_survivorship" -> q144Survivorship,
@@ -1034,6 +1089,60 @@ object NearDup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same e4 quantization, same integer centroid sums via 1-based
+    // lateral index unnest, same rounded-1e6-double cosines (the
+    // q32/q168 restatement), same truncating integer mean.
+    "q177_embedding_health" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT label, u.i AS pos, CAST(sum(qv[u.i]) AS BIGINT) AS sx
+         |  FROM q, LATERAL unnest(generate_series(1, len(qv))) u(i)
+         |  GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT label, list(sx ORDER BY pos) AS cq FROM dims GROUP BY 1
+         |), cs AS (
+         |  SELECT label, cq,
+         |    CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cs2
+         |  FROM cent
+         |), gl AS (
+         |  SELECT pos, CAST(sum(sx) AS BIGINT) AS gx FROM dims GROUP BY 1
+         |), gv AS (
+         |  SELECT list(gx ORDER BY pos) AS gq,
+         |    CAST(list_sum(list_transform(list(gx ORDER BY pos), x -> x * x))
+         |      AS BIGINT) AS gs2
+         |  FROM gl
+         |), pv AS (
+         |  SELECT q.vec_id, q.label, cs.cs2,
+         |    CAST(sum(q.qv[u.i] * cs.cq[u.i]) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(any_value(q.qv), x -> x * x))
+         |      AS BIGINT) AS s2
+         |  FROM q JOIN cs USING (label),
+         |    LATERAL unnest(generate_series(1, len(q.qv))) u(i)
+         |  GROUP BY q.vec_id, q.label, cs.cs2
+         |), tight AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CAST(round(1e6 * CAST(dot AS DOUBLE)
+         |      / (sqrt(CAST(s2 AS DOUBLE)) * sqrt(CAST(cs2 AS DOUBLE))), 0)
+         |      AS BIGINT)) AS BIGINT) AS sum_cos
+         |  FROM pv GROUP BY 1
+         |), dg AS (
+         |  SELECT cs.label,
+         |    CAST(sum(cs.cq[u.i] * gv.gq[u.i]) AS BIGINT) AS dot,
+         |    any_value(cs.cs2) AS cs2, any_value(gv.gs2) AS gs2
+         |  FROM cs CROSS JOIN gv,
+         |    LATERAL unnest(generate_series(1, len(cs.cq))) u(i)
+         |  GROUP BY cs.label
+         |)
+         |SELECT dg.label, tight.n_vecs,
+         |  CAST(round(1e6 * CAST(dg.dot AS DOUBLE)
+         |    / (sqrt(CAST(dg.cs2 AS DOUBLE)) * sqrt(CAST(dg.gs2 AS DOUBLE))), 0)
+         |    AS BIGINT) AS cos_to_global_e6,
+         |  tight.sum_cos // tight.n_vecs AS tightness_e6
+         |FROM dg JOIN tight USING (label)""".stripMargin,
     // DuckDB's NATIVE jaro_winkler_similarity — the cross-engine pin
     // of the custom JaroWinkler expression's exact double semantics.
     "q159_jaro_linkage" ->

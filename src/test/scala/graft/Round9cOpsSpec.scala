@@ -77,6 +77,35 @@ class Round9cOpsSpec extends SparkSpec {
     mods.foreach(_.getLong(4) should be <= 1000000L)
   }
 
+  // -- q177: embedding-space health --------------------------------------
+
+  test("q177 drift/tightness match the hand-derived 2-D fixture") {
+    // label 0: (1,0),(0,1) — tight at cos 45° to its own centroid;
+    // label 1: (1,0),(1,0) — perfectly tight. Global sum = (3e4, 1e4).
+    val dir = java.nio.file.Files.createTempDirectory("q177fix").toString
+    Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.NearDup.q177EmbeddingHealth(spark, dir)
+      .orderBy("label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe Seq(
+      (0L, 2L, 894427L, 707107L), // cos((1,1),(3,1)), mean cos 45°
+      (1L, 2L, 948683L, 1000000L)) // cos((2,0),(3,1)), exactly tight
+  }
+
+  test("q177 over testdata covers every vector with bounded cosines") {
+    val rows = graft.queries.NearDup.q177EmbeddingHealth(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    rows.map(_.getLong(1)).sum shouldBe total
+    rows.foreach { r =>
+      r.getLong(2) should be <= 1000000L
+      r.getLong(3) should be <= 1000000L
+    }
+  }
+
   // -- q176: per-language fertility --------------------------------------
 
   test("q176 partitions the corpus by lang and keeps ratio identities") {
