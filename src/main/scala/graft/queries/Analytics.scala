@@ -1034,7 +1034,40 @@ object Analytics {
       .agg(count(lit(1)).as("n_pairs"), median(col("slope")).as("ts_slope"))
   }
 
+  // -- q179: persistent bestsellers (top-k persistence profile) ---------
+
+  private val PersistTopK = 10
+
+  /** TOP-K PERSISTENCE PROFILE — which parts STAY bestsellers: the
+    * cross-period complement of q37's one-shot per-group top-k. Rank
+    * parts within each ship month by total quantity, keep the monthly
+    * top-10, then profile each surviving part across months (months in
+    * the top list, first/last month, best rank, quantity while
+    * listed) — the "sustained winners vs one-month spikes" table
+    * demand planning and trend curation both read.
+    *
+    * Scale: the monthly rollup is one map-combined aggregate; the
+    * per-month top-10 rides the map-side [[graft.functions.TopK]]
+    * aggregator (shuffle ≤ k rows per month per input partition —
+    * NEVER a per-month window sort over all parts); the persistence
+    * profile is a second tiny aggregate over ≤ 10·|months| rows. */
+  val q179PersistentTopk: Q = (s, d) => {
+    val monthly = Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("month", "l_partkey").agg(sum(col("qty")).as("qty"))
+    graft.functions.TopK
+      .topKPerGroup(monthly, "month", "l_partkey", "qty", PersistTopK)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("months_in_top"),
+        min(col("month")).as("first_month"),
+        max(col("month")).as("last_month"),
+        min(col("rank")).cast("long").as("best_rank"),
+        sum(col("qty")).as("qty_in_top_months"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q179_persistent_topk" -> q179PersistentTopk,
     "q160_theil_sen" -> q160TheilSen,
     "q156_abc_classes" -> q156AbcClasses,
     "q157_robust_trend" -> q157RobustTrend,
@@ -1071,6 +1104,24 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Window restatement of the map-side TopK (same (qty desc, key asc)
+    // tiebreak — TopKSpec pins the aggregator ≡ window equivalence).
+    "q179_persistent_topk" ->
+      s"""WITH monthly AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT month, l_partkey, qty,
+         |    row_number() OVER (PARTITION BY month
+         |      ORDER BY qty DESC, l_partkey) AS rk
+         |  FROM monthly
+         |)
+         |SELECT l_partkey, CAST(count(*) AS BIGINT) AS months_in_top,
+         |  min(month) AS first_month, max(month) AS last_month,
+         |  CAST(min(rk) AS BIGINT) AS best_rank,
+         |  CAST(sum(qty) AS BIGINT) AS qty_in_top_months
+         |FROM ranked WHERE rk <= $PersistTopK GROUP BY 1""".stripMargin,
     // Same day-integer offsets (date_diff from epoch), one divide per
     // pair, identical median interpolation over doubles.
     "q160_theil_sen" ->

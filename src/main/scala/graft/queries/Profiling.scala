@@ -924,8 +924,52 @@ object Profiling {
         floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
       .agg(count(lit(1)).as("cls")))
 
+  // -- q178: classifier calibration audit (reliability table) -----------
+
+  private val CalibBins = 10L
+
+  /** CALIBRATION AUDIT — the reliability table that closes the
+    * model-eval family: q148 tables lift, q149 collapses ranking
+    * quality to AUC, this asks whether the SCORES themselves are
+    * honest probabilities (the property threshold-based release gates
+    * actually rely on). Scorer/label pair is the family's convention
+    * (score: doc length rank; label: lang='en'): predicted probability
+    * = the doc's within-source rank percentile (ppm), binned into 10
+    * equal-count bins by the explicit integer formula
+    * (rn−1)·10 div n + 1 (NOT ntile — identical assignment in both
+    * engines by construction); per (source, bin): n, mean predicted
+    * ppm, actual positive rate ppm, |gap| ppm. Σ n_b·gap_b/N is the
+    * expected calibration error, derivable row-wise.
+    *
+    * Scale: windows are PER SOURCE (the q149 declared per-group window
+    * limit); everything after the rank window is a map-combined
+    * aggregate to |sources|·10 rows, all integer math. */
+  val q178CalibrationAudit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val wN = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wN))
+      .withColumn("pred_ppm",
+        expr("(rn - 1) * 1000000 div (n_src - 1)"))
+      .withColumn("bin", expr(s"(rn - 1) * $CalibBins div n_src + 1"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pred_ppm")).as("sum_pred"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("source"), col("bin"), col("n"),
+        expr("sum_pred div n").as("mean_pred_ppm"),
+        expr("n_pos * 1000000 div n").as("pos_ppm"),
+        abs(expr("sum_pred div n") - expr("n_pos * 1000000 div n"))
+          .as("gap_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q173_k_anonymity" -> q173KAnonymity,
+    "q178_calibration_audit" -> q178CalibrationAudit,
     "q164_merkle_fingerprint" -> q164MerkleFingerprint,
     "q166_merkle_repair" -> q166MerkleRepair,
     "q167_fd_check" -> q167FdCheck,
@@ -973,6 +1017,28 @@ object Profiling {
          |  rows_at_risk * 1000000 // n_rows AS risk_ppm
          |FROM ($perK), tot""".stripMargin
     },
+    // Same (n_chars, doc_id) total order, same explicit integer bin
+    // formula, same truncating ppm means.
+    "q178_calibration_audit" ->
+      s"""WITH ranked AS (
+         |  SELECT source,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM documents
+         |), binned AS (
+         |  SELECT source, pos,
+         |    (rn - 1) * 1000000 // (n_src - 1) AS pred_ppm,
+         |    (rn - 1) * $CalibBins // n_src + 1 AS bin
+         |  FROM ranked
+         |)
+         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+         |  CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_ppm,
+         |  CAST(abs(sum(pred_ppm) // count(*)
+         |    - sum(pos) * 1000000 // count(*)) AS BIGINT) AS gap_ppm
+         |FROM binned GROUP BY 1, 2""".stripMargin,
     // Same canonical row rendering ('|'-joined, integer cents,
     // explicit date format), same 48-bit '0x' hex cast, same XOR fold.
     "q164_merkle_fingerprint" ->

@@ -106,6 +106,54 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q178: calibration audit -------------------------------------------
+
+  test("q178 bins a 4-doc source exactly per the integer formulas") {
+    // ranks 1..4 by (n_chars, doc_id): pred = (rn-1)*1e6 div 3, each
+    // doc lands in its own bin via (rn-1)*10 div 4 + 1 = 1, 3, 6, 8
+    val dir = java.nio.file.Files.createTempDirectory("q178fix").toString
+    Seq((1L, "a", "en", "s1", 10L), (2L, "b", "de", "s1", 20L),
+      (3L, "c", "en", "s1", 30L), (4L, "d", "fr", "s1", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Profiling.q178CalibrationAudit(spark, dir)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe Seq(
+      (1L, 1L, 0L, 1000000L, 1000000L), // en at pred 0
+      (3L, 1L, 333333L, 0L, 333333L),
+      (6L, 1L, 666666L, 1000000L, 333334L), // en at pred 2/3
+      (8L, 1L, 1000000L, 0L, 1000000L)) // (4-1)·1e6 div 3 exactly 1e6
+  }
+
+  test("q178 over testdata partitions docs with bounded ppm columns") {
+    val rows = graft.queries.Profiling.q178CalibrationAudit(spark, sf).collect()
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.map(_.getLong(2)).sum shouldBe corpus
+    rows.foreach { r =>
+      r.getLong(1) should (be >= 1L and be <= 10L) // bin
+      r.getLong(3) should be <= 1000000L // mean_pred_ppm
+      r.getLong(4) should be <= 1000000L // pos_ppm
+      r.getLong(5) shouldBe math.abs(r.getLong(3) - r.getLong(4))
+    }
+  }
+
+  // -- q179: persistent bestsellers ----------------------------------------
+
+  test("q179 persistence profile stays within the monthly top-k bounds") {
+    val rows = graft.queries.Analytics.q179PersistentTopk(spark, sf).collect()
+    rows.length should be > 0
+    val nMonths = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(date_format(col("l_shipdate"), "yyyy-MM")).distinct().count()
+    rows.map(_.getLong(1)).sum should be <= 10L * nMonths
+    rows.foreach { r =>
+      r.getLong(1) should be >= 1L // months_in_top
+      r.getLong(4) should (be >= 1L and be <= 10L) // best_rank
+      r.getString(2) should be <= r.getString(3) // first ≤ last month
+    }
+  }
+
   // -- q176: per-language fertility --------------------------------------
 
   test("q176 partitions the corpus by lang and keeps ratio identities") {
