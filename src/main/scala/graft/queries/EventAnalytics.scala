@@ -997,7 +997,51 @@ object EventAnalytics {
         (col("best_rank") === 1).as("is_best_lag"))
   }
 
+  // -- q181: per-user inter-event burstiness -----------------------------
+
+  /** BEHAVIORAL BURSTINESS PROFILE — per user, the inter-event-time
+    * statistics behind bot/scraper detection and traffic shaping:
+    * metronome-regular gaps (B → −1), Poisson arrivals (B → 0), and
+    * bursty humans/batch jobs (B → 1), with B = (σ−μ)/(σ+μ) over the
+    * user's gap distribution (Goh–Barabási). Gaps are EXACT integer
+    * seconds from microsecond timestamps (truncating div — both
+    * engines agree bit-for-bit); the two moment sums are exact BIGINTs
+    * (Σgap² of second-gaps overflows only past ~3e9 gap-seconds² per
+    * user — decades of per-user history; the decimal mode is the
+    * documented escape) and B is ONE fixed-shape IEEE double
+    * expression at the very end (the q132 acf1 convention). Users with
+    * all-zero gap mass get NULL (σ+μ = 0).
+    *
+    * Scale: one per-user lag window (declared per-group window limit,
+    * the q117 sessionization precedent — user event counts are
+    * bounded), then a map-combined aggregate to |users| rows. */
+  val q181Burstiness: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap"),
+        sum(col("gap_s") * col("gap_s")).as("sum_gap2"))
+      .withColumn("mean_gap_s", expr("sum_gap div n_gaps"))
+      .withColumn("burstiness",
+        expr("""CASE WHEN sum_gap > 0 THEN
+               | (sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE))
+               |    / CAST(n_gaps AS DOUBLE)
+               |  - CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+               | / (sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE))
+               |      / CAST(n_gaps AS DOUBLE)
+               |    + CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+               | END""".stripMargin))
+      .select("user_id", "n_gaps", "sum_gap", "mean_gap_s", "burstiness")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q181_burstiness" -> q181Burstiness,
     "q155_lagged_xcorr" -> q155LaggedXcorr,
     "q150_trend_slope" -> q150TrendSlope,
     "q141_wilson_conversion" -> q141WilsonConversion,
@@ -1028,6 +1072,31 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same (ts, event_id) total order, same truncating second gaps,
+    // same exact moment sums, char-identical final double expression.
+    "q181_burstiness" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+         |  FROM events
+         |), agg AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |    CAST(sum(gap_s) AS BIGINT) AS sum_gap,
+         |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap2
+         |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+         |)
+         |SELECT user_id, n_gaps, sum_gap,
+         |  sum_gap // n_gaps AS mean_gap_s,
+         |  CASE WHEN sum_gap > 0 THEN
+         |    (sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE))
+         |       / CAST(n_gaps AS DOUBLE)
+         |     - CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         |    / (sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE))
+         |         / CAST(n_gaps AS DOUBLE)
+         |       + CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         |    END AS burstiness
+         |FROM agg""".stripMargin,
     // Same single lead() window, lag stack as UNION ALL, identical
     // IEEE Pearson shape and (|r| desc, lag) tiebreak.
     "q155_lagged_xcorr" -> {

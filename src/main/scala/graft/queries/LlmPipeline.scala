@@ -976,9 +976,39 @@ object LlmPipeline {
         .filter(length(col("tok")) > 0),
       MgCapacity)
 
+  // -- q180: lang-ID confusion matrix --------------------------------
+
+  /** LANG-ID EVALUATION — the confusion matrix + per-cell shares that
+    * tell you whether q22's stopword language heuristic can be TRUSTED
+    * for routing/mixing decisions (every classifier the pipeline acts
+    * on deserves the audit q178 gives scores and this gives classes):
+    * cells (truth lang, guessed lang, n) with both marginals attached;
+    * diagonal cells read directly as per-class recall/precision ppm.
+    * Reuses [[q22TextStats]] verbatim — Catalyst prunes the unused
+    * stat columns, so only the tokenizer + stopword scores survive
+    * into the plan.
+    *
+    * Scale: the narrow q22 scorer map, one map-combined
+    * (lang, guess) count to ≤ |langs|² cells, then two cell-relation
+    * aggregates and two broadcast-size joins — nothing after the scan
+    * scales with rows. */
+  val q180LangidConfusion: Q = (s, d) => {
+    val cells = q22TextStats(s, d)
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val truth = cells.groupBy("lang").agg(sum(col("n")).as("n_truth"))
+    val pred = cells.groupBy("lang_guess").agg(sum(col("n")).as("n_pred"))
+    cells.join(truth, Seq("lang")).join(pred, Seq("lang_guess"))
+      .select(col("lang"), col("lang_guess"), col("n"),
+        col("n_truth"), col("n_pred"),
+        expr("n * 1000000 div n_truth").as("truth_share_ppm"),
+        expr("n * 1000000 div n_pred").as("pred_share_ppm"))
+  }
+
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "q180_langid_confusion" -> q180LangidConfusion,
     "q169_heavy_tokens" -> q169HeavyTokens,
     "q101_knn_graph" -> q101KnnGraph,
     "q100_pretrain_pipeline" -> q100PretrainPipeline,
@@ -1252,6 +1282,36 @@ object LlmPipeline {
         |GROUP BY 1""".stripMargin,
     "q21_dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes\n$minhashPairSelect",
+    // Same stopword scores + guess chain as the q22 oracle, collapsed
+    // to (lang, guess) cells with both marginals joined back.
+    "q180_langid_confusion" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      s"""WITH $toksCte, base AS (
+         |  SELECT d.lang,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopEn)}))) AS score_en,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopDe)}))) AS score_de,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopFr)}))) AS score_fr,
+         |    len(list_filter(t.tk, x -> x IN (${inList(StopEs)}))) AS score_es
+         |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+         |), g AS (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+         |      WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |      WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
+         |      WHEN score_es > 0 THEN 'es'
+         |      ELSE 'unknown' END AS lang_guess
+         |  FROM base
+         |), cells AS (
+         |  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+         |  FROM g GROUP BY 1, 2
+         |), t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_truth FROM cells GROUP BY 1),
+         |p AS (SELECT lang_guess, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1)
+         |SELECT c.lang, c.lang_guess, c.n, t.n_truth, p.n_pred,
+         |  c.n * 1000000 // t.n_truth AS truth_share_ppm,
+         |  c.n * 1000000 // p.n_pred AS pred_share_ppm
+         |FROM cells c JOIN t USING (lang) JOIN p USING (lang_guess)""".stripMargin
+    },
     "q22_text_stats" -> {
       def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
       s"""WITH $toksCte, base AS (

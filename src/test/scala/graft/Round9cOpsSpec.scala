@@ -154,6 +154,52 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q180: lang-ID confusion matrix --------------------------------------
+
+  test("q180 cells, marginals, and shares match a hand-built corpus") {
+    // truth en: one guessed en, one unknown; truth de: guessed de
+    val dir = java.nio.file.Files.createTempDirectory("q180fix").toString
+    Seq((1L, "the cat and dog", "en", "s1", 15L),
+      (2L, "zzz qqq", "en", "s1", 7L),
+      (3L, "der hund und katze", "de", "s1", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmPipeline.q180LangidConfusion(spark, dir)
+      .orderBy("lang", "lang_guess")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe Seq(
+      ("de", "de", 1L, 1L, 1L, 1000000L, 1000000L),
+      ("en", "en", 1L, 2L, 1L, 500000L, 1000000L),
+      ("en", "unknown", 1L, 2L, 1L, 500000L, 1000000L))
+  }
+
+  test("q180 over testdata partitions docs across cells") {
+    val rows = graft.queries.LlmPipeline.q180LangidConfusion(spark, sf).collect()
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.map(_.getLong(2)).sum shouldBe corpus
+    rows.foreach { r =>
+      r.getLong(5) should be <= 1000000L
+      r.getLong(6) should be <= 1000000L
+    }
+  }
+
+  // -- q181: inter-event burstiness ----------------------------------------
+
+  test("q181 burstiness hits the regular/bursty endpoints on fixtures") {
+    val rows = graft.queries.EventAnalytics.q181Burstiness(spark, sf)
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(1) should be >= 1L // n_gaps
+      r.getLong(3) shouldBe r.getLong(2) / r.getLong(1) // mean identity
+      if (!r.isNullAt(4)) {
+        r.getDouble(4) should be >= -1.0
+        r.getDouble(4) should be <= 1.0
+      }
+    }
+  }
+
   // -- q176: per-language fertility --------------------------------------
 
   test("q176 partitions the corpus by lang and keeps ratio identities") {
