@@ -609,7 +609,31 @@ object Graph {
           .as("q_contrib_e6"))
   }
 
+  // -- q183: dup-cluster size profile ------------------------------------
+
+  /** DEDUP YIELD REPORT — the histogram a curation run publishes after
+    * clustering (q55): for each cluster size, how many clusters, how
+    * many documents they hold, and how many rows dedup will REMOVE
+    * (size−1 per cluster) — the number the storage/budget forecast
+    * actually needs, and the distribution whose heavy tail flags
+    * template/mirror explosions. Rides q55's keeper rows (exactly one
+    * per cluster, carrying the size), so the profile is one
+    * map-combined aggregate over |clusters| rows.
+    *
+    * Per the q55 contract, unpaired singleton documents are not
+    * clustered and so not counted — the report covers the documents
+    * dedup would touch. */
+  val q183ClusterProfile: Q = (s, d) =>
+    q55DupClusters(s, d)
+      .filter(col("is_keeper"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+
   val defs: Map[String, Q] = Map(
+    "q183_cluster_profile" -> q183ClusterProfile,
     "q175_modularity" -> q175Modularity,
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
@@ -840,6 +864,30 @@ object Graph {
         |           // (deg.deg * (deg.deg - 1))
         |    ELSE 0 END AS clustering_e6
         |FROM deg LEFT JOIN corners ON corners.node = deg.node""".stripMargin,
+    // q55's reachability-closure oracle, collapsed to per-size rows
+    // over the one-keeper-per-cluster relation.
+    "q183_cluster_profile" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |), sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1
+         |)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+         |FROM sz GROUP BY 1""".stripMargin,
     // Reachability fixpoint per node (recursive CTE), then min label —
     // algorithmically independent of the Spark pointer-doubling loop.
     "q55_dup_clusters" ->

@@ -976,6 +976,44 @@ object LlmPipeline {
         .filter(length(col("tok")) > 0),
       MgCapacity)
 
+  // -- q182: cross-source near-dup matrix ----------------------------
+
+  /** NEAR-DUP CONTAMINATION MATRIX — q115 measures raw shingle overlap
+    * between feeds; this measures the thing a curator acts on: how
+    * many VERIFIED near-duplicate pairs (q21's LSH + exact-Jaccard
+    * relation, reused verbatim) fall within and across each source
+    * pair, normalized by the possible-pair count (n·(n−1)/2 within,
+    * n_a·n_b across) into a ppm rate — the "which feeds are mirroring
+    * each other" report that drives source-level dedup ordering.
+    *
+    * Scale: q21's pair plan (LSH-bucketed, never all-pairs), two keyed
+    * joins to attach sources, one map-combined count to ≤|S|² cells,
+    * then two BROADCAST |S|-row total joins. */
+  val q182NeardupSourceMatrix: Q = (s, d) => {
+    val pairs = q21DedupMinhashLsh(s, d).select("doc_a", "doc_b")
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val tot = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    cells
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n_docs").as("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n_docs").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("n_a"), col("n_b"),
+        expr("CASE WHEN src_a = src_b THEN n_a * (n_a - 1) div 2 " +
+          "ELSE n_a * n_b END").as("possible_pairs"))
+      .withColumn("pair_ppm",
+        expr("n_pairs * 1000000 div possible_pairs"))
+  }
+
   // -- q180: lang-ID confusion matrix --------------------------------
 
   /** LANG-ID EVALUATION — the confusion matrix + per-cell shares that
@@ -1008,6 +1046,7 @@ object LlmPipeline {
   // -- registry ------------------------------------------------------
 
   val defs: Map[String, Q] = Map(
+    "q182_neardup_source_matrix" -> q182NeardupSourceMatrix,
     "q180_langid_confusion" -> q180LangidConfusion,
     "q169_heavy_tokens" -> q169HeavyTokens,
     "q101_knn_graph" -> q101KnnGraph,
@@ -1282,6 +1321,35 @@ object LlmPipeline {
         |GROUP BY 1""".stripMargin,
     "q21_dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes\n$minhashPairSelect",
+    // q21's pair CTEs verbatim, then the same source mapping, ordered
+    // cell key, and possible-pair normalizer.
+    "q182_neardup_source_matrix" ->
+      s"""WITH $minhashPairCtes, pairs AS (
+         |  $minhashPairSelect
+         |), src AS (SELECT doc_id, source FROM documents),
+         |tot AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM src GROUP BY 1
+         |), ps AS (
+         |  SELECT least(a.source, b.source) AS src_a,
+         |    greatest(a.source, b.source) AS src_b
+         |  FROM pairs p
+         |  JOIN src a ON p.doc_a = a.doc_id
+         |  JOIN src b ON p.doc_b = b.doc_id
+         |), m AS (
+         |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM ps GROUP BY 1, 2
+         |)
+         |SELECT m.src_a, m.src_b, m.n_pairs,
+         |  ta.n_docs AS n_a, tb.n_docs AS n_b,
+         |  CASE WHEN m.src_a = m.src_b THEN ta.n_docs * (ta.n_docs - 1) // 2
+         |    ELSE ta.n_docs * tb.n_docs END AS possible_pairs,
+         |  m.n_pairs * 1000000 // (CASE WHEN m.src_a = m.src_b
+         |    THEN ta.n_docs * (ta.n_docs - 1) // 2
+         |    ELSE ta.n_docs * tb.n_docs END) AS pair_ppm
+         |FROM m
+         |JOIN tot ta ON ta.source = m.src_a
+         |JOIN tot tb ON tb.source = m.src_b""".stripMargin,
     // Same stopword scores + guess chain as the q22 oracle, collapsed
     // to (lang, guess) cells with both marginals joined back.
     "q180_langid_confusion" -> {

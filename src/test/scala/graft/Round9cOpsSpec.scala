@@ -200,6 +200,35 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q182: cross-source near-dup matrix ----------------------------------
+
+  test("q182 cells account for every q21 pair with ordered keys and sane rates") {
+    val nPairs = graft.queries.LlmPipeline
+      .q21DedupMinhashLsh(spark, sf).count()
+    val rows = graft.queries.LlmPipeline
+      .q182NeardupSourceMatrix(spark, sf).collect()
+    rows.map(_.getLong(2)).sum shouldBe nPairs // cells partition the pairs
+    rows.foreach { r =>
+      r.getString(0) should be <= r.getString(1) // ordered cell key
+      r.getLong(2) should be <= r.getLong(5) // n_pairs ≤ possible_pairs
+      r.getLong(6) shouldBe r.getLong(2) * 1000000L / r.getLong(5)
+    }
+  }
+
+  // -- q183: dup-cluster size profile ---------------------------------------
+
+  test("q183 histogram reconciles with q55's cluster relation") {
+    val clusters = graft.queries.Graph.q55DupClusters(spark, sf)
+    val rows = graft.queries.Graph.q183ClusterProfile(spark, sf).collect()
+    rows.map(_.getLong(1)).sum shouldBe
+      clusters.filter(col("is_keeper")).count() // one keeper per cluster
+    rows.map(_.getLong(2)).sum shouldBe clusters.count() // docs covered
+    rows.foreach { r =>
+      r.getLong(0) should be >= 2L // no singleton clusters by contract
+      r.getLong(3) shouldBe (r.getLong(0) - 1L) * r.getLong(1)
+    }
+  }
+
   // -- q176: per-language fertility --------------------------------------
 
   test("q176 partitions the corpus by lang and keeps ratio identities") {
