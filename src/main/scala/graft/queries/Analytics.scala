@@ -1066,7 +1066,48 @@ object Analytics {
         sum(col("qty")).as("qty_in_top_months"))
   }
 
+  // -- q185: order-to-ship latency percentiles ---------------------------
+
+  /** FULFILLMENT-LATENCY SLA REPORT — per order priority, the exact
+    * p50/p90/p99 of order-to-ship days plus the e3 mean: the
+    * operational-latency profile every SLA review reads, computed
+    * RANK-EXACT with zero full sorts (the q41 percentile discipline):
+    * one keyed fact join, one map-combined (priority, days) frequency
+    * relation — days are calendar-bounded, so the windows below run
+    * over ~|priorities|·|days| rows, never line items — then a
+    * running-count window and integer rank predicates (2·run ≥ n
+    * etc.), no interpolation, no float. */
+  val q185ShipLatency: Q = (s, d) => {
+    val lat = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate"), col("o_orderpriority")), Seq("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("days"))
+    val freq = lat.groupBy("priority", "days").agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy("priority").orderBy("days")
+    val wAll = Window.partitionBy("priority")
+    freq
+      .withColumn("running", sum(col("cnt")).over(wRun))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("sumd", sum(col("days") * col("cnt")).over(wAll))
+      .groupBy("priority")
+      .agg(max(col("n")).as("n_items"),
+        max(col("sumd")).as("sum_days"),
+        min(when(col("running") * 2 >= col("n"), col("days")))
+          .as("p50_days"),
+        min(when(col("running") * 10 >= col("n") * 9, col("days")))
+          .as("p90_days"),
+        min(when(col("running") * 100 >= col("n") * 99, col("days")))
+          .as("p99_days"))
+      .select(col("priority"), col("n_items"),
+        expr("sum_days * 1000 div n_items").as("mean_days_e3"),
+        col("p50_days"), col("p90_days"), col("p99_days"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q185_ship_latency" -> q185ShipLatency,
     "q179_persistent_topk" -> q179PersistentTopk,
     "q160_theil_sen" -> q160TheilSen,
     "q156_abc_classes" -> q156AbcClasses,
@@ -1104,6 +1145,32 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same calendar-day difference, same frequency relation and
+    // integer rank predicates.
+    "q185_ship_latency" ->
+      s"""WITH lat AS (
+         |  SELECT o.o_orderpriority AS priority,
+         |    CAST(date_diff('day', o.o_orderdate, CAST(l.l_shipdate AS DATE))
+         |      AS BIGINT) AS days
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), freq AS (
+         |  SELECT priority, days, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lat GROUP BY 1, 2
+         |), runs AS (
+         |  SELECT priority, days, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY days)
+         |      AS BIGINT) AS running,
+         |    CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n,
+         |    CAST(sum(days * cnt) OVER (PARTITION BY priority)
+         |      AS BIGINT) AS sumd
+         |  FROM freq
+         |)
+         |SELECT priority, max(n) AS n_items,
+         |  max(sumd) * 1000 // max(n) AS mean_days_e3,
+         |  min(CASE WHEN running * 2 >= n THEN days END) AS p50_days,
+         |  min(CASE WHEN running * 10 >= n * 9 THEN days END) AS p90_days,
+         |  min(CASE WHEN running * 100 >= n * 99 THEN days END) AS p99_days
+         |FROM runs GROUP BY 1""".stripMargin,
     // Window restatement of the map-side TopK (same (qty desc, key asc)
     // tiebreak — TopKSpec pins the aggregator ≡ window equivalence).
     "q179_persistent_topk" ->

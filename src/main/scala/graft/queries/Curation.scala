@@ -1146,7 +1146,61 @@ object Curation {
         expr("n_bytes * 1000 div n_chars").as("bytes_per_char_e3"),
         expr("n_tokens * 1000 div n_docs").as("tokens_per_doc_e3"))
 
+  // -- q184: token-budget waterfilling ------------------------------------
+
+  /** Budget as a fraction of the corpus: B = Σtokens div 2. */
+  private val WaterfillBudgetDen = 2L
+
+  /** TOKEN-BUDGET WATERFILLING — the allocation step between q68's
+    * temperature weights and an actual training run: given per-source
+    * token counts and a total budget B, cap every source at the common
+    * water level c = max level with Σ min(n_s, c) ≤ B, so small
+    * sources keep everything and the largest feeds absorb the cut —
+    * the standard per-source contribution cap of corpus curation,
+    * solved EXACTLY in integers: sort sources by n asc, prefix-sum,
+    * and for each boundary k the candidate level is
+    * c_k = (B − P_k) div (S − k); the valid boundary is the largest k
+    * with c_k ≥ n_k, found with one window pass over the |S|-row
+    * relation. The chosen level is a driver-hosted scalar (q61
+    * convention) entering the allocation projection as a literal.
+    *
+    * Scale: one map-combined per-source token aggregate (the q176
+    * leg), then everything runs on |sources| rows. */
+  val q184TokenWaterfill: Q = (s, d) => {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+      .transform(graft.ops.SharedCache.persist) // level scan + allocation
+    val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val total = perSrc.agg(sum(col("n_tokens"))).head().getLong(0)
+    val budget = total / WaterfillBudgetDen
+    val nSrc = perSrc.count()
+    // ascending boundary scan over the |S|-row relation (the global
+    // window is declared tiny — |sources| rows, never data-sized):
+    // with k = rn−1 sources fully kept below the level, the candidate
+    // level is (B − P_k) div (S − k); the FIRST row whose own size the
+    // level cannot reach is the waterfill boundary (standard argument:
+    // earlier rows overshoot, later ones double-count the cut)
+    val capRow = perSrc
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pk", coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ck", expr(s"(${budget}L - pk) div (${nSrc}L - (rn - 1L))"))
+      .filter(col("ck") < col("n_tokens"))
+      .agg(min_by(col("ck"), col("rn")).as("cap"))
+      .head()
+    // B ≥ total ⇒ no boundary: nothing is capped
+    val cap = if (capRow.isNullAt(0)) total else capRow.getLong(0)
+    perSrc.select(col("source"), col("n_tokens"),
+      least(col("n_tokens"), lit(cap)).as("alloc_tokens"),
+      (col("n_tokens") > cap).as("is_capped"),
+      lit(cap).as("water_level"),
+      expr(s"least(n_tokens, ${cap}L) * 1000000 div ${total}L")
+        .as("alloc_share_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q184_token_waterfill" -> q184TokenWaterfill,
     "q176_token_fertility" -> q176TokenFertility,
     "q172_source_datacard" -> q172SourceDatacard,
     "q165_bpe_merges" -> q165BpeMerges,
@@ -1599,6 +1653,43 @@ object Curation {
          |   OR (n_tokens >= 10 AND CAST(round(1e6 * CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) > 130000)) AS is_repetitive
          |FROM m JOIN top ON m.doc_id = top.doc_id""".stripMargin,
     "q47_decontaminate" -> decontamOracleSql,
+    // Same per-source token sums, same ascending boundary scan and
+    // first-infeasible-row level pick (min_by over rn), same
+    // truncating allocation math; the engine's driver-hosted scalars
+    // (B, S, cap) are recomputed as CTEs here.
+    "q184_token_waterfill" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS s
+         |  FROM per
+         |), lv AS (
+         |  SELECT p.n_tokens,
+         |    CAST(row_number() OVER (ORDER BY p.n_tokens ASC, p.source ASC)
+         |      AS BIGINT) AS rn,
+         |    CAST(coalesce(sum(p.n_tokens) OVER (
+         |      ORDER BY p.n_tokens ASC, p.source ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pk,
+         |    t.total, t.s
+         |  FROM per p CROSS JOIN tot t
+         |), cap AS (
+         |  SELECT coalesce(
+         |    (SELECT min_by(ck, rn) FROM (
+         |       SELECT rn, n_tokens,
+         |         ((total // $WaterfillBudgetDen) - pk) // (s - (rn - 1)) AS ck
+         |       FROM lv) WHERE ck < n_tokens),
+         |    (SELECT total FROM tot)) AS cap
+         |)
+         |SELECT p.source, p.n_tokens,
+         |  least(p.n_tokens, c.cap) AS alloc_tokens,
+         |  p.n_tokens > c.cap AS is_capped,
+         |  c.cap AS water_level,
+         |  least(p.n_tokens, c.cap) * 1000000 // t.total AS alloc_share_ppm
+         |FROM per p CROSS JOIN cap c CROSS JOIN tot t""".stripMargin,
     // Same in-row token length (len of the same split), strlen for
     // UTF-8 bytes (DuckDB's byte-length of VARCHAR, = Spark's
     // octet_length), same e3 floor-division ratios.

@@ -229,6 +229,52 @@ class Round9cOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q184: token-budget waterfilling --------------------------------------
+
+  test("q184 finds the exact water level on the classic 1/10/100 fixture") {
+    // totals 1+10+100 = 111, B = 55: level 44 keeps 1 and 10 whole,
+    // caps the big source (1 + 10 + 44 = 55 = B exactly)
+    val dir = java.nio.file.Files.createTempDirectory("q184fix").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(1), "en", "sA", 2L), (2L, words(10), "en", "sB", 20L),
+      (3L, words(100), "en", "sC", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Curation.q184TokenWaterfill(spark, dir)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    got shouldBe Seq(
+      ("sA", 1L, 1L, false, 44L),
+      ("sB", 10L, 10L, false, 44L),
+      ("sC", 100L, 44L, true, 44L))
+  }
+
+  test("q184 allocation exhausts the budget up to integer remainder") {
+    val rows = graft.queries.Curation.q184TokenWaterfill(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val alloc = rows.map(_.getLong(2)).sum
+    alloc should be <= total / 2 // never exceeds B
+    (total / 2 - alloc) should be < rows.length.toLong // remainder < |S|
+    rows.foreach { r =>
+      r.getLong(2) should be <= r.getLong(1) // alloc ≤ n
+      r.getBoolean(3) shouldBe (r.getLong(1) > r.getLong(4))
+    }
+  }
+
+  // -- q185: ship-latency percentiles ----------------------------------------
+
+  test("q185 percentiles are ordered and cover every line item") {
+    val rows = graft.queries.Analytics.q185ShipLatency(spark, sf).collect()
+    rows.length shouldBe 5 // TPC-H priorities
+    val items = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    rows.map(_.getLong(1)).sum shouldBe items
+    rows.foreach { r =>
+      r.getLong(3) should be <= r.getLong(4) // p50 ≤ p90
+      r.getLong(4) should be <= r.getLong(5) // p90 ≤ p99
+    }
+  }
+
   // -- q176: per-language fertility --------------------------------------
 
   test("q176 partitions the corpus by lang and keeps ratio identities") {
