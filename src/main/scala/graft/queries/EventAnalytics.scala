@@ -1040,7 +1040,64 @@ object EventAnalytics {
       .select("user_id", "n_gaps", "sum_gap", "mean_gap_s", "burstiness")
   }
 
+  // -- q186: first-seen adoption curve -----------------------------------
+
+  /** ADOPTION CURVE — per calendar day, how many users were seen for
+    * the FIRST time and the cumulative distinct-user count up to that
+    * day: the growth curve behind every "users over time" chart,
+    * computed exactly with no per-day DISTINCT re-scan (the naive
+    * formulation distinct-counts an ever-growing prefix per day): one
+    * map-combined per-user MIN day, one |days|-bounded count, one
+    * running-sum window over the tiny day relation. The cumulative
+    * column IS the exact distinct-user count on every day because
+    * first-seen days partition users. */
+  val q186FirstSeenCurve: Q = (s, d) => {
+    val firstDay = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("DAY", col("ts"))).as("day"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum))
+      .select(col("day"), col("n_new"), col("cum_users"))
+  }
+
+  // -- q187: daily value percentile bands --------------------------------
+
+  /** OPERATIONAL PERCENTILE BANDS — per (event type, day), rank-exact
+    * p50/p90 of the event value in cents plus the exact mean: the
+    * latency/spend band chart every ops dashboard draws, computed with
+    * the q41/q185 percentile discipline — a (type, day, cents)
+    * frequency relation (map-combined), a running-count window
+    * per (type, day) group, integer rank predicates — so the only
+    * row-scaled stage is the first partial aggregate and nothing
+    * anywhere does a full sort or interpolates floats. */
+  val q187DailyValueBands: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("v_e2"))
+      .groupBy("event_type", "day", "v_e2").agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy("event_type", "day").orderBy("v_e2")
+    val wAll = Window.partitionBy("event_type", "day")
+    cells
+      .withColumn("running", sum(col("cnt")).over(wRun))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("sv", sum(col("v_e2") * col("cnt")).over(wAll))
+      .groupBy("event_type", "day")
+      .agg(max(col("n")).as("n_events"),
+        max(col("sv")).as("sum_e2"),
+        min(when(col("running") * 2 >= col("n"), col("v_e2")))
+          .as("p50_e2"),
+        min(when(col("running") * 10 >= col("n") * 9, col("v_e2")))
+          .as("p90_e2"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        expr("sum_e2 div n_events").as("mean_e2"),
+        col("p50_e2"), col("p90_e2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q186_first_seen_curve" -> q186FirstSeenCurve,
+    "q187_daily_value_bands" -> q187DailyValueBands,
     "q181_burstiness" -> q181Burstiness,
     "q155_lagged_xcorr" -> q155LaggedXcorr,
     "q150_trend_slope" -> q150TrendSlope,
@@ -1072,6 +1129,41 @@ object EventAnalytics {
   // -- DuckDB oracles ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same per-user MIN day, same day counts and running sum.
+    "q186_first_seen_curve" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS day
+        |  FROM events GROUP BY 1
+        |), per AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fd GROUP BY 1
+        |)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM per""".stripMargin,
+    // Same cents rounding, same frequency relation and rank predicates.
+    "q187_daily_value_bands" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v_e2,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |), runs AS (
+        |  SELECT event_type, day, v_e2, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day ORDER BY v_e2)
+        |      AS BIGINT) AS running,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day)
+        |      AS BIGINT) AS n,
+        |    CAST(sum(v_e2 * cnt) OVER (PARTITION BY event_type, day)
+        |      AS BIGINT) AS sv
+        |  FROM cells
+        |)
+        |SELECT event_type, day, max(n) AS n_events,
+        |  max(sv) // max(n) AS mean_e2,
+        |  min(CASE WHEN running * 2 >= n THEN v_e2 END) AS p50_e2,
+        |  min(CASE WHEN running * 10 >= n * 9 THEN v_e2 END) AS p90_e2
+        |FROM runs GROUP BY 1, 2""".stripMargin,
     // Same (ts, event_id) total order, same truncating second gaps,
     // same exact moment sums, char-identical final double expression.
     "q181_burstiness" ->

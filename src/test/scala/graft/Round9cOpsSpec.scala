@@ -291,4 +291,36 @@ class Round9cOpsSpec extends SparkSpec {
       r.getLong(7) shouldBe nToks * 1000L / nDocs
     }
   }
+
+  // -- q186: first-seen adoption curve -----------------------------------
+
+  test("q186 cumulative curve partitions users by first-seen day") {
+    val rows = graft.queries.EventAnalytics.q186FirstSeenCurve(spark, sf)
+      .orderBy("day").collect()
+    rows.length should be > 0
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    // first-seen days partition users: n_new sums to the distinct count
+    rows.map(_.getLong(1)).sum shouldBe users
+    // cum_users is the exact running sum, ends at the full population
+    rows.foldLeft(0L) { (acc, r) =>
+      val cum = acc + r.getLong(1)
+      r.getLong(2) shouldBe cum
+      cum
+    } shouldBe users
+  }
+
+  // -- q187: daily value percentile bands --------------------------------
+
+  test("q187 bands cover every event with ordered rank-exact cuts") {
+    val rows = graft.queries.EventAnalytics.q187DailyValueBands(spark, sf)
+      .collect()
+    rows.length should be > 0
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.map(_.getLong(2)).sum shouldBe events // cells partition events
+    rows.foreach { r =>
+      r.getLong(4) should be <= r.getLong(5) // p50 ≤ p90
+      r.getLong(3) should be >= 0L // mean_e2: values are non-negative
+    }
+  }
 }
