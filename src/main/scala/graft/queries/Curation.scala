@@ -1199,7 +1199,48 @@ object Curation {
         .as("alloc_share_ppm"))
   }
 
+  // -- q189: length-bucketed batching padding audit ------------------------
+
+  /** Bucket granularity in tokens (sequences pad up to the next
+    * multiple; 64 matches common attention-kernel tile sizes). */
+  private val PadBucket = 64L
+
+  /** PADDING-EFFICIENCY AUDIT — the batching-policy report between
+    * q56's fixed-context packing and an actual training run: when
+    * sequences are batched by length bucket (pad-to-bucket, the
+    * standard dynamic-batching compromise), how many pad tokens does
+    * each bucket burn? Per 64-token bucket: docs, real tokens, bucket
+    * capacity n·bucket_len, padding ppm — and `naive_pad_ppm`, what
+    * the same docs would waste under pad-to-global-max, so the report
+    * directly prices the bucketing policy against the naive collator
+    * (the headline number a data-loader owner acts on).
+    *
+    * Plan: one narrow in-row projection (token count only — the token
+    * array never materializes into rows), one map-combined groupBy on
+    * the ≤|max_len/64|-row bucket key, one global max over that tiny
+    * relation via a single-row broadcast-joined aggregate. Raw text
+    * never shuffles; nothing after the first partial aggregate scales
+    * with rows. */
+  val q189PaddingAudit: Q = (s, d) => {
+    val buckets = Tables.documents(s, d)
+      .select(size(tokens(col("text"))).cast("long").as("t"))
+      .select(col("t"),
+        (((col("t") - 1L) / PadBucket).cast("long") * PadBucket +
+          PadBucket).as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val globalMax = buckets.agg(max(col("bucket_len")).as("max_bucket"))
+    buckets.crossJoin(broadcast(globalMax)) // 1-row global-max spine
+      .select(col("bucket_len"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") * col("bucket_len")).as("capacity"),
+        expr("(n_docs * bucket_len - n_tokens) * 1000000 " +
+          "div (n_docs * bucket_len)").as("pad_ppm"),
+        expr("(n_docs * max_bucket - n_tokens) * 1000000 " +
+          "div (n_docs * max_bucket)").as("naive_pad_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q189_padding_audit" -> q189PaddingAudit,
     "q184_token_waterfill" -> q184TokenWaterfill,
     "q176_token_fertility" -> q176TokenFertility,
     "q172_source_datacard" -> q172SourceDatacard,
@@ -1657,6 +1698,27 @@ object Curation {
     // first-infeasible-row level pick (min_by over rn), same
     // truncating allocation math; the engine's driver-hosted scalars
     // (B, S, cap) are recomputed as CTEs here.
+    // Same tokenizer, same next-multiple-of-64 bucket, same global-max
+    // spine and truncating ppm.
+    "q189_padding_audit" ->
+      s"""WITH toks AS (
+         |  SELECT CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS t
+         |  FROM documents
+         |), buckets AS (
+         |  SELECT ((t - 1) // $PadBucket) * $PadBucket + $PadBucket AS bucket_len,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(t) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1
+         |), mx AS (
+         |  SELECT CAST(max(bucket_len) AS BIGINT) AS max_bucket FROM buckets
+         |)
+         |SELECT bucket_len, n_docs, n_tokens,
+         |  n_docs * bucket_len AS capacity,
+         |  (n_docs * bucket_len - n_tokens) * 1000000
+         |    // (n_docs * bucket_len) AS pad_ppm,
+         |  (n_docs * max_bucket - n_tokens) * 1000000
+         |    // (n_docs * max_bucket) AS naive_pad_ppm
+         |FROM buckets, mx""".stripMargin,
     "q184_token_waterfill" ->
       s"""WITH per AS (
          |  SELECT source,

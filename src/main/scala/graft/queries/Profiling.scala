@@ -924,6 +924,56 @@ object Profiling {
         floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
       .agg(count(lit(1)).as("cls")))
 
+  // -- q188: l-diversity audit ------------------------------------------
+
+  /** Diversity thresholds: a class is "at risk at l" when it holds
+    * fewer than l distinct sensitive values. */
+  private[graft] val LDivThresholds = Seq(2L, 3L, 5L)
+
+  /** L-DIVERSITY AUDIT — the second release-gate privacy check
+    * (Machanavajjhala et al. 2006), closing the gap q173 leaves open:
+    * a class can be k-anonymous yet leak the sensitive attribute
+    * outright when every row in it SHARES that attribute (the
+    * homogeneity attack). Quasi-identifier tuple = (nation,
+    * account-balance band of 1000) — q173's QI minus the segment,
+    * which becomes the SENSITIVE attribute; per class we count rows
+    * and distinct segments, then for each declared l report how many
+    * classes/rows sit below l distinct sensitive values. A release
+    * gate reads `risk_ppm` at its policy l next to q173's k.
+    *
+    * Plan: one two-level aggregate — (QI, segment) cells first (the
+    * exact-distinct discipline of A3/X29: no Expand, no
+    * count(DISTINCT) over raw rows), then the class relation with
+    * `cls` = Σ cell rows and `div` = cell count — followed by the q173
+    * finalizer shape: ONE scalar aggregate folding every threshold and
+    * a constant-width stack unpivot to one row per l. Both aggregate
+    * keys are domain-bounded (25 nations × ~12 bands × 5 segments), so
+    * nothing after the first partial aggregate scales with rows. */
+  val q188LDiversity: Q = (s, d) => {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cell"))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(sum(col("cell")).as("cls"), count(lit(1)).as("div"))
+    val perL = LDivThresholds.flatMap { l =>
+      Seq(sum(when(col("div") < l, col("cls")).otherwise(0L)).as(s"r$l"),
+        sum(when(col("div") < l, 1L).otherwise(0L)).as(s"c$l"))
+    }
+    val stackArgs = LDivThresholds
+      .map(l => s"${l}L, r$l, c$l").mkString(", ")
+    val aggs = Seq(sum(col("cls")).as("n_rows"),
+      count(lit(1)).as("n_classes")) ++ perL
+    classes
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${LDivThresholds.size}, $stackArgs) " +
+        "AS (l, rows_at_risk, classes_at_risk)", "n_rows", "n_classes")
+      .select(col("l"), col("n_rows"), col("n_classes"),
+        col("rows_at_risk"), col("classes_at_risk"),
+        expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+  }
+
   // -- q178: classifier calibration audit (reliability table) -----------
 
   private val CalibBins = 10L
@@ -968,6 +1018,7 @@ object Profiling {
   }
 
   val defs: Map[String, Q] = Map(
+    "q188_l_diversity" -> q188LDiversity,
     "q173_k_anonymity" -> q173KAnonymity,
     "q178_calibration_audit" -> q178CalibrationAudit,
     "q164_merkle_fingerprint" -> q164MerkleFingerprint,
@@ -994,6 +1045,36 @@ object Profiling {
     // Same QI tuple (nation, segment, 1000-band of acctbal), same
     // conditional sums per threshold; the UNION ALL restates the
     // engine's stack unpivot.
+    // Same (QI, segment) cell relation, same class rollup, same
+    // threshold folds and truncating ppm.
+    "q188_l_diversity" -> {
+      val perL = LDivThresholds.map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS l,
+           |  CAST(coalesce(sum(CASE WHEN div < $l THEN cls ELSE 0 END), 0)
+           |    AS BIGINT) AS rows_at_risk,
+           |  CAST(coalesce(sum(CASE WHEN div < $l THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS classes_at_risk
+           |FROM classes""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cells AS (
+         |  SELECT c_nationkey,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |    c_mktsegment, count(*) AS cell
+         |  FROM customer GROUP BY 1, 2, 3
+         |), classes AS (
+         |  SELECT c_nationkey, bal_band,
+         |    CAST(sum(cell) AS BIGINT) AS cls,
+         |    CAST(count(*) AS BIGINT) AS div
+         |  FROM cells GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(cls) AS BIGINT) AS n_rows,
+         |    CAST(count(*) AS BIGINT) AS n_classes
+         |  FROM classes
+         |)
+         |SELECT l, n_rows, n_classes, rows_at_risk, classes_at_risk,
+         |  rows_at_risk * 1000000 // n_rows AS risk_ppm
+         |FROM ($perL), tot""".stripMargin
+    },
     "q173_k_anonymity" -> {
       val perK = KAnonThresholds.map { k =>
         s"""SELECT CAST($k AS BIGINT) AS k,
