@@ -24,7 +24,11 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (wanted.isEmpty || wanted.exists(name.startsWith)) {
         println(s"\n========== $name ==========")
-        fn(spark, sfDir).explain("formatted")
+        // PLAN_SIMPLE=1 prints executedPlan.toString — the exact string
+        // PlanQualitySpec pins against — instead of formatted mode
+        if (sys.env.get("PLAN_SIMPLE").contains("1"))
+          println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+        else fn(spark, sfDir).explain("formatted")
       }
     }
     spark.stop()

@@ -41,8 +41,10 @@ import org.apache.spark.sql.functions._
 object Curation {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace-normalized lowercase tokens (LlmPipeline convention). */
-  private def tokens(c: Column): Column =
+  /** Whitespace-normalized lowercase tokens (LlmPipeline convention;
+    * package-visible so q193's cluster-yield join reuses the exact
+    * same tokenizer). */
+  private[queries] def tokens(c: Column): Column =
     split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
 
   /** Word n-grams as space-joined strings; empty below n tokens.
@@ -1172,7 +1174,10 @@ object Curation {
       .groupBy("source").agg(sum(col("t")).as("n_tokens"))
       .transform(graft.ops.SharedCache.persist) // level scan + allocation
     val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
-    val total = perSrc.agg(sum(col("n_tokens"))).head().getLong(0)
+    // null-safe: sum over an empty corpus is NULL; 0 keeps the empty
+    // relation flowing through instead of an NPE on the driver scalar
+    val total = perSrc.agg(sum(col("n_tokens")))
+      .head() match { case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
     val budget = total / WaterfillBudgetDen
     val nSrc = perSrc.count()
     // ascending boundary scan over the |S|-row relation (the global
@@ -1217,20 +1222,23 @@ object Curation {
     *
     * Plan: one narrow in-row projection (token count only — the token
     * array never materializes into rows), one map-combined groupBy on
-    * the ≤|max_len/64|-row bucket key, one global max over that tiny
-    * relation via a single-row broadcast-joined aggregate. Raw text
-    * never shuffles; nothing after the first partial aggregate scales
-    * with rows. */
+    * the ≤|max_len/64|-row bucket key, then the global max rides an
+    * empty-partition window OVER THAT TINY RELATION (single-partition
+    * window over ≤|max_len/64| aggregated rows — no join node, no
+    * second corpus scan, unlike a crossJoin'd scalar aggregate which
+    * plans as a BroadcastNestedLoopJoin and re-reads the source). Raw
+    * text never shuffles; nothing after the first partial aggregate
+    * scales with rows. */
   val q189PaddingAudit: Q = (s, d) => {
     val buckets = Tables.documents(s, d)
       .select(size(tokens(col("text"))).cast("long").as("t"))
       .select(col("t"),
-        (((col("t") - 1L) / PadBucket).cast("long") * PadBucket +
-          PadBucket).as("bucket_len"))
+        expr(s"((t - 1L) div ${PadBucket}L) * ${PadBucket}L + " +
+          s"${PadBucket}L").as("bucket_len"))
       .groupBy("bucket_len")
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
-    val globalMax = buckets.agg(max(col("bucket_len")).as("max_bucket"))
-    buckets.crossJoin(broadcast(globalMax)) // 1-row global-max spine
+    buckets
+      .withColumn("max_bucket", max(col("bucket_len")).over(Window.partitionBy()))
       .select(col("bucket_len"), col("n_docs"), col("n_tokens"),
         (col("n_docs") * col("bucket_len")).as("capacity"),
         expr("(n_docs * bucket_len - n_tokens) * 1000000 " +
@@ -1239,7 +1247,101 @@ object Curation {
           "div (n_docs * max_bucket)").as("naive_pad_ppm"))
   }
 
+  // -- q190: per-source vocabulary concentration profile -------------
+
+  /** Head-coverage rank cutoffs for the concentration report. */
+  private val VocabHeadRanks = Seq(1L, 10L, 100L)
+
+  /** VOCABULARY CONCENTRATION — the corpus-linguistics health panel a
+    * curation run reads per source before trusting it: type-token
+    * ratio (low = templated/repetitive feed), head coverage (what
+    * share of all tokens the top-1/10/100 types absorb — boilerplate
+    * and stopword saturation), and hapax rates (high hapax share =
+    * noisy OCR/spam tails; near-zero = de-duplicated boilerplate).
+    * All ratios exact integer ppm — no logs, no floats — so the
+    * report is engine-exact where a Zipf-slope fit would be libm-
+    * dependent.
+    *
+    * Plan: raw text dies at the first map-combined (source, token)
+    * count; the rank window runs per source OVER THE VOCAB RELATION
+    * (Zipf-small — the q60/q149 declared per-group window limit), and
+    * the final aggregate is |sources| rows. Head-cutoff ties are
+    * deterministic by the (count desc, token asc) rank order, so both
+    * engines pick the same boundary token. */
+  val q190VocabConcentration: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)
+    val headAggs = VocabHeadRanks.map { r =>
+      sum(when(col("rnk") <= r, col("cnt")).otherwise(0L)).as(s"top$r")
+    }
+    val aggs = Seq(sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax")) ++ headAggs
+    tf.withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("vocab * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("top1 * 1000000 div n_tokens").as("top1_ppm"),
+        expr("top10 * 1000000 div n_tokens").as("top10_ppm"),
+        expr("top100 * 1000000 div n_tokens").as("top100_ppm"),
+        expr("hapax * 1000000 div n_tokens").as("hapax_tok_ppm"),
+        expr("hapax * 1000000 div vocab").as("hapax_vocab_ppm"))
+  }
+
+  // -- q192: context-length policy sweep ------------------------------
+
+  /** Candidate training context lengths (tokens). */
+  private val CtxLengths = Seq(512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** CONTEXT-LENGTH POLICY SWEEP — the one table a training-run owner
+    * reads when choosing the context window: for each candidate L,
+    * what does each collator policy cost on THIS corpus?
+    *  - truncate-to-L: docs that fit whole, docs cut, tokens LOST
+    *    (trunc ppm — the irreversible one);
+    *  - pad-to-L (one doc per sequence): pad-token waste ppm of the
+    *    padded capacity n_docs·L;
+    *  - concat-and-chunk packing (q56's policy, split allowed): exact
+    *    sequence count ⌈Σt/L⌉ and its tail-waste ppm.
+    * Sibling of q189 (which prices bucketing at fixed 64-grain); this
+    * prices the WINDOW SIZE itself across policies.
+    *
+    * Plan: one narrow token-count projection, ONE scalar map-combined
+    * aggregate folding every L (conditional sums — the q173 finalizer
+    * discipline), then a constant-width stack unpivot to |L| rows.
+    * Nothing after the first partial aggregate scales with rows. */
+  val q192ContextSweep: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(size(tokens(col("text"))).cast("long").as("t"))
+    val perL = CtxLengths.flatMap { l => Seq(
+      sum(when(col("t") <= l, 1L).otherwise(0L)).as(s"fit$l"),
+      sum(when(col("t") > l, col("t") - l).otherwise(0L)).as(s"trunc$l"),
+      sum(lit(l) - least(col("t"), lit(l))).as(s"pad$l")) }
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens")) ++ perL
+    val stackArgs = CtxLengths
+      .map(l => s"${l}L, fit$l, trunc$l, pad$l").mkString(", ")
+    t.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${CtxLengths.size}, $stackArgs) " +
+        "AS (ctx_len, fit_docs, trunc_tokens, pad_tokens)",
+        "n_docs", "n_tokens")
+      .select(col("ctx_len"), col("n_docs"), col("n_tokens"),
+        col("fit_docs"), (col("n_docs") - col("fit_docs")).as("cut_docs"),
+        col("trunc_tokens"),
+        expr("trunc_tokens * 1000000 div n_tokens").as("trunc_ppm"),
+        col("pad_tokens"),
+        expr("pad_tokens * 1000000 div (n_docs * ctx_len)").as("pad_waste_ppm"),
+        expr("(n_tokens + ctx_len - 1) div ctx_len").as("packed_seqs"),
+        expr("(((n_tokens + ctx_len - 1) div ctx_len) * ctx_len - n_tokens) " +
+          "* 1000000 div (((n_tokens + ctx_len - 1) div ctx_len) * ctx_len)")
+          .as("pack_waste_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q192_context_sweep" -> q192ContextSweep,
+    "q190_vocab_concentration" -> q190VocabConcentration,
     "q189_padding_audit" -> q189PaddingAudit,
     "q184_token_waterfill" -> q184TokenWaterfill,
     "q176_token_fertility" -> q176TokenFertility,
@@ -1698,8 +1800,70 @@ object Curation {
     // first-infeasible-row level pick (min_by over rn), same
     // truncating allocation math; the engine's driver-hosted scalars
     // (B, S, cap) are recomputed as CTEs here.
-    // Same tokenizer, same next-multiple-of-64 bucket, same global-max
-    // spine and truncating ppm.
+    // Same tokenizer, same (count desc, token asc) deterministic rank,
+    // same head cutoffs and truncating ppm ratios.
+    "q190_vocab_concentration" ->
+      s"""WITH tf AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT source,
+         |      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+         |    FROM documents)
+         |  WHERE len(tok) > 0 GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rnk
+         |  FROM tf
+         |), agg AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |    CAST(sum(CASE WHEN rnk <= 1 THEN cnt ELSE 0 END) AS BIGINT) AS top1,
+         |    CAST(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10,
+         |    CAST(sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS BIGINT) AS top100
+         |  FROM ranked GROUP BY 1
+         |)
+         |SELECT source, n_tokens, vocab,
+         |  vocab * 1000000 // n_tokens AS ttr_ppm,
+         |  top1 * 1000000 // n_tokens AS top1_ppm,
+         |  top10 * 1000000 // n_tokens AS top10_ppm,
+         |  top100 * 1000000 // n_tokens AS top100_ppm,
+         |  hapax * 1000000 // n_tokens AS hapax_tok_ppm,
+         |  hapax * 1000000 // vocab AS hapax_vocab_ppm
+         |FROM agg""".stripMargin,
+    // Same tokenizer, same per-L conditional sums, same ceil-division
+    // ⌈Σt/L⌉ packing identity and truncating ppm; the engine's stack
+    // unpivot is restated as UNION ALL rows over the 1-row aggregate.
+    "q192_context_sweep" -> {
+      val perL = CtxLengths.map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS ctx_len, n_docs, n_tokens, fit$l AS fit_docs,
+           |  n_docs - fit$l AS cut_docs, trunc$l AS trunc_tokens,
+           |  trunc$l * 1000000 // n_tokens AS trunc_ppm,
+           |  pad$l AS pad_tokens,
+           |  pad$l * 1000000 // (n_docs * $l) AS pad_waste_ppm,
+           |  (n_tokens + $l - 1) // $l AS packed_seqs,
+           |  (((n_tokens + $l - 1) // $l) * $l - n_tokens) * 1000000
+           |    // (((n_tokens + $l - 1) // $l) * $l) AS pack_waste_ppm
+           |FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val sums = CtxLengths.map { l =>
+        s"""CAST(sum(CASE WHEN t <= $l THEN 1 ELSE 0 END) AS BIGINT) AS fit$l,
+           |    CAST(sum(CASE WHEN t > $l THEN t - $l ELSE 0 END) AS BIGINT) AS trunc$l,
+           |    CAST(sum($l - least(t, $l)) AS BIGINT) AS pad$l""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS t
+         |  FROM documents
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(t) AS BIGINT) AS n_tokens,
+         |    $sums
+         |  FROM toks
+         |)
+         |$perL""".stripMargin
+    },
+    // Same tokenizer, same next-multiple-of-64 bucket, same truncating
+    // ppm; the engine's empty-partition window max is restated here as
+    // a 1-row CTE joined back (values identical either way).
     "q189_padding_audit" ->
       s"""WITH toks AS (
          |  SELECT CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS t

@@ -199,8 +199,14 @@ object Graph {
     * node-count scalar is driver-hosted control plane like q61's
     * corpus stats). */
   /** The static shipment-graph relations shared by q90/q90b: the
-    * checkpointed distinct edge list, the node universe, and the
-    * degree-annotated edges. */
+    * distinct edge list, the node universe, and the degree-annotated
+    * edges. Registered in [[graft.ops.SharedCache]] (not checkpointed):
+    * the two consumers build byte-identical plans, so Spark's
+    * CacheManager canonicalizes them onto ONE cache entry each and
+    * q90b reuses q90's materialized graph instead of re-deriving it —
+    * the same cross-query sharing as the shingle/gram relations. The
+    * 2-iteration unroll keeps lineage bounded, so no lineage cut is
+    * needed (q144's unbounded-loop discipline doesn't apply). */
   private def shipmentGraph(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import graft.Tables
@@ -210,13 +216,13 @@ object Graph {
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("c"), col("o_custkey")).as("dst"))
       .distinct()
-      .transform(graft.ops.Checkpoints.cut) // reused by nodes, outdeg, and both iterations
+      .transform(graft.ops.SharedCache.persist) // reused by nodes, outdeg, both iterations, and q90b
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .transform(graft.ops.Checkpoints.cut)
+      .transform(graft.ops.SharedCache.persist)
     val wedges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .transform(graft.ops.Checkpoints.cut) // static (src, dst, deg), built once
+      .transform(graft.ops.SharedCache.persist) // static (src, dst, deg), built once
     (edges, nodes, wedges)
   }
 
@@ -266,7 +272,7 @@ object Graph {
     val r0 = 1000000000L / n
     val base = 150000000L / n
     val srcs = edges.select(col("src").as("node")).distinct()
-      .transform(graft.ops.Checkpoints.cut) // both dangling passes
+      .transform(graft.ops.SharedCache.persist) // both dangling passes; derives from the cached edges
     val nDangling = nodes.join(srcs, Seq("node"), "left_anti").count()
     val share1 = r0 * nDangling / n // uniform start: closed form
     val r1 = prStep(nodes, wedges, base, share1)(
@@ -347,7 +353,7 @@ object Graph {
     * expansion — one shuffle on l_orderkey, no self-join on raw
     * lineitem. Shared by q121 (triangles, ≥2 support) and q138
     * (k-core, all pairs). */
-  private def copurchaseEdges(s: SparkSession, d: String, minSupport: Int): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, d: String, minSupport: Int): DataFrame = {
     import graft.Tables
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -516,7 +522,21 @@ object Graph {
 
   // -- q162: label-propagation communities ------------------------------
 
-  private val LpaRounds = 2
+  /** Fixed synchronous LPA round count — the DEFINED semantics, not a
+    * convergence approximation, because a fixpoint does not exist for
+    * synchronous LPA: Raghavan et al. 2007 §3 show label oscillation
+    * on (near-)bipartite structures, and it is measured here — at
+    * sf0.01 the co-purchase graph 2-cycles indefinitely (~1700 labels
+    * flip between consecutive rounds from round 5 on, lag-2 diff ~300
+    * and slowly decaying; a deterministic self-vote damping was tried
+    * and rejected — through the doubled adjacency the node's own label
+    * gets two votes and LPA freezes into the identity at round 1). 4
+    * rounds is the measured FIXPOINT at sf0.001 (round 5 is a no-op —
+    * Round9OpsSpec pins that witness so deeper community structure in
+    * regenerated testdata fails loudly, the q138 lesson) and the
+    * documented fixed-round contract at larger sf, the q90
+    * fixed-iteration convention. */
+  private[graft] val LpaRounds = 4
 
   /** Synchronous deterministic label propagation over an undirected
     * edge relation: every node starts as its own label; each round it
@@ -549,7 +569,7 @@ object Graph {
     lbl
   }
 
-  /** COMMUNITY DETECTION: 2-round deterministic LPA over the q121
+  /** COMMUNITY DETECTION: [[LpaRounds]]-round deterministic LPA over the q121
     * co-purchase graph — the mesoscale complement of the family: q55
     * finds CONNECTED components (too coarse — one giant blob), q138
     * the dense CORE (too strict — one subgraph), LPA the frequency-
@@ -632,7 +652,44 @@ object Graph {
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
 
+  // -- q193: dedup token-yield forecast ----------------------------------
+
+  /** DEDUP TOKEN-YIELD FORECAST — q183 counts removable ROWS; this
+    * prices them in the unit the training budget is written in:
+    * per source, how many TOKENS dedup will remove (the non-keeper
+    * rows of q55's clusters) and the yield ppm — the number that
+    * decides whether a feed's dedup pass pays for itself, and the
+    * per-source mirror-share signal (a feed whose token yield ≫ its
+    * doc yield is mirroring its LONGEST documents).
+    *
+    * Plan: one narrow (doc_id, source, token count) projection — raw
+    * text never leaves the scan — left-joined BY DOC ID to q55's
+    * non-keeper rows (the cluster relation is |clustered docs|, far
+    * smaller than the corpus; AQE broadcasts it when it fits), then
+    * one map-combined |sources|-row aggregate. The cluster derivation
+    * itself rides q21's SharedCache'd signature relations. */
+  val q193DedupYield: Q = (s, d) => {
+    val toks = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Curation.tokens(col("text"))).cast("long").as("t"))
+    val removable = q55DupClusters(s, d)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id"), lit(1L).as("rm"))
+    toks.join(removable, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("removable_docs"),
+        sum(when(col("rm").isNotNull, col("t")).otherwise(0L))
+          .as("removable_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("removable_docs"), col("removable_tokens"),
+        expr("removable_docs * 1000000 div n_docs").as("doc_yield_ppm"),
+        expr("removable_tokens * 1000000 div n_tokens").as("token_yield_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q193_dedup_yield" -> q193DedupYield,
     "q183_cluster_profile" -> q183ClusterProfile,
     "q175_modularity" -> q175Modularity,
     "q55_dup_clusters" -> q55DupClusters,
@@ -864,6 +921,41 @@ object Graph {
         |           // (deg.deg * (deg.deg - 1))
         |    ELSE 0 END AS clustering_e6
         |FROM deg LEFT JOIN corners ON corners.node = deg.node""".stripMargin,
+    // q55's closure CTEs verbatim; non-keepers are the clustered docs
+    // whose id is not their component's min label; same tokenizer as
+    // every token query, same truncating ppm.
+    "q193_dedup_yield" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |), rm AS (
+         |  SELECT doc_id FROM comp WHERE doc_id <> cluster_id
+         |), ytoks AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS t
+         |  FROM documents
+         |), agg AS (
+         |  SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(k.t) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS removable_docs,
+         |    CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN k.t ELSE 0 END) AS BIGINT) AS removable_tokens
+         |  FROM ytoks k LEFT JOIN rm r ON r.doc_id = k.doc_id
+         |  GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_tokens, removable_docs, removable_tokens,
+         |  removable_docs * 1000000 // n_docs AS doc_yield_ppm,
+         |  removable_tokens * 1000000 // n_tokens AS token_yield_ppm
+         |FROM agg""".stripMargin,
     // q55's reachability-closure oracle, collapsed to per-size rows
     // over the one-keeper-per-cluster relation.
     "q183_cluster_profile" ->

@@ -947,8 +947,10 @@ object LlmPipeline {
       (keys.iterator ++ Iterator(("" , n)))
     }.toDF("tok", "n")
       .localCheckpoint(true) // ≤ m+1 rows per partition; read twice
+    // sum over zero sentinel rows is NULL (empty token relation) — read
+    // it null-safely so the threshold degrades to 1 instead of an NPE
     val nTotal = sk.filter(col("tok") === "").agg(sum(col("n")))
-      .head().getLong(0)
+      .head() match { case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
     val thresh = nTotal / m + 1 // strictly > N/m: the MG completeness bound
     val cands = sk.filter(col("tok") =!= "").select("tok").distinct()
     toks.join(broadcast(cands), Seq("tok"), "left_semi")

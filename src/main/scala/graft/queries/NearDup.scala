@@ -360,6 +360,45 @@ object NearDup {
     graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
   }
 
+  // -- q191: IVF index-balance audit ----------------------------------
+
+  /** IVF CELL-BALANCE AUDIT — the index-health report an ANN deploy
+    * reads before trusting q33/q114's cell-probed recall and latency:
+    * per coarse cell, member count, corpus share ppm, and the load
+    * factor in e6 (n·K·1e6 div N — 1e6 = perfectly balanced; a hot
+    * cell ≫ 1e6 means probe latency blows up on it, empty cells mean
+    * wasted list heads and recall risk from over-concentration
+    * elsewhere). Uses EXACTLY q33's deterministic assignment (same
+    * centroids, same cosine, same (cos desc, id asc) argmax), so the
+    * audit describes the index q33 actually probes.
+    *
+    * Plan: q33's bounded K-row broadcast assignment (declared
+    * nested-loop, same allowance), one map-combined per-cell count,
+    * then a left join of the ≤K-row centroid relation onto the counts
+    * and an empty-partition window total over ≤K rows (the q189
+    * discipline — no driver action, no corpus rescan). */
+  val q191IvfBalance: Q = (s, d) => {
+    val e = quantized(s, d)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val counts = e.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .groupBy(col("c_id").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    cents.select(col("c_id").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"))
+      .withColumn("n_total",
+        sum(col("n_members")).over(Window.partitionBy()))
+      .select(col("cell"), col("n_members"),
+        expr("n_members * 1000000 div n_total").as("share_ppm"),
+        expr(s"n_members * $IvfCells * 1000000 div n_total").as("load_e6"))
+  }
+
   // -- q114: IVF-PQ ANN (compressed-index scale path) ----------------
 
   private val PqM = 16    // subspaces (64 dims / 4)
@@ -961,6 +1000,7 @@ object NearDup {
     "q31_dedup_simhash" -> q31DedupSimhash,
     "q32_dedup_embed_cosine" -> q32DedupEmbedCosine,
     "q33_ann_ivf" -> q33AnnIvf,
+    "q191_ivf_balance" -> q191IvfBalance,
     "q114_ann_ivf_pq" -> q114AnnIvfPq,
     "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard,
     "q57_kmeans_cluster" -> q57KmeansCluster,
@@ -1424,6 +1464,29 @@ object NearDup {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
          |  FROM scored
          |) WHERE rank <= 5""".stripMargin,
+    // q33's assignment CTEs verbatim, collapsed to per-cell counts;
+    // same left join onto the centroid ids (empty cells → 0), total
+    // restated as a scalar subquery over the same count relation.
+    "q191_ivf_balance" ->
+      s"""WITH $quantCte, cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
+         |), cell_scores AS (
+         |  SELECT e.vec_id, c.c_id,
+         |    ${cosSql(dotSql("e.q", "c.cq"), "e.s2", "c.cs2")} AS c_cos
+         |  FROM ev e CROSS JOIN cents c
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crank
+         |  FROM cell_scores
+         |), cellcnt AS (
+         |  SELECT c_id AS cell, CAST(count(*) AS BIGINT) AS n
+         |  FROM ranked WHERE crank = 1 GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cellcnt
+         |)
+         |SELECT c.c_id AS cell, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members,
+         |  COALESCE(n.n, 0) * 1000000 // t.n_total AS share_ppm,
+         |  COALESCE(n.n, 0) * $IvfCells * 1000000 // t.n_total AS load_e6
+         |FROM cents c LEFT JOIN cellcnt n ON n.cell = c.c_id, tot t""".stripMargin,
     // q114: assignment → PQ encoding → probe → ADC, restated
     // relationally; integer L2 everywhere, ties to the lowest id, so
     // every PQ approximation artifact must reproduce bit-for-bit.

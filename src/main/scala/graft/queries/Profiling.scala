@@ -949,13 +949,15 @@ object Profiling {
     * a constant-width stack unpivot to one row per l. Both aggregate
     * keys are domain-bounded (25 nations × ~12 bands × 5 segments), so
     * nothing after the first partial aggregate scales with rows. */
-  val q188LDiversity: Q = (s, d) => {
-    val classes = Tables.customer(s, d)
-      .groupBy(col("c_nationkey"),
-        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
-        col("c_mktsegment"))
-      .agg(count(lit(1)).as("cell"))
-      .groupBy("c_nationkey", "bal_band")
+  /** Shared finalizer for q188 and its streaming twin: the
+    * per-threshold diversity risk report over (q1, q2, sens, cell)
+    * sensitive-value cells — cells merge by `+` under any chunking
+    * (the kanonFromSizes re-aggregation contract), so the streaming
+    * monitor maintains cells and re-runs THIS code verbatim, making
+    * the q188 oracle transitively verify the streaming math. */
+  private[graft] def ldivFromCells(cells: DataFrame): DataFrame = {
+    val classes = cells
+      .groupBy("q1", "q2")
       .agg(sum(col("cell")).as("cls"), count(lit(1)).as("div"))
     val perL = LDivThresholds.flatMap { l =>
       Seq(sum(when(col("div") < l, col("cls")).otherwise(0L)).as(s"r$l"),
@@ -973,6 +975,13 @@ object Profiling {
         col("rows_at_risk"), col("classes_at_risk"),
         expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
   }
+
+  val q188LDiversity: Q = (s, d) =>
+    ldivFromCells(Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("q1"),
+        floor(col("c_acctbal") / 1000).cast("long").as("q2"),
+        col("c_mktsegment").as("sens"))
+      .agg(count(lit(1)).as("cell")))
 
   // -- q178: classifier calibration audit (reliability table) -----------
 
@@ -1003,8 +1012,10 @@ object Profiling {
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .withColumn("n_src", count(lit(1)).over(wN))
-      .withColumn("pred_ppm",
-        expr("(rn - 1) * 1000000 div (n_src - 1)"))
+      .withColumn("pred_ppm", // greatest(...,1): a 1-doc source would
+        // zero the divisor (Spark div → NULL, DuckDB // → error); the
+        // guard keeps both engines defined AND identical (pred 0 there)
+        expr("(rn - 1) * 1000000 div greatest(n_src - 1, 1)"))
       .withColumn("bin", expr(s"(rn - 1) * $CalibBins div n_src + 1"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n"),
@@ -1110,7 +1121,7 @@ object Profiling {
          |  FROM documents
          |), binned AS (
          |  SELECT source, pos,
-         |    (rn - 1) * 1000000 // (n_src - 1) AS pred_ppm,
+         |    (rn - 1) * 1000000 // greatest(n_src - 1, 1) AS pred_ppm,
          |    (rn - 1) * $CalibBins // n_src + 1 AS bin
          |  FROM ranked
          |)

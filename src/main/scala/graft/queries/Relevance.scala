@@ -252,7 +252,10 @@ object Relevance {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
-    val totalT = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    // null-safe: sum over an empty vocabulary is NULL; clamp to 1 so
+    // ilog2 stays defined (the relation below is empty anyway)
+    val totalT = vocab.agg(sum(col("cnt")))
+      .head() match { case r if r.isNullAt(0) => 1L; case r => math.max(1L, r.getLong(0)) }
     val ilogT = 63 - java.lang.Long.numberOfLeadingZeros(totalT)
     tf.join(vocab, "tok")
       .withColumn("bits",

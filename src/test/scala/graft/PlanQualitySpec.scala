@@ -24,7 +24,10 @@ class PlanQualitySpec extends SparkSpec {
     * design). Everything else must be hash/sort-merge equi-joins. */
   private val nestedLoopAllowed =
     Set("q23_ann_brute_force", "q33_ann_ivf", "q79_hourly_spine",
-      "q163_ndcg_audit")
+      "q163_ndcg_audit",
+      // q191 audits q33's index with EXACTLY q33's K=16 bounded
+      // centroid-assignment join — same allowance, same justification
+      "q191_ivf_balance")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")
@@ -312,6 +315,158 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q106_keyset_page")
     p should include("TakeOrderedAndProject")
     p should include("PushedFilters: [Or(")
+  }
+
+  // -- named pins for the round-9c/9d family (q173–q189): each SURVEY
+  // §2.10 plan-shape claim asserted on the executed plan, beyond the
+  // global no-cartesian/no-BNLJ sweep --------------------------------
+
+  test("q173/q188 privacy gates are one map-combined aggregate: no joins/windows/Expand") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q173_k_anonymity", "q188_l_diversity").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should not include "Join"
+        p.linesIterator.count(_.contains("Window [")) shouldBe 0
+        p should not include "Expand" // threshold fold is a stack unpivot, not grouping sets
+      }
+    }
+  }
+
+  test("q174 vocabulary totals join back broadcast, never sort-merge") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q174_lm_surprisal")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+  }
+
+  test("q176 fertility is in-row lengths: no explode, no join, one exchange") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q176_token_fertility")
+    p should not include "Generate" // token array length computed in-row
+    p should not include "Join"
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q177 centroid relation broadcasts into the per-vector cosine leg") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q177_embedding_health")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q178 both per-source windows share ONE source shuffle; bin agg reuses it") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q178_calibration_audit")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 2
+    // hashpartitioning(source) satisfies the (source, bin) clustering,
+    // so the reliability-table aggregate adds NO second exchange
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q179 monthly top-k rides the TopK aggregator, not per-month window sorts") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q179_persistent_topk")
+    p should include("ObjectHashAggregate")
+    p.linesIterator.count(_.contains("Window [")) shouldBe 0
+  }
+
+  test("q180/q182/q183 audit relations shuffle cells/hashes, never document text") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q180_langid_confusion", "q182_neardup_source_matrix",
+        "q183_cluster_profile").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+        exchanges should not include "text"
+      }
+    }
+  }
+
+  test("q181 burstiness: per-user lag window and moment aggregate share one shuffle") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q181_burstiness")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q184 waterfill output is the cached |sources|-row relation: no join, no window") {
+    assume(haveData, s"$sfDir not present")
+    // the boundary scan is driver control plane at construction; the
+    // RETURNED plan is a projection over the shared-cached per-source
+    // token sums — one map-combined aggregate, nothing else
+    val p = plan("q184_token_waterfill")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 0
+    p should include("InMemoryTableScan")
+  }
+
+  test("q185/q187 rank-exact percentiles run zero full sorts") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q185_ship_latency", "q187_daily_value_bands").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should not include "Exchange rangepartitioning"
+        // every Sort is a window-local (global=false) sort over the
+        // frequency relation, never a global data sort
+        p.linesIterator.filter(_.contains("Sort [")).foreach { l =>
+          l should include("], false,")
+        }
+      }
+    }
+  }
+
+  test("q186 adoption curve: running sum is a single Window over the day relation") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q186_first_seen_curve")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+  }
+
+  test("q189 padding audit: one corpus scan, global max via window — no join node") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q189_padding_audit")
+    p should not include "Join" // the crossJoin'd scalar-agg spine would BNLJ + rescan
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("q190 concentration: rank window runs on the vocab relation, no join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q190_vocab_concentration")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    // (source, tok) partial count → source window → source aggregate:
+    // the final groupBy reuses the window's source partitioning
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    // raw text never shuffles — exchanges carry token cells only
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q192 context sweep is one scalar map-combined aggregate: no joins/windows") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q192_context_sweep")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 0
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 0
+  }
+
+  test("q193 yield joins doc ids to the cluster relation, never document text") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q193_dedup_yield")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
   }
 
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {

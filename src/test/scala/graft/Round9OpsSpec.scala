@@ -99,6 +99,27 @@ class Round9OpsSpec extends SparkSpec {
     r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 3L, 12L -> 3L)
   }
 
+  test("q162 convergence witness: an LpaRounds+1-th round is a no-op at this sf") {
+    // The q138 lesson (a fixed unroll can silently under-iterate):
+    // pin that LpaRounds has reached the measured FIXPOINT on the real
+    // sf0.001 co-purchase graph — an extra synchronous round changes
+    // no label (it moved 115 labels when LpaRounds was 2). If testdata
+    // grows a deeper community structure, this fails loudly instead of
+    // q162 quietly under-propagating. (At sf0.01 synchronous LPA
+    // 2-cycles forever — there the fixed round count is the DOCUMENTED
+    // semantics, see the LpaRounds scaladoc.)
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists())
+    val n = graft.queries.Graph.LpaRounds
+    val edges = graft.queries.Graph
+      .copurchaseEdges(spark, sfDir, 2) // TriMinSupport
+      .transform(graft.ops.SharedCache.persist)
+    val atN = graft.queries.Graph.labelPropagate(edges, n)
+    val atN1 = graft.queries.Graph.labelPropagate(edges, n + 1)
+    atN.exceptAll(atN1).count() shouldBe 0L
+    atN1.exceptAll(atN).count() shouldBe 0L
+  }
+
   // -- q163 core: discount table + perfect-retrieval fixture -----------
 
   test("q163 discount literals are the floor-e9 log2 table") {
