@@ -1339,7 +1339,37 @@ object Curation {
           .as("pack_waste_ppm"))
   }
 
+  // -- q197: per-language mix diversity ---------------------------------
+
+  /** MIX-DIVERSITY REPORT — the language-axis governance table behind
+    * q68's mixing weights: per language, how CONCENTRATED is the feed
+    * mix? Reports the inverse-Simpson EFFECTIVE SOURCE COUNT
+    * ((Σn)²/Σn², e3 — the "as if this many equal sources" number;
+    * 1.0 = a monoculture pretending to be multi-source) and the
+    * top-source share ppm — both EXACT integers where the Shannon
+    * form (exp of entropy) would be libm-dependent. A language whose
+    * effective count ≪ its source count is dominated by one feed and
+    * inherits its biases regardless of the mixing weights.
+    * BIGINT headroom: (Σn)²·1e3 overflows past ~9.6e7 docs per
+    * language; the documented decimal escape applies beyond that.
+    *
+    * Plan: one map-combined (lang, source) count, then a |langs|-row
+    * rollup — nothing after the first partial aggregate scales with
+    * rows. */
+  val q197MixDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("n") * col("n")).as("sumsq"),
+        max(col("n")).as("top_n"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("n_docs * n_docs * 1000 div sumsq").as("eff_sources_e3"),
+        expr("top_n * 1000000 div n_docs").as("top_source_ppm"))
+
   val defs: Map[String, Q] = Map(
+    "q197_mix_diversity" -> q197MixDiversity,
     "q192_context_sweep" -> q192ContextSweep,
     "q190_vocab_concentration" -> q190VocabConcentration,
     "q189_padding_audit" -> q189PaddingAudit,
@@ -1800,6 +1830,22 @@ object Curation {
     // first-infeasible-row level pick (min_by over rn), same
     // truncating allocation math; the engine's driver-hosted scalars
     // (B, S, cap) are recomputed as CTEs here.
+    // Same (lang, source) cells, same exact inverse-Simpson integers.
+    "q197_mix_diversity" ->
+      s"""WITH cells AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_sources,
+         |    CAST(sum(n * n) AS BIGINT) AS sumsq,
+         |    CAST(max(n) AS BIGINT) AS top_n
+         |  FROM cells GROUP BY 1
+         |)
+         |SELECT lang, n_docs, n_sources,
+         |  n_docs * n_docs * 1000 // sumsq AS eff_sources_e3,
+         |  top_n * 1000000 // n_docs AS top_source_ppm
+         |FROM agg""".stripMargin,
     // Same tokenizer, same (count desc, token asc) deterministic rank,
     // same head cutoffs and truncating ppm ratios.
     "q190_vocab_concentration" ->

@@ -268,6 +268,41 @@ object EventAnalytics {
           .otherwise(0L))
   }
 
+  // -- q196: funnel time-to-convert percentiles --------------------------
+
+  /** FUNNEL LATENCY REPORT — q65 counts WHO converts; this reports HOW
+    * LONG conversion takes, the number a growth team actually tunes
+    * against: over fully-converted users (stage 3), the view→purchase
+    * latency in whole seconds, summarized rank-exact (q41/q185
+    * percentile discipline — p50/p90/p99 + e3 mean, zero full sorts,
+    * zero interpolation/float).
+    *
+    * Plan: q65's one-shuffle funnel plan verbatim, filtered to
+    * converted users; the (latency-second) frequency relation is
+    * map-combined and CALENDAR-BOUNDED (distinct whole seconds within
+    * the event window — the q185 declared domain bound), so the
+    * single-partition running-count window runs over that bounded
+    * relation, never over users. */
+  val q196FunnelLatency: Q = (s, d) => {
+    val freq = q65Funnel(s, d)
+      .filter(col("funnel_stage") === 3L)
+      .select(expr("(t_purchase_us - t_view_us) div 1000000").as("lat_s"))
+      .groupBy("lat_s").agg(count(lit(1)).as("cnt"))
+    freq
+      .withColumn("running", sum(col("cnt")).over(Window.orderBy("lat_s")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("sums",
+        sum(col("lat_s") * col("cnt")).over(Window.partitionBy()))
+      .agg(max(col("n")).as("n_converted"),
+        max(col("sums")).as("sum_lat_s"),
+        min(when(col("running") * 2 >= col("n"), col("lat_s"))).as("p50_s"),
+        min(when(col("running") * 10 >= col("n") * 9, col("lat_s"))).as("p90_s"),
+        min(when(col("running") * 100 >= col("n") * 99, col("lat_s"))).as("p99_s"))
+      .select(col("n_converted"),
+        expr("sum_lat_s * 1000 div n_converted").as("mean_s_e3"),
+        col("p50_s"), col("p90_s"), col("p99_s"))
+  }
+
   // -- q66: signup-cohort weekly retention ------------------------------
 
   private val WeekMicros = 7L * 86400 * 1000000
@@ -1040,6 +1075,46 @@ object EventAnalytics {
       .select("user_id", "n_gaps", "sum_gap", "mean_gap_s", "burstiness")
   }
 
+  // -- q195: telemetry double-fire audit ---------------------------------
+
+  /** Rapid-repeat window: a same-(user, type) event landing within
+    * this many µs of its predecessor is a suspected double-fire. */
+  private val RepeatWindowUs = 1000000L
+
+  /** TELEMETRY DOUBLE-FIRE AUDIT — the event-stream data-quality check
+    * upstream of every count in this family: client retries, double
+    * clicks, and at-least-once delivery all materialize as the SAME
+    * (user, type) event landing twice within a second, silently
+    * inflating rollups (q34/q36), funnels (q65), and MAU (rolling
+    * distinct). Per event type: events, rapid repeats (< 1 s after
+    * the previous same-user same-type event — exact integer µs from
+    * the q181 timestamp discipline, ties = gap 0 = the classic
+    * double-fire), repeat ppm, and how many distinct users exhibit it
+    * (a few users → client bug; everywhere → pipeline redelivery).
+    *
+    * Plan: ONE (user, type) lag window, then the Expand-free
+    * two-level distinct discipline (A3/X29): (type, user) partial —
+    * which REUSES the window's partitioning, no second fact shuffle —
+    * then a |types|-row rollup. */
+  val q195DoubleFire: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("rpt",
+        when(col("prev_us").isNotNull &&
+          unix_micros(col("ts")) - col("prev_us") < RepeatWindowUs, 1L)
+          .otherwise(0L))
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"), sum(col("rpt")).as("r"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("r")).as("n_repeats"),
+        sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_repeat_users"))
+      .select(col("event_type"), col("n_events"), col("n_repeats"),
+        expr("n_repeats * 1000000 div n_events").as("repeat_ppm"),
+        col("n_repeat_users"))
+  }
+
   // -- q186: first-seen adoption curve -----------------------------------
 
   /** ADOPTION CURVE — per calendar day, how many users were seen for
@@ -1096,6 +1171,8 @@ object EventAnalytics {
   }
 
   val defs: Map[String, Q] = Map(
+    "q196_funnel_latency" -> q196FunnelLatency,
+    "q195_double_fire" -> q195DoubleFire,
     "q186_first_seen_curve" -> q186FirstSeenCurve,
     "q187_daily_value_bands" -> q187DailyValueBands,
     "q181_burstiness" -> q181Burstiness,
@@ -1166,6 +1243,72 @@ object EventAnalytics {
         |FROM runs GROUP BY 1, 2""".stripMargin,
     // Same (ts, event_id) total order, same truncating second gaps,
     // same exact moment sums, char-identical final double expression.
+    // q65's funnel CTE chain verbatim, collapsed to converted users'
+    // whole-second latencies; same frequency relation, running-count
+    // window, and integer rank predicates as the q185 oracle.
+    "q196_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN us END AS v_us,
+        |    min(CASE WHEN event_type = 'view' THEN us END) OVER w AS t1_run
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND t1_run IS NOT NULL
+        |      THEN us END AS c_us,
+        |    min(CASE WHEN event_type = 'click' AND t1_run IS NOT NULL
+        |      THEN us END) OVER w AS t2_run
+        |  FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND t2_run IS NOT NULL
+        |      THEN us END AS p_us
+        |  FROM s2
+        |), conv AS (
+        |  SELECT user_id, min(v_us) AS t_view_us, min(p_us) AS t_purchase_us
+        |  FROM s3 GROUP BY 1
+        |  HAVING min(p_us) IS NOT NULL
+        |), freq AS (
+        |  SELECT (t_purchase_us - t_view_us) // 1000000 AS lat_s,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM conv GROUP BY 1
+        |), win AS (
+        |  SELECT lat_s, cnt,
+        |    sum(cnt) OVER (ORDER BY lat_s) AS running,
+        |    sum(cnt) OVER () AS n,
+        |    sum(lat_s * cnt) OVER () AS sums
+        |  FROM freq
+        |)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  CAST(max(sums) AS BIGINT) * 1000 // CAST(max(n) AS BIGINT) AS mean_s_e3,
+        |  CAST(min(CASE WHEN running * 2 >= n THEN lat_s END) AS BIGINT) AS p50_s,
+        |  CAST(min(CASE WHEN running * 10 >= n * 9 THEN lat_s END) AS BIGINT) AS p90_s,
+        |  CAST(min(CASE WHEN running * 100 >= n * 99 THEN lat_s END) AS BIGINT) AS p99_s
+        |FROM win""".stripMargin,
+    // Same (user, type) lag window in µs, same strict < 1 s repeat
+    // predicate (ties → gap 0 → repeat), same two-level rollup.
+    "q195_double_fire" ->
+      s"""WITH lagged AS (
+         |  SELECT event_type, user_id,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+         |        PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         |      < $RepeatWindowUs THEN 1 ELSE 0 END AS rpt
+         |  FROM events
+         |), per AS (
+         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(rpt) AS BIGINT) AS r
+         |  FROM lagged GROUP BY 1, 2
+         |)
+         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(sum(r) AS BIGINT) AS n_repeats,
+         |  CAST(sum(r) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS repeat_ppm,
+         |  CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_users
+         |FROM per GROUP BY 1""".stripMargin,
     "q181_burstiness" ->
       s"""WITH g AS (
          |  SELECT user_id,

@@ -935,6 +935,66 @@ object NearDup {
         expr("n_lsh_hit * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  // -- q194: cluster-level agreement audit (Rand components) ----------
+
+  /** CLUSTER-AGREEMENT AUDIT — q146 measures PAIR recall of the LSH
+    * sketch; this measures what dedup actually acts on: the CLUSTERS.
+    * Transitive closure can both hide and amplify pair errors (one
+    * missed pair splits a cluster; one false merge glues two), so the
+    * audit computes the exact Rand-index components between the q55
+    * clustering (closure of q21's LSH pairs) and the closure of q39's
+    * exact-Jaccard truth pairs: over the union doc universe — docs in
+    * one clustering only are singletons in the other — it reports
+    * same-cluster pair counts (both / LSH-only "merged" / truth-only
+    * "missed") and pair precision/recall ppm. All EXACT integers: the
+    * quadratic pair counts are never enumerated — they derive from the
+    * label-contingency cells via Σ C(m,2) (the standard Rand identity),
+    * so the audit runs on |cluster pairs| rows.
+    *
+    * Plan: two clusterings (each the audited operators' own plans),
+    * one full-outer doc-id join, one map-combined (ca, cb) cell count
+    * persisted once and consumed by the three Σ C(·,2) legs, then a
+    * 4-row tagged union folded to ONE row — no scalar crossJoin, no
+    * driver action. */
+  val q194ClusterAgreement: Q = (s, d) => {
+    val lshLbl = Graph.q55DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id").as("ca"))
+    val exLbl = Graph.connectedComponents(
+        q39DedupNgramJaccard(s, d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("lbl").as("cb"))
+    val cells = lshLbl.join(exLbl, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("ca"), col("doc_id")).as("ca"),
+        coalesce(col("cb"), col("doc_id")).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("m"))
+      .transform(graft.ops.SharedCache.persist) // three Σ C(·,2) legs
+    val agree = cells.agg(sum(expr("m * (m - 1) div 2")).as("v"))
+      .select(lit("a").as("k"), col("v"))
+    val lshP = cells.groupBy("ca").agg(sum(col("m")).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("v"))
+      .select(lit("l").as("k"), col("v"))
+    val exP = cells.groupBy("cb").agg(sum(col("m")).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("v"))
+      .select(lit("e").as("k"), col("v"))
+    val docs = cells.agg(sum(col("m")).as("v"))
+      .select(lit("d").as("k"), col("v"))
+    docs.unionByName(agree).unionByName(lshP).unionByName(exP)
+      .agg(sum(when(col("k") === "d", col("v"))).as("n_docs"),
+        sum(when(col("k") === "l", col("v"))).as("lsh_pairs"),
+        sum(when(col("k") === "e", col("v"))).as("exact_pairs"),
+        sum(when(col("k") === "a", col("v"))).as("agree_pairs"))
+      .select(col("n_docs"), col("lsh_pairs"), col("exact_pairs"),
+        col("agree_pairs"),
+        (col("lsh_pairs") - col("agree_pairs")).as("merged_pairs"),
+        (col("exact_pairs") - col("agree_pairs")).as("missed_pairs"),
+        // greatest(...,1): an empty clustering must report 0, not
+        // NULL-vs-error divergence (the q178 divisor discipline)
+        expr("agree_pairs * 1000000 div greatest(lsh_pairs, 1)")
+          .as("pair_precision_ppm"),
+        expr("agree_pairs * 1000000 div greatest(exact_pairs, 1)")
+          .as("pair_recall_ppm"))
+  }
+
   // -- q177: embedding-space health (centroid drift + tightness) -----
 
   /** EMBEDDING-SPACE HEALTH CHECK — the per-class geometry audit run
@@ -993,6 +1053,7 @@ object NearDup {
     "q177_embedding_health" -> q177EmbeddingHealth,
     "q159_jaro_linkage" -> q159JaroLinkage,
     "q146_lsh_recall" -> q146LshRecall,
+    "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
     "q85_edit_distance_dedup" -> q85EditDistanceDedup,
@@ -1232,6 +1293,69 @@ object NearDup {
          |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
          |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
          |FROM j""".stripMargin,
+    // q146's truth chain + q55's recursive min-label closure, run over
+    // BOTH pair relations; the Rand components derive from the label
+    // contingency via the same Σ C(m,2) identity, singletons via the
+    // FULL OUTER coalesce.
+    "q194_cluster_agreement" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, lshp AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), ledges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM lshp
+         |  UNION SELECT doc_b, doc_a FROM lshp
+         |), lwalk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM ledges
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM lwalk w JOIN ledges e ON e.src = w.doc_id
+         |), lcomp AS (
+         |  SELECT doc_id, min(lbl) AS ca FROM lwalk GROUP BY 1
+         |), sset AS (
+         |  SELECT doc_id, list_sort(hs) AS shs, n FROM sig
+         |), tpre AS (
+         |  SELECT doc_id, unnest(shs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sset
+         |), tcand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM tpre l JOIN tpre r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), truth AS (
+         |  SELECT doc_a, doc_b FROM tcand
+         |  JOIN sset a ON doc_a = a.doc_id
+         |  JOIN sset b ON doc_b = b.doc_id
+         |  WHERE CAST(round(1e6 * CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / CAST(a.n + b.n - len(list_intersect(a.shs, b.shs)) AS DOUBLE), 0)
+         |    AS BIGINT) >= $JaccardThresholdE6
+         |), tedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM truth
+         |  UNION SELECT doc_b, doc_a FROM truth
+         |), twalk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM tedges
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM twalk w JOIN tedges e ON e.src = w.doc_id
+         |), tcomp AS (
+         |  SELECT doc_id, min(lbl) AS cb FROM twalk GROUP BY 1
+         |), lab AS (
+         |  SELECT COALESCE(l.ca, COALESCE(l.doc_id, t.doc_id)) AS ca,
+         |    COALESCE(t.cb, COALESCE(l.doc_id, t.doc_id)) AS cb
+         |  FROM lcomp l FULL OUTER JOIN tcomp t ON l.doc_id = t.doc_id
+         |), cells AS (
+         |  SELECT ca, cb, CAST(count(*) AS BIGINT) AS m FROM lab GROUP BY 1, 2
+         |), ag AS (
+         |  SELECT CAST(sum(m) AS BIGINT) AS n_docs,
+         |    CAST(sum(m * (m - 1) // 2) AS BIGINT) AS agree_pairs
+         |  FROM cells
+         |), lp AS (
+         |  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS lsh_pairs
+         |  FROM (SELECT CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY ca)
+         |), ep AS (
+         |  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS exact_pairs
+         |  FROM (SELECT CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY cb)
+         |)
+         |SELECT n_docs, lsh_pairs, exact_pairs, agree_pairs,
+         |  lsh_pairs - agree_pairs AS merged_pairs,
+         |  exact_pairs - agree_pairs AS missed_pairs,
+         |  agree_pairs * 1000000 // greatest(lsh_pairs, 1) AS pair_precision_ppm,
+         |  agree_pairs * 1000000 // greatest(exact_pairs, 1) AS pair_recall_ppm
+         |FROM ag, lp, ep""".stripMargin,
     // Independent restatement: per-position unnest, HAVING-filtered
     // gram frequency, and the same running-max interval sweep.
     "q110_exact_substr_spans" ->

@@ -469,6 +469,43 @@ class PlanQualitySpec extends SparkSpec {
     exchanges should not include "text"
   }
 
+  test("q195 double-fire: lag window and (type,user) partial share one fact shuffle") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q195_double_fire")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    // window partitioning (user, type) satisfies the (type, user)
+    // partial aggregate; only the |types|-row rollup re-shuffles
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+  }
+
+  test("q194 agreement audit shuffles labels and cells, never document text") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q194_cluster_agreement")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q196 funnel latency: q65's one fact shuffle + bounded percentile windows") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q196_funnel_latency")
+    p should not include "Join"
+    p should not include "Exchange rangepartitioning" // no global data sort
+    // one user_id fact shuffle (q65's) + one for the latency frequency
+    // relation — the percentile windows run on the bounded relation
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+  }
+
+  test("q197 mix diversity is a two-level map-combined aggregate: no joins/windows") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q197_mix_diversity")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 0
+    p should not include "Expand"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

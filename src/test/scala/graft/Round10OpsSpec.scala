@@ -117,6 +117,122 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q194: cluster-agreement audit -------------------------------------
+
+  test("q194: LSH pairs ⊆ truth ⇒ zero merges, perfect pair precision") {
+    // The generator guarantees q21 ⊆ q39 (q146's precision-1 property),
+    // so the LSH closure refines the exact closure: every LSH cluster
+    // sits inside one truth cluster — merged_pairs MUST be 0 and pair
+    // precision exactly 1e6. Recall bounds and the Rand identities
+    // cover the rest.
+    val r = graft.queries.NearDup.q194ClusterAgreement(spark, sf).collect()
+    r.length shouldBe 1
+    val row = r.head
+    val (nDocs, lshP, exactP, agree) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    nDocs should be > 0L
+    agree shouldBe lshP // subset ⇒ all LSH same-pairs agree
+    row.getLong(4) shouldBe 0L // merged_pairs
+    row.getLong(5) shouldBe exactP - agree // missed_pairs
+    row.getLong(6) shouldBe 1000000L // pair precision
+    row.getLong(7) should be <= 1000000L // recall
+    agree should be <= exactP
+  }
+
+  // -- q195: telemetry double-fire audit ---------------------------------
+
+  test("q195 flags sub-second same-user same-type repeats on a hand fixture") {
+    val dir = tmpDir("q195fix")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    Seq(
+      (1L, at(0L), 10L, "click", 1.0, "{}"),
+      (2L, at(500L), 10L, "click", 1.0, "{}"),   // repeat (0.5 s)
+      (3L, at(10000L), 10L, "click", 1.0, "{}"), // not a repeat (10 s)
+      (4L, at(0L), 20L, "click", 1.0, "{}"),     // other user, no repeat
+      (5L, at(100L), 10L, "view", 1.0, "{}"))    // other type, no repeat
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.EventAnalytics.q195DoubleFire(spark, dir)
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe Seq(
+      ("click", 4L, 1L, 250000L, 1L),
+      ("view", 1L, 0L, 0L, 0L))
+  }
+
+  test("q195 partitions the event stream at sf0.001") {
+    val rows = graft.queries.EventAnalytics.q195DoubleFire(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.map(_.getLong(1)).sum shouldBe total
+    rows.foreach { r =>
+      r.getLong(2) should be <= r.getLong(1)
+      r.getLong(3) shouldBe r.getLong(2) * 1000000L / r.getLong(1)
+    }
+  }
+
+  // -- q196: funnel time-to-convert percentiles --------------------------
+
+  test("q196 reports the exact view→purchase latency on a hand fixture") {
+    val dir = tmpDir("q196fix")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    Seq(
+      (1L, at(0L), 10L, "view", 1.0, "{}"),
+      (2L, at(5000L), 10L, "click", 1.0, "{}"),
+      (3L, at(65000L), 10L, "purchase", 1.0, "{}"), // lat = 65 s
+      (4L, at(0L), 20L, "view", 1.0, "{}"))         // never converts
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.EventAnalytics.q196FunnelLatency(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.getLong(0) shouldBe 1L // n_converted
+    r.head.getLong(1) shouldBe 65000L // mean e3
+    r.head.getLong(2) shouldBe 65L
+    r.head.getLong(3) shouldBe 65L
+    r.head.getLong(4) shouldBe 65L
+  }
+
+  test("q196 reconciles with q65's converted-user count; percentiles ordered") {
+    val r = graft.queries.EventAnalytics.q196FunnelLatency(spark, sf)
+      .collect().head
+    val converted = graft.queries.EventAnalytics.q65Funnel(spark, sf)
+      .filter(col("funnel_stage") === 3L).count()
+    r.getLong(0) shouldBe converted
+    r.getLong(2) should be <= r.getLong(3)
+    r.getLong(3) should be <= r.getLong(4)
+  }
+
+  // -- q197: per-language mix diversity ----------------------------------
+
+  test("q197 inverse-Simpson matches hand arithmetic") {
+    // en: sources 3 + 1 docs → eff = 4²·1000/(9+1) = 1600, top 750000
+    val dir = tmpDir("q197fix")
+    Seq((1L, "a", "en", "s1", 1L), (2L, "b", "en", "s1", 1L),
+      (3L, "c", "en", "s1", 1L), (4L, "d", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Curation.q197MixDiversity(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.getLong(1) shouldBe 4L
+    r.head.getLong(2) shouldBe 2L
+    r.head.getLong(3) shouldBe 1600L
+    r.head.getLong(4) shouldBe 750000L
+  }
+
+  test("q197 effective count is bounded by the source count at sf0.001") {
+    val rows = graft.queries.Curation.q197MixDiversity(spark, sf).collect()
+    rows.length should be > 0
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.map(_.getLong(1)).sum shouldBe corpus
+    rows.foreach { r =>
+      r.getLong(3) should be >= 1000L // ≥ 1 effective source
+      r.getLong(3) should be <= r.getLong(2) * 1000L // ≤ n_sources
+      r.getLong(4) should be <= 1000000L
+    }
+  }
+
   // -- q193: dedup token yield -------------------------------------------
 
   test("q193 reconciles with q183's removable rows and bounds its yields") {
