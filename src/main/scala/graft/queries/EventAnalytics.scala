@@ -1079,7 +1079,7 @@ object EventAnalytics {
 
   /** Rapid-repeat window: a same-(user, type) event landing within
     * this many µs of its predecessor is a suspected double-fire. */
-  private val RepeatWindowUs = 1000000L
+  private[graft] val RepeatWindowUs = 1000000L
 
   /** TELEMETRY DOUBLE-FIRE AUDIT — the event-stream data-quality check
     * upstream of every count in this family: client retries, double
@@ -1096,9 +1096,22 @@ object EventAnalytics {
     * two-level distinct discipline (A3/X29): (type, user) partial —
     * which REUSES the window's partitioning, no second fact shuffle —
     * then a |types|-row rollup. */
+  /** Shared finalizer for q195 and its streaming twin: the per-type
+    * report over (event_type, user_id, n, r) per-user tallies — which
+    * merge additively under time-ordered chunking, so the streaming
+    * monitor maintains tallies and re-runs THIS code verbatim. */
+  private[graft] def doubleFireFromTallies(per: DataFrame): DataFrame =
+    per
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("r")).as("n_repeats"),
+        sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_repeat_users"))
+      .select(col("event_type"), col("n_events"), col("n_repeats"),
+        expr("n_repeats * 1000000 div n_events").as("repeat_ppm"),
+        col("n_repeat_users"))
+
   val q195DoubleFire: Q = (s, d) => {
     val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    Tables.events(s, d)
+    doubleFireFromTallies(Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("rpt",
@@ -1106,13 +1119,7 @@ object EventAnalytics {
           unix_micros(col("ts")) - col("prev_us") < RepeatWindowUs, 1L)
           .otherwise(0L))
       .groupBy("event_type", "user_id")
-      .agg(count(lit(1)).as("n"), sum(col("rpt")).as("r"))
-      .groupBy("event_type")
-      .agg(sum(col("n")).as("n_events"), sum(col("r")).as("n_repeats"),
-        sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_repeat_users"))
-      .select(col("event_type"), col("n_events"), col("n_repeats"),
-        expr("n_repeats * 1000000 div n_events").as("repeat_ppm"),
-        col("n_repeat_users"))
+      .agg(count(lit(1)).as("n"), sum(col("rpt")).as("r")))
   }
 
   // -- q186: first-seen adoption curve -----------------------------------

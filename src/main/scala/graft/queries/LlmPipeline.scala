@@ -445,6 +445,91 @@ object LlmPipeline {
         round(col("features")(2) * 255).cast("long").as("mean_b"))
   }
 
+  // -- q198: perceptual-hash image dedup (real decode path) -----------
+
+  /** PERCEPTUAL-HASH IMAGE DEDUP — the multimodal × dedup crossover: a
+    * 64-bit average hash (aHash, the standard image-dedup fingerprint)
+    * computed FROM REAL DECODED PIXELS, then q20's hash-groupBy exact
+    * dedup on the perceptual identity. Per sampled document a 64×64
+    * two-tone PNG is synthesized (split column and the two gray levels
+    * are pure functions of `doc_id`), round-tripped through the JDK
+    * codec (`javax.imageio` encode → decode, the q112 discipline), and
+    * aHash'd: per 8×8 block, bit = block sum × 64 ≥ image sum — exact
+    * integer math, no float thresholds. The oracle recomputes the hash
+    * in CLOSED FORM from `doc_id` alone, which encodes the algorithm's
+    * defining property: for a two-tone image the threshold bit reduces
+    * to 8·overlap ≥ 64−c — the gray LEVELS cancel — so documents
+    * sharing a split column hash identically despite different
+    * brightness/contrast pairs (perceptual identity, not byte
+    * identity), and an oracle match requires the PNG round trip to be
+    * pixel-exact AND the block arithmetic to match bit-for-bit.
+    *
+    * Plan: narrow map end-to-end (synth + decode + hash per
+    * partition, no shuffle), then ONE hash-keyed window for the
+    * cluster report — the same shape as exact text dedup; at 100 TB
+    * decode parallelism is scan partitioning and the shuffle carries
+    * (id, 16-char hash) only. The 20% sample keeps per-image decode
+    * cost honest in the bench without dominating it. Near-dup
+    * extension (hamming ≤ k over band buckets, the q31 SimHash
+    * discipline) composes on the same hash column. */
+  val q198ImagePhashDedup: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 5 === 0).as[Long]
+    val hashed = ids.mapPartitions { it =>
+      it.map { id =>
+        val c = 8 * (1 + ((id / 4) % 6).toInt) // split column, 8..48
+        val lo = 40 + (id % 4).toInt * 20 // per-doc brightness pair:
+        val hi = 160 + (id % 4).toInt * 20 // cancels in the hash
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            val v = if (x >= c) hi else lo
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        // aHash over the DECODED raster: 8×8 block sums vs image sum
+        val sums = Array.ofDim[Long](8, 8)
+        var total = 0L
+        var yy = 0
+        while (yy < 64) {
+          var xx = 0
+          while (xx < 64) {
+            val v = (dec.getRGB(xx, yy) >> 16) & 0xFF
+            sums(yy / 8)(xx / 8) += v
+            total += v
+            xx += 1
+          }
+          yy += 1
+        }
+        val hex = (0 until 8).map { r =>
+          var byte = 0
+          var b = 0
+          while (b < 8) {
+            if (sums(r)(b) * 64 >= total) byte |= 1 << b
+            b += 1
+          }
+          f"$byte%02X"
+        }.mkString
+        (id, hex)
+      }
+    }.toDF("asset_id", "ahash_hex")
+    val w = Window.partitionBy("ahash_hex")
+    hashed
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .withColumn("is_keeper",
+        col("asset_id") === min(col("asset_id")).over(w))
+  }
+
   // -- q142: REAL audio decode (S16LE PCM frame stats) ----------------
 
   private val AudioSamples = 2048
@@ -1061,6 +1146,7 @@ object LlmPipeline {
     "q25_doc_fingerprint" -> q25DocFingerprint,
     "q26_multimodal_features" -> q26MultimodalFeatures,
     "q112_image_decode_stats" -> q112ImageDecodeStats,
+    "q198_image_phash_dedup" -> q198ImagePhashDedup,
     "q142_audio_frame_stats" -> q142AudioFrameStats,
     "q147_video_frame_stats" -> q147VideoFrameStats,
     "q119_compressibility" -> q119Compressibility,
@@ -1571,6 +1657,20 @@ object LlmPipeline {
         |  (doc_id * 59) % 256 AS mean_g,
         |  (doc_id * 83) % 256 AS mean_b
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    // The aHash in CLOSED FORM: for the two-tone synthetic, bit(b) =
+    // (8·overlap ≥ 64−c) ⇔ b ≥ c/8 — the gray levels cancel — so the
+    // row byte is 256 − 2^(c/8) repeated 8×; matching it requires the
+    // engine's PNG encode→decode→block-sum path to be pixel-exact.
+    "q198_image_phash_dedup" ->
+      """WITH hashed AS (
+        |  SELECT doc_id AS asset_id,
+        |    repeat(lpad(hex(256 - (1 << CAST(1 + (doc_id // 4) % 6 AS INT))), 2, '0'), 8) AS ahash_hex
+        |  FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT asset_id, ahash_hex,
+        |  CAST(count(*) OVER (PARTITION BY ahash_hex) AS BIGINT) AS n_copies,
+        |  asset_id = min(asset_id) OVER (PARTITION BY ahash_hex) AS is_keeper
+        |FROM hashed""".stripMargin,
     // Same curation algebra restated: stats -> quality gate -> arg_min
     // dedup on the content hash -> hash split -> (lang, split) rollup.
     "q43_curated_corpus" -> {

@@ -233,6 +233,41 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q198: perceptual-hash image dedup ---------------------------------
+
+  test("q198 aHash is brightness-invariant and structure-sensitive") {
+    // ids 0 and 25 share the split column (m=1) but use DIFFERENT gray
+    // pairs (40/160 vs 60/180) → identical hash (perceptual identity);
+    // id 5 has a different split (m=2) → different hash.
+    val dir = tmpDir("q198fix")
+    Seq(0L, 25L, 5L).map(id => (id, "x", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.LlmPipeline.q198ImagePhashDedup(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getBoolean(3))).toMap
+    r.keySet shouldBe Set(0L, 25L, 5L)
+    r(0L)._1 shouldBe r(25L)._1 // brightness pair cancels
+    r(0L)._1 should not be r(5L)._1 // split column does not
+    r(0L)._1 shouldBe "FE" * 8 // closed form: 256 - 2^1, row-repeated
+    r(5L)._1 shouldBe "FC" * 8 // 256 - 2^2
+    r(0L)._2 shouldBe 2L
+    r(0L)._3 shouldBe true // keeper = min asset id
+    r(25L)._3 shouldBe false
+  }
+
+  test("q198 clusters partition the sampled assets at sf0.001") {
+    val rows = graft.queries.LlmPipeline.q198ImagePhashDedup(spark, sf)
+      .collect()
+    val sampled = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    rows.length.toLong shouldBe sampled
+    rows.map(_.getString(1)).distinct.length shouldBe 6 // six split columns
+    // exactly one keeper per cluster
+    rows.filter(_.getBoolean(3)).map(_.getString(1)).distinct.length shouldBe 6
+    rows.count(_.getBoolean(3)) shouldBe 6
+  }
+
   // -- q193: dedup token yield -------------------------------------------
 
   test("q193 reconciles with q183's removable rows and bounds its yields") {
