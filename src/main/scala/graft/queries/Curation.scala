@@ -660,14 +660,20 @@ object Curation {
     * hash-partitioned gram-key join; pairs with zero shared shingles
     * are absent by construction (an S×S dense matrix would need a
     * cartesian the plan gate forbids). */
-  val q115SourceOverlap: Q = (s, d) => {
-    val sg = Tables.documents(s, d)
+  /** Distinct (source, 48-bit 5-gram hash) pairs — text collapses to
+    * hashes at the scan; SharedCache'd, shared by q115 (overlap
+    * matrix) and q205 (novelty curve). */
+  private def sourceGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("source"), explode(array_distinct(
         ngrams(tokens(col("text")), ContamN))).as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
       .distinct()
       .transform(graft.ops.SharedCache.persist)
+
+  val q115SourceOverlap: Q = (s, d) => {
+    val sg = sourceGrams(s, d)
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = sg.select(col("source").as("src_a"), col("gh"))
       .join(sg.select(col("source").as("src_b"), col("gh")), Seq("gh"))
@@ -678,6 +684,43 @@ object Curation {
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
         e6Frac(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")).as("jaccard_e6"))
+  }
+
+  // -- q205: per-source n-gram novelty curve ----------------------------
+
+  /** NOVELTY CURVE — the marginal-value-of-each-feed report behind
+    * every "should we license/crawl/keep this source" decision: walk
+    * the sources in the declared order (lexicographic source id — the
+    * deterministic stand-in for acquisition order) and ask what share
+    * of each source's distinct 5-grams was NEVER seen in any earlier
+    * source. A feed whose novelty_ppm collapses toward zero is
+    * re-serving content the corpus already has (the q115 overlap
+    * matrix says who with; THIS says what it is still worth); the
+    * cumulative column is the corpus's distinct-gram growth curve —
+    * the diminishing-returns chart read before adding feed N+1.
+    *
+    * Exactness: "first seen" = lexicographically-smallest source
+    * containing the gram, a pure min — no order-dependent scan state,
+    * so the answer is partitioning-independent by construction.
+    *
+    * Plan: rides q115's SharedCache'd distinct (source, gram-hash)
+    * relation — text dies at the scan; ONE gram-key window (partition
+    * sizes ≤ |sources|), one |sources|-row rollup, and the running
+    * sum over the |sources|-row curve. Nothing after the distinct
+    * scales with corpus volume. */
+  val q205NoveltyCurve: Q = (s, d) => {
+    val sg = sourceGrams(s, d)
+    val per = sg
+      .withColumn("first_src", min(col("source")).over(Window.partitionBy("gh")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("source") === col("first_src"), 1L).otherwise(0L))
+          .as("new_grams"))
+    per.select(col("source"), col("n_grams"), col("new_grams"),
+        expr("new_grams * 1000000 div n_grams").as("novelty_ppm"))
+      .withColumn("cum_new_grams",
+        sum(col("new_grams")).over(Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   // -- q113: hashed-feature linear quality classifier -------------------
@@ -1028,9 +1071,10 @@ object Curation {
     * left-to-right non-overlapping, so "aaaa" merges to (aa)(aa), the
     * BPE convention, identically (pinned by Round9OpsSpec).
     */
-  val q165BpeMerges: Q = (s, d) => {
-    val sepCol = lit(BpeSep)
-    val dict = Tables.documents(s, d)
+  /** The (frequency, separated-symbol-sequence) BPE dictionary — ONE
+    * corpus pass, SharedCache'd; the base of every q165/q200 round. */
+  private def bpeDict(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -1038,20 +1082,26 @@ object Curation {
       .select(col("f"), col("seq"))
       .transform(graft.ops.SharedCache.persist) // base of every round
 
-    def pairCounts(words: DataFrame): DataFrame = {
-      val syms = split(col("seq"), BpeSep)
-      words
-        .select(col("f"), explode(zip_with(
-          slice(syms, lit(1), size(syms) - 1),
-          slice(syms, lit(2), size(syms) - 1),
-          (a, b) => concat(a, sepCol, b))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
-    }
+  /** Adjacent symbol-pair counts of a BPE dictionary, weighted by word
+    * frequency — the per-round promotion relation, shared by q165
+    * (merge learning) and q200 (the compression curve priced on the
+    * same merges). In-row pair expansion (zip_with over shifted
+    * slices); |vocab| input rows per round, never the corpus. */
+  private def bpePairCounts(words: DataFrame): DataFrame = {
+    val syms = split(col("seq"), BpeSep)
+    words
+      .select(col("f"), explode(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => concat(a, lit(BpeSep), b))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
 
-    var words = dict
+  val q165BpeMerges: Q = (s, d) => {
+    var words = bpeDict(s, d)
     val perRound = (1 to BpeRounds).map { r =>
       // TakeOrderedAndProject (map-side top-k), never a global sort
-      val ranked = pairCounts(words)
+      val ranked = bpePairCounts(words)
         .orderBy(col("cnt").desc, col("pair").asc).limit(BpeTopK)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc)))
@@ -1066,6 +1116,64 @@ object Curation {
         col("cnt"))
     }
     perRound.reduce(_ unionByName _)
+  }
+
+  // -- q200: BPE compression curve --------------------------------------
+
+  /** BPE COMPRESSION CURVE — what q165's learned merges actually BUY:
+    * per merge round, the exact corpus symbol count Σ f·|seq| (the
+    * number of tokens a BPE tokenizer frozen at that round would emit
+    * for the whole corpus), the cumulative saving vs the character
+    * baseline (round 0 = every word fully split), and symbols-per-word
+    * fertility in e3. This is the curve a tokenizer trainer reads to
+    * pick the merge budget — each round's marginal saving shrinks as
+    * the Zipf head gets absorbed, and the flattening point IS the
+    * vocabulary-size decision. Measured on the REWRITTEN dictionary
+    * (not inferred from the promoted pair's count, which counts
+    * overlapping occurrences the left-to-right non-overlapping rewrite
+    * does not merge — "aaaa" has 3 pairs but merges twice).
+    *
+    * Scale shape inherited from q165: ONE corpus pass builds the
+    * SharedCache'd frequency dictionary, every round costs |vocab|
+    * rows — the stats rows are one map-combined aggregate per round
+    * over in-row symbol counts, and the saving column is a window over
+    * the ≤(rounds+1)-row curve relation. The applied merge per round
+    * is the same single control-plane scalar as q165 (re-derived, so
+    * the two queries stay independently runnable; shared-mode runs hit
+    * the same cached dictionary). */
+  val q200BpeCompressionCurve: Q = (s, d) => {
+    def roundStats(words: DataFrame, r: Int): DataFrame =
+      words
+        .select(col("f"),
+          size(split(col("seq"), BpeSep)).cast("long").as("nsym"))
+        .agg(sum(col("f") * col("nsym")).as("corpus_symbols"),
+          sum(col("f")).as("corpus_words"),
+          count(lit(1)).as("dict_words"))
+        .select(lit(r.toLong).as("round"), col("corpus_words"),
+          col("dict_words"), col("corpus_symbols"))
+
+    var words = bpeDict(s, d)
+    val rows = Seq(roundStats(words, 0)) ++ (1 to BpeRounds).map { r =>
+      // the applied merge: one control-plane scalar per round (q165's
+      // promotion — map-side top-1, never a global sort)
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .head().getAs[String]("pair")
+      words = words.withColumn("seq",
+        replace(col("seq"), lit(top), lit(top.replace(BpeSep, ""))))
+      roundStats(words, r)
+    }
+    // baseline lookup: first_value over the ≤(rounds+1)-row curve
+    val w = Window.orderBy("round")
+    rows.reduce(_ unionByName _)
+      .withColumn("base_symbols", first(col("corpus_symbols")).over(w))
+      .select(col("round"), col("corpus_words"), col("dict_words"),
+        col("corpus_symbols"),
+        (col("base_symbols") - col("corpus_symbols")).as("saved_symbols"),
+        expr("(base_symbols - corpus_symbols) * 1000000 div base_symbols")
+          .as("saved_ppm"),
+        expr("corpus_symbols * 1000 div corpus_words")
+          .as("syms_per_word_e3"))
   }
 
   // -- q172: per-source data cards --------------------------------------
@@ -1369,6 +1477,8 @@ object Curation {
         expr("top_n * 1000000 div n_docs").as("top_source_ppm"))
 
   val defs: Map[String, Q] = Map(
+    "q205_novelty_curve" -> q205NoveltyCurve,
+    "q200_bpe_compression" -> q200BpeCompressionCurve,
     "q197_mix_diversity" -> q197MixDiversity,
     "q192_context_sweep" -> q192ContextSweep,
     "q190_vocab_concentration" -> q190VocabConcentration,
@@ -1425,6 +1535,38 @@ object Curation {
   private def hash16Sql(salt: String, key: String): String =
     s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4) AS BIGINT)"
 
+  /** The BPE dictionary-build + per-round promote/rewrite CTE chain,
+    * shared by the q165 and q200 oracles (same words → s0 → pN/rN/sN
+    * lineage; q165 reads the rN rankings, q200 the sN dictionaries). */
+  private lazy val bpeOracleCtes: String = {
+    val roundCtes = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT t.f, t.syms[u.i] || chr(1) || t.syms[u.i + 1] AS pair
+         |    FROM (SELECT f, string_split(seq, chr(1)) AS syms FROM s${r - 1}) t,
+         |      LATERAL unnest(generate_series(1, len(t.syms) - 1)) u(i))
+         |  GROUP BY 1
+         |), r$r AS MATERIALIZED (
+         |  SELECT pair, cnt, rn FROM (
+         |    SELECT pair, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+         |    FROM p$r) WHERE rn <= $BpeTopK
+         |), s$r AS MATERIALIZED (
+         |  SELECT f, replace(seq, (SELECT pair FROM r$r WHERE rn = 1),
+         |    replace((SELECT pair FROM r$r WHERE rn = 1), chr(1), '')) AS seq
+         |  FROM s${r - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS MATERIALIZED (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+       |    FROM documents) WHERE tok <> '' GROUP BY 1
+       |), s0 AS MATERIALIZED (
+       |  SELECT f, array_to_string(string_split(w, ''), chr(1)) AS seq FROM words
+       |),
+       |$roundCtes""".stripMargin
+  }
+
   /** Shared by q47 and q107 (same relation, different plan). */
   private lazy val decontamOracleSql: String =
     s"""WITH $toksCte, grams AS (
@@ -1444,39 +1586,37 @@ object Curation {
     // rewrite — the winning pair rides a scalar subquery instead of the
     // engine's control-plane collect.
     "q165_bpe_merges" -> {
-      val roundCtes = (1 to BpeRounds).map { r =>
-        s"""p$r AS MATERIALIZED (
-           |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
-           |    SELECT t.f, t.syms[u.i] || chr(1) || t.syms[u.i + 1] AS pair
-           |    FROM (SELECT f, string_split(seq, chr(1)) AS syms FROM s${r - 1}) t,
-           |      LATERAL unnest(generate_series(1, len(t.syms) - 1)) u(i))
-           |  GROUP BY 1
-           |), r$r AS MATERIALIZED (
-           |  SELECT pair, cnt, rn FROM (
-           |    SELECT pair, cnt,
-           |      row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
-           |    FROM p$r) WHERE rn <= $BpeTopK
-           |), s$r AS MATERIALIZED (
-           |  SELECT f, replace(seq, (SELECT pair FROM r$r WHERE rn = 1),
-           |    replace((SELECT pair FROM r$r WHERE rn = 1), chr(1), '')) AS seq
-           |  FROM s${r - 1}
-           |)""".stripMargin
-      }.mkString(",\n")
       val rounds = (1 to BpeRounds).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS round, CAST(rn AS BIGINT) AS rank,
            |  split_part(pair, chr(1), 1) AS left_sym,
            |  split_part(pair, chr(1), 2) AS right_sym, cnt
            |FROM r$r""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH words AS MATERIALIZED (
-         |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f FROM (
-         |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
-         |    FROM documents) WHERE tok <> '' GROUP BY 1
-         |), s0 AS MATERIALIZED (
-         |  SELECT f, array_to_string(string_split(w, ''), chr(1)) AS seq FROM words
-         |),
-         |$roundCtes
+      s"""WITH $bpeOracleCtes
          |$rounds""".stripMargin
+    },
+    // Same dictionary + rewrite chain as q165's oracle; per-round
+    // Σ f·|symbols| measured on the rewritten dictionary, baseline via
+    // the same first_value window over the curve relation.
+    "q200_bpe_compression" -> {
+      val stats = (0 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  CAST(sum(f) AS BIGINT) AS corpus_words,
+           |  CAST(count(*) AS BIGINT) AS dict_words,
+           |  CAST(sum(f * len(string_split(seq, chr(1)))) AS BIGINT)
+           |    AS corpus_symbols
+           |FROM s$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bpeOracleCtes,
+         |curve AS ($stats)
+         |SELECT round, corpus_words, dict_words, corpus_symbols,
+         |  first_value(corpus_symbols) OVER (ORDER BY round)
+         |    - corpus_symbols AS saved_symbols,
+         |  (first_value(corpus_symbols) OVER (ORDER BY round)
+         |    - corpus_symbols) * 1000000
+         |    // first_value(corpus_symbols) OVER (ORDER BY round) AS saved_ppm,
+         |  corpus_symbols * 1000 // corpus_words AS syms_per_word_e3
+         |FROM curve""".stripMargin
     },
     // Same add-one LLR per vocab term (identical ln/sub/add order),
     // floor-quantized to e6 BEFORE summation — per-doc sums are exact
@@ -1670,6 +1810,25 @@ object Curation {
          |  (sum_shift * 1000 // n_tokens) - 1000000 AS margin_e3,
          |  (sum_shift * 1000 // n_tokens) > 1000000 AS keep
          |FROM sc""".stripMargin,
+    // Same distinct (source, gram-hash) relation, same min-source
+    // first-seen identity, same running sum over the source order.
+    "q205_novelty_curve" ->
+      s"""WITH $toksCte, sg AS (
+         |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT source, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
+         |), fo AS (
+         |  SELECT source, min(source) OVER (PARTITION BY gh) AS first_src
+         |  FROM sg
+         |), per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN source = first_src THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS new_grams
+         |  FROM fo GROUP BY 1
+         |)
+         |SELECT source, n_grams, new_grams,
+         |  new_grams * 1000000 // n_grams AS novelty_ppm,
+         |  CAST(sum(new_grams) OVER (ORDER BY source) AS BIGINT) AS cum_new_grams
+         |FROM per""".stripMargin,
     "q115_source_overlap" ->
       s"""WITH $toksCte, sg AS (
          |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh

@@ -508,6 +508,62 @@ object EventAnalytics {
       .drop("src_total")
   }
 
+  // -- q204: stationary event mix (Markov steady state) -----------------
+
+  /** Power-iteration depth — fixed unrolled iterations, the q90/q57
+    * convention for iterative numerics (the oracle chains the same
+    * CTEs; Round10bOpsSpec pins that the last iteration moves no
+    * type's share by more than a few ppm at test sf, the convergence
+    * witness). */
+  private[graft] val StationaryIters = 6
+
+  /** STATIONARY EVENT MIX — where q84's Markov chain CONVERGES: the
+    * long-run share of each event type if users keep behaving like
+    * the observed transition matrix (the steady-state load forecast —
+    * what the event mix drifts toward, read against today's mix to
+    * see which processors will grow). [[StationaryIters]] power
+    * iterations in integer e9 from the uniform start, each edge
+    * contributing pi·rate_ppm div 1e6 (the q90 floor discipline;
+    * floor loss and sink types shed mass rather than redistributing —
+    * documented, the q90-vs-q90b distinction, and the shares are read
+    * relatively).
+    *
+    * Scale: ONE shuffle of facts (the q84 lag window) builds the
+    * ≤|types|²-row transition relation; every iteration after that is
+    * a keyed join + map-combined sum on that domain-bounded relation
+    * — corpus volume is touched exactly once, like q165's dictionary
+    * rounds. */
+  val q204StationaryMix: Q = (s, d) => {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(order))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("src_total",
+        sum(col("n_trans")).over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"),
+        expr("n_trans * 1000000 div src_total").as("rate_ppm"))
+      .transform(graft.ops.SharedCache.persist) // read every iteration
+    val types = trans.select(col("prev_type").as("node"))
+      .unionByName(trans.select(col("next_type").as("node")))
+      .distinct()
+      .transform(graft.ops.SharedCache.persist) // spine of every iteration
+    val n = types.count() // control-plane scalar (q61 convention)
+    var pi = types.select(col("node"), lit(1000000000L / n).as("pi_e9"))
+    (1 to StationaryIters).foreach { _ =>
+      val inflow = trans.join(pi, col("prev_type") === col("node"))
+        .select(col("next_type"), expr("pi_e9 * rate_ppm div 1000000").as("c"))
+        .groupBy("next_type").agg(sum(col("c")).as("inflow"))
+      pi = types.join(inflow, col("node") === col("next_type"), "left")
+        .select(col("node"), coalesce(col("inflow"), lit(0L)).as("pi_e9"))
+        .localCheckpoint(true) // |types| rows; lineage cut per iteration
+    }
+    pi.select(col("node").as("event_type"), col("pi_e9"),
+      expr("pi_e9 div 1000").as("share_ppm"))
+  }
+
   // -- q91: sliding distinct via mergeable sketch (q83's scale path) ----
 
   /** Built-in-sketch variant: ONE HyperLogLog sketch per day
@@ -1195,6 +1251,7 @@ object EventAnalytics {
     "q122_ewma_smooth" -> q122EwmaSmooth,
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
+    "q204_stationary_mix" -> q204StationaryMix,
     "q91_sliding_sketch" -> q91SlidingSketch,
     "q34_events_windowed" -> q34EventsWindowed,
     "q35_sessionize" -> q35Sessionize,
@@ -1669,6 +1726,44 @@ object EventAnalytics {
         |FROM grid
         |JOIN act ON act.day BETWEEN window_day - 6 AND window_day
         |GROUP BY 1""".stripMargin,
+    // q84's transition CTEs, then the same unrolled power iterations
+    // with per-edge floor division — chained CTEs, the q90 convention.
+    "q204_stationary_mix" -> {
+      val iters = (1 to StationaryIters).map { r =>
+        s"""p$r AS (
+           |  SELECT ty.node, CAST(coalesce(i.inflow, 0) AS BIGINT) AS pi_e9
+           |  FROM types ty LEFT JOIN (
+           |    SELECT t.next_type, sum(p.pi_e9 * t.rate_ppm // 1000000) AS inflow
+           |    FROM t JOIN p${r - 1} p ON p.node = t.prev_type GROUP BY 1
+           |  ) i ON i.next_type = ty.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+         |  FROM events
+         |), c AS (
+         |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+         |  FROM seq WHERE prev_type IS NOT NULL
+         |  GROUP BY 1, 2
+         |), t AS (
+         |  SELECT prev_type, next_type,
+         |    CAST(n_trans * 1000000 // sum(n_trans)
+         |      OVER (PARTITION BY prev_type) AS BIGINT) AS rate_ppm
+         |  FROM c
+         |), types AS (
+         |  SELECT prev_type AS node FROM t UNION SELECT next_type FROM t
+         |), nn AS (SELECT count(*) AS n FROM types),
+         |p0 AS (
+         |  SELECT node, CAST(1000000000 // n AS BIGINT) AS pi_e9
+         |  FROM types CROSS JOIN nn
+         |),
+         |$iters
+         |SELECT node AS event_type, pi_e9,
+         |  CAST(pi_e9 // 1000 AS BIGINT) AS share_ppm
+         |FROM p$StationaryIters""".stripMargin
+    },
     "q84_transition_matrix" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -688,7 +688,75 @@ object Graph {
         expr("removable_tokens * 1000000 div n_tokens").as("token_yield_ppm"))
   }
 
+  // -- q203: landmark BFS hop histogram ---------------------------------
+
+  /** Declared BFS horizon: hop distances are exact up to this depth,
+    * anything deeper reports as unreachable (−1). The shipment graph's
+    * measured eccentricity from the landmark set is ≤4 at every test
+    * sf (Round10bOpsSpec pins max dist ≪ horizon, the q138
+    * loud-failure discipline), so 12 is pure headroom. */
+  private[graft] val BfsHorizon = 12
+
+  /** LANDMARK BFS — the hop-distance histogram from a landmark set,
+    * the missing REACHABILITY-WITH-DISTANCE member of the graph
+    * family (q55 answers "same component?", q90 "how central?", this
+    * "how FAR?"): multi-source breadth-first search over the
+    * undirected supplier↔customer shipment graph from the declared
+    * landmark suppliers (s_suppkey ≡ 1 mod 50 — 1/2/20 landmarks at
+    * the test sfs), reporting (dist, n_nodes) with unreachable nodes
+    * at −1. The landmark-distance sketch is the standard building
+    * block for graph radius estimates and routing-locality audits.
+    *
+    * Scale shape is frontier iteration, NOT all-pairs: per round ONE
+    * keyed join of the (shrinking) frontier onto the persisted
+    * undirected adjacency + one anti-join against settled nodes —
+    * each edge is expanded at most once per endpoint over the whole
+    * run, so total work is O(E) like one PageRank iteration, and the
+    * loop exits the round the frontier empties (true fixpoint, the
+    * q138 lesson; [[BfsHorizon]] is a loud-failure cap, not the
+    * semantics driver at test scale). Driver state: one frontier
+    * count per round (bounded by graph diameter); the count doubles
+    * as the k-core-style broadcast hint for the frontier side. */
+  val q203BfsHops: Q = (s, d) => {
+    val (edges, nodes, _) = shipmentGraph(s, d)
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .transform(graft.ops.SharedCache.persist) // scanned per round
+    val landmarks = graft.Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 50 === 1)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    var dist = landmarks.withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var nFrontier = frontier.count()
+    var r = 0
+    while (nFrontier > 0 && r < BfsHorizon) {
+      r += 1
+      // checkpointed slivers carry no stats (the k-core discipline):
+      // the driver KNOWS the frontier count — broadcast while it fits
+      val hint: DataFrame => DataFrame =
+        if (nFrontier <= 2000000L) broadcast else identity
+      val next = und
+        .join(hint(frontier.select(col("node").as("a"))), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint(true) // read by the union AND next round's joins
+      nFrontier = next.count()
+      if (nFrontier > 0) {
+        val settled = dist.unionByName(next).localCheckpoint(true)
+        graft.ops.Checkpoints.drop(dist)
+        graft.ops.Checkpoints.drop(frontier)
+        dist = settled
+        frontier = next
+      } else graft.ops.Checkpoints.drop(next)
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q203_bfs_hops" -> q203BfsHops,
     "q193_dedup_yield" -> q193DedupYield,
     "q183_cluster_profile" -> q183ClusterProfile,
     "q175_modularity" -> q175Modularity,
@@ -853,6 +921,35 @@ object Graph {
         |  FROM nodes CROSS JOIN nn CROSS JOIN s2 LEFT JOIN i2 ON i2.dst = node
         |)
         |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r2""".stripMargin,
+    // Independent restatement: a recursive CTE explores (node, depth)
+    // pairs to the same declared horizon, min(depth) per node is the
+    // hop distance — the engine's frontier loop must agree exactly,
+    // including which nodes stay at −1.
+    "q203_bfs_hops" ->
+      s"""WITH RECURSIVE und AS (
+         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+         |    'c' || CAST(o_custkey AS VARCHAR) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  UNION
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR),
+         |    's' || CAST(l_suppkey AS VARCHAR)
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), reach(node, dd) AS (
+         |  SELECT 's' || CAST(s_suppkey AS VARCHAR), 0
+         |  FROM supplier WHERE s_suppkey % 50 = 1
+         |  UNION
+         |  SELECT u.b, r.dd + 1
+         |  FROM reach r JOIN und u ON u.a = r.node
+         |  WHERE r.dd < $BfsHorizon
+         |), dmin AS (
+         |  SELECT node, min(dd) AS dist FROM reach GROUP BY 1
+         |), nodes AS (
+         |  SELECT DISTINCT a AS node FROM und
+         |)
+         |SELECT CAST(coalesce(m.dist, -1) AS BIGINT) AS dist,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM nodes n LEFT JOIN dmin m ON m.node = n.node
+         |GROUP BY 1""".stripMargin,
     // The same two unrolled iterations as chained CTEs — integer e9
     // floor arithmetic reproduces exactly (q57 unrolled-Lloyd
     // convention for iterative algorithms).

@@ -566,6 +566,137 @@ object LlmPipeline {
         col("zero_cross").cast("long").as("zero_cross"))
   }
 
+  // -- q201: audio voice-activity segmentation (VAD spans) ------------
+
+  /** Frame energy floor: a frame is "active" when its exact sum of
+    * squares reaches RMS ≥ 500 (sumsq ≥ 500²·frameLen). */
+  private val VadSumsqFloor = 250000L * AudioFrameLen
+
+  /** AUDIO VAD SEGMENTATION — the speech/silence segmenter every audio
+    * curation pipeline runs before transcription (frames below an
+    * energy floor are skipped; contiguous active runs become the
+    * utterance spans fed downstream): per sampled document, synthesize
+    * a waveform with genuinely silent segments (every third frame
+    * slot, phase-shifted by doc_id), push the bytes through the REAL
+    * S16LE encode → parse round trip ([[graft.multimodal.PcmAudio]],
+    * the q142 discipline), threshold each 256-sample frame's EXACT
+    * sumsq, and merge active frames into spans with the q77
+    * gaps-and-islands identity (frame_idx − running-active-count).
+    * Per asset: frames, active frames, voiced ppm, span count, longest
+    * span. Borderline frames are decided by exact integer energy on
+    * both sides — the oracle recomputes every sample from the
+    * generating function, so a match gates the byte round trip AND the
+    * segmentation math bit-for-bit.
+    *
+    * Scale: narrow decode map (scan partitioning = decode
+    * parallelism), ONE shuffle on asset_id for the 8-frame-bounded
+    * windows, then a map-combined per-asset rollup — raw audio bytes
+    * never shuffle. */
+  val q201AudioVadSpans: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.PcmAudio
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 10 === 5).as[Long]
+    val frames = ids.flatMap { id =>
+      val step = 1 + (id % 7).toInt
+      val off = (id % 11).toInt
+      val samples = Array.tabulate(AudioSamples) { i =>
+        if ((i / AudioFrameLen + id) % 3 == 0) 0 // silent frame slot
+        else ((i * step + off) % 2000) - 1000
+      }
+      PcmAudio.frameStats(id,
+        PcmAudio.decodeS16LE(PcmAudio.encodeS16LE(samples)), AudioFrameLen)
+    }.toDF()
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("sumsq") >= VadSumsqFloor).as("active"))
+    val wRun = Window.partitionBy("asset_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("island", when(col("active"),
+        col("frame_idx") - sum(when(col("active"), 1L).otherwise(0L)).over(wRun)))
+      .groupBy(col("asset_id"), col("island"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("asset_id"))
+      .agg(sum(col("cnt")).as("n_frames"),
+        sum(when(col("island").isNotNull, col("cnt")).otherwise(0L))
+          .as("active_frames"),
+        sum(when(col("island").isNotNull, 1L).otherwise(0L)).as("n_spans"),
+        max(when(col("island").isNotNull, col("cnt")).otherwise(0L))
+          .as("longest_span"))
+      .withColumn("voiced_ppm",
+        expr("active_frames * 1000000 div n_frames"))
+  }
+
+  // -- q202: video shot-boundary detection ----------------------------
+
+  /** Mean-color L1 jump at which a frame transition is a cut. */
+  private val ShotJumpFloor = 128L
+
+  /** SHOT-BOUNDARY DETECTION — the standard first pass of video
+    * curation (sample one keyframe per shot, not per fixed stride):
+    * per sampled document, pack four flat-color frames (fills are pure
+    * functions of doc_id and frame index), demux + REAL-decode EVERY
+    * frame through the q147 container path, and flag a cut wherever
+    * the L1 distance between consecutive frames' exact mean colors
+    * reaches [[ShotJumpFloor]]. Per asset: frames, cuts, shots
+    * (cuts + 1), and the largest jump — the quantities a
+    * keyframe-sampling policy reads. The oracle recomputes means and
+    * jumps from the generating functions in closed form; matching
+    * them requires the pack → demux → PNG decode → pixel scan to be
+    * exact on every frame (stride 1 here vs q147's stride 2 — this
+    * query exercises the full-demux path).
+    *
+    * Scale: narrow decode map, one asset_id shuffle for the 4-row
+    * lag windows, map-combined rollup — bytes never shuffle. */
+  val q202ShotBoundaries: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.VideoContainer
+    val ids = Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 10 === 5).as[Long]
+    val frames = ids.flatMap { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + ((id / 16) % 16).toInt
+      val packed = (0 until VideoFrames).map { f =>
+        val rgb = (((id * 37 + f * 11) % 256).toInt << 16) |
+          (((id * 59 + f * 23) % 256).toInt << 8) | ((id * 83 + f * 31) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        buf.toByteArray
+      }
+      VideoContainer.sampleFrames(VideoContainer.pack(packed), 1).map { fr =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.bytes))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        (id, fr.idx.toLong, sr / n, sg / n, sb / n)
+      }
+    }.toDF("asset_id", "frame_idx", "mean_r", "mean_g", "mean_b")
+    val order = Window.partitionBy("asset_id").orderBy("frame_idx")
+    frames
+      .withColumn("jump",
+        abs(col("mean_r") - lag(col("mean_r"), 1).over(order)) +
+          abs(col("mean_g") - lag(col("mean_g"), 1).over(order)) +
+          abs(col("mean_b") - lag(col("mean_b"), 1).over(order)))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("jump") >= ShotJumpFloor, 1L).otherwise(0L)).as("n_cuts"),
+        max(coalesce(col("jump"), lit(0L))).as("max_jump"))
+      .withColumn("n_shots", col("n_cuts") + 1L)
+  }
+
   // -- q147: REAL video-container frame sampling ----------------------
 
   private val VideoFrames = 4
@@ -1148,6 +1279,8 @@ object LlmPipeline {
     "q112_image_decode_stats" -> q112ImageDecodeStats,
     "q198_image_phash_dedup" -> q198ImagePhashDedup,
     "q142_audio_frame_stats" -> q142AudioFrameStats,
+    "q201_audio_vad_spans" -> q201AudioVadSpans,
+    "q202_shot_boundaries" -> q202ShotBoundaries,
     "q147_video_frame_stats" -> q147VideoFrameStats,
     "q119_compressibility" -> q119Compressibility,
     "q158_char_entropy" -> q158CharEntropy,
@@ -1628,6 +1761,70 @@ object LlmPipeline {
          |  CAST((asset_id * 59 + frame_idx * 23) % 256 AS BIGINT) AS mean_g,
          |  CAST((asset_id * 83 + frame_idx * 31) % 256 AS BIGINT) AS mean_b
          |FROM f""".stripMargin,
+    // Every sample recomputed from the generating function (silent
+    // slots included); same exact sumsq threshold, same islands
+    // identity — a match gates the byte round trip AND the spans.
+    "q201_audio_vad_spans" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS asset_id, 1 + doc_id % 7 AS step, doc_id % 11 AS off
+         |  FROM documents WHERE doc_id % 10 = 5
+         |), s AS (
+         |  SELECT asset_id, i,
+         |    CASE WHEN ((i // $AudioFrameLen) + asset_id) % 3 = 0 THEN 0
+         |         ELSE ((i * step + off) % 2000) - 1000 END AS v
+         |  FROM ids, range(0, $AudioSamples) t(i)
+         |), fr AS (
+         |  SELECT asset_id, CAST(i // $AudioFrameLen AS BIGINT) AS frame_idx,
+         |    CAST(sum(v * v) AS BIGINT) >= $VadSumsqFloor AS active
+         |  FROM s GROUP BY 1, 2
+         |), isl AS (
+         |  SELECT asset_id, frame_idx, active,
+         |    CASE WHEN active THEN frame_idx -
+         |      sum(CASE WHEN active THEN 1 ELSE 0 END) OVER (
+         |        PARTITION BY asset_id ORDER BY frame_idx) END AS island
+         |  FROM fr
+         |), sp AS (
+         |  SELECT asset_id, island, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM isl GROUP BY 1, 2
+         |)
+         |SELECT asset_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN island IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS active_frames,
+         |  CAST(sum(CASE WHEN island IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spans,
+         |  CAST(max(CASE WHEN island IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS longest_span,
+         |  CAST(sum(CASE WHEN island IS NOT NULL THEN cnt ELSE 0 END) * 1000000
+         |    // sum(cnt) AS BIGINT) AS voiced_ppm
+         |FROM sp GROUP BY 1""".stripMargin,
+    // Closed-form means (flat fills ⇒ exact), same lag/L1/threshold
+    // algebra; matching requires the stride-1 demux + PNG decode to be
+    // pixel-exact on all four frames.
+    "q202_shot_boundaries" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 10 = 5
+         |), f AS (
+         |  SELECT asset_id, unnest([0, 1, 2, 3]) AS frame_idx FROM ids
+         |), m AS (
+         |  SELECT asset_id, frame_idx,
+         |    CAST((asset_id * 37 + frame_idx * 11) % 256 AS BIGINT) AS mean_r,
+         |    CAST((asset_id * 59 + frame_idx * 23) % 256 AS BIGINT) AS mean_g,
+         |    CAST((asset_id * 83 + frame_idx * 31) % 256 AS BIGINT) AS mean_b
+         |  FROM f
+         |), j AS (
+         |  SELECT asset_id,
+         |    abs(mean_r - lag(mean_r) OVER w) + abs(mean_g - lag(mean_g) OVER w)
+         |      + abs(mean_b - lag(mean_b) OVER w) AS jump
+         |  FROM m WINDOW w AS (PARTITION BY asset_id ORDER BY frame_idx)
+         |)
+         |SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN jump >= $ShotJumpFloor THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cuts,
+         |  CAST(max(coalesce(jump, 0)) AS BIGINT) AS max_jump,
+         |  CAST(sum(CASE WHEN jump >= $ShotJumpFloor THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS n_shots
+         |FROM j GROUP BY 1""".stripMargin,
     // Recomputed from the generating function alone — the bytes never
     // reach SQL, so agreement gates the S16LE layout round trip.
     "q142_audio_frame_stats" ->

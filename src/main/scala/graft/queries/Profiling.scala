@@ -983,6 +983,81 @@ object Profiling {
         col("c_mktsegment").as("sens"))
       .agg(count(lit(1)).as("cell")))
 
+  // -- q199: t-closeness audit ------------------------------------------
+
+  /** Closeness thresholds (ppm of the max distance 1): a class is "at
+    * risk at t" when its sensitive-value distribution sits FURTHER
+    * than t from the table-wide distribution. */
+  private[graft] val TCloseThresholds = Seq(100000L, 200000L, 400000L)
+
+  /** T-CLOSENESS AUDIT — the third release-gate privacy check (Li,
+    * Li & Venkatasubramanian 2007), closing the gap q188 leaves open:
+    * a class can be l-diverse yet still leak by SKEW — if 99% of one
+    * class shares a sensitive value that is rare table-wide, the
+    * attacker's posterior moves massively even though l distinct
+    * values appear (the skewness attack). Per QI class (q188's tuple:
+    * nation, 1000-wide balance band) we measure the variational
+    * distance between the class's sensitive-value (market segment)
+    * distribution and the global one — for categorical attributes the
+    * canonical t-closeness ground distance — and for each declared
+    * threshold t report how many classes/rows exceed it. The trilogy
+    * reads together: q173 bounds re-identification, q188 bounds
+    * homogeneity, q199 bounds skew.
+    *
+    * Exact integers throughout: dist = ½·Σ_v |cell_v/cls − g_v/N|
+    * becomes dist_ppm = (Σ_present |cell·N − g·cls| +
+    * cls·(N − Σ_present g)) · 1e6 div (2·cls·N) — the second term is
+    * the algebraic mass of sensitive values ABSENT from the class
+    * (the q137 absent-cell discipline), so no dense (class × value)
+    * grid ever materializes. BIGINT headroom: the numerator is
+    * ≤ 2·cls·N·1e6, safe while cls·N ≤ 4.6e12 (e.g. a 1e9-row table
+    * with classes up to 4 600 rows); beyond that the documented
+    * decimal escape applies.
+    *
+    * Plan: ONE scan — the (QI, sensitive) cell aggregate — then
+    * everything runs as windows OVER THE DOMAIN-BOUNDED CELL RELATION
+    * (25 nations × ~12 bands × 5 segments): per-sens totals, the
+    * empty-partition N, per-class cls, a |classes|-row rollup, and the
+    * q173 finalizer fold + stack unpivot. No join node anywhere;
+    * nothing after the first partial aggregate scales with rows. */
+  private[graft] def tcloseFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = cells
+      .withColumn("g", sum(col("cell")).over(Window.partitionBy("sens")))
+      .withColumn("n_tot", sum(col("cell")).over(Window.partitionBy()))
+      .withColumn("cls", sum(col("cell")).over(Window.partitionBy("q1", "q2")))
+      .groupBy("q1", "q2")
+      .agg(max(col("cls")).as("cls"), max(col("n_tot")).as("n_tot"),
+        sum(abs(col("cell") * col("n_tot") - col("g") * col("cls")))
+          .as("term_sum"),
+        sum(col("g")).as("gpres"))
+      .select(col("cls"),
+        expr("(term_sum + cls * (n_tot - gpres)) * 1000000 " +
+          "div (2 * cls * n_tot)").as("dist_ppm"))
+    val perT = TCloseThresholds.flatMap { t =>
+      Seq(sum(when(col("dist_ppm") > t, col("cls")).otherwise(0L)).as(s"r$t"),
+        sum(when(col("dist_ppm") > t, 1L).otherwise(0L)).as(s"c$t"))
+    }
+    val stackArgs = TCloseThresholds
+      .map(t => s"${t}L, r$t, c$t").mkString(", ")
+    val aggs = Seq(sum(col("cls")).as("n_rows"),
+      count(lit(1)).as("n_classes")) ++ perT
+    dist
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${TCloseThresholds.size}, $stackArgs) " +
+        "AS (t, rows_at_risk, classes_at_risk)", "n_rows", "n_classes")
+      .select(col("t"), col("n_rows"), col("n_classes"),
+        col("rows_at_risk"), col("classes_at_risk"),
+        expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+  }
+
+  val q199TCloseness: Q = (s, d) =>
+    tcloseFromCells(Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("q1"),
+        floor(col("c_acctbal") / 1000).cast("long").as("q2"),
+        col("c_mktsegment").as("sens"))
+      .agg(count(lit(1)).as("cell")))
+
   // -- q178: classifier calibration audit (reliability table) -----------
 
   private val CalibBins = 10L
@@ -1029,6 +1104,7 @@ object Profiling {
   }
 
   val defs: Map[String, Q] = Map(
+    "q199_t_closeness" -> q199TCloseness,
     "q188_l_diversity" -> q188LDiversity,
     "q173_k_anonymity" -> q173KAnonymity,
     "q178_calibration_audit" -> q178CalibrationAudit,
@@ -1085,6 +1161,44 @@ object Profiling {
          |SELECT l, n_rows, n_classes, rows_at_risk, classes_at_risk,
          |  rows_at_risk * 1000000 // n_rows AS risk_ppm
          |FROM ($perL), tot""".stripMargin
+    },
+    // Same (QI, segment) cells, same three windows over the cell
+    // relation, same exact |cell·N − g·cls| + absent-mass identity and
+    // truncating ppm divisions.
+    "q199_t_closeness" -> {
+      val perT = TCloseThresholds.map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS t,
+           |  CAST(coalesce(sum(CASE WHEN dist_ppm > $t THEN cls ELSE 0 END), 0)
+           |    AS BIGINT) AS rows_at_risk,
+           |  CAST(coalesce(sum(CASE WHEN dist_ppm > $t THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS classes_at_risk
+           |FROM dist""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cells AS (
+         |  SELECT c_nationkey AS q1,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS q2,
+         |    c_mktsegment AS sens, CAST(count(*) AS BIGINT) AS cell
+         |  FROM customer GROUP BY 1, 2, 3
+         |), enr AS (
+         |  SELECT q1, q2, cell,
+         |    CAST(sum(cell) OVER (PARTITION BY sens) AS BIGINT) AS g,
+         |    CAST(sum(cell) OVER () AS BIGINT) AS n_tot,
+         |    CAST(sum(cell) OVER (PARTITION BY q1, q2) AS BIGINT) AS cls
+         |  FROM cells
+         |), dist AS (
+         |  SELECT max(cls) AS cls,
+         |    (CAST(sum(abs(cell * n_tot - g * cls)) AS BIGINT)
+         |      + max(cls) * (max(n_tot) - CAST(sum(g) AS BIGINT)))
+         |      * 1000000 // (2 * max(cls) * max(n_tot)) AS dist_ppm
+         |  FROM enr GROUP BY q1, q2
+         |), tot AS (
+         |  SELECT CAST(sum(cls) AS BIGINT) AS n_rows,
+         |    CAST(count(*) AS BIGINT) AS n_classes
+         |  FROM dist
+         |)
+         |SELECT t, n_rows, n_classes, rows_at_risk, classes_at_risk,
+         |  rows_at_risk * 1000000 // n_rows AS risk_ppm
+         |FROM ($perT), tot""".stripMargin
     },
     "q173_k_anonymity" -> {
       val perK = KAnonThresholds.map { k =>

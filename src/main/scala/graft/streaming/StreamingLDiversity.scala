@@ -101,4 +101,16 @@ object StreamingLDiversity {
   def report(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.Profiling.ldivFromCells(
       cells(spark, stateDir).withColumnRenamed("cnt", "cell"))
+
+  /** The current per-threshold CLOSENESS report — batch q199's
+    * finalizer over the SAME maintained cells (shared verbatim). The
+    * (QI, sensitive) cell state already carries everything t-closeness
+    * needs — the global sensitive distribution is a window over the
+    * cells — so the whole privacy trilogy (k-anonymity risk via class
+    * sizes, l-diversity via cell counts, t-closeness via cell skew)
+    * reads off ONE maintained relation, and the q199 DuckDB oracle
+    * transitively verifies this report's math. */
+  def tclosenessReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.Profiling.tcloseFromCells(
+      cells(spark, stateDir).withColumnRenamed("cnt", "cell"))
 }

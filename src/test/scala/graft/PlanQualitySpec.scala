@@ -506,6 +506,61 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Expand"
   }
 
+  test("q199 t-closeness: one customer scan, windows only on the cell relation") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q199_t_closeness")
+    p should not include "Join" // global distribution rides windows, not a join
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+    // 3 window passes (sens / empty / class) + class rollup + final
+    // fold all run on the domain-bounded cell relation
+    p.linesIterator.count(_.contains("Window [")) should be <= 3
+  }
+
+  test("q200 BPE curve: cached dictionary feeds every round, one tiny window") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q200_bpe_compression")
+    p should not include "Join"
+    p should include("InMemoryTableScan") // bpeDict built once, scanned per round
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1 // over ≤3 curve rows
+  }
+
+  test("q201/q202 multimodal audits: one asset shuffle, bytes never move") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q201_audio_vad_spans", "q202_shot_boundaries").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should not include "Join"
+        // the island/lag window's asset_id partitioning satisfies both
+        // downstream aggregates — exactly one exchange end-to-end
+        p.sliding("Exchange hashpartitioning".length)
+          .count(_ == "Exchange hashpartitioning") shouldBe 1
+      }
+    }
+  }
+
+  test("q203 BFS: frontier loop leaves a joined histogram over cached nodes") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q203_bfs_hops")
+    // per-round work lives behind checkpoints; the final plan joins the
+    // cached node universe to the settled-distance relation and rolls
+    // up the |dists|-row histogram — no corpus rescan ABOVE the cache
+    // boundary (the plan string embeds each InMemoryRelation's build
+    // lineage, so scans below it are descriptions, not executions)
+    p should include("InMemoryTableScan")
+    p.substring(0, p.indexOf("InMemoryRelation")) should not include "FileScan"
+  }
+
+  test("q204 stationary mix: the returned relation is the checkpointed fixpoint") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q204_stationary_mix")
+    // all six iterations ran behind localCheckpoints during
+    // construction; the surfaced plan is a projection over the final
+    // |types|-row checkpoint — zero joins, zero exchanges
+    p should not include "Join"
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 0
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")
