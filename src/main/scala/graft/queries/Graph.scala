@@ -652,6 +652,50 @@ object Graph {
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
 
+  // -- q207: cluster-aware split-leakage audit -----------------------------
+
+  /** SPLIT-LEAKAGE AUDIT — the eval-integrity check that joins the two
+    * halves of the curation story: q42 assigns train/val/test by
+    * doc-id hash, q55 clusters near-duplicates — and a cluster that
+    * STRADDLES splits is test-set contamination the q47/q171
+    * n-gram decontaminators can't name (the duplicate is semantic,
+    * not verbatim). Per split: the clustered docs it holds, how many
+    * of them sit in a cluster that also appears in ANOTHER split
+    * (leaky docs / clusters), and the leak rate ppm. The fix is one
+    * line — assign splits by cluster_id hash instead of doc_id hash,
+    * so a cluster moves as a unit — and THIS report is the number
+    * that decides whether the re-split is worth the re-shuffle.
+    *
+    * Scale: rides q55's cluster relation (near-dup clusters only —
+    * singletons can't leak); the straddle flag is one collect_set
+    * window over cluster_id partitions (bounded by cluster size —
+    * the q144 survivorship discipline), then an Expand-free two-level
+    * aggregate: (split, cluster) → split. Nothing after q55 touches
+    * text or scales with corpus volume. */
+  val q207SplitLeakage: Q = (s, d) => {
+    val withSplit = q55DupClusters(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .withColumn("leaky",
+        (size(collect_set(col("split"))
+          .over(Window.partitionBy("cluster_id"))) > 1).cast("long"))
+    withSplit
+      .groupBy("split", "cluster_id")
+      .agg(count(lit(1)).as("docs"), max(col("leaky")).as("leaky"))
+      .groupBy("split")
+      .agg(sum(col("docs")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("docs") * col("leaky")).as("leaky_docs"),
+        sum(col("leaky")).as("leaky_clusters"))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("leaky_docs"), col("leaky_clusters"),
+        expr("leaky_docs * 1000000 div n_docs").as("leak_ppm"))
+  }
+
   // -- q193: dedup token-yield forecast ----------------------------------
 
   /** DEDUP TOKEN-YIELD FORECAST — q183 counts removable ROWS; this
@@ -759,6 +803,7 @@ object Graph {
     "q203_bfs_hops" -> q203BfsHops,
     "q193_dedup_yield" -> q193DedupYield,
     "q183_cluster_profile" -> q183ClusterProfile,
+    "q207_split_leakage" -> q207SplitLeakage,
     "q175_modularity" -> q175Modularity,
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
@@ -1021,6 +1066,44 @@ object Graph {
     // q55's closure CTEs verbatim; non-keepers are the clustered docs
     // whose id is not their component's min label; same tokenizer as
     // every token query, same truncating ppm.
+    // q55's reachability-closure oracle + q42's split hash; the straddle
+    // flag restated as a per-cluster distinct-split count.
+    "q207_split_leakage" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |), sp AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM comp
+         |), lk AS (
+         |  SELECT cluster_id,
+         |    CASE WHEN count(DISTINCT split) > 1 THEN 1 ELSE 0 END AS leaky
+         |  FROM sp GROUP BY 1
+         |), per AS (
+         |  SELECT s.split, s.cluster_id, CAST(count(*) AS BIGINT) AS docs,
+         |    CAST(max(l.leaky) AS BIGINT) AS leaky
+         |  FROM sp s JOIN lk l ON l.cluster_id = s.cluster_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT split, CAST(sum(docs) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(docs * leaky) AS BIGINT) AS leaky_docs,
+         |  CAST(sum(leaky) AS BIGINT) AS leaky_clusters,
+         |  CAST(sum(docs * leaky) * 1000000 // sum(docs) AS BIGINT) AS leak_ppm
+         |FROM per GROUP BY 1""".stripMargin,
     "q193_dedup_yield" ->
       s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
          |  ${LlmPipeline.minhashPairSelect}

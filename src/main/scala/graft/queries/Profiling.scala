@@ -1058,6 +1058,54 @@ object Profiling {
         col("c_mktsegment").as("sens"))
       .agg(count(lit(1)).as("cell")))
 
+  // -- q206: DP-noised histogram release + utility audit -----------------
+
+  /** Truncated-geometric noise cap: |noise| ≤ 20 (P(exceed) < 1e-6 per
+    * cell under the α=½ tail — documented truncation). */
+  private val DpNoiseCap = 20L
+
+  /** DP HISTOGRAM RELEASE — the privacy family's MECHANISM next to its
+    * three audits: q173/q188/q199 decide whether a table may be
+    * released; this is the release itself for the aggregate case — the
+    * (source × lang) document-count histogram published with two-sided
+    * geometric noise (the discrete-Laplace mechanism of Ghosh,
+    * Roughgarden & Sundararajan 2009, the canonical ε-DP release for
+    * counting queries; α = ½ here, i.e. ε = ln 2 per cell). Noise is
+    * HASH-SEEDED (md5 of the cell key): sign = low bit, magnitude =
+    * trailing-zero count of the next bits — trailing zeros of a
+    * uniform integer are exactly Geometric(½), so the composite is the
+    * symmetric geometric shape the mechanism calls for, truncated at
+    * ±20 (tail mass < 1e-6). The frozen-parameter convention of
+    * q24/q113: a production release swaps the hash bits for drawn
+    * bits, and THE PLAN IS THE POINT — noise is a pure narrow
+    * projection over the domain-bounded cell relation, so the release
+    * costs one map-combined count at any corpus size. The audit
+    * columns (true n, noise, |err| ppm) make this the mechanism's
+    * utility report: a real release drops them and keeps `released`.
+    *
+    * Trailing-zero extraction is engine-exact integer math: h&−h
+    * isolates the lowest set bit = 2^tz, so tz = length(bin(h&−h))−1
+    * (the q174 floor-log2 discipline); bin(0) = "0" makes the h=0 edge
+    * yield 0 in both engines. released clamps at 0 (counts are
+    * nonnegative by contract — the standard post-processing step,
+    * DP-safe). */
+  val q206DpRelease: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("dpnoise"), col("source"), lit("|"),
+          col("lang"))), 1, 12), 16, 10).cast("long"))
+      .withColumn("sgn", lit(1L) - lit(2L) * (col("h") % 2))
+      .withColumn("hb", expr("h div 2"))
+      .withColumn("mag",
+        least(expr("length(bin(hb & -hb)) - 1").cast("long"), lit(DpNoiseCap)))
+      .withColumn("noise", (col("sgn") * col("mag")).cast("long"))
+      .withColumn("released", greatest(col("n_docs") + col("noise"), lit(0L)))
+      .select(col("source"), col("lang"), col("n_docs"), col("noise"),
+        col("released"),
+        expr("abs(released - n_docs) * 1000000 div n_docs").as("abs_err_ppm"))
+
   // -- q178: classifier calibration audit (reliability table) -----------
 
   private val CalibBins = 10L
@@ -1104,6 +1152,7 @@ object Profiling {
   }
 
   val defs: Map[String, Q] = Map(
+    "q206_dp_release" -> q206DpRelease,
     "q199_t_closeness" -> q199TCloseness,
     "q188_l_diversity" -> q188LDiversity,
     "q173_k_anonymity" -> q173KAnonymity,
@@ -1129,6 +1178,30 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same cell hash, same sign/trailing-zero decomposition, same cap
+    // and clamp — the mechanism is deterministic, so both engines must
+    // agree bit-for-bit on every released count.
+    "q206_dp_release" ->
+      s"""WITH cells AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1, 2
+         |), nz AS (
+         |  SELECT source, lang, n_docs,
+         |    CAST('0x' || substr(md5('dpnoise' || source || '|' || lang), 1, 12)
+         |      AS BIGINT) AS h
+         |  FROM cells
+         |), m AS (
+         |  SELECT source, lang, n_docs,
+         |    CAST((1 - 2 * (h % 2)) *
+         |      least(length(bin((h // 2) & -(h // 2))) - 1, 20) AS BIGINT)
+         |      AS noise
+         |  FROM nz
+         |)
+         |SELECT source, lang, n_docs, noise,
+         |  CAST(greatest(n_docs + noise, 0) AS BIGINT) AS released,
+         |  abs(greatest(n_docs + noise, 0) - n_docs) * 1000000 // n_docs
+         |    AS abs_err_ppm
+         |FROM m""".stripMargin,
     // Same QI tuple (nation, segment, 1000-band of acctbal), same
     // conditional sums per threshold; the UNION ALL restates the
     // engine's stack unpivot.

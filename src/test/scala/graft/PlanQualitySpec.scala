@@ -561,6 +561,33 @@ class PlanQualitySpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning") shouldBe 0
   }
 
+  test("q205 novelty curve: join-free, windows only on grams and the curve") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q205_novelty_curve")
+    // rides the SharedCache'd (source, gram-hash) relation; first-seen
+    // attribution is a min() window per gram key and the cumulative
+    // column a running sum over the |sources|-row rollup — no join in
+    // the whole plan, and exactly those two window passes
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 2
+  }
+
+  test("q206 DP release: one scan, join-free, noise is a narrow projection") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q206_dp_release")
+    p should not include "Join"
+    p should not include "Window ["
+    p should not include "Expand"
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("q207 split leakage: Expand-free distinct-split flag") {
+    assume(haveData, s"$sfDir not present")
+    // the straddle flag is a collect_set window + two-level aggregate,
+    // NOT a countDistinct (whose Expand doubles the q55 relation)
+    plan("q207_split_leakage") should not include "Expand"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")
