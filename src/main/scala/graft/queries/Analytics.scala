@@ -139,13 +139,16 @@ object Analytics {
     * expensive part of a real ZORDER rewrite (the range repartition)
     * is the writer's one shuffle, not this key derivation. zbucket =
     * top 12 interleaved bits ⇒ 4096 range-stable file buckets. */
+  /** Bitwise Morton interleave — shared by q64 (key derivation) and
+    * q209 (layout-effectiveness audit). */
+  private def interleave(x: Column, y: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
   val q64ZorderLayout: Q = (s, d) => {
-    def interleave(x: Column, y: Column): Column =
-      (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
-        acc
-          .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
-          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-      }
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_partkey") % (1 << ZBits)).cast("long").as("zx"),
@@ -153,6 +156,62 @@ object Analytics {
       .select(col("l_orderkey"), col("l_linenumber"),
         interleave(col("zx"), col("zy")).as("zcode"))
       .withColumn("zbucket", shiftright(col("zcode"), 2 * ZBits - 12))
+  }
+
+  // -- q209: zone-map pruning-effectiveness audit ------------------------
+
+  /** Arrival-layout range width: ⌊l_orderkey / 4096⌋ file buckets — a
+    * fixed range width, so file count GROWS with data like a real
+    * writer's output. */
+  private val ArrivalFileWidth = 4096L
+
+  /** ZONE-MAP PRUNING AUDIT — the measured WHY behind q64: z-ordered
+    * layout is only worth its write-side shuffle if parquet min/max
+    * stats actually prune, and this query puts an exact number on it.
+    * Two candidate file layouts of the SAME fact rows — `arrival`
+    * (range-bucketed by l_orderkey, the natural ingest order) and
+    * `zorder` (range-bucketed by the top 8 interleaved Morton bits of
+    * (partkey, suppkey), 256 files) — each file carrying its partkey
+    * zone map [min, max]. The scorecard: a point probe on l_partkey,
+    * uniform over the key domain, must read every file whose zone
+    * contains it, so the expected files-read is Σ_f width_f / domain
+    * (exact — no probe workload needed). Arrival files see random
+    * partkeys, so every zone spans the domain and NOTHING prunes
+    * (avg ≈ n_files); the zorder layout's top-4 partkey bits cut each
+    * zone to ~1/16 of the domain — the 16× scan-pruning win that
+    * justifies the ZORDER rewrite, measured, not argued.
+    *
+    * Scale shape: ONE corpus scan to a (arrival_file, zorder_file)
+    * composite-cell aggregate (map-combined; cell count bounded by
+    * n_files_arrival × 256 co-occurrence), then each layout's report
+    * is a rollup of those cells — min/max/count all decompose, so the
+    * two-layout union never rescans the fact table. All integer
+    * math. */
+  val q209ZoneMapAudit: Q = (s, d) => {
+    val cells = Tables.lineitem(s, d)
+      .select(
+        expr(s"l_orderkey div $ArrivalFileWidth").as("fa"),
+        shiftright(
+          interleave((col("l_partkey") % (1 << ZBits)).cast("long"),
+            (col("l_suppkey") % (1 << ZBits)).cast("long")),
+          2 * ZBits - 8).as("fz"),
+        col("l_partkey"))
+      .groupBy("fa", "fz")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("zmin"), max(col("l_partkey")).as("zmax"))
+      .transform(graft.ops.SharedCache.persist)
+    def layout(name: String, fileCol: String): DataFrame =
+      cells.groupBy(col(fileCol))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("zmin")).as("zmin"), max(col("zmax")).as("zmax"))
+        .agg(count(lit(1)).as("n_files"),
+          min(col("n_rows")).as("rows_min"), max(col("n_rows")).as("rows_max"),
+          sum(col("zmax") - col("zmin") + 1).as("sum_zone_width"),
+          (max(col("zmax")) - min(col("zmin")) + 1).as("domain_width"))
+        .select(lit(name).as("layout"), col("n_files"), col("rows_min"),
+          col("rows_max"), col("domain_width"), col("sum_zone_width"),
+          expr("sum_zone_width * 1000 div domain_width").as("avg_files_read_e3"))
+    layout("arrival", "fa").unionByName(layout("zorder", "fz"))
   }
 
   // -- q72: UNPIVOT / melt ---------------------------------------------
@@ -1107,6 +1166,7 @@ object Analytics {
   }
 
   val defs: Map[String, Q] = Map(
+    "q209_zonemap_audit" -> q209ZoneMapAudit,
     "q185_ship_latency" -> q185ShipLatency,
     "q179_persistent_topk" -> q179PersistentTopk,
     "q160_theil_sen" -> q160TheilSen,
@@ -1145,6 +1205,53 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same composite-cell aggregate, same per-layout rollups and
+    // exact zone-width arithmetic; the Morton bits reuse q64's zexpr.
+    "q209_zonemap_audit" -> {
+      val zexpr = (0 until ZBits).flatMap { i =>
+        Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH k AS (
+         |  SELECT l_orderkey // $ArrivalFileWidth AS fa,
+         |    CAST(($zexpr) >> ${2 * ZBits - 8} AS BIGINT) AS fz,
+         |    l_partkey
+         |  FROM (SELECT l_orderkey, l_partkey,
+         |          CAST(l_partkey % ${1 << ZBits} AS BIGINT) AS zx,
+         |          CAST(l_suppkey % ${1 << ZBits} AS BIGINT) AS zy
+         |        FROM lineitem)
+         |), cells AS (
+         |  SELECT fa, fz, CAST(count(*) AS BIGINT) AS n_rows,
+         |    min(l_partkey) AS zmin, max(l_partkey) AS zmax
+         |  FROM k GROUP BY 1, 2
+         |), la AS (
+         |  SELECT fa, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |    min(zmin) AS zmin, max(zmax) AS zmax
+         |  FROM cells GROUP BY 1
+         |), lz AS (
+         |  SELECT fz, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |    min(zmin) AS zmin, max(zmax) AS zmax
+         |  FROM cells GROUP BY 1
+         |), ra AS (
+         |  SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(min(n_rows) AS BIGINT) AS rows_min,
+         |    CAST(max(n_rows) AS BIGINT) AS rows_max,
+         |    CAST(max(zmax) - min(zmin) + 1 AS BIGINT) AS domain_width,
+         |    CAST(sum(zmax - zmin + 1) AS BIGINT) AS sum_zone_width
+         |  FROM la
+         |), rz AS (
+         |  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(min(n_rows) AS BIGINT) AS rows_min,
+         |    CAST(max(n_rows) AS BIGINT) AS rows_max,
+         |    CAST(max(zmax) - min(zmin) + 1 AS BIGINT) AS domain_width,
+         |    CAST(sum(zmax - zmin + 1) AS BIGINT) AS sum_zone_width
+         |  FROM lz
+         |)
+         |SELECT layout, n_files, rows_min, rows_max, domain_width,
+         |  sum_zone_width,
+         |  CAST(sum_zone_width * 1000 // domain_width AS BIGINT)
+         |    AS avg_files_read_e3
+         |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rz)""".stripMargin
+    },
     // Same calendar-day difference, same frequency relation and
     // integer rank predicates.
     "q185_ship_latency" ->

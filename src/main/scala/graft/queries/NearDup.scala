@@ -610,12 +610,17 @@ object NearDup {
     * assignment (vec_id, q, cluster, dist) — still a narrow map over
     * the scan. Shared by q57 (assignments) and q58 (semantic dedup
     * within the resulting clusters). */
-  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
+  /** The trained pipeline state: the cached quantized vectors and the
+    * FINAL centroids after the two Lloyd iterations. Shared by the
+    * final assignment (q57/q58) and the silhouette audit (q208), which
+    * needs the same centroids but a top-2 distance view. */
+  private def kmFinalCentroids(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, Seq[Long])]) = {
     // persisted (SharedCache): the Lloyd pipeline probes this relation
     // ~2 times per iteration plus count/seed/final — k-means over a
     // re-scanned input would pay the parquet read per pass (the MLlib
     // convention caches the training input for exactly this reason);
-    // q57 and q58 canonicalize to the same entry
+    // q57, q58 and q208 canonicalize to the same entry
     val e = graft.ops.SharedCache.persist(
       quantized(s, d).select(col("vec_id"), col("q")))
     val k = kmK(e.count())
@@ -623,17 +628,137 @@ object NearDup {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
+    if (cents.nonEmpty)
+      (1 to KmIters).foreach { _ => cents = kmUpdate(kmAssign(e, cents)) }
+    (e, cents)
+  }
+
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
+    val (e, cents) = kmFinalCentroids(s, d)
     if (cents.isEmpty) // empty input: schema-correct empty assignment
       e.select(col("vec_id"), col("q"),
         lit(null).cast("long").as("cluster"), lit(null).cast("long").as("dist"))
-    else {
-      (1 to KmIters).foreach { _ => cents = kmUpdate(kmAssign(e, cents)) }
-      kmAssign(e, cents)
-    }
+    else kmAssign(e, cents)
   }
 
   val q57KmeansCluster: Q = (s, d) =>
     kmeansAssignments(s, d).select(col("vec_id"), col("cluster"), col("dist"))
+
+  // -- q208: simplified-silhouette clustering-quality audit -----------
+
+  /** SILHOUETTE AUDIT of the q57 clustering — the quality gate read
+    * before TRUSTING the clusters that q58's semantic dedup and q33's
+    * IVF cells are built on: per cluster, the centroid-based
+    * (simplified) silhouette mean and worst case, where each vector's
+    * s = (b − a) / b with a = squared L2 to its OWN centroid and b =
+    * to the nearest OTHER centroid (a ≤ b by the argmin, so the
+    * classic max(a,b) denominator IS b; a cluster whose mean s falls
+    * toward 0 is not separated from its neighbor — its q58 dedup
+    * decisions and q33 probe routing are noise). Simplified silhouette
+    * is the standard O(N·K) form (full silhouette is O(N²) — the
+    * all-pairs cost this family exists to avoid).
+    *
+    * Scale shape: exactly q57's — the K distances come from ONE
+    * `transform` over the centroid array literal; top-2 via
+    * `sort_array` (struct order (dist, c_id) = the assignment's
+    * argmin tie-break, so `cluster` here is bit-identical to q57's);
+    * then one map-combined aggregate to ≤K rows. Zero joins, zero
+    * extra shuffles over the cached vector relation. Integer-exact:
+    * ppm by floor div, b = 0 (duplicate centroids) guarded to 1;
+    * K = 1 degenerates to silhouette 0 by convention (no "other"
+    * centroid exists). */
+  val q208SilhouetteAudit: Q = (s, d) => {
+    val (e, cents) = kmFinalCentroids(s, d)
+    if (cents.isEmpty)
+      e.select(lit(0L).as("cluster"), lit(0L).as("n_vecs"),
+        lit(0L).as("mean_sil_ppm"), lit(0L).as("min_sil_ppm"))
+        .where(lit(false))
+    else {
+      val centsLit = typedlit(cents)
+      val dists = sort_array(transform(centsLit, c =>
+        struct(
+          aggregate(zip_with(col("q"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          c.getField("_1").as("c_id"))))
+      e.withColumn("ds", dists)
+        .select(
+          col("ds").getItem(0).getField("c_id").as("cluster"),
+          col("ds").getItem(0).getField("dist").as("a_dist"),
+          when(size(col("ds")) > 1, col("ds").getItem(1).getField("dist"))
+            .as("b_dist"))
+        .withColumn("sil_ppm",
+          when(col("b_dist").isNull, 0L).otherwise(
+            expr("(b_dist - a_dist) * 1000000 div greatest(b_dist, 1)")))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("sil_ppm")).as("ssil"),
+          min(col("sil_ppm")).as("min_sil_ppm"))
+        .select(col("cluster"), col("n_vecs"),
+          expr("ssil div n_vecs").as("mean_sil_ppm"), col("min_sil_ppm"))
+    }
+  }
+
+  // -- q210: top principal component via distributed power iteration ---
+
+  private val PcIters = 6
+  private val PcScale = 1000000L
+
+  /** TOP PRINCIPAL COMPONENT of the embedding space — the anisotropy
+    * audit behind every cosine-based operator here (q23/q32/q33/q58):
+    * contextual embeddings are notoriously anisotropic (a single
+    * dominant direction eats most of the second moment, flattening
+    * cosine contrast — Ethayarajh 2019; Mu & Viswanath 2018's
+    * "all-but-the-top" removes exactly this component), and THIS query
+    * computes that direction with 6 distributed power iterations over
+    * the UNCENTERED second moment (the Gram matrix — the anisotropy
+    * literature's common-direction convention).
+    *
+    * The scale trick: the Gram matrix is never materialized. Each
+    * iteration computes C·v as Σ_r q⃗·(q⃗·v) — one narrow pass over the
+    * SharedCache'd quantized vectors: the dot with the driver-held
+    * 64-long v (control plane, the k-means centroid convention) is a
+    * constant-size expression, then ONE posexplode + map-combined sum
+    * to D rows. No D×D anything, no joins; 6 iterations = 6 cached
+    * passes. Renormalization to ‖v‖∞ = 1e6 happens on the D-row
+    * collect in exact BigInt (the oracle mirrors it in HUGEINT), so
+    * both engines walk the identical integer trajectory. All signed
+    * divisions are sign-decomposed so every `div` sees non-negative
+    * operands (README div contract). Headroom: |w_i| ≤ N·1e4·D·1e4 —
+    * safe in BIGINT to N ≈ 1.4e9 rows per the documented decimal
+    * escape.
+    *
+    * Output: the unit (∞-norm) component, (pos, comp_e6), 1-based
+    * positions. The surfaced relation is the driver-held final vector
+    * (a LocalTableScan) — the data work happened in the 6 passes. */
+  val q210TopComponent: Q = (s, d) => {
+    import s.implicits._
+    val e = graft.ops.SharedCache.persist(
+      quantized(s, d).select(col("vec_id"), col("q")))
+    val head = e.limit(1).collect()
+    if (head.isEmpty)
+      Seq.empty[(Long, Long)].toDF("pos", "comp_e6")
+    else {
+      val dim = head(0).getSeq[Long](1).length
+      var v: Seq[Long] = Seq.fill(dim)(PcScale)
+      (1 to PcIters).foreach { _ =>
+        val w = e
+          .withColumn("dot",
+            aggregate(zip_with(col("q"), typedlit(v), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x))
+          .withColumn("sdot",
+            expr(s"if(dot >= 0, dot div $PcScale, -((-dot) div $PcScale))"))
+          .select(col("sdot"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(sum(expr("x * sdot")).as("w"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val m = math.max(w.map(p => math.abs(p._2)).max, 1L)
+        v = w.map { case (_, wi) => // exact: BigInt mirror of the oracle's HUGEINT
+          val a = (BigInt(wi).abs * PcScale / m).toLong
+          if (wi >= 0) a else -a
+        }
+      }
+      v.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
+        .toDF("pos", "comp_e6")
+    }
+  }
 
   // -- q58: semantic dedup (within-cluster cosine pruning) -----------
 
@@ -1065,6 +1190,8 @@ object NearDup {
     "q114_ann_ivf_pq" -> q114AnnIvfPq,
     "q39_dedup_ngram_jaccard" -> q39DedupNgramJaccard,
     "q57_kmeans_cluster" -> q57KmeansCluster,
+    "q208_silhouette_audit" -> q208SilhouetteAudit,
+    "q210_top_component" -> q210TopComponent,
     "q58_semantic_dedup" -> q58SemanticDedup,
     "q71_containment_dedup" -> q71ContainmentDedup)
 
@@ -1549,6 +1676,65 @@ object NearDup {
     // so the two engines must agree bit-for-bit.
     "q57_kmeans_cluster" ->
       s"WITH $kmeansCtes\nSELECT vec_id, cluster, dist FROM a3",
+    // Same 6 power iterations: per round the same sign-decomposed
+    // truncating dot scale-down, the same D-row C·v sums, and the
+    // same exact ∞-norm renormalization (HUGEINT here = the driver's
+    // BigInt) — both engines walk one integer trajectory.
+    "q210_top_component" -> {
+      def iter(k: Int): String = {
+        val pv = if (k == 1) "it0" else s"v${k - 1}"
+        s"""s_pc$k AS (
+           |  SELECT q, CAST(list_sum(list_transform(generate_series(1, len(q)),
+           |    i -> q[i] * v[i])) AS BIGINT) AS dot
+           |  FROM qv CROSS JOIN $pv
+           |), sd$k AS (
+           |  SELECT q, CASE WHEN dot >= 0 THEN dot // $PcScale
+           |                 ELSE -((-dot) // $PcScale) END AS sdot
+           |  FROM s_pc$k
+           |), w$k AS (
+           |  SELECT u.i AS pos, CAST(sum(q[u.i] * sdot) AS BIGINT) AS w
+           |  FROM sd$k, LATERAL unnest(generate_series(1, len(q))) u(i)
+           |  GROUP BY 1
+           |), m$k AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$k),
+           |v$k AS (
+           |  SELECT list(CAST(CASE WHEN w >= 0
+           |      THEN CAST(w AS HUGEINT) * $PcScale // m
+           |      ELSE -(CAST(-w AS HUGEINT) * $PcScale // m) END AS BIGINT)
+           |    ORDER BY pos) AS v
+           |  FROM w$k CROSS JOIN m$k
+           |)"""
+      }
+      s"""WITH $quantCte, it0 AS (
+         |  SELECT list_transform(generate_series(1, (SELECT max(len(q)) FROM qv)),
+         |    x -> CAST($PcScale AS BIGINT)) AS v
+         |),
+         |${(1 to PcIters).map(iter).mkString(",\n")}
+         |SELECT CAST(u.i AS BIGINT) AS pos, v[u.i] AS comp_e6
+         |FROM v$PcIters, LATERAL unnest(generate_series(1, len(v))) u(i)""".stripMargin
+    },
+    // q57's CTE chain; top-2 centroid distances off the same all-pairs
+    // relation s2 (rn 1 = the assignment, rn 2 = nearest other), same
+    // guarded floor-div ppm and the K=1 → 0 convention via LEFT JOIN.
+    "q208_silhouette_audit" ->
+      s"""WITH $kmeansCtes, rk AS (
+         |  SELECT vec_id, c_id, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |  FROM s2
+         |), ab AS (
+         |  SELECT r1.vec_id, r1.c_id AS cluster, r1.dist AS a_dist, r2.dist AS b_dist
+         |  FROM rk r1 LEFT JOIN rk r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+         |  WHERE r1.rn = 1
+         |), sil AS (
+         |  SELECT vec_id, cluster,
+         |    CASE WHEN b_dist IS NULL THEN 0
+         |         ELSE (b_dist - a_dist) * 1000000 // greatest(b_dist, 1) END
+         |      AS sil_ppm
+         |  FROM ab
+         |)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm,
+         |  CAST(min(sil_ppm) AS BIGINT) AS min_sil_ppm
+         |FROM sil GROUP BY 1""".stripMargin,
     // q57's CTE chain + a within-cluster pair scan — the oracle
     // restates the cluster-bounded quadratic directly.
     "q58_semantic_dedup" ->

@@ -588,6 +588,36 @@ class PlanQualitySpec extends SparkSpec {
     plan("q207_split_leakage") should not include "Expand"
   }
 
+  test("q208 silhouette: join-free narrow map over the cached vectors") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q208_silhouette_audit")
+    // the K distances are a transform over the centroid literal and
+    // top-2 a sort_array — no join, no window, one map-combined agg
+    p should not include "Join"
+    p should not include "Window ["
+    p should include("InMemoryTableScan") // q57's cached vector relation
+  }
+
+  test("q209 zone-map audit: both layout rollups ride one cached cell pass") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q209_zonemap_audit")
+    p should not include "Join"
+    p should include("InMemoryTableScan") // the (fa, fz) composite cells
+    // the union's two legs scan the cache, not the fact table: the only
+    // FileScan lives inside the InMemoryRelation's build lineage
+    p.substring(0, p.indexOf("InMemoryRelation")) should not include "FileScan"
+  }
+
+  test("q210 top component: surfaced relation is the driver-held vector") {
+    assume(haveData, s"$sfDir not present")
+    // the 6 C·v passes run during construction over the cached
+    // vectors (one posexplode + map-combined sum each, no D×D
+    // anything); what surfaces is the 64-row final component
+    val p = plan("q210_top_component")
+    p should include("LocalTableScan")
+    p should not include "Join"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

@@ -146,4 +146,111 @@ class Round10cOpsSpec extends SparkSpec {
     rows.map(_.getLong(3)).sum shouldBe leakyDocs
     rows.map(_.getLong(1)).sum shouldBe cl.count()
   }
+
+  // -- q208: simplified-silhouette audit ------------------------------------
+
+  test("q208 matches a hand-traced 2-cluster Lloyd run") {
+    // N=4 ⇒ K=2, seeds v0=(0,0), v1=(1,1). Quantized: (0,0),(10000,10000),
+    // (0,2),(10000,9998). Both Lloyd updates settle on centroids (0,1)
+    // and (10000,9999); every vector then sits at a=1 from its own
+    // centroid and b≈2e8 from the other, so every silhouette floor-divs
+    // to 999999 (ratio just under 1).
+    val dir = tmpDir("q208fix")
+    Seq((0L, Array(0.0f, 0.0f), 0), (1L, Array(1.0f, 1.0f), 0),
+      (2L, Array(0.0f, 0.0002f), 0), (3L, Array(1.0f, 0.9998f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.NearDup.q208SilhouetteAudit(spark, dir)
+      .orderBy("cluster").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe Seq(
+      (0L, 2L, 999999L, 999999L),
+      (1L, 2L, 999999L, 999999L))
+  }
+
+  test("q208 reconciles with q57's assignment at sf0.001") {
+    val sil = graft.queries.NearDup.q208SilhouetteAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val counts = graft.queries.NearDup.q57KmeansCluster(spark, sf)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sil.keySet shouldBe counts.keySet // same clusters, bit-identical argmin
+    sil.foreach { case (c, (n, mean, mn)) =>
+      n shouldBe counts(c)
+      mean should (be >= -1000000L and be <= 1000000L)
+      mn should be <= mean
+    }
+  }
+
+  // -- q210: top principal component (power iteration) -----------------------
+
+  test("q210 finds the axis of an axis-aligned fixture exactly") {
+    // All vectors lie on dimension 1, so the Gram matrix is
+    // diag(Σx², 0) and every iteration maps v to (Σx²·scale, 0) —
+    // after normalization the component is exactly (1e6, 0) from
+    // round 1 and stays there.
+    val dir = tmpDir("q210fix")
+    Seq((0L, Array(0.5f, 0.0f), 0), (1L, Array(-0.25f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.NearDup.q210TopComponent(spark, dir)
+      .orderBy("pos").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq(
+      (1L, 1000000L), (2L, 0L))
+  }
+
+  test("q210 returns a unit ∞-norm 64-dim component at sf0.001") {
+    val rows = graft.queries.NearDup.q210TopComponent(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    rows.length shouldBe 64
+    rows.map(_._1).sorted shouldBe (1L to 64L)
+    rows.map(p => math.abs(p._2)).max shouldBe 1000000L
+    rows.foreach(p => math.abs(p._2) should be <= 1000000L)
+  }
+
+  // -- q209: zone-map pruning-effectiveness audit ----------------------------
+
+  test("q209 matches hand-computed zone widths on a 4-row fact") {
+    // Arrival files (orderkey div 4096): {1,2}→f0, 5000→f1, 9000→f2;
+    // f0's partkey zone spans 4096..8192 (width 4097), the singletons
+    // width 1 ⇒ Σ4099 over domain 4098 ⇒ 1000 e3 (no pruning: ~1 file
+    // of 3 per probe is 1000/3 e3 ... the arrival zones here overlap
+    // the whole domain). Z-order files (top-8 Morton bits): pk 4096/
+    // 4097 → fz1, 8192/8193 → fz4 — zone widths 2+2 ⇒ 4·1000 div 4098
+    // = 0 e3: pruning collapses reads to the matching file.
+    val dir = tmpDir("q209fix")
+    Seq((1L, 4096L, 0L), (2L, 8192L, 0L), (5000L, 4097L, 0L),
+      (9000L, 8193L, 0L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.Analytics.q209ZoneMapAudit(spark, dir)
+      .orderBy("layout").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))).toSeq shouldBe Seq(
+      ("arrival", 3L, 1L, 2L, 4098L, 4099L, 1000L),
+      ("zorder", 2L, 2L, 2L, 4098L, 4L, 0L))
+  }
+
+  test("q209 shows z-order pruning beating arrival order at sf0.1") {
+    // sf0.001/sf0.01 fit in ONE file under both layouts (orderkey max
+    // < 4096, partkey < 2^12 ⇒ a single Morton bucket) — the pruning
+    // contrast needs sf0.1's key ranges, where arrival order spreads
+    // ~146 files that each span the whole partkey domain while the
+    // top-8 Morton bits confine each z-file to a ~4096-wide zone.
+    val rows = graft.queries.Analytics
+      .q209ZoneMapAudit(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (aFiles, aDom, aSum, aAvg) = rows("arrival")
+    val (zFiles, zDom, zSum, zAvg) = rows("zorder")
+    aDom shouldBe zDom // same rows, same probe domain
+    // arrival files see random partkeys: zones span ~the whole domain,
+    // so a probe reads nearly every file
+    aAvg should be >= aFiles * 500L
+    // z-order zones cover the domain ~n_files/16 times over
+    zAvg should be < aAvg / 4
+    zSum should be < aSum
+    zFiles should be > 0L
+  }
 }
