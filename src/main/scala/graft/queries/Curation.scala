@@ -937,8 +937,11 @@ object Curation {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label").cast("long").as("label"))
       .transform(graft.ops.SharedCache.persist) // min-count scalar + rank pass
+    // min over an empty label relation is NULL — null-safe read so an
+    // empty input degrades to an empty sample instead of an NPE
     val minCount = emb.groupBy("label").agg(count(lit(1)).as("n"))
-      .agg(min(col("n"))).head().getLong(0)
+      .agg(min(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
     val w = Window.partitionBy("label").orderBy(col("rk_hash"), col("vec_id"))
     emb
       .withColumn("rk_hash", hash16("balance", col("vec_id")))

@@ -984,7 +984,8 @@ object EventAnalytics {
       .transform(graft.ops.SharedCache.persist) // min-ts scalar + cohort + converters
     // µs-exact boundary: a millisecond-truncated Timestamp scalar would
     // misclassify events inside the dropped fraction
-    val cutoffUs = e.agg(min(col("us"))).head().getLong(0) + WeekUs
+    val cutoffUs = (e.agg(min(col("us"))).head() match { // null-safe: empty events
+      case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }) + WeekUs
     val cohort = e.filter(col("us") < cutoffUs)
       .select(col("event_type"), col("user_id")).distinct()
     val converters = e

@@ -696,6 +696,37 @@ object Graph {
         expr("leaky_docs * 1000000 div n_docs").as("leak_ppm"))
   }
 
+  // -- q211: leakage-free cluster-aware splits ------------------------------
+
+  /** LEAKAGE-FREE SPLITS — the one-line fix q207's audit prices: assign
+    * train/val/test by the hash of each document's dedup-cluster
+    * REPRESENTATIVE (min doc_id = q55's cluster_id; the doc itself for
+    * singletons), so a near-duplicate cluster moves between splits AS A
+    * UNIT and the q207 leak rate is zero by construction. Keeps q42's
+    * split proportions in expectation (the representative hash is the
+    * same 16-bit md5 uniform) and q42's exact assignment for every
+    * unclustered document — only members of multi-doc clusters can
+    * move, and `moved` marks exactly the rows whose training-set
+    * membership changes (the re-shuffle cost q207 weighs).
+    *
+    * Scale: one left join of the doc universe onto q55's cluster
+    * relation (doc_id-keyed, text never shuffles), then narrow hash
+    * math — nothing beyond q55's own cost. */
+  val q211LeakFreeSplits: Q = (s, d) => {
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 10
+    def splitOf(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .join(q55DupClusters(s, d).select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("unit", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("unit"),
+        splitOf(bucketOf(col("unit"))).as("split"),
+        (splitOf(bucketOf(col("unit"))) =!=
+          splitOf(bucketOf(col("doc_id")))).as("moved"))
+  }
+
   // -- q193: dedup token-yield forecast ----------------------------------
 
   /** DEDUP TOKEN-YIELD FORECAST — q183 counts removable ROWS; this
@@ -804,6 +835,7 @@ object Graph {
     "q193_dedup_yield" -> q193DedupYield,
     "q183_cluster_profile" -> q183ClusterProfile,
     "q207_split_leakage" -> q207SplitLeakage,
+    "q211_leakfree_splits" -> q211LeakFreeSplits,
     "q175_modularity" -> q175Modularity,
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
@@ -1066,6 +1098,38 @@ object Graph {
     // q55's closure CTEs verbatim; non-keepers are the clustered docs
     // whose id is not their component's min label; same tokenizer as
     // every token query, same truncating ppm.
+    // q55's closure + the same representative-hash split on
+    // coalesce(cluster_id, doc_id); `moved` restated by comparing both
+    // split cases.
+    "q211_leakfree_splits" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |), u AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), sp AS (
+         |  SELECT doc_id, unit,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS own_split
+         |  FROM u
+         |)
+         |SELECT doc_id, unit, split, split <> own_split AS moved
+         |FROM sp""".stripMargin,
     // q55's reachability-closure oracle + q42's split hash; the straddle
     // flag restated as a per-cluster distinct-split count.
     "q207_split_leakage" ->

@@ -1089,10 +1089,12 @@ object Profiling {
     * yield 0 in both engines. released clamps at 0 (counts are
     * nonnegative by contract — the standard post-processing step,
     * DP-safe). */
-  val q206DpRelease: Q = (s, d) =>
-    Tables.documents(s, d)
-      .groupBy("source", "lang")
-      .agg(count(lit(1)).as("n_docs"))
+  /** The mechanism over any (source, lang, n_docs) cell relation —
+    * shared verbatim with [[graft.streaming.StreamingDpRelease]], whose
+    * additive cell state feeds this finalizer so the q206 oracle
+    * transitively verifies the streaming release too. */
+  private[graft] def dpReleaseFromCells(cells: DataFrame): DataFrame =
+    cells
       .withColumn("h",
         conv(substring(md5(concat(lit("dpnoise"), col("source"), lit("|"),
           col("lang"))), 1, 12), 16, 10).cast("long"))
@@ -1105,6 +1107,12 @@ object Profiling {
       .select(col("source"), col("lang"), col("n_docs"), col("noise"),
         col("released"),
         expr("abs(released - n_docs) * 1000000 div n_docs").as("abs_err_ppm"))
+
+  val q206DpRelease: Q = (s, d) =>
+    dpReleaseFromCells(
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs")))
 
   // -- q178: classifier calibration audit (reliability table) -----------
 

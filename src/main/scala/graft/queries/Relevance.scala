@@ -91,7 +91,8 @@ object Relevance {
     val avgDlE3 = docs
       .select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(expr("(1000L * sum(dl)) div count(1)"))
-      .head().getLong(0)
+      .head() match { // div by count(1)=0 is NULL on an empty corpus
+        case r if r.isNullAt(0) => 1L; case r => r.getLong(0) }
     // idf_e6 = 1e6 * (N - df + 0.5) / (df + 0.5)  (integer: ×2 both sides)
     val idfE6 = expr(s"((${2 * nDocs}L - 2L*df + 1L) * 1000000L) div (2L*df + 1L)")
     // norm_e3 = k1 * ((1-b) + b * dl/avgdl), all e3-scaled
@@ -142,7 +143,8 @@ object Relevance {
     val uni = base.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
       .transform(graft.ops.SharedCache.persist) // totals scalar + two joins
-    val nTokens = uni.agg(sum(col("n_w"))).head().getLong(0)
+    val nTokens = uni.agg(sum(col("n_w"))).head() match { // null-safe: empty corpus
+      case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
     val bi = base.select(explode(expr(
         """filter(zip_with(tk, slice(tk, 2, greatest(size(tk) - 1, 0)),
           |  (a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"""
@@ -150,7 +152,8 @@ object Relevance {
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
       .transform(graft.ops.SharedCache.persist) // totals scalar + scoring
-    val nBigrams = bi.agg(sum(col("n_ab"))).head().getLong(0)
+    val nBigrams = bi.agg(sum(col("n_ab"))).head() match { // null-safe: empty corpus
+      case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
     bi.filter(col("n_ab") >= PmiMinCount)
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")

@@ -618,6 +618,15 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Join"
   }
 
+  test("q211 leak-free splits: doc-keyed equi-join, Expand-free") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q211_leakfree_splits")
+    p should not include "Expand"
+    // the doc-universe ⟕ cluster join must be a keyed equi-join
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

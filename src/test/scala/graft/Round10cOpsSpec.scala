@@ -147,6 +147,65 @@ class Round10cOpsSpec extends SparkSpec {
     rows.map(_.getLong(1)).sum shouldBe cl.count()
   }
 
+  // -- empty-input guards for driver-hosted scalars ---------------------------
+
+  test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
+    // The r9 ADVICE pattern: agg-scalar reads like sum(...).head()
+    // NPE on empty relations. Guarded sites must degrade to empty
+    // results instead.
+    val dir = tmpDir("emptyfix")
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    graft.queries.Relevance.q61Bm25Search(spark, dir).count() shouldBe 0L
+    graft.queries.Relevance.q124PmiCollocations(spark, dir).count() shouldBe 0L
+    graft.queries.Curation.q145BalancedDownsample(spark, dir)
+      .count() shouldBe 0L
+  }
+
+  // -- q211: leakage-free cluster-aware splits --------------------------------
+
+  test("q211 moves exactly the straddling cluster member") {
+    // q207's fixture: cluster {2,3} (representative 2, bucket 0 →
+    // train) has doc 3 in test under q42 — the only row that moves.
+    // {4,5} and {1,7} already sit inside their representative's split;
+    // singleton 6 keeps its own hash by construction.
+    val dir = tmpDir("q211fix")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight"
+    val tC = "rouge bleu vert jaune violet orange rose gris"
+    Seq((2L, tA, "en", "w"), (3L, tA, "en", "w"),
+      (4L, tB, "en", "w"), (5L, tB, "en", "w"),
+      (1L, tC, "fr", "w"), (7L, tC, "fr", "w"),
+      (6L, "lone wolf document nothing like the others here", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Graph.q211LeakFreeSplits(spark, dir)
+      .orderBy("doc_id").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getBoolean(3))).toSeq shouldBe Seq(
+      (1L, 1L, "val", false), (2L, 2L, "train", false),
+      (3L, 2L, "train", true), (4L, 4L, "train", false),
+      (5L, 4L, "train", false), (6L, 6L, "train", false),
+      (7L, 1L, "val", false))
+  }
+
+  test("q211 yields zero leakage and preserves singleton splits at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val sp = graft.queries.Graph.q211LeakFreeSplits(spark, sf)
+    // every dedup cluster lands in exactly one split
+    sp.groupBy("unit").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() shouldBe 0L
+    // unclustered docs (unit == doc_id) never move
+    sp.filter(col("unit") === col("doc_id") && col("moved")).count() shouldBe 0L
+    // full doc universe, exactly once
+    sp.count() shouldBe graft.Tables.documents(spark, sf).count()
+    sp.select("doc_id").distinct().count() shouldBe sp.count()
+  }
+
   // -- q208: simplified-silhouette audit ------------------------------------
 
   test("q208 matches a hand-traced 2-cluster Lloyd run") {
