@@ -214,6 +214,87 @@ object Analytics {
     layout("arrival", "fa").unionByName(layout("zorder", "fz"))
   }
 
+  // -- q212: space-filling-curve layout comparison ------------------------
+
+  /** Hilbert-curve index of a (x, y) cell in the 2^ZBits grid — the
+    * classic xy2d walk (per level: quadrant code (3·rx)⊕ry, conditional
+    * flip, conditional swap), expressed as ONE `aggregate` HOF fold
+    * over the descending level array so the expression tree stays
+    * CONSTANT-SIZE: the accumulator struct and level are runtime
+    * lambda variables, never duplicated subtrees (a naive Column fold
+    * would copy the whole accumulator at every reference — 4^16
+    * blowup). Shared by q212; exposed for the spec's known-value
+    * pins. */
+  private[graft] def hilbertD(x0: Column, y0: Column): Column = {
+    val levels = typedlit((0 until ZBits).map(i => 1L << (ZBits - 1 - i)))
+    aggregate(
+      levels,
+      struct(x0.as("x"), y0.as("y"), lit(0L).as("d")),
+      (acc, sC) => {
+        val x = acc.getField("x"); val y = acc.getField("y")
+        val dd = acc.getField("d")
+        val rx = when(x.bitwiseAND(sC) > 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(sC) > 0, lit(1L)).otherwise(lit(0L))
+        val nd = dd + sC * sC * (lit(3L) * rx).bitwiseXOR(ry)
+        val flip = ry === 0 && rx === 1
+        val fx = when(flip, sC - 1 - x).otherwise(x)
+        val fy = when(flip, sC - 1 - y).otherwise(y)
+        struct(when(ry === 0, fy).otherwise(fx).as("x"),
+          when(ry === 0, fx).otherwise(fy).as("y"),
+          nd.as("d"))
+      }).getField("d")
+  }
+
+  /** Single-key layout width: ⌊l_partkey / 256⌋ file buckets. */
+  private val SingleKeyWidth = 256L
+
+  /** SPACE-FILLING-CURVE LAYOUT COMPARISON — q209 proves z-order beats
+    * arrival order; THIS is the next decision: which clustered layout?
+    * Three candidates over the same fact rows — `single` (partkey
+    * range buckets: the plain ORDER BY layout, perfect on its own key,
+    * blind on the other), `morton` (q64's interleave, top 8 bits), and
+    * `hilbert` (the Hilbert curve at the same 8-bit granularity —
+    * no diagonal jumps, so cell zones stay tighter than Morton's) —
+    * each scored on BOTH probe dimensions with q209's exact metric:
+    * expected files read per uniform point probe = Σ_f width_f div
+    * domain, for partkey AND suppkey. The table the layout decision
+    * actually reads: single-key ~1 file on pk and ~everything on sk;
+    * the curves pay a little on pk to stay bounded on both.
+    *
+    * Scale shape: q209's verbatim — ONE corpus scan to a
+    * (single, morton, hilbert) composite-cell aggregate, three rollups
+    * off the SharedCache'd cells; the Hilbert walk is a constant-size
+    * HOF fold (see [[hilbertD]]), all integer math. */
+  val q212CurveComparison: Q = (s, d) => {
+    val zx = (col("l_partkey") % (1 << ZBits)).cast("long")
+    val zy = (col("l_suppkey") % (1 << ZBits)).cast("long")
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(s"l_partkey div $SingleKeyWidth").as("fs"),
+        shiftright(interleave(zx, zy), 2 * ZBits - 8).as("fm"),
+        shiftright(hilbertD(zx, zy), 2 * ZBits - 8).as("fh"))
+      .groupBy("fs", "fm", "fh")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+        min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+      .transform(graft.ops.SharedCache.persist)
+    def layout(name: String, f: String): DataFrame =
+      cells.groupBy(col(f))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"),
+          min(col("smin")).as("smin"), max(col("smax")).as("smax"))
+        .agg(count(lit(1)).as("n_files"), max(col("n_rows")).as("rows_max"),
+          sum(col("pmax") - col("pmin") + 1).as("pw"),
+          (max(col("pmax")) - min(col("pmin")) + 1).as("pd"),
+          sum(col("smax") - col("smin") + 1).as("sw"),
+          (max(col("smax")) - min(col("smin")) + 1).as("sd"))
+        .select(lit(name).as("layout"), col("n_files"), col("rows_max"),
+          expr("pw * 1000 div pd").as("pk_files_read_e3"),
+          expr("sw * 1000 div sd").as("sk_files_read_e3"))
+    layout("single", "fs").unionByName(layout("morton", "fm"))
+      .unionByName(layout("hilbert", "fh"))
+  }
+
   // -- q72: UNPIVOT / melt ---------------------------------------------
 
   /** UNPIVOT (melt): recent lineitems' three money measures rotated
@@ -1167,6 +1248,7 @@ object Analytics {
 
   val defs: Map[String, Q] = Map(
     "q209_zonemap_audit" -> q209ZoneMapAudit,
+    "q212_curve_comparison" -> q212CurveComparison,
     "q185_ship_latency" -> q185ShipLatency,
     "q179_persistent_topk" -> q179PersistentTopk,
     "q160_theil_sen" -> q160TheilSen,
@@ -1251,6 +1333,70 @@ object Analytics {
          |  CAST(sum_zone_width * 1000 // domain_width AS BIGINT)
          |    AS avg_files_read_e3
          |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rz)""".stripMargin
+    },
+    // Same Morton bits (q64's zexpr), the same 16 Hilbert xy2d levels
+    // unrolled as CTE pairs (quadrant code via xor, conditional
+    // flip+swap), same composite cells and per-layout rollups.
+    "q212_curve_comparison" -> {
+      val zexpr = (0 until ZBits).flatMap { i =>
+        Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      def lvl(k: Int): String = {
+        val s = 1L << (ZBits - k)
+        val prev = if (k == 1) "h0" else s"h${k - 1}"
+        s"""h${k}a AS (
+           |  SELECT l_partkey, l_suppkey, fs, fm, hx, hy, hd,
+           |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |  FROM $prev
+           |), h$k AS (
+           |  SELECT l_partkey, l_suppkey, fs, fm,
+           |    CAST(CASE WHEN ry = 0
+           |      THEN (CASE WHEN rx = 1 THEN $s - 1 - hy ELSE hy END)
+           |      ELSE hx END AS BIGINT) AS hx,
+           |    CAST(CASE WHEN ry = 0
+           |      THEN (CASE WHEN rx = 1 THEN $s - 1 - hx ELSE hx END)
+           |      ELSE hy END AS BIGINT) AS hy,
+           |    CAST(hd + $s * $s * xor(3 * rx, ry) AS BIGINT) AS hd
+           |  FROM h${k}a
+           |)"""
+      }
+      def roll(name: String, f: String): String =
+        s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(max(n_rows) AS BIGINT) AS rows_max,
+           |  CAST(sum(pmax - pmin + 1) * 1000 // (max(pmax) - min(pmin) + 1)
+           |    AS BIGINT) AS pk_files_read_e3,
+           |  CAST(sum(smax - smin + 1) * 1000 // (max(smax) - min(smin) + 1)
+           |    AS BIGINT) AS sk_files_read_e3
+           |FROM (SELECT $f, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |        min(pmin) AS pmin, max(pmax) AS pmax,
+           |        min(smin) AS smin, max(smax) AS smax
+           |      FROM cells GROUP BY 1)"""
+      s"""WITH b AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(l_partkey % ${1 << ZBits} AS BIGINT) AS zx,
+         |    CAST(l_suppkey % ${1 << ZBits} AS BIGINT) AS zy
+         |  FROM lineitem
+         |), h0 AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    l_partkey // $SingleKeyWidth AS fs,
+         |    CAST(($zexpr) >> ${2 * ZBits - 8} AS BIGINT) AS fm,
+         |    zx AS hx, zy AS hy, CAST(0 AS BIGINT) AS hd
+         |  FROM b
+         |),
+         |${(1 to ZBits).map(lvl).mkString(",\n")},
+         |cells AS (
+         |  SELECT fs, fm, CAST(hd >> ${2 * ZBits - 8} AS BIGINT) AS fh,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM h$ZBits GROUP BY 1, 2, 3
+         |)
+         |${roll("single", "fs")}
+         |UNION ALL
+         |${roll("morton", "fm")}
+         |UNION ALL
+         |${roll("hilbert", "fh")}""".stripMargin
     },
     // Same calendar-day difference, same frequency relation and
     // integer rank predicates.

@@ -627,6 +627,14 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  test("q212 curve comparison: three rollups ride one cached cell pass") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q212_curve_comparison")
+    p should not include "Join"
+    p should include("InMemoryTableScan") // the (fs, fm, fh) composite cells
+    p.substring(0, p.indexOf("InMemoryRelation")) should not include "FileScan"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

@@ -147,6 +147,61 @@ class Round10cOpsSpec extends SparkSpec {
     rows.map(_.getLong(1)).sum shouldBe cl.count()
   }
 
+  // -- q212: space-filling-curve layout comparison ----------------------------
+
+  test("hilbertD matches independently computed canonical xy2d values") {
+    // Pinned against a Python reference of the canonical Wikipedia
+    // xy2d walk at n = 65536 (adjacency-verified on the full 16×16
+    // grid; the s−1 and n−1 flip variants verified equivalent on 20k
+    // random points).
+    import org.apache.spark.sql.functions._
+    val got = Seq((0L, 0L), (4096L, 0L), (8192L, 0L), (4097L, 1L),
+      (65535L, 65535L), (12345L, 54321L))
+      .toDF("x", "y")
+      .select(graft.queries.Analytics.hilbertD(col("x"), col("y")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe Seq(0L, 16777216L, 246065834L, 16777218L,
+      2863311530L, 1555040834L)
+  }
+
+  test("q212 matches hand-computed zones on a layout-distinguishing fixture") {
+    // (0,0) and (255,65535) share a single-key file but land in curve
+    // files 0 / 170 (Morton) and 0 / 85 (Hilbert); the curves pay 3e0
+    // extra pk width for a ZERO sk zone spread, the single-key layout
+    // reads every file on sk probes.
+    val dir = tmpDir("q212fix")
+    Seq((1L, 0L, 0L), (2L, 255L, 65535L), (3L, 256L, 0L),
+      (4L, 511L, 65535L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.Analytics.q212CurveComparison(spark, dir)
+      .orderBy("layout").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq shouldBe Seq(
+      ("hilbert", 2L, 2L, 1003L, 0L),
+      ("morton", 2L, 2L, 1003L, 0L),
+      ("single", 2L, 2L, 1000L, 2000L))
+  }
+
+  test("q212 shows the curve trade-off at sf0.1") {
+    val rows = graft.queries.Analytics
+      .q212CurveComparison(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (sF, sPk, sSk) = rows("single")
+    val (_, mPk, mSk) = rows("morton")
+    val (_, hPk, hSk) = rows("hilbert")
+    // single-key: near-perfect on its own key, blind on the other
+    sPk should be <= 1100L
+    sSk should be >= sF * 900L
+    // curves: bounded on BOTH dimensions — each reads far less of the
+    // file set on sk probes than the single-key layout
+    mSk should be < sSk / 4
+    hSk should be < sSk / 4
+    // and pay only a bounded factor on pk vs the perfect layout
+    Seq(mPk, hPk).foreach(_ should be < sSk)
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
