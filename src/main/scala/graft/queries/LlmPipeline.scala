@@ -183,6 +183,34 @@ object LlmPipeline {
       .filter(col("jaccard_e6") >= 500000L)
   }
 
+  // -- q214: contrastive pair mining (positives + hard negatives) -----
+
+  /** CONTRASTIVE PAIR MINING — the training-data op hiding inside
+    * q21's machinery: embedding/reranker training needs (anchor, pair)
+    * examples, and the LSH candidate set is exactly the right quarry —
+    * verified near-dups (Jaccard ≥ 0.5) are the POSITIVES, while
+    * candidates that collided in a band but verify BELOW threshold are
+    * textbook HARD NEGATIVES: lexically close non-duplicates, the
+    * pairs a contrastive loss learns the most from (random negatives
+    * are trivially separable; these are not). One operator, both
+    * legs, exact scores attached.
+    *
+    * Contract pins: the positive leg is row-identical to q21 (spec-
+    * reconciled), so mining pairs costs nothing beyond the dedup run
+    * it shares its SharedCache'd signatures with. Scale shape is
+    * q21's verbatim: banded buckets, candidates only, exact verify —
+    * never all-pairs. */
+  val q214ContrastivePairs: Q = (s, d) => {
+    val sig = minhashSignatures(hashedShingleSet(s, d))
+      .transform(graft.ops.SharedCache.persist)
+    scoredCandidatePairs(sig)
+      .select(col("doc_a").as("anchor"), col("doc_b").as("pair_id"),
+        jaccardE6(col("n_inter"), col("na"), col("nb")).as("jaccard_e6"))
+      .withColumn("kind",
+        when(col("jaccard_e6") >= 500000L, "positive")
+          .otherwise("hard_negative"))
+  }
+
   // -- q22: text analysis -------------------------------------------
 
   private val StopEn = Seq("the", "a", "of", "to", "and")
@@ -1271,6 +1299,7 @@ object LlmPipeline {
     "q100_pretrain_pipeline" -> q100PretrainPipeline,
     "q20_dedup_exact" -> q20DedupExact,
     "q21_dedup_minhash_lsh" -> q21DedupMinhashLsh,
+    "q214_contrastive_pairs" -> q214ContrastivePairs,
     "q22_text_stats" -> q22TextStats,
     "q23_ann_brute_force" -> q23AnnBruteForce,
     "q24_ann_lsh_bucketed" -> q24AnnLshBucketed,
@@ -1542,6 +1571,17 @@ object LlmPipeline {
         |GROUP BY 1""".stripMargin,
     "q21_dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes\n$minhashPairSelect",
+    // q21's scored CTE WITHOUT the threshold filter: the label is the
+    // threshold, not a row cut.
+    "q214_contrastive_pairs" ->
+      s"""WITH $minhashPairCtes
+         |SELECT doc_a AS anchor, doc_b AS pair_id,
+         |  CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6,
+         |  CASE WHEN CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= 500000
+         |    THEN 'positive' ELSE 'hard_negative' END AS kind
+         |FROM scored""".stripMargin,
     // q21's pair CTEs verbatim, then the same source mapping, ordered
     // cell key, and possible-pair normalizer.
     "q182_neardup_source_matrix" ->

@@ -470,6 +470,59 @@ object Profiling {
         (lit(cPpm) + coalesce(col("adj"), lit(0L))).as("l1_ppm"))
   }
 
+  // -- q213: split representativeness audit -------------------------------
+
+  /** SPLIT REPRESENTATIVENESS AUDIT — q118's drift monitor turned on
+    * the SPLITTER: a hash split's promise is that val/test are
+    * distributionally indistinguishable from the corpus, and this
+    * measures it — per q42 split, the L1 distance (integer ppm) of the
+    * split's unigram distribution from the corpus distribution over
+    * the corpus's top-100 reference tokens. Near-zero validates the
+    * splitter; a large l1_ppm on a 10% hash split flags doc_ids
+    * correlated with content (ingest-time ids + drifting feeds — the
+    * failure mode that silently makes validation loss unrepresentative
+    * of train loss). Run AFTER q211's re-split, it also checks the
+    * cluster-aware repair didn't skew the axes it should not touch.
+    *
+    * q118's plan and absent-mass algebra verbatim (source → split):
+    * text dies to 48-bit hashes at the scan, the reference is a
+    * TopK-selected 100-row broadcast, observed (split, hash) pairs
+    * shuffle once, and the two corpus scalars are driver-hosted
+    * control plane. */
+  val q213SplitDrift: Q = (s, d) => {
+    val b =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    val toks = Tables.documents(s, d)
+      .select(
+        when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("t"))
+      .select(col("split"),
+        conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long").as("gh"))
+      .transform(graft.ops.SharedCache.persist)
+    val corpus = toks.groupBy("gh").agg(count(lit(1)).as("n_gh"))
+      .withColumn("grp", lit(1))
+    val nTotal = corpus.agg(sum(col("n_gh"))).head() match {
+      case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
+    val ref = graft.functions.TopK
+      .topKPerGroup(corpus, "grp", "gh", "n_gh", DriftRefK)
+      .select(col("gh"), expr(s"n_gh * 1000000 div ${math.max(nTotal, 1L)}").as("ppm_c"))
+      .transform(graft.ops.SharedCache.persist)
+    val cPpm = Option(ref.agg(sum(col("ppm_c"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val spTotals = toks.groupBy("split").agg(count(lit(1)).as("n_tokens"))
+    val present = toks.groupBy("split", "gh").agg(count(lit(1)).as("n_sg"))
+      .join(broadcast(ref), Seq("gh"))
+      .join(broadcast(spTotals), Seq("split"))
+      .withColumn("ppm_s", expr("n_sg * 1000000 div n_tokens"))
+      .groupBy("split")
+      .agg(sum(abs(col("ppm_s") - col("ppm_c")) - col("ppm_c")).as("adj"))
+    spTotals
+      .join(present, Seq("split"), "left")
+      .select(col("split"), col("n_tokens"),
+        (lit(cPpm) + coalesce(col("adj"), lit(0L))).as("l1_ppm"))
+  }
+
   // -- q129: oracle-gated HyperLogLog --------------------------------
 
   /** HYPERLOGLOG distinct-user estimate per event_type, built from
@@ -1161,6 +1214,7 @@ object Profiling {
 
   val defs: Map[String, Q] = Map(
     "q206_dp_release" -> q206DpRelease,
+    "q213_split_drift" -> q213SplitDrift,
     "q199_t_closeness" -> q199TCloseness,
     "q188_l_diversity" -> q188LDiversity,
     "q173_k_anonymity" -> q173KAnonymity,
@@ -1574,6 +1628,39 @@ object Profiling {
          |  CAST(abs(e.est_users - x.n_users) * 100 // x.n_users AS BIGINT) AS err_pct
          |FROM est e JOIN exact x USING (event_type)""".stripMargin,
     // Same absent-mass algebra: L1 = Σ ppm_c + Σ_present(|Δ| − ppm_c).
+    // q118's oracle with the q42 split CASE in place of source.
+    "q213_split_drift" ->
+      s"""WITH tok AS (
+         |  SELECT split, CAST('0x' || substr(md5(u.t), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT
+         |          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+         |               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+         |               ELSE 'test' END AS split,
+         |          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |        FROM documents), LATERAL unnest(tk) u(t)
+         |), corpus AS (
+         |  SELECT gh, count(*) AS n_gh FROM tok GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_gh) AS BIGINT) AS n_total FROM corpus
+         |), ref AS (
+         |  SELECT gh, n_gh * 1000000 // n_total AS ppm_c
+         |  FROM (SELECT gh, n_gh, row_number() OVER (ORDER BY n_gh DESC, gh) AS rn
+         |        FROM corpus), tot
+         |  WHERE rn <= $DriftRefK
+         |), refc AS (
+         |  SELECT CAST(sum(ppm_c) AS BIGINT) AS c_ppm FROM ref
+         |), st AS (
+         |  SELECT split, count(*) AS n_tokens FROM tok GROUP BY 1
+         |), pres AS (
+         |  SELECT sg.split,
+         |    CAST(sum(abs((sg.n_sg * 1000000 // st.n_tokens) - r.ppm_c) - r.ppm_c) AS BIGINT) AS adj
+         |  FROM (SELECT split, gh, count(*) AS n_sg FROM tok GROUP BY 1, 2) sg
+         |  JOIN ref r USING (gh)
+         |  JOIN st ON st.split = sg.split
+         |  GROUP BY 1
+         |)
+         |SELECT st.split, st.n_tokens, c_ppm + coalesce(adj, 0) AS l1_ppm
+         |FROM st LEFT JOIN pres USING (split), refc""".stripMargin,
     "q118_source_drift" ->
       s"""WITH tok AS (
          |  SELECT source, CAST('0x' || substr(md5(u.t), 1, 12) AS BIGINT) AS gh

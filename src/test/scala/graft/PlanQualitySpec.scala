@@ -635,6 +635,20 @@ class PlanQualitySpec extends SparkSpec {
     p.substring(0, p.indexOf("InMemoryRelation")) should not include "FileScan"
   }
 
+  test("q213 split drift: reference and totals ride broadcast joins") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q213_split_drift")
+    p should include("BroadcastHashJoin") // 100-row ref + 3-row totals
+    p should not include "Expand"
+  }
+
+  test("q214 contrastive pairs: banded candidates only, keyed equi-joins") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q214_contrastive_pairs")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

@@ -10,6 +10,7 @@ package graft
   * cluster straddling train/test).
   */
 class Round10cOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
@@ -200,6 +201,71 @@ class Round10cOpsSpec extends SparkSpec {
     hSk should be < sSk / 4
     // and pay only a bounded factor on pk vs the perfect layout
     Seq(mPk, hPk).foreach(_ should be < sSk)
+  }
+
+  // -- q213: split representativeness audit -----------------------------------
+
+  test("q213 matches hand-computed L1 drift per split") {
+    // doc 2→train "a a b", doc 3→test "a b b", doc 1→val "a b".
+    // Corpus: a=4, b=4 of 8 ⇒ ppm_c = 500000 each (both in the top-100
+    // reference). train/test skew one token 2:1 ⇒ L1 = |666666−500000|
+    // + |333333−500000| = 333333 ppm; val matches the corpus exactly.
+    val dir = tmpDir("q213fix")
+    Seq((2L, "a a b", "en", "w"), (3L, "a b b", "en", "w"),
+      (1L, "a b", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Profiling.q213SplitDrift(spark, dir)
+      .orderBy("split").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("test", 3L, 333333L), ("train", 3L, 333333L), ("val", 2L, 0L))
+  }
+
+  test("q213 splits cover the corpus and stay within the L1 range at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Profiling.q213SplitDrift(spark, sf).collect()
+    rows.map(_.getString(0)).sorted shouldBe Seq("test", "train", "val")
+    rows.foreach { r =>
+      r.getLong(2) should (be >= 0L and be <= 2000000L)
+    }
+    // token totals reconcile with a direct corpus count
+    val total = graft.Tables.documents(spark, sf)
+      .select(explode(split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " "))).count()
+    rows.map(_.getLong(1)).sum shouldBe total
+  }
+
+  // -- q214: contrastive pair mining -------------------------------------------
+
+  test("q214 labels identical docs positive and reconciles its legs with q21") {
+    val dir = tmpDir("q214fix")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((2L, tA, "en", "w"), (3L, tA, "en", "w"),
+      (6L, "lone wolf document nothing like the others here", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.LlmPipeline.q214ContrastivePairs(spark, dir)
+      .filter(col("kind") === "positive").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((2L, 3L, 1000000L))
+  }
+
+  test("q214's positive leg is row-identical to q21 at sf0.001") {
+    val pos = graft.queries.LlmPipeline.q214ContrastivePairs(spark, sf)
+      .filter(col("kind") === "positive")
+      .select(col("anchor"), col("pair_id"), col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    val q21 = graft.queries.LlmPipeline.q21DedupMinhashLsh(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    pos shouldBe q21
+    // hard negatives exist (band collisions below threshold) and every
+    // label matches its score
+    val all = graft.queries.LlmPipeline.q214ContrastivePairs(spark, sf).collect()
+    all.foreach { r =>
+      (r.getString(3) == "positive") shouldBe (r.getLong(2) >= 500000L)
+    }
+    all.count(_.getString(3) == "hard_negative") should be > 0
   }
 
   // -- empty-input guards for driver-hosted scalars ---------------------------
