@@ -523,6 +523,64 @@ object Profiling {
         (lit(cPpm) + coalesce(col("adj"), lit(0L))).as("l1_ppm"))
   }
 
+  // -- q215: oracle-gated count-min sketch ----------------------------
+
+  private val CmsRows = 4
+  private val CmsWidth = 1024L
+  private val CmsTopK = 32
+
+  /** COUNT-MIN SKETCH token frequencies — the third from-first-
+    * principles sketch next to q129's HLL (cardinality) and q169's
+    * Misra–Gries (heavy-hitter IDENTIFICATION): CMS answers the
+    * frequency QUERY in bounded memory — 4 rows × 1024 counters is
+    * the whole state for any corpus size, counters merge by `+`
+    * (the mergeable-sketch property that makes it a 100 TB tool), and
+    * est(t) = min_j counter[j][h_j(t)] NEVER under-counts (collisions
+    * only add — the one-sided CMS guarantee, spec-pinned). Cormode &
+    * Muthukrishnan 2005; ε = e/w ≈ 0.27% of corpus mass per row
+    * before the 4-row min tightens it.
+    *
+    * Deterministic by construction (md5 row hashes), so the DuckDB
+    * oracle rebuilds the identical sketch and the gate is bit-for-bit
+    * — same convention as q129. The audit surface: the top-32 exact
+    * tokens (the q190 Zipf-small vocab window) with true count,
+    * estimate, and overestimate ppm — at production scale you keep
+    * the sketch and drop the exact leg; here the exact leg IS the
+    * verification.
+    *
+    * Plan: one token pass → 4-fold in-row (row, col) expansion →
+    * map-combined count to ≤4096 cells (SharedCache'd); the probe leg
+    * joins 32×4 cells against the broadcast sketch. Nothing after the
+    * partial aggregate scales with corpus volume. */
+  val q215CountMinSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    def hj(j: Int, t: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$j|"), t)), 1, 12), 16, 10)
+        .cast("long") % CmsWidth
+    def rcArr(t: Column): Column = array((0 until CmsRows).map(j =>
+      struct(lit(j).as("r"), hj(j, t).as("c"))): _*)
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")).as("t"))
+      .transform(graft.ops.SharedCache.persist)
+    val cells = toks
+      .select(explode(rcArr(col("t"))).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.ops.SharedCache.persist)
+    val top = toks.groupBy("t").agg(count(lit(1)).as("n_true"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n_true").desc, col("t"))))
+      .filter(col("rn") <= CmsTopK).drop("rn")
+    top
+      .select(col("t"), col("n_true"), explode(rcArr(col("t"))).as("rc"))
+      .join(broadcast(cells),
+        col("rc.r") === col("r") && col("rc.c") === col("c"))
+      .groupBy("t", "n_true").agg(min(col("n")).as("n_est"))
+      .select(col("t").as("token"), col("n_true"), col("n_est"),
+        expr("(n_est - n_true) * 1000000 div n_true").as("over_ppm"))
+  }
+
   // -- q129: oracle-gated HyperLogLog --------------------------------
 
   /** HYPERLOGLOG distinct-user estimate per event_type, built from
@@ -1215,6 +1273,7 @@ object Profiling {
   val defs: Map[String, Q] = Map(
     "q206_dp_release" -> q206DpRelease,
     "q213_split_drift" -> q213SplitDrift,
+    "q215_count_min" -> q215CountMinSketch,
     "q199_t_closeness" -> q199TCloseness,
     "q188_l_diversity" -> q188LDiversity,
     "q173_k_anonymity" -> q173KAnonymity,
@@ -1628,6 +1687,34 @@ object Profiling {
          |  CAST(abs(e.est_users - x.n_users) * 100 // x.n_users AS BIGINT) AS err_pct
          |FROM est e JOIN exact x USING (event_type)""".stripMargin,
     // Same absent-mass algebra: L1 = Σ ppm_c + Σ_present(|Δ| − ppm_c).
+    // Same md5 row hashes → the identical 4×1024 sketch; same top-32
+    // window, same min-over-rows estimate — bit-for-bit like q129.
+    "q215_count_min" ->
+      s"""WITH tok AS (
+         |  SELECT u.t AS t
+         |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |        FROM documents), LATERAL unnest(tk) u(t)
+         |), cells AS (
+         |  SELECT j.j AS r,
+         |    CAST('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || '|' || t), 1, 12) AS BIGINT) % $CmsWidth AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS j) j
+         |  GROUP BY 1, 2
+         |), top AS (
+         |  SELECT t, n_true FROM (
+         |    SELECT t, CAST(count(*) AS BIGINT) AS n_true,
+         |      row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+         |    FROM tok GROUP BY t)
+         |  WHERE rn <= $CmsTopK
+         |), probe AS (
+         |  SELECT t, n_true, j.j AS r,
+         |    CAST('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || '|' || t), 1, 12) AS BIGINT) % $CmsWidth AS c
+         |  FROM top, (SELECT unnest([0, 1, 2, 3]) AS j) j
+         |)
+         |SELECT p.t AS token, p.n_true, CAST(min(c2.n) AS BIGINT) AS n_est,
+         |  (min(c2.n) - p.n_true) * 1000000 // p.n_true AS over_ppm
+         |FROM probe p JOIN cells c2 ON c2.r = p.r AND c2.c = p.c
+         |GROUP BY 1, 2""".stripMargin,
     // q118's oracle with the q42 split CASE in place of source.
     "q213_split_drift" ->
       s"""WITH tok AS (

@@ -649,6 +649,14 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  test("q215 count-min: bounded sketch state, broadcast probe") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q215_count_min")
+    p should include("BroadcastHashJoin") // 32×4 probes vs ≤4096 cells
+    p should include("InMemoryTableScan") // the SharedCache'd sketch
+    p should not include "Expand"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

@@ -268,6 +268,34 @@ class Round10cOpsSpec extends SparkSpec {
     all.count(_.getString(3) == "hard_negative") should be > 0
   }
 
+  // -- q215: count-min sketch ----------------------------------------------------
+
+  test("q215 estimates exactly on a collision-free fixture") {
+    // 3 distinct tokens land in 12 distinct cells (verified against an
+    // independent Python md5 walk), so every estimate is exact.
+    val dir = tmpDir("q215fix")
+    Seq((1L, "a a a b b c", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Profiling.q215CountMinSketch(spark, dir)
+      .orderBy("token").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe Seq(
+      ("a", 3L, 3L, 0L), ("b", 2L, 2L, 0L), ("c", 1L, 1L, 0L))
+  }
+
+  test("q215 never under-counts and reports the head tokens at sf0.001") {
+    val rows = graft.queries.Profiling.q215CountMinSketch(spark, sf).collect()
+    // sf0.001's synthetic vocab holds 31 distinct tokens — fewer than
+    // the top-32 cut, so the report covers the whole head
+    rows.length should (be > 0 and be <= 32)
+    rows.foreach { r =>
+      // the one-sided CMS guarantee: collisions only ADD
+      r.getLong(2) should be >= r.getLong(1)
+      r.getLong(3) shouldBe (r.getLong(2) - r.getLong(1)) * 1000000L / r.getLong(1)
+    }
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
