@@ -760,6 +760,42 @@ object Curation {
         (expr("sum_shift * 1000 div n_tokens") > 1000000L).as("keep"))
   }
 
+  // -- q216: duplicate-aware preference pairs (DPO-style) -----------------
+
+  /** PREFERENCE PAIR CONSTRUCTION — the alignment-data op completing
+    * the training-pairs story q214 opened: DPO/RLHF reward training
+    * needs (chosen, rejected) examples OF THE SAME CONTENT, and the
+    * dedup clusters are exactly that — near-duplicate variants of one
+    * underlying document. Per q55 cluster: chosen = the member with
+    * the highest q113 quality margin, rejected = the lowest, with the
+    * exact margin gap attached; clusters whose extremes tie (byte-dup
+    * clusters — identical text scores identically) carry no preference
+    * signal and are dropped by the gap > 0 filter. "Among variants of
+    * the same thing, prefer the higher-quality one" — preference pairs
+    * for free from operators the pipeline already runs.
+    *
+    * Determinism: extremes via struct order (margin, doc_id) — ties at
+    * the top take the larger id, at the bottom the smaller, identical
+    * in the oracle's two rank windows. Scale: q55's cost + a doc-keyed
+    * join + ONE map-combined min/max aggregate per cluster; text never
+    * shuffles. */
+  val q216PreferencePairs: Q = (s, d) => {
+    val margins = q113QualityClassifier(s, d)
+      .select(col("doc_id"), col("margin_e3"))
+    graft.queries.Graph.q55DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(margins, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("margin_e3"), col("doc_id"))).as("ch"),
+        min(struct(col("margin_e3"), col("doc_id"))).as("rj"))
+      .select(col("cluster_id"),
+        col("ch.doc_id").as("chosen_id"), col("rj.doc_id").as("rejected_id"),
+        col("ch.margin_e3").as("chosen_margin_e3"),
+        col("rj.margin_e3").as("rejected_margin_e3"),
+        (col("ch.margin_e3") - col("rj.margin_e3")).as("gap_e3"))
+      .filter(col("gap_e3") > 0)
+  }
+
   // -- q70: sliding-window chunking with overlap ------------------------
 
   private val ChunkTokens = 64
@@ -1504,6 +1540,7 @@ object Curation {
     "q69_bigram_coverage" -> q69BigramCoverage,
     "q70_stride_chunk" -> q70StrideChunk,
     "q113_quality_classifier" -> q113QualityClassifier,
+    "q216_preference_pairs" -> q216PreferencePairs,
     "q115_source_overlap" -> q115SourceOverlap,
     "q53_exact_k_sample" -> q53ExactKSample,
     "q56_sequence_pack" -> q56SequencePack,
@@ -1799,6 +1836,42 @@ object Curation {
          |    / CAST(sum(p.c) AS DOUBLE), 0) AS BIGINT) AS coverage_e6
          |FROM pd p LEFT JOIN top t USING (gh)
          |GROUP BY 1""".stripMargin,
+    // q55's closure (LlmPipeline's shared pair CTEs) + q113's margin,
+    // extremes via the two rank windows matching the struct order.
+    "q216_preference_pairs" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |), marg AS (
+         |  SELECT doc_id,
+         |    (CAST(sum((CAST('0x' || substr(md5(u.t), 1, 2) AS BIGINT) * $ClsMix) % $ClsRange) AS BIGINT)
+         |      * 1000 // count(*)) - 1000000 AS margin_e3
+         |  FROM toks, LATERAL unnest(tk) u(t)
+         |  GROUP BY doc_id
+         |), r AS (
+         |  SELECT c.cluster_id, c.doc_id, g.margin_e3,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY g.margin_e3 DESC, c.doc_id DESC) AS rc,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY g.margin_e3 ASC, c.doc_id ASC) AS rr
+         |  FROM comp c JOIN marg g USING (doc_id)
+         |)
+         |SELECT ch.cluster_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+         |  ch.margin_e3 AS chosen_margin_e3, rj.margin_e3 AS rejected_margin_e3,
+         |  ch.margin_e3 - rj.margin_e3 AS gap_e3
+         |FROM (SELECT * FROM r WHERE rc = 1) ch
+         |JOIN (SELECT * FROM r WHERE rr = 1) rj USING (cluster_id)
+         |WHERE ch.margin_e3 > rj.margin_e3""".stripMargin,
     "q113_quality_classifier" ->
       s"""WITH $toksCte, tok AS (
          |  SELECT doc_id,

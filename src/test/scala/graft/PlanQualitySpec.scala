@@ -657,6 +657,15 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Expand"
   }
 
+  test("q216 preference pairs: one aggregate over a doc-keyed margin join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q216_preference_pairs")
+    p should not include "Expand"
+    p should not include "Window [" // extremes are min/max structs, not ranks
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

@@ -296,6 +296,40 @@ class Round10cOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q216: duplicate-aware preference pairs -----------------------------------
+
+  test("q216 pairs the near-dup variants and drops the byte-dup cluster") {
+    // Cluster {2,3}: same text except theta→iota — margins −65500 vs
+    // −73500 (Python-verified) ⇒ one pair with gap 8000. Cluster
+    // {4,5}: byte-identical ⇒ equal margins ⇒ no signal, filtered.
+    val dir = tmpDir("q216fix")
+    Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "w"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota", "en", "w"),
+      (4L, "one two three four five six seven eight", "en", "w"),
+      (5L, "one two three four five six seven eight", "en", "w"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Curation.q216PreferencePairs(spark, dir).collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq shouldBe Seq(
+      (2L, 2L, 3L, -65500L, -73500L, 8000L))
+  }
+
+  test("q216 pairs come from real clusters with positive gaps at sf0.001") {
+    val rows = graft.queries.Curation.q216PreferencePairs(spark, sf).collect()
+    val clusters = graft.queries.Graph.q55DupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      r.getLong(5) should be > 0L
+      r.getLong(5) shouldBe r.getLong(3) - r.getLong(4)
+      clusters(r.getLong(1)) shouldBe r.getLong(0) // chosen in its cluster
+      clusters(r.getLong(2)) shouldBe r.getLong(0) // rejected too
+      r.getLong(1) should not be r.getLong(2)
+    }
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
