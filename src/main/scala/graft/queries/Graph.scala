@@ -696,6 +696,59 @@ object Graph {
         expr("leaky_docs * 1000000 div n_docs").as("leak_ppm"))
   }
 
+  // -- q217: incremental connected-components maintenance --------------------
+
+  /** INCREMENTAL CC MAINTENANCE — the ops reality behind q55 at 100 TB:
+    * the corpus grows daily, and re-running connected components over
+    * EVERY edge ever seen is the cost this operator deletes. The
+    * standard contraction argument: with base labels L already
+    * computed, new edges only need CC over the CONTRACTED graph —
+    * base endpoints map to their labels, so the incremental run's
+    * node universe is (touched base clusters + delta docs), orders of
+    * magnitude smaller than the corpus. Label identity is PRESERVED
+    * exactly: a base label is the min doc id of its sub-cluster, so
+    * the contracted component's min over (labels ∪ delta ids) is the
+    * true global min — the output is BIT-IDENTICAL to a full q55-style
+    * recompute, and the oracle (a full-recompute reachability closure)
+    * gates exactly that.
+    *
+    * Delta convention: doc_id % 10 = 0 plays the newly-arrived batch
+    * (the q48 incremental-dedup convention); base labels are computed
+    * here for self-containment — a production run reads them from the
+    * previous snapshot, paying ONLY the contracted run per batch.
+    * Pair generation stays shared with q21's cached signatures. */
+  val q217IncrementalCc: Q = (s, d) => {
+    val isDelta = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val pairs = LlmPipeline.q21DedupMinhashLsh(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .transform(graft.ops.SharedCache.persist)
+    val baseLbl = connectedComponents(
+      pairs.filter(!isDelta(col("a")) && !isDelta(col("b"))))
+      .transform(graft.ops.SharedCache.persist)
+    val contracted = pairs
+      .filter(isDelta(col("a")) || isDelta(col("b")))
+      .join(baseLbl.select(col("id").as("a"), col("lbl").as("la")),
+        Seq("a"), "left")
+      .join(baseLbl.select(col("id").as("b"), col("lbl").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val merged = connectedComponents(contracted)
+      .transform(graft.ops.SharedCache.persist)
+    val baseFinal = baseLbl
+      .join(merged.select(col("id").as("lbl"), col("lbl").as("mlbl")),
+        Seq("lbl"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("mlbl"), col("lbl")).as("cluster_id"))
+    // nodes the contracted run saw that are NOT relabeled base docs:
+    // delta docs + base docs that were unpaired within the base
+    val others = merged
+      .join(baseLbl.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    baseFinal.unionByName(others)
+  }
+
   // -- q211: leakage-free cluster-aware splits ------------------------------
 
   /** LEAKAGE-FREE SPLITS — the one-line fix q207's audit prices: assign
@@ -836,6 +889,7 @@ object Graph {
     "q183_cluster_profile" -> q183ClusterProfile,
     "q207_split_leakage" -> q207SplitLeakage,
     "q211_leakfree_splits" -> q211LeakFreeSplits,
+    "q217_incremental_cc" -> q217IncrementalCc,
     "q175_modularity" -> q175Modularity,
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
@@ -1098,6 +1152,23 @@ object Graph {
     // q55's closure CTEs verbatim; non-keepers are the clustered docs
     // whose id is not their component's min label; same tokenizer as
     // every token query, same truncating ppm.
+    // The FULL-RECOMPUTE closure over all docs: the oracle states the
+    // equivalence the contraction argument proves — incremental
+    // maintenance must land on exactly the from-scratch labels.
+    "q217_incremental_cc" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |)
+         |SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id""".stripMargin,
     // q55's closure + the same representative-hash split on
     // coalesce(cluster_id, doc_id); `moved` restated by comparing both
     // split cases.

@@ -666,6 +666,13 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  test("q217 incremental CC: final relabel is keyed joins over cached labels") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q217_incremental_cc")
+    p should include("InMemoryTableScan") // baseLbl + merged label caches
+    p should not include "Expand"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

@@ -330,6 +330,37 @@ class Round10cOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q217: incremental connected-components maintenance -----------------------
+
+  test("q217 folds delta docs into base labels and keeps label identity") {
+    // Base clusters {2,3} (tA) and {4,7} (tB); delta doc 10 (tA copy)
+    // must join cluster 2 through the contracted run; delta-only pair
+    // {20,30} (tC) forms its own cluster with the true min label.
+    val dir = tmpDir("q217fix")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight"
+    val tC = "rouge bleu vert jaune violet orange rose gris"
+    Seq((2L, tA), (3L, tA), (10L, tA), (4L, tB), (7L, tB),
+      (20L, tC), (30L, tC))
+      .map { case (id, t) => (id, t, "en", "w") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Graph.q217IncrementalCc(spark, dir)
+      .orderBy("doc_id").collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq(
+      (2L, 2L), (3L, 2L), (4L, 4L), (7L, 4L), (10L, 2L),
+      (20L, 20L), (30L, 20L))
+  }
+
+  test("q217 is bit-identical to the from-scratch CC at sf0.001") {
+    val inc = graft.queries.Graph.q217IncrementalCc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.queries.Graph.q55DupClusters(spark, sf)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc shouldBe full
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
