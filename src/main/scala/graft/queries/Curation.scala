@@ -796,6 +796,57 @@ object Curation {
       .filter(col("gap_e3") > 0)
   }
 
+  // -- q218: greedy quality-knapsack source mix ---------------------------
+
+  /** Budget share: keep the best half of the corpus by tokens. */
+  private val KnapsackBudgetPpm = 500000L
+
+  /** QUALITY-KNAPSACK MIX — the third mixing policy, completing the
+    * set: q68 reweights by size temperature, q184 waterfills to
+    * equalize, THIS maximizes quality under a token budget — the
+    * fractional-knapsack greedy (sort sources by mean q113 quality
+    * margin, take whole feeds until the budget line, split exactly ONE
+    * boundary feed), which is provably optimal for the fractional
+    * relaxation — no search, a closed form in rank order. Output per
+    * source: its quality rank, token mass, and take_ppm ∈ {1e6,
+    * partial, 0} — the mixing table a quality-first curation run feeds
+    * the sampler.
+    *
+    * Exact integers: budget = ⌊Σtokens · ppm / 1e6⌋; the boundary
+    * source's partial fraction is (budget − cum_before)·1e6 div
+    * n_tokens. Deterministic order: (mean margin desc, source asc).
+    * Scale: one map-combined (source, Σtokens, Σshift) aggregate —
+    * corpus volume touched once — then windows over the |sources|-row
+    * relation (q205's curve discipline). */
+  val q218QualityKnapsack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("n_tok"),
+        aggregate(col("tk"), lit(0L), (acc, t) =>
+          acc + (conv(substring(md5(t), 1, 2), 16, 10).cast("long") * ClsMix) % ClsRange)
+          .as("sum_shift"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("sum_shift")).as("ss"))
+      .withColumn("mean_margin_e3",
+        expr("(ss * 1000 div n_tokens) - 1000000"))
+    val ord = Window.orderBy(col("mean_margin_e3").desc, col("source"))
+    perSrc
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("budget", expr(s"total * $KnapsackBudgetPpm div 1000000"))
+      .withColumn("take_ppm",
+        when(col("cum_tokens") <= col("budget"), lit(1000000L))
+          .when(col("cum_tokens") - col("n_tokens") >= col("budget"), lit(0L))
+          .otherwise(expr(
+            "(budget - (cum_tokens - n_tokens)) * 1000000 div n_tokens")))
+      .select(col("source"), col("rank"), col("n_tokens"),
+        col("mean_margin_e3"), col("cum_tokens"), col("take_ppm"))
+  }
+
   // -- q70: sliding-window chunking with overlap ------------------------
 
   private val ChunkTokens = 64
@@ -1541,6 +1592,7 @@ object Curation {
     "q70_stride_chunk" -> q70StrideChunk,
     "q113_quality_classifier" -> q113QualityClassifier,
     "q216_preference_pairs" -> q216PreferencePairs,
+    "q218_quality_knapsack" -> q218QualityKnapsack,
     "q115_source_overlap" -> q115SourceOverlap,
     "q53_exact_k_sample" -> q53ExactKSample,
     "q56_sequence_pack" -> q56SequencePack,
@@ -1836,6 +1888,36 @@ object Curation {
          |    / CAST(sum(p.c) AS DOUBLE), 0) AS BIGINT) AS coverage_e6
          |FROM pd p LEFT JOIN top t USING (gh)
          |GROUP BY 1""".stripMargin,
+    // Same per-source (tokens, shift-sum) aggregate, same greedy rank
+    // order and exact boundary split.
+    "q218_quality_knapsack" ->
+      s"""WITH $toksCte, per AS (
+         |  SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(sh) AS BIGINT) AS ss
+         |  FROM (SELECT source, tk,
+         |          CAST(list_sum(list_transform(tk,
+         |            t -> (CAST('0x' || substr(md5(t), 1, 2) AS BIGINT) * $ClsMix) % $ClsRange))
+         |            AS BIGINT) AS sh
+         |        FROM toks)
+         |  GROUP BY 1
+         |), r AS (
+         |  SELECT source, n_tokens,
+         |    (ss * 1000 // n_tokens) - 1000000 AS mean_margin_e3,
+         |    CAST(row_number() OVER (ORDER BY (ss * 1000 // n_tokens) DESC, source)
+         |      AS BIGINT) AS rank,
+         |    CAST(sum(n_tokens) OVER (ORDER BY (ss * 1000 // n_tokens) DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+         |  FROM per
+         |)
+         |SELECT source, rank, n_tokens, mean_margin_e3, cum_tokens,
+         |  CAST(CASE
+         |    WHEN cum_tokens <= total * $KnapsackBudgetPpm // 1000000 THEN 1000000
+         |    WHEN cum_tokens - n_tokens >= total * $KnapsackBudgetPpm // 1000000 THEN 0
+         |    ELSE ((total * $KnapsackBudgetPpm // 1000000) - (cum_tokens - n_tokens))
+         |      * 1000000 // n_tokens END AS BIGINT) AS take_ppm
+         |FROM r""".stripMargin,
     // q55's closure (LlmPipeline's shared pair CTEs) + q113's margin,
     // extremes via the two rank windows matching the struct order.
     "q216_preference_pairs" ->

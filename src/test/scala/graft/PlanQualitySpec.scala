@@ -673,6 +673,13 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Expand"
   }
 
+  test("q218 quality knapsack: one corpus pass, windows on the source relation") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q218_quality_knapsack")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

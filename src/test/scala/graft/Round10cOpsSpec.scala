@@ -361,6 +361,44 @@ class Round10cOpsSpec extends SparkSpec {
     inc shouldBe full
   }
 
+  // -- q218: greedy quality-knapsack mix -----------------------------------------
+
+  test("q218 takes whole feeds to the budget line and splits the boundary") {
+    // Margins (Python-verified): sC 274000, sD −168000, sA −523000,
+    // sB −866000. Total 9 tokens ⇒ budget 4: sC (3) whole, sD (2)
+    // split at (4−3)/2 = 500000 ppm, sA/sB dropped.
+    val dir = tmpDir("q218fix")
+    Seq((1L, "c c c", "en", "sC"), (2L, "d d", "en", "sD"),
+      (3L, "a", "en", "sA"), (4L, "b b b", "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Curation.q218QualityKnapsack(spark, dir)
+      .orderBy("rank").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq shouldBe Seq(
+      ("sC", 1L, 3L, 274000L, 3L, 1000000L),
+      ("sD", 2L, 2L, -168000L, 5L, 500000L),
+      ("sA", 3L, 1L, -523000L, 6L, 0L),
+      ("sB", 4L, 3L, -866000L, 9L, 0L))
+  }
+
+  test("q218 greedy structure holds at sf0.001") {
+    val rows = graft.queries.Curation.q218QualityKnapsack(spark, sf)
+      .orderBy("rank").collect()
+    rows.length should be > 1
+    // margins weakly decrease down the rank order
+    rows.map(-_.getLong(3)).toSeq shouldBe sorted
+    // take_ppm is a monotone step: full → (≤1 partial) → zero
+    val takes = rows.map(_.getLong(5)).toSeq
+    takes.map(-_) shouldBe sorted
+    takes.count(t => t > 0L && t < 1000000L) should be <= 1
+    // taken token mass hits the budget exactly (integer identities)
+    val total = rows.map(_.getLong(2)).sum
+    val budget = total * 500000L / 1000000L
+    val taken = rows.map(r => r.getLong(2) * r.getLong(5) / 1000000L).sum
+    taken should (be >= budget - rows.length and be <= budget)
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
