@@ -552,28 +552,42 @@ object Profiling {
     * map-combined count to ≤4096 cells (SharedCache'd); the probe leg
     * joins 32×4 cells against the broadcast sketch. Nothing after the
     * partial aggregate scales with corpus volume. */
-  val q215CountMinSketch: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    def hj(j: Int, t: Column): Column =
-      conv(substring(md5(concat(lit(s"cms$j|"), t)), 1, 12), 16, 10)
-        .cast("long") % CmsWidth
-    def rcArr(t: Column): Column = array((0 until CmsRows).map(j =>
-      struct(lit(j).as("r"), hj(j, t).as("c"))): _*)
-    val toks = Tables.documents(s, d)
-      .select(explode(split(trim(regexp_replace(lower(col("text")),
-        "\\s+", " ")), " ")).as("t"))
-      .transform(graft.ops.SharedCache.persist)
-    val cells = toks
-      .select(explode(rcArr(col("t"))).as("rc"))
+  /** The j-th CMS row hash of a token — shared verbatim with
+    * [[graft.streaming.StreamingCountMin]] so the maintained cells are
+    * the batch cells and the q215 oracle transitively gates the
+    * streaming estimates. */
+  private[graft] def cmsHash(j: Int, t: Column): Column =
+    conv(substring(md5(concat(lit(s"cms$j|"), t)), 1, 12), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** All CmsRows (row, col) coordinates of a token, in-row. */
+  private[graft] def cmsRcArr(t: Column): Column =
+    array((0 until CmsRows).map(j =>
+      struct(lit(j).as("r"), cmsHash(j, t).as("c"))): _*)
+
+  /** Token stream of a documents batch (the engine tokenizer). */
+  private[graft] def cmsTokens(batch: DataFrame): DataFrame =
+    batch.select(explode(split(trim(regexp_replace(lower(col("text")),
+      "\\s+", " ")), " ")).as("t"))
+
+  /** The 4×1024 counter relation of a token batch (map-combined). */
+  private[graft] def cmsCellPartials(toks: DataFrame): DataFrame =
+    toks.select(explode(cmsRcArr(col("t"))).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("n"))
+
+  val q215CountMinSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = cmsTokens(Tables.documents(s, d))
+      .transform(graft.ops.SharedCache.persist)
+    val cells = cmsCellPartials(toks)
       .transform(graft.ops.SharedCache.persist)
     val top = toks.groupBy("t").agg(count(lit(1)).as("n_true"))
       .withColumn("rn",
         row_number().over(Window.orderBy(col("n_true").desc, col("t"))))
       .filter(col("rn") <= CmsTopK).drop("rn")
     top
-      .select(col("t"), col("n_true"), explode(rcArr(col("t"))).as("rc"))
+      .select(col("t"), col("n_true"), explode(cmsRcArr(col("t"))).as("rc"))
       .join(broadcast(cells),
         col("rc.r") === col("r") && col("rc.c") === col("c"))
       .groupBy("t", "n_true").agg(min(col("n")).as("n_est"))
