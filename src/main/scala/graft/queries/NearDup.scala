@@ -1060,6 +1060,31 @@ object NearDup {
         expr("n_lsh_hit * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  // -- q219: IVF recall audit (vs the exact brute-force truth) ---------
+
+  /** IVF RECALL AUDIT — q146's measured-recall discipline applied to
+    * the OTHER index family: q146 certifies the MinHash-LSH sketch
+    * against exact Jaccard truth; this certifies q33's cell-probed IVF
+    * against q23's exact brute-force cosine top-5 over the same query
+    * slice. The number an ANN deploy actually signs off on: of all
+    * exact top-5 (query, neighbor) edges, how many does the probed
+    * index return — with q191's balance audit explaining WHY recall
+    * moves when cells skew. Audit cost = the two audited operators
+    * (q23 is the declared-quadratic yardstick, q33 the scale path);
+    * the compare itself is one keyed left join + a 1-row fold. */
+  val q219IvfRecall: Q = (s, d) => {
+    val exact = LlmPipeline.q23AnnBruteForce(s, d)
+      .select(col("q_id"), col("neighbor_id"))
+    val ivf = q33AnnIvf(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_ivf_hit"))
+      .select(col("n_exact"), col("n_ivf_hit"),
+        (col("n_exact") - col("n_ivf_hit")).as("n_missed"),
+        expr("n_ivf_hit * 1000000 div n_exact").as("recall_ppm"))
+  }
+
   // -- q194: cluster-level agreement audit (Rand components) ----------
 
   /** CLUSTER-AGREEMENT AUDIT — q146 measures PAIR recall of the LSH
@@ -1178,6 +1203,7 @@ object NearDup {
     "q177_embedding_health" -> q177EmbeddingHealth,
     "q159_jaro_linkage" -> q159JaroLinkage,
     "q146_lsh_recall" -> q146LshRecall,
+    "q219_ivf_recall" -> q219IvfRecall,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1391,6 +1417,63 @@ object NearDup {
     // sets via a value-ordered prefix filter (ANY total order keeps
     // PPJoin lossless), so one WITH hosts both relations without
     // duplicating the q39 text; LSH side is q21's select verbatim.
+    // q33's probed-index chain and q23's brute-force chain side by
+    // side over the shared quantized relation, folded to the same
+    // one-row recall report as q146.
+    "q219_ivf_recall" ->
+      s"""WITH $quantCte, cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
+         |), cell_scores AS (
+         |  SELECT e.vec_id, e.q, e.s2, c.c_id,
+         |    ${cosSql(dotSql("e.q", "c.cq"), "e.s2", "c.cs2")} AS c_cos
+         |  FROM ev e CROSS JOIN cents c
+         |), iranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crank
+         |  FROM cell_scores
+         |), iassign AS (
+         |  SELECT vec_id, q, s2, c_id AS cell FROM iranked WHERE crank = 1
+         |), iprobes AS (
+         |  SELECT vec_id AS q_id, q AS qq, s2 AS qs2, c_id AS cell
+         |  FROM iranked WHERE vec_id % 25 = 0 AND crank <= $IvfProbes
+         |), iscored AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id,
+         |    ${cosSql(dotSql("a.q", "p.qq"), "a.s2", "p.qs2")} AS cos_e6
+         |  FROM iassign a JOIN iprobes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |), itop AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |    FROM iscored
+         |  ) WHERE rank <= 5
+         |), bpairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |         a.q AS qa, b.q AS qb, a.s2 AS sa, b.s2 AS sb
+         |  FROM ev a JOIN ev b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 25 = 0
+         |), bdots AS (
+         |  SELECT q_id, neighbor_id, CAST(sum(qa[u.i] * qb[u.i]) AS BIGINT) AS dot
+         |  FROM bpairs, LATERAL unnest(generate_series(1, len(qa))) u(i)
+         |  GROUP BY 1, 2
+         |), bscored AS (
+         |  SELECT p.q_id, p.neighbor_id,
+         |    CAST(round(1e6 * CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(p.sa AS DOUBLE)) * sqrt(CAST(p.sb AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+         |  FROM bpairs p JOIN bdots d ON p.q_id = d.q_id AND p.neighbor_id = d.neighbor_id
+         |), btop AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |    FROM bscored
+         |  ) WHERE rank <= 5
+         |), j AS (
+         |  SELECT b.q_id, b.neighbor_id,
+         |    CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM btop b LEFT JOIN itop i
+         |    ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id
+         |)
+         |SELECT count(*) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_ivf_hit,
+         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
+         |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM j""".stripMargin,
     "q146_lsh_recall" ->
       s"""WITH ${LlmPipeline.minhashPairCtes}, lsh AS (
          |  ${LlmPipeline.minhashPairSelect}

@@ -27,7 +27,10 @@ class PlanQualitySpec extends SparkSpec {
       "q163_ndcg_audit",
       // q191 audits q33's index with EXACTLY q33's K=16 bounded
       // centroid-assignment join — same allowance, same justification
-      "q191_ivf_balance")
+      "q191_ivf_balance",
+      // q219 certifies q33 against the q23 brute-force truth — an
+      // audit is a baseline consumer by design (the q163 allowance)
+      "q219_ivf_recall")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")

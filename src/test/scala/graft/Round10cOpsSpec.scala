@@ -399,6 +399,24 @@ class Round10cOpsSpec extends SparkSpec {
     taken should (be >= budget - rows.length and be <= budget)
   }
 
+  // -- q219: IVF recall audit ------------------------------------------------------
+
+  test("q219 reconciles with an independent intersect of q23 and q33 at sf0.001") {
+    val exact = graft.queries.LlmPipeline.q23AnnBruteForce(spark, sf)
+      .select("q_id", "neighbor_id")
+    val ivf = graft.queries.NearDup.q33AnnIvf(spark, sf)
+      .select("q_id", "neighbor_id")
+    val nExact = exact.count()
+    val nHit = exact.intersect(ivf).count() // independent set operator
+    val r = graft.queries.NearDup.q219IvfRecall(spark, sf).collect().head
+    r.getLong(0) shouldBe nExact
+    r.getLong(1) shouldBe nHit
+    r.getLong(2) shouldBe nExact - nHit
+    r.getLong(3) shouldBe nHit * 1000000L / nExact
+    // the probed index finds a meaningful share of the exact edges
+    r.getLong(3) should be > 0L
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
