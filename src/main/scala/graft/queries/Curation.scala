@@ -847,6 +847,45 @@ object Curation {
         col("mean_margin_e3"), col("cum_tokens"), col("take_ppm"))
   }
 
+  // -- q220: source-ablation quality impact --------------------------------
+
+  /** SOURCE ABLATION TABLE — the leave-one-out complement of q218's
+    * greedy mix: for each feed, the corpus-wide mean q113 quality
+    * margin WITH the feed REMOVED, computed exactly by subtraction
+    * identities (mean-based stats need no rescan per ablation:
+    * LOO = (ΣT − Σs) div (NT − Ns)) — one corpus pass, |sources|
+    * ablations for free. delta_e3 > 0 means the corpus is better off
+    * without the feed (it drags quality down); the ranked deltas are
+    * the "which feed do we cut first" table read next to q205's
+    * novelty curve (what the feed still ADDS) — keep/cut decisions
+    * need both sides.
+    *
+    * Scale: the identical one map-combined (source, Σtokens, Σshift)
+    * pass as q218, then windows over the |sources|-row relation;
+    * degenerate single-source corpora guard the LOO divisor to 1
+    * (documented: the ablated mean of an emptied corpus reads 0-ish,
+    * flagged by n_tokens = total). */
+  val q220SourceAblation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("n_tok"),
+        aggregate(col("tk"), lit(0L), (acc, t) =>
+          acc + (conv(substring(md5(t), 1, 2), 16, 10).cast("long") * ClsMix) % ClsRange)
+          .as("sum_shift"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("sum_shift")).as("ss"))
+      .withColumn("t_ss", sum(col("ss")).over(all))
+      .withColumn("t_tok", sum(col("n_tokens")).over(all))
+      .select(col("source"), col("n_tokens"),
+        expr("(ss * 1000 div n_tokens) - 1000000").as("mean_margin_e3"),
+        expr("((t_ss - ss) * 1000 div greatest(t_tok - n_tokens, 1)) - 1000000")
+          .as("mean_wo_e3"),
+        (expr("((t_ss - ss) * 1000 div greatest(t_tok - n_tokens, 1)) - 1000000")
+          - expr("(t_ss * 1000 div t_tok) - 1000000")).as("delta_e3"))
+  }
+
   // -- q70: sliding-window chunking with overlap ------------------------
 
   private val ChunkTokens = 64
@@ -1593,6 +1632,7 @@ object Curation {
     "q113_quality_classifier" -> q113QualityClassifier,
     "q216_preference_pairs" -> q216PreferencePairs,
     "q218_quality_knapsack" -> q218QualityKnapsack,
+    "q220_source_ablation" -> q220SourceAblation,
     "q115_source_overlap" -> q115SourceOverlap,
     "q53_exact_k_sample" -> q53ExactKSample,
     "q56_sequence_pack" -> q56SequencePack,
@@ -1888,6 +1928,30 @@ object Curation {
          |    / CAST(sum(p.c) AS DOUBLE), 0) AS BIGINT) AS coverage_e6
          |FROM pd p LEFT JOIN top t USING (gh)
          |GROUP BY 1""".stripMargin,
+    // Same per-source aggregate; the LOO means restated with the same
+    // subtraction identities and guarded divisor.
+    "q220_source_ablation" ->
+      s"""WITH $toksCte, per AS (
+         |  SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(sh) AS BIGINT) AS ss
+         |  FROM (SELECT source, tk,
+         |          CAST(list_sum(list_transform(tk,
+         |            t -> (CAST('0x' || substr(md5(t), 1, 2) AS BIGINT) * $ClsMix) % $ClsRange))
+         |            AS BIGINT) AS sh
+         |        FROM toks)
+         |  GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(ss) AS BIGINT) AS t_ss,
+         |    CAST(sum(n_tokens) AS BIGINT) AS t_tok
+         |  FROM per
+         |)
+         |SELECT source, n_tokens,
+         |  (ss * 1000 // n_tokens) - 1000000 AS mean_margin_e3,
+         |  ((t_ss - ss) * 1000 // greatest(t_tok - n_tokens, 1)) - 1000000
+         |    AS mean_wo_e3,
+         |  (((t_ss - ss) * 1000 // greatest(t_tok - n_tokens, 1)) - 1000000)
+         |    - ((t_ss * 1000 // t_tok) - 1000000) AS delta_e3
+         |FROM per, tot""".stripMargin,
     // Same per-source (tokens, shift-sum) aggregate, same greedy rank
     // order and exact boundary split.
     "q218_quality_knapsack" ->

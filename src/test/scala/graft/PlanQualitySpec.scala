@@ -683,6 +683,13 @@ class PlanQualitySpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
   }
 
+  test("q220 source ablation: one corpus pass, LOO algebra on the source relation") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q220_source_ablation")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

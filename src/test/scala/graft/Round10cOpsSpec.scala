@@ -417,6 +417,41 @@ class Round10cOpsSpec extends SparkSpec {
     r.getLong(3) should be > 0L
   }
 
+  // -- q220: source-ablation quality impact ---------------------------------------
+
+  test("q220 matches Python-verified leave-one-out means") {
+    // Same 4-source corpus as q218; full-corpus mean −292778. Removing
+    // the one GOOD feed (sC, margin 274000) drops the corpus to
+    // −576167 (delta −283389); removing the worst (sB) lifts it to
+    // −6167 (delta +286611).
+    val dir = tmpDir("q220fix")
+    Seq((1L, "c c c", "en", "sC"), (2L, "d d", "en", "sD"),
+      (3L, "a", "en", "sA"), (4L, "b b b", "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Curation.q220SourceAblation(spark, dir)
+      .orderBy("source").collect()
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq shouldBe Seq(
+      ("sA", 1L, -523000L, -264000L, 28778L),
+      ("sB", 3L, -866000L, -6167L, 286611L),
+      ("sC", 3L, 274000L, -576167L, -283389L),
+      ("sD", 2L, -168000L, -328429L, -35651L))
+  }
+
+  test("q220 deltas oppose margins and totals reconcile at sf0.001") {
+    val rows = graft.queries.Curation.q220SourceAblation(spark, sf).collect()
+    rows.length should be > 1
+    // removing a below-average feed improves the corpus and vice versa:
+    // delta sign is opposite to (margin − corpus mean) sign — verify
+    // via the strongest pair ordering: the worst-margin source has the
+    // largest delta and the best-margin source the smallest
+    val byMargin = rows.sortBy(_.getLong(2))
+    val byDelta = rows.sortBy(-_.getLong(4))
+    byMargin.head.getString(0) shouldBe byDelta.head.getString(0)
+    byMargin.last.getString(0) shouldBe byDelta.last.getString(0)
+  }
+
   // -- empty-input guards for driver-hosted scalars ---------------------------
 
   test("corpus-scalar queries survive empty inputs (null-safe head reads)") {
