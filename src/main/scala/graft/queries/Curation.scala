@@ -723,6 +723,72 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  // -- q223: KMV sketch-estimated source-overlap matrix --------------------
+
+  private val KmvSketchK = 64
+
+  /** SKETCH-COST GOVERNANCE — q115's overlap matrix priced for 100 TB:
+    * instead of joining the full distinct-gram sets (exact, but the
+    * intersection join touches every gram of every source), keep ONE
+    * KMV bottom-k sketch per source — its k smallest gram hashes — and
+    * estimate pairwise Jaccard from sketches alone: with K = the k
+    * smallest hashes of the UNION of two sketches, J_est =
+    * |K ∩ A ∩ B| / |K| (Broder's min-wise argument bottom-k style,
+    * Beyer et al. 2007; rsd ≈ 1/√k). Sketches are mergeable (bottom-k
+    * of a union = bottom-k of the merged bottom-k's — the same property
+    * q41's KMV distinct estimator leans on), so at 100 TB each source
+    * folds to 64 longs map-side and the pairwise stage is pure
+    * control-plane arithmetic over |S|·k rows — the exact leg here is
+    * the AUDIT (per-pair estimate vs q115's exact answer, the measured
+    * rsd); production keeps the sketches and drops it.
+    *
+    * Integer contract: estimate = shared·1e6 div |K| with |K| =
+    * min(k, union-sketch size) — exact truncating math both engines
+    * restate; the exact column reuses q115's rounded-double formula
+    * verbatim (shared operands ⇒ shared IEEE result).
+    *
+    * Plan: sketches via the map-side TopK aggregator on NEGATED hashes
+    * (bottom-k = top-k of −gh; shuffle carries ≤k rows per source per
+    * partition); pair legs are two equi-joins of the tiny pair list
+    * against the |S|·k sketch relation; the rank window partitions by
+    * pair over ≤2k rows. Pairs with no shared grams at all are absent
+    * (q115's matrix domain — no dense S×S cartesian). */
+  val q223KmvOverlap: Q = (s, d) => {
+    val sk = graft.functions.TopK
+      .topKPerGroup(sourceGrams(s, d).withColumn("neg", -col("gh")),
+        "source", "gh", "neg", KmvSketchK)
+      .select(col("source"), col("gh"))
+      .transform(graft.ops.SharedCache.persist)
+    val exact = q115SourceOverlap(s, d)
+      .select(col("src_a"), col("src_b"),
+        col("jaccard_e6").as("exact_jaccard_e6"))
+      .transform(graft.ops.SharedCache.persist)
+    val pairs = exact.select(col("src_a"), col("src_b"))
+    val legA = pairs
+      .join(sk.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("gh"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val legB = pairs
+      .join(sk.withColumnRenamed("source", "src_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("gh"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val est = legA.unionByName(legB)
+      .groupBy("src_a", "src_b", "gh")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("gh")))
+      .filter(col("rn") <= KmvSketchK)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_shared_k"))
+      .withColumn("est_jaccard_e6", expr("n_shared_k * 1000000 div k_used"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_shared_k"),
+        col("est_jaccard_e6"), col("exact_jaccard_e6"),
+        abs(col("est_jaccard_e6") - col("exact_jaccard_e6")).as("err_e6"))
+  }
+
   // -- q113: hashed-feature linear quality classifier -------------------
 
   private val ClsMix = 2654435761L // Knuth multiplicative mix
@@ -1606,6 +1672,7 @@ object Curation {
         expr("top_n * 1000000 div n_docs").as("top_source_ppm"))
 
   val defs: Map[String, Q] = Map(
+    "q223_kmv_overlap" -> q223KmvOverlap,
     "q205_novelty_curve" -> q205NoveltyCurve,
     "q200_bpe_compression" -> q200BpeCompressionCurve,
     "q197_mix_diversity" -> q197MixDiversity,
@@ -2051,6 +2118,50 @@ object Curation {
          |  new_grams * 1000000 // n_grams AS novelty_ppm,
          |  CAST(sum(new_grams) OVER (ORDER BY source) AS BIGINT) AS cum_new_grams
          |FROM per""".stripMargin,
+    // Same gram relation, same bottom-64 sketches (rank over gh), same
+    // union-rank estimate, and q115's exact formula verbatim for the
+    // audit column.
+    "q223_kmv_overlap" ->
+      s"""WITH $toksCte, sg AS (
+         |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT source, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
+         |), sk AS (
+         |  SELECT source, gh FROM (
+         |    SELECT source, gh, row_number() OVER (PARTITION BY source ORDER BY gh) AS rn FROM sg)
+         |  WHERE rn <= $KmvSketchK
+         |), sizes AS (
+         |  SELECT source, count(*) AS n FROM sg GROUP BY 1
+         |), inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |), exact AS (
+         |  SELECT i.src_a, i.src_b,
+         |    CAST(round(1e6 * CAST(i.n_shared AS DOUBLE)
+         |      / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 0) AS BIGINT) AS exact_jaccard_e6
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.source = i.src_a
+         |  JOIN sizes sb ON sb.source = i.src_b
+         |), un AS (
+         |  SELECT e.src_a, e.src_b, s.gh,
+         |    max(CASE WHEN s.source = e.src_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = e.src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM exact e JOIN sk s ON s.source = e.src_a OR s.source = e.src_b
+         |  GROUP BY 1, 2, 3
+         |), rk AS (
+         |  SELECT src_a, src_b, in_a, in_b,
+         |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY gh) AS rn
+         |  FROM un
+         |), est AS (
+         |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+         |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_k
+         |  FROM rk WHERE rn <= $KmvSketchK GROUP BY 1, 2
+         |)
+         |SELECT e.src_a, e.src_b, s.k_used, s.n_shared_k,
+         |  s.n_shared_k * 1000000 // s.k_used AS est_jaccard_e6,
+         |  e.exact_jaccard_e6,
+         |  abs(s.n_shared_k * 1000000 // s.k_used - e.exact_jaccard_e6) AS err_e6
+         |FROM est s JOIN exact e USING (src_a, src_b)""".stripMargin,
     "q115_source_overlap" ->
       s"""WITH $toksCte, sg AS (
          |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh

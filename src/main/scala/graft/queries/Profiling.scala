@@ -1284,7 +1284,160 @@ object Profiling {
           .as("gap_ppm"))
   }
 
+  // -- q221: Bloom-filter decontamination precheck -----------------------
+
+  private val BloomBits = 65536L // m — the WHOLE filter is one 8 KiB bitset
+  private val BloomHashes = 4    // k
+
+  /** BLOOM-FILTER MEMBERSHIP SKETCH — the fourth from-first-principles
+    * sketch, completing the family: q129's HLL answers "how many
+    * distinct", q169's Misra–Gries "which are frequent", q215's
+    * count-min "how frequent is THIS one", and Bloom answers the
+    * remaining primitive — "have we SEEN this one" — in bounded
+    * memory: m = 65536 bits is the whole state at any corpus size,
+    * filters merge by OR (the distinct-bit union here — the mergeable
+    * property), and a hit is ONE-SIDED: a true member can never miss
+    * (spec-pinned), only non-members can false-positive. Bloom 1970.
+    *
+    * Framed as the operator the pipeline actually runs: the
+    * DECONTAMINATION PRECHECK. Insert the train split's distinct
+    * tokens; probe the test split's — a Bloom hit is "possibly in
+    * train, run the exact q47-style check", a miss is a guaranteed
+    * skip. The audit joins the exact membership leg (the verification
+    * — production keeps the filter and drops this leg) to report the
+    * measured false-positive rate next to the fill-derived estimate
+    * (bits_set/m)^k — both in exact integer ppm, staged squarings so
+    * DuckDB truncates identically.
+    *
+    * Deterministic by construction (md5 bit hashes, the q215 row-hash
+    * convention) ⇒ the oracle rebuilds the identical bitset and the
+    * gate is bit-for-bit. Plan: one distinct (split, token) pass
+    * (SharedCache'd — vocabulary, not corpus, sized); the filter is a
+    * ≤m-row distinct of exploded bit coordinates; the probe leg joins
+    * 4 bit rows per probe token against the BROADCAST filter; the
+    * exact leg is one token-keyed left join. Everything after the
+    * vocab distinct is bounded by |vocab| or m, never corpus volume. */
+  private def bloomBitArr(t: Column): Column =
+    array((0 until BloomHashes).map(j =>
+      conv(substring(md5(concat(lit(s"bloom$j|"), t)), 1, 12), 16, 10)
+        .cast("long") % BloomBits): _*)
+
+  val q221BloomPrecheck: Q = (s, d) => {
+    val splitCol = when(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 < 8, "train")
+      .when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 === 8, "val")
+      .otherwise("test")
+    val vocab = Tables.documents(s, d)
+      .select(splitCol.as("split"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+          " ")).as("t"))
+      .distinct()
+      .transform(graft.ops.SharedCache.persist)
+    val train = vocab.filter(col("split") === "train").select(col("t"))
+    val test = vocab.filter(col("split") === "test").select(col("t"))
+    val bloom = train.select(explode(bloomBitArr(col("t"))).as("bit"))
+      .distinct()
+      .transform(graft.ops.SharedCache.persist)
+    val inserted = train.agg(count(lit(1)).as("n_inserted"))
+      .withColumn("grp", lit(1))
+    val bitsSet = bloom.agg(count(lit(1)).as("bits_set"))
+      .withColumn("grp", lit(1))
+    // per probe token: all-4-bits-present hit flag (rows per j, NOT
+    // distinct bits — two colliding hashes still contribute two rows,
+    // mirrored by the oracle) + the exact-membership flag
+    val hits = test
+      .select(col("t"), explode(bloomBitArr(col("t"))).as("bit"))
+      .join(broadcast(bloom.withColumn("present", lit(1L))), Seq("bit"), "left")
+      .groupBy("t")
+      .agg((sum(coalesce(col("present"), lit(0L))) === BloomHashes)
+        .cast("long").as("hit"))
+    val probe = hits
+      .join(train.withColumn("member", lit(1L)), Seq("t"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(coalesce(col("member"), lit(0L))).as("n_members"),
+        sum(col("hit")).as("n_hits"),
+        sum(when(col("hit") === 1 && col("member").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .withColumn("grp", lit(1))
+    probe.join(broadcast(inserted), "grp").join(broadcast(bitsSet), "grp")
+      .withColumn("fill_ppm", expr(s"bits_set * 1000000 div $BloomBits"))
+      .withColumn("est_fpr_ppm",
+        expr("(fill_ppm * fill_ppm div 1000000) * (fill_ppm * fill_ppm div 1000000) div 1000000"))
+      .select(col("n_inserted"), col("bits_set"), col("fill_ppm"),
+        col("n_probes"), col("n_members"), col("n_hits"), col("n_false_pos"),
+        expr("n_false_pos * 1000000 div greatest(n_probes - n_members, 1)")
+          .as("fpr_ppm"),
+        col("est_fpr_ppm"))
+  }
+
+  // -- q222: AMS F2 self-join-size sketch ---------------------------------
+
+  private val AmsEstimators = 16 // 4 groups × 4 — median-of-means
+  private val AmsGroups = 4
+
+  /** AMS TUG-OF-WAR SKETCH — the second frequency-moment estimator
+    * beside the sketches above: F2 = Σ_t f_t² is the SELF-JOIN SIZE of
+    * the token relation, the number a cost-based planner needs before
+    * picking a join strategy, and AMS estimates it in O(1) memory
+    * (Alon–Matias–Szegedy 1996): each estimator keeps one counter
+    * X_i = Σ_t f_t·s_i(t) with four-wise-ish md5 signs s_i(t) = ±1;
+    * E[X²] = F2, and median-of-means over 4 groups of 4 tames the
+    * variance. Counters merge by + (mergeable, like every sketch in
+    * the family), so 1000 executors each fold their partition and the
+    * driver never sees more than 16 longs.
+    *
+    * Integer contract: signs are exactly ±1, X_i is an exact BIGINT
+    * (|X| ≤ corpus tokens ≤ 2^27 here, X² < 2^54), group mean =
+    * ⌊Σ/4⌋, median-of-4 = ⌊(m₂+m₃)/2⌋ over the rank-ordered means —
+    * every step truncating integer math DuckDB restates bit-for-bit.
+    * The exact F2 leg (one vocab-sized aggregate) is the verification;
+    * production keeps the 16 counters and drops it.
+    *
+    * Plan: ONE token pass → 16-fold in-row (estimator, sign)
+    * expansion → map-combined sum to 16 rows (the shuffle carries 16
+    * longs per partition); everything downstream is windows over a
+    * 16-row relation. The exact leg is one (token → count → Σn²)
+    * two-level aggregate. */
+  val q222AmsF2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = cmsTokens(Tables.documents(s, d))
+      .transform(graft.ops.SharedCache.persist)
+    val sign = (i: Int) =>
+      (conv(substring(md5(concat(lit(s"ams$i|"), col("t"))), 1, 12), 16, 10)
+        .cast("long") % 2) * 2 - 1
+    val ests = toks
+      .select(explode(array((0 until AmsEstimators).map(i =>
+        struct(lit(i).as("i"), sign(i).as("sg"))): _*)).as("e"))
+      .groupBy(col("e.i").as("i"))
+      .agg(sum(col("e.sg")).as("x"))
+      .withColumn("est", col("x") * col("x"))
+      .transform(graft.ops.SharedCache.persist)
+    val means = ests
+      .groupBy(expr(s"i div ${AmsEstimators / AmsGroups}").as("g"))
+      .agg(expr(s"sum(est) div ${AmsEstimators / AmsGroups}").as("mean_est"))
+    val medianOfMeans = means
+      .withColumn("rn", row_number().over(Window.orderBy(col("mean_est"), col("g"))))
+      .filter(col("rn") === 2 || col("rn") === 3)
+      .agg(expr("sum(mean_est) div 2").as("est_f2"))
+      .withColumn("grp", lit(1))
+    val spread = ests
+      .agg(min(col("est")).as("est_min"), max(col("est")).as("est_max"))
+      .withColumn("grp", lit(1))
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("true_f2"))
+      .withColumn("grp", lit(1))
+    exact.join(broadcast(medianOfMeans), "grp").join(broadcast(spread), "grp")
+      .select(col("true_f2"), col("est_f2"),
+        expr("abs(est_f2 - true_f2) * 1000000 div greatest(true_f2, 1)")
+          .as("err_ppm"),
+        col("est_min"), col("est_max"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q221_bloom_precheck" -> q221BloomPrecheck,
+    "q222_ams_f2" -> q222AmsF2,
     "q206_dp_release" -> q206DpRelease,
     "q213_split_drift" -> q213SplitDrift,
     "q215_count_min" -> q215CountMinSketch,
@@ -1313,6 +1466,77 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same md5 bit hashes → the identical 65536-bit filter; same
+    // per-j probe rows (duplicate bits still contribute rows), same
+    // exact-membership leg, same staged squarings — bit-for-bit like
+    // q129/q215.
+    "q221_bloom_precheck" ->
+      s"""WITH dt AS (
+         |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+         |              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         u.t AS t
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |        FROM documents), LATERAL unnest(tk) u(t)
+         |), vocab AS (SELECT DISTINCT split, t FROM dt
+         |), train AS (SELECT t FROM vocab WHERE split = 'train'
+         |), test AS (SELECT t FROM vocab WHERE split = 'test'
+         |), bloom AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR) || '|' || t), 1, 12) AS BIGINT) % $BloomBits AS bit
+         |  FROM train, (SELECT unnest([0, 1, 2, 3]) AS j) j
+         |), ins AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM train
+         |), bs AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bloom
+         |), pb AS (
+         |  SELECT t, CAST('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR) || '|' || t), 1, 12) AS BIGINT) % $BloomBits AS bit
+         |  FROM test, (SELECT unnest([0, 1, 2, 3]) AS j) j
+         |), hits AS (
+         |  SELECT p.t, CASE WHEN count(b.bit) = $BloomHashes THEN 1 ELSE 0 END AS hit
+         |  FROM pb p LEFT JOIN bloom b USING (bit) GROUP BY p.t
+         |), mem AS (
+         |  SELECT h.t, h.hit, CASE WHEN tr.t IS NULL THEN 0 ELSE 1 END AS member
+         |  FROM hits h LEFT JOIN train tr ON tr.t = h.t
+         |), pr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |         CAST(sum(member) AS BIGINT) AS n_members,
+         |         CAST(sum(hit) AS BIGINT) AS n_hits,
+         |         CAST(sum(CASE WHEN hit = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |  FROM mem
+         |), f AS (SELECT bits_set * 1000000 // $BloomBits AS fill_ppm FROM bs)
+         |SELECT i.n_inserted, b.bits_set, f.fill_ppm,
+         |  p.n_probes, p.n_members, p.n_hits, p.n_false_pos,
+         |  p.n_false_pos * 1000000 // greatest(p.n_probes - p.n_members, 1) AS fpr_ppm,
+         |  (f.fill_ppm * f.fill_ppm // 1000000) * (f.fill_ppm * f.fill_ppm // 1000000) // 1000000 AS est_fpr_ppm
+         |FROM ins i, bs b, f, pr p""".stripMargin,
+    // Same md5 sign hashes → the identical 16 counters; same group
+    // means, same rank-ordered median-of-4, same exact-F2 leg.
+    "q222_ams_f2" ->
+      s"""WITH tok AS (
+         |  SELECT u.t AS t
+         |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |        FROM documents), LATERAL unnest(tk) u(t)
+         |), x AS (
+         |  SELECT j.i AS i,
+         |    CAST(sum((CAST('0x' || substr(md5('ams' || CAST(j.i AS VARCHAR) || '|' || t), 1, 12) AS BIGINT) % 2) * 2 - 1) AS BIGINT) AS x
+         |  FROM tok, (SELECT unnest(range($AmsEstimators)) AS i) j
+         |  GROUP BY 1
+         |), est AS (SELECT i, x * x AS est FROM x
+         |), means AS (
+         |  SELECT i // ${AmsEstimators / AmsGroups} AS g,
+         |    CAST(sum(est) // ${AmsEstimators / AmsGroups} AS BIGINT) AS mean_est
+         |  FROM est GROUP BY 1
+         |), med AS (
+         |  SELECT CAST(sum(mean_est) // 2 AS BIGINT) AS est_f2 FROM (
+         |    SELECT mean_est, row_number() OVER (ORDER BY mean_est, g) AS rn FROM means)
+         |  WHERE rn IN (2, 3)
+         |), spread AS (
+         |  SELECT CAST(min(est) AS BIGINT) AS est_min, CAST(max(est) AS BIGINT) AS est_max FROM est
+         |), tf AS (
+         |  SELECT CAST(sum(n * n) AS BIGINT) AS true_f2
+         |  FROM (SELECT count(*) AS n FROM tok GROUP BY t))
+         |SELECT t.true_f2, m.est_f2,
+         |  abs(m.est_f2 - t.true_f2) * 1000000 // greatest(t.true_f2, 1) AS err_ppm,
+         |  s.est_min, s.est_max
+         |FROM tf t, med m, spread s""".stripMargin,
     // Same cell hash, same sign/trailing-zero decomposition, same cap
     // and clamp — the mechanism is deterministic, so both engines must
     // agree bit-for-bit on every released count.

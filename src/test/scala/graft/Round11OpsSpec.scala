@@ -1,0 +1,132 @@
+package graft
+
+/** Fixture pins for the round-11 operator batch: the Bloom-filter
+  * decontamination precheck (q221 — hand-built split fixture incl. the
+  * one-sided no-false-negative identity), the AMS F2 tug-of-war sketch
+  * (q222 — a single-token corpus where every estimator is EXACT by
+  * algebra), and the KMV sketch-estimated source-overlap matrix (q223
+  * — a sub-k fixture where the sketch estimate must equal the exact
+  * Jaccard up to floor-vs-round).
+  */
+class Round11OpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // -- q221: Bloom-filter decontamination precheck --------------------------
+
+  test("q221 matches the hand-built split fixture (member hits, clean miss)") {
+    // q42 buckets: doc 2/4 → train, doc 3 → test (md5 split rule).
+    // Train vocab {alpha, beta, gamma, delta} (4 tokens); probe vocab
+    // {alpha, zeta}: alpha is a member (MUST hit — Bloom's one-sided
+    // guarantee), zeta's 4 bits against ≤16 set bits of 65536 miss.
+    val dir = tmpDir("q221fix")
+    Seq(
+      (2L, "alpha beta gamma", "s0"),
+      (4L, "beta delta", "s0"),
+      (3L, "alpha zeta", "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Profiling.q221BloomPrecheck(spark, dir).collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getLong(row.fieldIndex("n_inserted")) shouldBe 4L
+    row.getLong(row.fieldIndex("n_probes")) shouldBe 2L
+    row.getLong(row.fieldIndex("n_members")) shouldBe 1L
+    row.getLong(row.fieldIndex("n_hits")) shouldBe 1L
+    row.getLong(row.fieldIndex("n_false_pos")) shouldBe 0L
+    row.getLong(row.fieldIndex("fpr_ppm")) shouldBe 0L
+    // 4 hashes x 4 tokens, distinct-collapsed
+    row.getLong(row.fieldIndex("bits_set")) should be <= 16L
+    row.getLong(row.fieldIndex("fill_ppm")) shouldBe
+      row.getLong(row.fieldIndex("bits_set")) * 1000000L / 65536L
+  }
+
+  test("q221 one-sided guarantee and fill identities hold at sf0.001") {
+    val row = graft.queries.Profiling.q221BloomPrecheck(spark, sf)
+      .collect().head
+    val hits = row.getLong(row.fieldIndex("n_hits"))
+    val members = row.getLong(row.fieldIndex("n_members"))
+    val falsePos = row.getLong(row.fieldIndex("n_false_pos"))
+    val probes = row.getLong(row.fieldIndex("n_probes"))
+    // a true member can NEVER miss, so every hit is a member or a
+    // false positive, exactly
+    hits shouldBe members + falsePos
+    members should be <= probes
+    // fpr denominator identity
+    val nonMembers = math.max(probes - members, 1L)
+    row.getLong(row.fieldIndex("fpr_ppm")) shouldBe
+      falsePos * 1000000L / nonMembers
+    // the fill-derived estimate is the staged (bits/m)^4 squaring
+    val fill = row.getLong(row.fieldIndex("fill_ppm"))
+    val p2 = fill * fill / 1000000L
+    row.getLong(row.fieldIndex("est_fpr_ppm")) shouldBe p2 * p2 / 1000000L
+  }
+
+  // -- q222: AMS F2 tug-of-war sketch ---------------------------------------
+
+  test("q222 is algebraically exact on a single-token corpus") {
+    // f = {x: 5} → F2 = 25; every estimator is X_i = ±5 (one token,
+    // one sign) so est_i = 25 EXACTLY for all 16 — means, median, and
+    // spread all collapse to the true value with zero error.
+    val dir = tmpDir("q222fix")
+    Seq((1L, "x x x"), (2L, "x x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Profiling.q222AmsF2(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe Seq(25L, 25L, 0L, 25L, 25L)
+  }
+
+  test("q222 estimator identities hold at sf0.001") {
+    val row = graft.queries.Profiling.q222AmsF2(spark, sf).collect().head
+    val trueF2 = row.getLong(row.fieldIndex("true_f2"))
+    val est = row.getLong(row.fieldIndex("est_f2"))
+    val errPpm = row.getLong(row.fieldIndex("err_ppm"))
+    trueF2 should be > 0L
+    // median-of-means lies within the estimator envelope
+    est should be >= row.getLong(row.fieldIndex("est_min"))
+    est should be <= row.getLong(row.fieldIndex("est_max"))
+    errPpm shouldBe math.abs(est - trueF2) * 1000000L / trueF2
+  }
+
+  // -- q223: KMV sketch-estimated source overlap ----------------------------
+
+  test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
+    // Source a: 2 distinct 5-grams; source b: 1, shared with a. Both
+    // sets fit inside k=64, so the sketches ARE the sets: union size
+    // 2, shared 1 → est 500000 = exact (round and floor agree at .5
+    // of an even product here).
+    val dir = tmpDir("q223fix")
+    Seq(
+      (1L, "t1 t2 t3 t4 t5 t6", "a"),
+      (2L, "t1 t2 t3 t4 t5", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Curation.q223KmvOverlap(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe Seq("a", "b", 2L, 1L, 500000L, 500000L, 0L)
+  }
+
+  test("q223 sketch rows reconcile with the exact q115 matrix at sf0.001") {
+    val est = graft.queries.Curation.q223KmvOverlap(spark, sf).collect()
+    est.length should be > 0
+    val exact = graft.queries.Curation.q115SourceOverlap(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    est.foreach { r =>
+      val kUsed = r.getLong(r.fieldIndex("k_used"))
+      val shared = r.getLong(r.fieldIndex("n_shared_k"))
+      kUsed should be <= 64L
+      shared should be <= kUsed
+      r.getLong(r.fieldIndex("est_jaccard_e6")) shouldBe shared * 1000000L / kUsed
+      // one matrix row per exact pair, err column consistent with q115
+      val ex = exact((r.getString(0), r.getString(1)))
+      r.getLong(r.fieldIndex("exact_jaccard_e6")) shouldBe ex
+      r.getLong(r.fieldIndex("err_e6")) shouldBe
+        math.abs(r.getLong(r.fieldIndex("est_jaccard_e6")) - ex)
+    }
+    est.length shouldBe exact.size
+  }
+}
