@@ -1246,7 +1246,58 @@ object Analytics {
         col("p50_days"), col("p90_days"), col("p99_days"))
   }
 
+  // -- q224: histogram join-cardinality estimation -------------------------
+
+  private val JcBuckets = 64L
+
+  /** CBO JOIN-SIZE ESTIMATION — the optimizer statistic behind every
+    * join-strategy decision, measured against its own truth: how big
+    * is the l_partkey self-join of lineitem (the relation q96's
+    * basket-pair mining expands — F2 of a relational key, q222's
+    * question for tokens), answered THREE ways: (1) exact Σ f_k²
+    * (the verification leg), (2) the naive uniform estimate N²/D
+    * every textbook CBO starts from, and (3) the 64-bucket hash-
+    * histogram estimate Σ n_b²/d_b — uniformity assumed only WITHIN
+    * a bucket (Selinger-style histogram refinement). The two error
+    * columns are the point of the report: how much the histogram buys
+    * over the global uniformity assumption under this key's skew.
+    *
+    * Integer contract: per-bucket est n_b² div d_b and naive N² div D
+    * are truncating integer ops (n ≤ 2^20 here, n² < 2^40 — exact in
+    * BIGINT); errors in ppm against the exact leg, zero-guarded.
+    *
+    * Plan: ONE map-combined (bucket, key) count — the same shuffle
+    * the exact leg needs anyway, SharedCache'd — then two constant-
+    * size rollups (≤64 bucket rows; |keys| rows collapse map-side for
+    * the exact Σf²). At 100 TB the histogram relation is still 64
+    * rows; only the per-key aggregate scales, partial-combined. */
+  val q224HistJoinCard: Q = (s, d) => {
+    val perKey = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("k"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("jc|"), col("k").cast("string"))), 1, 12),
+          16, 10).cast("long") % JcBuckets)
+      .groupBy("b", "k").agg(count(lit(1)).as("f"))
+      .transform(graft.ops.SharedCache.persist)
+    val est = perKey
+      .groupBy("b").agg(sum(col("f")).as("n_b"), count(lit(1)).as("d_b"))
+      .agg(sum(expr("n_b * n_b div d_b")).as("est_hist"),
+        sum(col("n_b")).as("n_rows"), sum(col("d_b")).as("n_keys"))
+      .withColumn("grp", lit(1))
+    val exact = perKey.agg(sum(col("f") * col("f")).as("exact_card"))
+      .withColumn("grp", lit(1))
+    est.join(broadcast(exact), "grp")
+      .select(col("n_rows"), col("n_keys"),
+        expr("n_rows * n_rows div n_keys").as("est_uniform"),
+        col("est_hist"), col("exact_card"),
+        expr("abs(est_hist - exact_card) * 1000000 div greatest(exact_card, 1)")
+          .as("hist_err_ppm"),
+        expr("abs(n_rows * n_rows div n_keys - exact_card) * 1000000 div greatest(exact_card, 1)")
+          .as("uniform_err_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q224_hist_join_card" -> q224HistJoinCard,
     "q209_zonemap_audit" -> q209ZoneMapAudit,
     "q212_curve_comparison" -> q212CurveComparison,
     "q185_ship_latency" -> q185ShipLatency,
@@ -1287,6 +1338,27 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same md5 bucket hash, same (bucket, key) relation, same three
+    // estimates and truncating error math.
+    "q224_hist_join_card" ->
+      s"""WITH pk AS (
+         |  SELECT CAST('0x' || substr(md5('jc|' || CAST(l_partkey AS VARCHAR)), 1, 12) AS BIGINT) % $JcBuckets AS b,
+         |    l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+         |  FROM lineitem GROUP BY 1, 2
+         |), pb AS (
+         |  SELECT b, CAST(sum(f) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS d_b
+         |  FROM pk GROUP BY 1
+         |), est AS (
+         |  SELECT CAST(sum(n_b * n_b // d_b) AS BIGINT) AS est_hist,
+         |    CAST(sum(n_b) AS BIGINT) AS n_rows, CAST(sum(d_b) AS BIGINT) AS n_keys
+         |  FROM pb
+         |), ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_card FROM pk)
+         |SELECT e.n_rows, e.n_keys,
+         |  e.n_rows * e.n_rows // e.n_keys AS est_uniform,
+         |  e.est_hist, x.exact_card,
+         |  abs(e.est_hist - x.exact_card) * 1000000 // greatest(x.exact_card, 1) AS hist_err_ppm,
+         |  abs(e.n_rows * e.n_rows // e.n_keys - x.exact_card) * 1000000 // greatest(x.exact_card, 1) AS uniform_err_ppm
+         |FROM est e, ex x""".stripMargin,
     // Same composite-cell aggregate, same per-layout rollups and
     // exact zone-width arithmetic; the Morton bits reuse q64's zexpr.
     "q209_zonemap_audit" -> {

@@ -1060,6 +1060,61 @@ object NearDup {
         expr("n_lsh_hit * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  // -- q225: LSH S-curve calibration (per-bin recall vs analytic) --------
+
+  private val SCurveBinE6 = 50000L
+
+  /** LSH S-CURVE CALIBRATION — q146 publishes ONE recall number; this
+    * calibrates the whole operating curve: per exact-Jaccard bin
+    * (width 0.05), the measured fraction of true duplicate pairs that
+    * collide in at least one of q21's 8 bands, next to the ANALYTIC
+    * collision probability 1 − (1 − s²)⁸ at the bin midpoint (r = 2
+    * rows/band, b = 8 bands — the closed form that sizes every LSH
+    * deployment, here a pure integer polynomial: staged e6 squarings
+    * both engines truncate identically). The gap column is the
+    * calibration verdict — where the measured curve sags under the
+    * theory, the signature family is misbehaving (correlated hashes,
+    * short docs) BEFORE production finds out as missed dups.
+    *
+    * Truth domain is q39's exact PPJoin pairs (J ≥ 0.5) — the dedup
+    * CONTRACT region, the same truth q146 audits against; both sides
+    * hash the identical word-3-gram universe, so per-bin recall is
+    * exact, not sampled. Plan: audit cost = the two audited operators
+    * (both SharedCache'd); the compare is two keyed joins of the pair
+    * relation against the |docs|-row band-signature relation, an
+    * in-row arrays_overlap (band index is baked into each signature
+    * string), and one ≤11-bin aggregate. */
+  val q225LshScurve: Q = (s, d) => {
+    val sig = LlmPipeline.minhashSignatures(
+        LlmPipeline.hashedShingles(Tables.documents(s, d)))
+      .select(col("doc_id"), LlmPipeline.bandSigArray.as("bands"))
+      .transform(graft.ops.SharedCache.persist)
+    val truth = q39DedupNgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e6"))
+    truth
+      .join(sig.select(col("doc_id").as("doc_a"), col("bands").as("bands_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("bands").as("bands_b")),
+        "doc_b")
+      .withColumn("collide",
+        arrays_overlap(col("bands_a"), col("bands_b")).cast("long"))
+      .withColumn("bin", expr(s"jaccard_e6 div $SCurveBinE6"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("collide")).as("n_collide"))
+      .withColumn("jacc_lo_e6", col("bin") * SCurveBinE6)
+      .withColumn("mid_e6",
+        least(col("bin") * SCurveBinE6 + lit(SCurveBinE6 / 2), lit(1000000L)))
+      .withColumn("q", expr("mid_e6 * mid_e6 div 1000000"))
+      .withColumn("m2", expr("(1000000 - q) * (1000000 - q) div 1000000"))
+      .withColumn("m4", expr("m2 * m2 div 1000000"))
+      .withColumn("m8", expr("m4 * m4 div 1000000"))
+      .select(col("bin"), col("jacc_lo_e6"), col("n_pairs"), col("n_collide"),
+        expr("n_collide * 1000000 div n_pairs").as("recall_ppm"),
+        (lit(1000000L) - col("m8")).as("analytic_ppm"),
+        (expr("n_collide * 1000000 div n_pairs") - (lit(1000000L) - col("m8")))
+          .as("gap_ppm"))
+  }
+
   // -- q219: IVF recall audit (vs the exact brute-force truth) ---------
 
   /** IVF RECALL AUDIT — q146's measured-recall discipline applied to
@@ -1204,6 +1259,7 @@ object NearDup {
     "q159_jaro_linkage" -> q159JaroLinkage,
     "q146_lsh_recall" -> q146LshRecall,
     "q219_ivf_recall" -> q219IvfRecall,
+    "q225_lsh_scurve" -> q225LshScurve,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1669,6 +1725,65 @@ object NearDup {
     },
     // Same prefix-filter algebra restated in SQL (lossless at t=0.5, so
     // this is the complete answer, not a candidate approximation).
+    // Bands come verbatim from q21's minhash CTEs; the truth side is
+    // q39's prefix-filter restatement built off the same exh relation
+    // (h1 IS q39's 48-bit shingle hash); the analytic column is the
+    // same staged e6 polynomial.
+    "q225_lsh_scurve" ->
+      s"""WITH ${LlmPipeline.minhashPairCtes}, dh AS (
+         |  SELECT DISTINCT doc_id, h1 AS h FROM exh
+         |), freq2 AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM dh GROUP BY h
+         |), sets2 AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_sort(list(least(df, 32767) * ${1L << 48} + dh.h)),
+         |      k -> k & ${(1L << 48) - 1}) AS hs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM dh JOIN freq2 ON dh.h = freq2.h
+         |  GROUP BY doc_id
+         |), pre2 AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sets2
+         |), cand2 AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM pre2 l JOIN pre2 r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), truth AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(round(1e6 * CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / CAST(a.n + b.n - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+         |  FROM cand2
+         |  JOIN sets2 a ON doc_a = a.doc_id
+         |  JOIN sets2 b ON doc_b = b.doc_id
+         |), truth5 AS (
+         |  SELECT * FROM truth WHERE jaccard_e6 >= 500000
+         |), coll AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+         |), hit AS (
+         |  SELECT t.jaccard_e6,
+         |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS collide
+         |  FROM truth5 t LEFT JOIN coll c
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |), bins AS (
+         |  SELECT jaccard_e6 // $SCurveBinE6 AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(collide) AS BIGINT) AS n_collide
+         |  FROM hit GROUP BY 1
+         |), c1 AS (
+         |  SELECT bin, bin * $SCurveBinE6 AS jacc_lo_e6, n_pairs, n_collide,
+         |    least(bin * $SCurveBinE6 + ${SCurveBinE6 / 2}, 1000000) AS mid_e6
+         |  FROM bins
+         |), c2 AS (SELECT *, mid_e6 * mid_e6 // 1000000 AS q FROM c1
+         |), c3 AS (SELECT *, (1000000 - q) * (1000000 - q) // 1000000 AS m2 FROM c2
+         |), c4 AS (SELECT *, m2 * m2 // 1000000 AS m4 FROM c3
+         |), c5 AS (SELECT *, m4 * m4 // 1000000 AS m8 FROM c4)
+         |SELECT bin, jacc_lo_e6, n_pairs, n_collide,
+         |  n_collide * 1000000 // n_pairs AS recall_ppm,
+         |  1000000 - m8 AS analytic_ppm,
+         |  n_collide * 1000000 // n_pairs - (1000000 - m8) AS gap_ppm
+         |FROM c5""".stripMargin,
     "q39_dedup_ngram_jaccard" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk

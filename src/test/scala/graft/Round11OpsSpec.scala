@@ -91,6 +91,80 @@ class Round11OpsSpec extends SparkSpec {
     errPpm shouldBe math.abs(est - trueF2) * 1000000L / trueF2
   }
 
+  // -- q224: histogram join-cardinality estimation --------------------------
+
+  test("q224 matches the hand-computed skewed fixture") {
+    // l_partkey [1,1,1,2]: exact self-join card = 3² + 1² = 10;
+    // keys 1 and 2 hash to buckets 35 and 16 (md5 'jc|k'), so the
+    // histogram sees each key alone and is EXACT (err 0); the global
+    // uniform estimate 4²//2 = 8 misses by 200000 ppm — the report's
+    // point, skew-refinement, on the smallest possible skew.
+    val dir = tmpDir("q224fix")
+    Seq(1L, 1L, 1L, 2L).toDF("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Analytics.q224HistJoinCard(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe Seq(4L, 2L, 8L, 10L, 10L, 0L, 200000L)
+  }
+
+  test("q224 estimate identities hold at sf0.001") {
+    val row = graft.queries.Analytics.q224HistJoinCard(spark, sf)
+      .collect().head
+    val nRows = row.getLong(row.fieldIndex("n_rows"))
+    val nKeys = row.getLong(row.fieldIndex("n_keys"))
+    val exact = row.getLong(row.fieldIndex("exact_card"))
+    row.getLong(row.fieldIndex("est_uniform")) shouldBe nRows * nRows / nKeys
+    // every row self-joins at least once, and Cauchy–Schwarz floors
+    // the exact card at the uniform estimate's ideal
+    exact should be >= nRows
+    row.getLong(row.fieldIndex("hist_err_ppm")) shouldBe
+      math.abs(row.getLong(row.fieldIndex("est_hist")) - exact) * 1000000L / exact
+    row.getLong(row.fieldIndex("uniform_err_ppm")) shouldBe
+      math.abs(nRows * nRows / nKeys - exact) * 1000000L / exact
+  }
+
+  // -- q225: LSH S-curve calibration -----------------------------------------
+
+  test("q225 pins the exact-duplicate bin on a byte-identical pair") {
+    // Two byte-identical docs: J = 1.0 → bin 20, and identical minhash
+    // signatures collide in every band → measured = analytic = 1e6.
+    val dir = tmpDir("q225fix")
+    Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.NearDup.q225LshScurve(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe Seq(20L, 1000000L, 1L, 1L, 1000000L, 1000000L, 0L)
+  }
+
+  test("q225 per-bin identities and the staged analytic polynomial at sf0.001") {
+    def analytic(mid: Long): Long = {
+      val q = mid * mid / 1000000L
+      val m = 1000000L - q
+      val m2 = m * m / 1000000L
+      val m4 = m2 * m2 / 1000000L
+      val m8 = m4 * m4 / 1000000L
+      1000000L - m8
+    }
+    val rows = graft.queries.NearDup.q225LshScurve(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val bin = r.getLong(r.fieldIndex("bin"))
+      val nPairs = r.getLong(r.fieldIndex("n_pairs"))
+      val nCollide = r.getLong(r.fieldIndex("n_collide"))
+      bin should be >= 10L // truth domain is J >= 0.5
+      nCollide should be <= nPairs
+      r.getLong(r.fieldIndex("jacc_lo_e6")) shouldBe bin * 50000L
+      r.getLong(r.fieldIndex("recall_ppm")) shouldBe nCollide * 1000000L / nPairs
+      val mid = math.min(bin * 50000L + 25000L, 1000000L)
+      r.getLong(r.fieldIndex("analytic_ppm")) shouldBe analytic(mid)
+      r.getLong(r.fieldIndex("gap_ppm")) shouldBe
+        r.getLong(r.fieldIndex("recall_ppm")) - r.getLong(r.fieldIndex("analytic_ppm"))
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
