@@ -272,7 +272,9 @@ object Curation {
     * (lang, date-bucket) to bound partition width — same plan shape.
     * Shard boundaries use the sum EXCLUSIVE of the current document
     * (a doc starts a new shard rather than overflowing one). */
-  val q50TokenShards: Q = (s, d) => {
+  /** The shard assignment with each doc's size retained — shared by
+    * q50 (the assignment surface) and q227 (the balance audit). */
+  private def shardPack(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -280,10 +282,47 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         md5(concat(lit("shard"), col("doc_id").cast("string"))).as("hk"))
       .withColumn("cum_chars", sum("n_chars").over(w))
-      .select(col("doc_id"), col("lang"), col("cum_chars"),
+      .withColumn("shard",
         floor((col("cum_chars") - col("n_chars")).cast("double") /
-          lit(ShardBudgetChars.toDouble)).cast("long").as("shard"))
+          lit(ShardBudgetChars.toDouble)).cast("long"))
   }
+
+  val q50TokenShards: Q = (s, d) =>
+    shardPack(s, d).select(col("doc_id"), col("lang"), col("cum_chars"),
+      col("shard"))
+
+  // -- q227: shard-packing balance audit -------------------------------
+
+  /** STRAGGLER AUDIT of q50's packing — the number a training run's
+    * wall-clock actually keys on: the epoch takes as long as its
+    * LARGEST shard, so per language the audit reports shard count,
+    * min/max/mean loads, the imbalance ratio (max/mean, ppm), and the
+    * makespan ratio against the unreachable ideal ⌈total/shards⌉ —
+    * read before launching a 1000-worker epoch, because a 2× max/mean
+    * means half the fleet idles at the epoch barrier. Exact integer
+    * ratios (loads are BIGINT char counts; div truncates identically
+    * in both engines).
+    *
+    * Plan: q50's one window pass (shared helper), then two
+    * map-combined rollups — (lang, shard) loads, |langs| summary rows.
+    * Nothing after the assignment scales with corpus volume. */
+  val q227ShardBalance: Q = (s, d) =>
+    shardPack(s, d)
+      .groupBy("lang", "shard")
+      .agg(sum(col("n_chars")).as("load_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("load_chars")).as("total_chars"),
+        min(col("load_chars")).as("min_load"),
+        max(col("load_chars")).as("max_load"))
+      .select(col("lang"), col("n_shards"), col("total_chars"),
+        col("min_load"), col("max_load"),
+        expr("total_chars div n_shards").as("mean_load"),
+        expr("max_load * 1000000 div (total_chars div n_shards)")
+          .as("imbalance_ppm"),
+        expr("(total_chars + n_shards - 1) div n_shards").as("ideal_makespan"),
+        expr("max_load * 1000000 div ((total_chars + n_shards - 1) div n_shards)")
+          .as("makespan_ppm"))
 
   // -- q51: corpus-composition pivot mart ----------------------------
 
@@ -1710,6 +1749,7 @@ object Curation {
     "q48_incremental_dedup" -> q48IncrementalDedup,
     "q49_stratified_sample" -> q49StratifiedSample,
     "q50_token_shards" -> q50TokenShards,
+    "q227_shard_balance" -> q227ShardBalance,
     "q51_mix_pivot" -> q51MixPivot,
     "q52_corpus_shuffle" -> q52CorpusShuffle)
 
@@ -2558,6 +2598,38 @@ object Curation {
          |SELECT doc_id, lang, cum_chars,
          |  CAST(floor(CAST(cum_chars - n_chars AS DOUBLE) / $ShardBudgetChars.0) AS BIGINT) AS shard
          |FROM c""".stripMargin,
+    // q50's window restated, then the same two rollups and truncating
+    // ratio math.
+    "q227_shard_balance" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5('shard' || CAST(doc_id AS VARCHAR)) AS hk
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+         |  FROM h
+         |), a AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(floor(CAST(cum_chars - n_chars AS DOUBLE) / $ShardBudgetChars.0) AS BIGINT) AS shard
+         |  FROM c
+         |), loads AS (
+         |  SELECT lang, shard, CAST(sum(n_chars) AS BIGINT) AS load_chars
+         |  FROM a GROUP BY 1, 2
+         |), summ AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_shards,
+         |    CAST(sum(load_chars) AS BIGINT) AS total_chars,
+         |    CAST(min(load_chars) AS BIGINT) AS min_load,
+         |    CAST(max(load_chars) AS BIGINT) AS max_load
+         |  FROM loads GROUP BY 1
+         |)
+         |SELECT lang, n_shards, total_chars, min_load, max_load,
+         |  total_chars // n_shards AS mean_load,
+         |  max_load * 1000000 // (total_chars // n_shards) AS imbalance_ppm,
+         |  (total_chars + n_shards - 1) // n_shards AS ideal_makespan,
+         |  max_load * 1000000 // ((total_chars + n_shards - 1) // n_shards) AS makespan_ppm
+         |FROM summ""".stripMargin,
     "q51_mix_pivot" -> {
       val cells = (0 to 3).map { g =>
         s"count(*) FILTER (WHERE si % 4 = $g) AS g${g}_cnt, " +

@@ -1115,6 +1115,50 @@ object NearDup {
           .as("gap_ppm"))
   }
 
+  // -- q226: dedup threshold-yield sweep ------------------------------------
+
+  /** THRESHOLD TUNING TABLE — the decision the dedup operator's one
+    * constant hides: at which Jaccard cutoff do we call a pair a
+    * duplicate? Per candidate threshold τ ∈ {0.50, 0.55, …, 1.00}
+    * (the q39 contract region), the sweep reports what the corpus
+    * would lose: qualifying pairs, distinct documents touched by at
+    * least one such pair, and their total token mass — the
+    * cost-of-aggressiveness curve read before moving the production
+    * threshold (loosen and you delete real data; tighten and mirrors
+    * survive). The doc leg classifies each document by its MAX pair
+    * similarity, so each threshold's doc/token numbers are exact
+    * distinct counts, not pair-side double counts.
+    *
+    * Plan: rides q39's SharedCache'd exact pairs; ONE constant-width
+    * conditional aggregate per leg (11 sums each — no per-threshold
+    * rescan, the q173 threshold-fold discipline) + a doc-keyed join
+    * for token masses, then a constant 11-row stack unpivot. Nothing
+    * scales with the threshold count except literal width. */
+  val q226ThresholdSweep: Q = (s, d) => {
+    val pairs = q39DedupNgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), expr("jaccard_e6 div 50000").as("bin"))
+      .transform(graft.ops.SharedCache.persist)
+    val pairCols = (10 to 20).map(b => count(when(col("bin") >= b, 1)).as(s"p$b"))
+    val pairAgg = pairs.agg(pairCols.head, pairCols.tail: _*)
+      .withColumn("grp", lit(1))
+    val docCols = (10 to 20).flatMap(b => Seq(
+      count(when(col("mx") >= b, 1)).as(s"d$b"),
+      sum(when(col("mx") >= b, col("n_tokens")).otherwise(0L)).as(s"t$b")))
+    val docAgg = pairs.select(col("doc_a").as("doc_id"), col("bin"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("bin")))
+      .groupBy("doc_id").agg(max(col("bin")).as("mx"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .agg(docCols.head, docCols.tail: _*)
+      .withColumn("grp", lit(1))
+    pairAgg.join(broadcast(docAgg), "grp")
+      .selectExpr("stack(11, " +
+        (10 to 20).map(b =>
+          s"${b * 50000}L, p$b, d$b, coalesce(t$b, 0L)").mkString(", ") +
+        ") as (thresh_e6, n_pairs, n_dup_docs, n_tokens_affected)")
+  }
+
   // -- q219: IVF recall audit (vs the exact brute-force truth) ---------
 
   /** IVF RECALL AUDIT — q146's measured-recall discipline applied to
@@ -1260,6 +1304,7 @@ object NearDup {
     "q146_lsh_recall" -> q146LshRecall,
     "q219_ivf_recall" -> q219IvfRecall,
     "q225_lsh_scurve" -> q225LshScurve,
+    "q226_threshold_sweep" -> q226ThresholdSweep,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1825,6 +1870,66 @@ object NearDup {
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
          |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= $JaccardThresholdE6""".stripMargin,
+    // q39's prefix-filter truth restated (same CTE chain), then the
+    // same 11-threshold fold: pair counts off the pair relation, doc
+    // and token counts off each doc's MAX pair bin.
+    "q226_threshold_sweep" -> {
+      val per = (10 to 20).map { b =>
+        s"""SELECT CAST(${b * 50000} AS BIGINT) AS thresh_e6,
+           |  CAST((SELECT count(*) FROM tp WHERE bin >= $b) AS BIGINT) AS n_pairs,
+           |  CAST((SELECT count(*) FROM dt WHERE mx >= $b) AS BIGINT) AS n_dup_docs,
+           |  CAST((SELECT coalesce(sum(n_tokens), 0) FROM dt WHERE mx >= $b) AS BIGINT) AS n_tokens_affected""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |  FROM documents
+         |), ex AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+2], ' ') AS sh
+         |  FROM toks, LATERAL unnest(generate_series(1, len(tk)-2)) u(i)
+         |  WHERE len(tk) >= 3
+         |), exh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h
+         |  FROM ex
+         |), freq AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM exh GROUP BY h
+         |), sets AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_sort(list(least(df, 32767) * ${1L << 48} + exh.h)),
+         |      k -> k & ${(1L << 48) - 1}) AS hs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM exh JOIN freq ON exh.h = freq.h
+         |  GROUP BY doc_id
+         |), pre AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sets
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM pre l JOIN pre r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+         |    a.n AS na, b.n AS nb
+         |  FROM cand
+         |  JOIN sets a ON doc_a = a.doc_id
+         |  JOIN sets b ON doc_b = b.doc_id
+         |), tp AS (
+         |  SELECT doc_a, doc_b, j // 50000 AS bin FROM (
+         |    SELECT doc_a, doc_b,
+         |      CAST(round(1e6 * CAST(n_inter AS DOUBLE)
+         |        / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS j
+         |    FROM scored)
+         |  WHERE j >= $JaccardThresholdE6
+         |), un AS (
+         |  SELECT doc_a AS doc_id, bin FROM tp
+         |  UNION ALL SELECT doc_b AS doc_id, bin FROM tp
+         |), mx AS (SELECT doc_id, max(bin) AS mx FROM un GROUP BY 1
+         |), dt AS (
+         |  SELECT m.doc_id, m.mx, CAST(len(t.tk) AS BIGINT) AS n_tokens
+         |  FROM mx m JOIN toks t ON t.doc_id = m.doc_id
+         |)
+         |$per""".stripMargin
+    },
     // One-sided prefix-filter algebra restated in SQL (lossless at
     // t=0.9 by pigeonhole — the complete answer, like q39).
     "q71_containment_dedup" ->

@@ -165,6 +165,77 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q226: dedup threshold-yield sweep -------------------------------------
+
+  test("q226 matches the two-pair hand fixture across all 11 thresholds") {
+    // Pair (1,2): byte-identical → J = 1.0 (bin 20). Pair (3,4):
+    // grams {abc,bcd,cde} vs {abc,bcd,cdf} → J = 2/4 = 0.5 (bin 10).
+    // So τ=0.50 sees 2 pairs / 4 docs / 20 tokens; every higher τ
+    // sees only the identical pair: 1 / 2 / 10.
+    val dir = tmpDir("q226fix")
+    Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "a b c d e"), (4L, "a b c d f"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.NearDup.q226ThresholdSweep(spark, dir)
+      .orderBy("thresh_e6").collect()
+    rows.length shouldBe 11
+    rows.head.toSeq shouldBe Seq(500000L, 2L, 4L, 20L)
+    rows.tail.foreach { r =>
+      r.toSeq.drop(1) shouldBe Seq(1L, 2L, 10L)
+    }
+  }
+
+  test("q226 sweep is monotone and reconciles with q39 at sf0.001") {
+    val rows = graft.queries.NearDup.q226ThresholdSweep(spark, sf)
+      .orderBy("thresh_e6").collect()
+    rows.length shouldBe 11
+    // τ=0.5 row counts exactly the q39 truth pairs
+    rows.head.getLong(1) shouldBe
+      graft.queries.NearDup.q39DedupNgramJaccard(spark, sf).count()
+    // raising the threshold can only shrink every yield column
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      hi.getLong(1) should be <= lo.getLong(1)
+      hi.getLong(2) should be <= lo.getLong(2)
+      hi.getLong(3) should be <= lo.getLong(3)
+    }
+  }
+
+  // -- q227: shard-packing balance audit --------------------------------------
+
+  test("q227 is exact on perfectly-filling shards") {
+    // Three 20000-char docs at the 20000-char budget: each doc exactly
+    // fills one shard REGARDLESS of the hash order, so every balance
+    // number collapses to the ideal (imbalance = makespan = 1e6).
+    val dir = tmpDir("q227fix")
+    Seq((1L, "en", 20000L), (2L, "en", 20000L), (3L, "en", 20000L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Curation.q227ShardBalance(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe
+      Seq("en", 3L, 60000L, 20000L, 20000L, 20000L, 1000000L, 20000L, 1000000L)
+  }
+
+  test("q227 ratio identities hold per language at sf0.001") {
+    val rows = graft.queries.Curation.q227ShardBalance(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val nShards = r.getLong(r.fieldIndex("n_shards"))
+      val total = r.getLong(r.fieldIndex("total_chars"))
+      val maxL = r.getLong(r.fieldIndex("max_load"))
+      val mean = r.getLong(r.fieldIndex("mean_load"))
+      mean shouldBe total / nShards
+      maxL should be >= mean
+      r.getLong(r.fieldIndex("min_load")) should be <= mean
+      r.getLong(r.fieldIndex("imbalance_ppm")) shouldBe maxL * 1000000L / mean
+      val ideal = (total + nShards - 1) / nShards
+      r.getLong(r.fieldIndex("ideal_makespan")) shouldBe ideal
+      r.getLong(r.fieldIndex("makespan_ppm")) shouldBe maxL * 1000000L / ideal
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
