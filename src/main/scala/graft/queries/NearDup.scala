@@ -278,6 +278,47 @@ object NearDup {
       .withColumn("s2", dotL(col("q"), col("q")))
   }
 
+  // -- q228: int8 scalar-quantization audit ----------------------------
+
+  /** SCALAR-QUANTIZATION AUDIT — the third compression point on the
+    * vector-storage curve (e4 fixed point = the exactness baseline,
+    * q114's product quantization = the aggressive end): per-dimension
+    * affine int8, code = (v − min)·255 div range, is what most vector
+    * stores ship as "SQ8" — 4× smaller than float32 — and this audit
+    * reports what it costs, per dimension: min/max/range of the e4
+    * domain, the mean and max absolute reconstruction error, and the
+    * analytic worst-case bound range div 255 + 1 that the measured max
+    * must respect (spec-pinned). A dimension whose range dwarfs the
+    * rest (so its step swallows everyone's precision) shows up
+    * immediately — the signal for per-block or per-dim re-scaling.
+    *
+    * Integer contract: inputs are the shared e4 quantized vectors
+    * (identical operands in both engines); code and reconstruction are
+    * truncating integer ops with non-negative operands (v − min ≥ 0 by
+    * construction of min). Plan: ONE posexplode pass to (dim, v) —
+    * SharedCache'd — a 64-row min/max rollup broadcast back, then one
+    * map-combined error aggregate; nothing after the explode exceeds
+    * 64 rows. */
+  val q228SqAudit: Q = (s, d) => {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(quant(col("embedding"))).as(Seq("p", "v")))
+      .select((col("p") + 1).cast("long").as("dim"), col("v"))
+      .transform(graft.ops.SharedCache.persist)
+    val ranges = dims.groupBy("dim")
+      .agg(min(col("v")).as("min_e4"), max(col("v")).as("max_e4"))
+      .withColumn("range_e4", col("max_e4") - col("min_e4"))
+    dims.join(broadcast(ranges), "dim")
+      .withColumn("code",
+        expr("(v - min_e4) * 255 div greatest(range_e4, 1)"))
+      .withColumn("err", abs(col("min_e4") +
+        expr("code * range_e4 div 255") - col("v")))
+      .groupBy("dim", "min_e4", "max_e4", "range_e4")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(err) div count(1)").as("mean_abs_err_e4"),
+        max(col("err")).as("max_err_e4"))
+      .withColumn("bound_e4", expr("range_e4 div 255 + 1"))
+  }
+
   // -- q32: embedding-cosine near-dup (sign-LSH blocked) -------------
 
   private val SignBands = 4
@@ -1305,6 +1346,7 @@ object NearDup {
     "q219_ivf_recall" -> q219IvfRecall,
     "q225_lsh_scurve" -> q225LshScurve,
     "q226_threshold_sweep" -> q226ThresholdSweep,
+    "q228_sq_audit" -> q228SqAudit,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1770,6 +1812,30 @@ object NearDup {
     },
     // Same prefix-filter algebra restated in SQL (lossless at t=0.5, so
     // this is the complete answer, not a candidate approximation).
+    // Same e4 quantization, same per-dim min/max, same truncating
+    // code/reconstruction arithmetic (1-based dims via generate_series).
+    "q228_sq_audit" ->
+      s"""WITH $quantCte, dims AS (
+         |  SELECT i.i AS dim, q[i.i] AS v
+         |  FROM qv, LATERAL unnest(generate_series(1, len(q))) i(i)
+         |), rng AS (
+         |  SELECT dim, CAST(min(v) AS BIGINT) AS min_e4,
+         |    CAST(max(v) AS BIGINT) AS max_e4,
+         |    CAST(max(v) - min(v) AS BIGINT) AS range_e4
+         |  FROM dims GROUP BY 1
+         |), errs AS (
+         |  SELECT d.dim, r.min_e4, r.max_e4, r.range_e4,
+         |    abs(r.min_e4 +
+         |      (((d.v - r.min_e4) * 255 // greatest(r.range_e4, 1)) * r.range_e4 // 255)
+         |      - d.v) AS err
+         |  FROM dims d JOIN rng r ON d.dim = r.dim
+         |)
+         |SELECT CAST(dim AS BIGINT) AS dim, min_e4, max_e4, range_e4,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(err) // count(*) AS BIGINT) AS mean_abs_err_e4,
+         |  CAST(max(err) AS BIGINT) AS max_err_e4,
+         |  range_e4 // 255 + 1 AS bound_e4
+         |FROM errs GROUP BY 1, 2, 3, 4""".stripMargin,
     // Bands come verbatim from q21's minhash CTEs; the truth side is
     // q39's prefix-filter restatement built off the same exh relation
     // (h1 IS q39's 48-bit shingle hash); the analytic column is the

@@ -1435,7 +1435,54 @@ object Profiling {
         col("est_min"), col("est_max"))
   }
 
+  // -- q229: quality-gate agreement (Cohen's kappa) ------------------------
+
+  /** GATE-AGREEMENT AUDIT — the corpus runs TWO quality filters (q22's
+    * rule-based `is_quality` heuristic and q113's model-based `keep`
+    * classifier), and this asks the inter-annotator question: do they
+    * agree beyond chance? Cohen's kappa over the 2×2 contingency —
+    * observed agreement po against chance agreement pe from the
+    * marginals — is the number that distinguishes "both gates pass 90%
+    * so they agree 81% by luck" from real signal overlap; a kappa near
+    * 0 means the two gates encode INDEPENDENT judgments (run both), a
+    * kappa near 1 means one is redundant (drop the expensive one).
+    *
+    * Integer contract: cells are exact counts; po/pe in truncating
+    * ppm (pe's two marginal products each pre-divided by n — mirrored
+    * exactly); kappa is SIGNED, so the division is wrapped in an
+    * explicit toward-zero CASE — Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and they only agree on non-negative
+    * operands (the README div contract), so both engines compute
+    * |num|·1e6 div den and re-apply the sign.
+    *
+    * Plan: the two gate relations are narrow maps over the scan (q113
+    * is zero-shuffle by design; q22 is a projection), one doc-keyed
+    * join, ONE map-combined aggregate to a single row. */
+  val q229GateAgreement: Q = (s, d) => {
+    val ruleGate = LlmPipeline.q22TextStats(s, d)
+      .select(col("doc_id"), col("is_quality").cast("long").as("a"))
+    val modelGate = Curation.q113QualityClassifier(s, d)
+      .select(col("doc_id"), col("keep").cast("long").as("b"))
+    ruleGate.join(modelGate, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"))
+      .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+      .withColumn("pe_ppm", expr(
+        "((n11 + n10) * (n11 + n01) div n + (n01 + n00) * (n10 + n00) div n) * 1000000 div n"))
+      .withColumn("kappa_e6", expr(
+        """CASE WHEN po_ppm >= pe_ppm
+          |  THEN (po_ppm - pe_ppm) * 1000000 div greatest(1000000 - pe_ppm, 1)
+          |  ELSE -((pe_ppm - po_ppm) * 1000000 div greatest(1000000 - pe_ppm, 1))
+          |END""".stripMargin))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q229_gate_agreement" -> q229GateAgreement,
     "q221_bloom_precheck" -> q221BloomPrecheck,
     "q222_ams_f2" -> q222AmsF2,
     "q206_dp_release" -> q206DpRelease,
@@ -1466,6 +1513,47 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // q22's is_quality and q113's keep restated, same 2x2 cells,
+    // same truncating po/pe ppm and the signed toward-zero kappa CASE.
+    "q229_gate_agreement" ->
+      s"""WITH tq AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents
+         |), rule AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 5 AND n_chars <= 10000 AND n_punct * 10 <= n_chars
+         |      THEN 1 ELSE 0 END AS a
+         |  FROM tq
+         |), tok AS (
+         |  SELECT doc_id,
+         |    (CAST('0x' || substr(md5(u.t), 1, 2) AS BIGINT) * 2654435761) % 2001 AS wshift
+         |  FROM tq, LATERAL unnest(tk) u(t)
+         |), model AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (CAST(sum(wshift) AS BIGINT) * 1000 // count(*)) > 1000000
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM tok GROUP BY doc_id
+         |), cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM rule JOIN model USING (doc_id)
+         |), pp AS (
+         |  SELECT *, (n11 + n00) * 1000000 // n AS po_ppm,
+         |    ((n11 + n10) * (n11 + n01) // n + (n01 + n00) * (n10 + n00) // n) * 1000000 // n AS pe_ppm
+         |  FROM cells
+         |)
+         |SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
+         |  CASE WHEN po_ppm >= pe_ppm
+         |    THEN (po_ppm - pe_ppm) * 1000000 // greatest(1000000 - pe_ppm, 1)
+         |    ELSE -((pe_ppm - po_ppm) * 1000000 // greatest(1000000 - pe_ppm, 1))
+         |  END AS kappa_e6
+         |FROM pp""".stripMargin,
     // Same md5 bit hashes → the identical 65536-bit filter; same
     // per-j probe rows (duplicate bits still contribute rows), same
     // exact-membership leg, same staged squarings — bit-for-bit like

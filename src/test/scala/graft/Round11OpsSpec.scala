@@ -236,6 +236,71 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q228: int8 scalar-quantization audit -----------------------------------
+
+  test("q228 matches the hand-computed two-dim fixture") {
+    // dim1 e4 values {0, 5000, 10000}: midpoint code 127 reconstructs
+    // 4980 (err 20), endpoints exact → mean 20/3 = 6, bound 40.
+    // dim2 {10000, 17000, 30000}: code 89 → 16980 (err 20), mean 6,
+    // bound 79. Endpoints of an affine SQ are ALWAYS exact.
+    val dir = tmpDir("q228fix")
+    Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.5f, 1.7f)), (3L, Seq(1.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.NearDup.q228SqAudit(spark, dir)
+      .orderBy("dim").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq(1L, 0L, 10000L, 10000L, 3L, 6L, 20L, 40L),
+      Seq(2L, 10000L, 30000L, 20000L, 3L, 6L, 20L, 79L))
+  }
+
+  test("q228 error bound holds on every dimension at sf0.001") {
+    val rows = graft.queries.NearDup.q228SqAudit(spark, sf).collect()
+    rows.length shouldBe 64
+    rows.foreach { r =>
+      r.getLong(r.fieldIndex("range_e4")) shouldBe
+        r.getLong(r.fieldIndex("max_e4")) - r.getLong(r.fieldIndex("min_e4"))
+      r.getLong(r.fieldIndex("mean_abs_err_e4")) should be <=
+        r.getLong(r.fieldIndex("max_err_e4"))
+      // the analytic worst case of truncating affine SQ8
+      r.getLong(r.fieldIndex("max_err_e4")) should be <=
+        r.getLong(r.fieldIndex("bound_e4"))
+    }
+  }
+
+  // -- q229: quality-gate agreement (Cohen's kappa) ---------------------------
+
+  test("q229 cells reconcile with the two gates and the kappa identity at sf0.001") {
+    val row = graft.queries.Profiling.q229GateAgreement(spark, sf)
+      .collect().head
+    // independent contingency: join the two gate outputs in the spec
+    val rule = graft.queries.LlmPipeline.q22TextStats(spark, sf)
+      .select(col("doc_id"), col("is_quality")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val model = graft.queries.Curation.q113QualityClassifier(spark, sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cells = rule.keys.toSeq.map { id => (rule(id), model(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    row.getLong(row.fieldIndex("n")) shouldBe rule.size.toLong
+    row.getLong(row.fieldIndex("n11")) shouldBe cells.getOrElse((true, true), 0L)
+    row.getLong(row.fieldIndex("n10")) shouldBe cells.getOrElse((true, false), 0L)
+    row.getLong(row.fieldIndex("n01")) shouldBe cells.getOrElse((false, true), 0L)
+    row.getLong(row.fieldIndex("n00")) shouldBe cells.getOrElse((false, false), 0L)
+    // kappa identity with explicit toward-zero semantics
+    val n = row.getLong(row.fieldIndex("n"))
+    val (n11, n10, n01, n00) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val po = (n11 + n00) * 1000000L / n
+    val pe = ((n11 + n10) * (n11 + n01) / n + (n01 + n00) * (n10 + n00) / n) * 1000000L / n
+    row.getLong(row.fieldIndex("po_ppm")) shouldBe po
+    row.getLong(row.fieldIndex("pe_ppm")) shouldBe pe
+    val den = math.max(1000000L - pe, 1L)
+    val expected = if (po >= pe) (po - pe) * 1000000L / den
+      else -((pe - po) * 1000000L / den)
+    row.getLong(row.fieldIndex("kappa_e6")) shouldBe expected
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
