@@ -319,6 +319,68 @@ object NearDup {
       .withColumn("bound_e4", expr("range_e4 div 255 + 1"))
   }
 
+  // -- q230: Johnson–Lindenstrauss projection distortion audit ----------
+
+  private val JlDims = 16
+  private val EmbDim = 64 // testdata embedding width (TESTDATA.md)
+
+  /** RANDOM-PROJECTION DISTORTION AUDIT — the certificate behind every
+    * "project 64-d to 16-d and search there" shortcut (sign-LSH q24/
+    * q32 exploit angles; this certifies DISTANCES): a ±1 Rademacher
+    * projection y_j = Σ_d s_jd·x_d preserves squared distances in
+    * expectation, E‖Δy‖² = k·‖Δx‖² (Achlioptas 2003 — database-
+    * friendly JL), and the audit measures the realized per-pair ratio
+    * ‖Δy‖²/(k·‖Δx‖²) over the deterministic consecutive-id pair
+    * sample: mean/min/max ratio in e3 plus the share of pairs within
+    * ±30% — the number that says whether 16 dims are enough BEFORE a
+    * recall regression says it in production.
+    *
+    * Determinism: the 16×64 sign matrix is md5-derived at plan-build
+    * time and embedded as literals in BOTH engines (the q24
+    * planeWeights convention); distances are exact integer sums over
+    * the shared e4 quantized vectors. The ratio is staged e3
+    * (dy2·1000 div (16·dx2)) — e6 would overflow int64 at the e4
+    * scale's worst case. Identical-vector pairs (dx2 = 0) are counted
+    * and excluded from ratio stats.
+    *
+    * Plan: projection is a narrow in-row map (16 zip_with/aggregate
+    * folds over literal sign arrays — zero shuffles, scan speed at
+    * 100 TB); pairs are ONE self-equi-join on vec_id+1; the audit
+    * collapses in one map-combined aggregate. */
+  private[graft] def jlSigns(j: Int): Seq[Long] =
+    (0 until EmbDim).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl$j|$d".getBytes("UTF-8"))
+      ((md(0) & 1) * 2 - 1).toLong
+    }
+
+  val q230JlDistortion: Q = (s, d) => {
+    val proj = quantized(s, d)
+      .select(col("vec_id"), col("q"),
+        array((0 until JlDims).map(j =>
+          aggregate(zip_with(col("q"), typedLit(jlSigns(j)), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)): _*).as("y"))
+    val pairs = proj.select(col("vec_id").as("ida"), col("q").as("qa"),
+        col("y").as("ya"))
+      .join(proj.select((col("vec_id") - 1).as("ida"), col("q").as("qb"),
+        col("y").as("yb")), "ida")
+      .select(
+        aggregate(zip_with(col("qa"), col("qb"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dx2"),
+        aggregate(zip_with(col("ya"), col("yb"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dy2"))
+      .withColumn("ratio_e3",
+        when(col("dx2") > 0, expr(s"dy2 * 1000 div (${JlDims}L * dx2)")))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dx2") === 0, 1L).otherwise(0L)).as("n_degenerate"),
+        expr("sum(ratio_e3) div count(ratio_e3)").as("mean_ratio_e3"),
+        min(col("ratio_e3")).as("min_ratio_e3"),
+        max(col("ratio_e3")).as("max_ratio_e3"),
+        count(when(abs(col("ratio_e3") - 1000) <= 300, 1)).as("n_within30"))
+      .withColumn("within30_ppm",
+        expr("n_within30 * 1000000 div greatest(n_pairs - n_degenerate, 1)"))
+  }
+
   // -- q32: embedding-cosine near-dup (sign-LSH blocked) -------------
 
   private val SignBands = 4
@@ -1347,6 +1409,7 @@ object NearDup {
     "q225_lsh_scurve" -> q225LshScurve,
     "q226_threshold_sweep" -> q226ThresholdSweep,
     "q228_sq_audit" -> q228SqAudit,
+    "q230_jl_distortion" -> q230JlDistortion,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1812,6 +1875,39 @@ object NearDup {
     },
     // Same prefix-filter algebra restated in SQL (lossless at t=0.5, so
     // this is the complete answer, not a candidate approximation).
+    // The identical plan-time sign matrix embedded as SQL literals
+    // (the q24 planeWeights convention), same staged e3 ratio and
+    // consecutive-id pair sample.
+    "q230_jl_distortion" -> {
+      val signLits = (0 until JlDims).map(j =>
+        "[" + jlSigns(j).mkString(", ") + "]")
+      val yExprs = signLits.map(sl =>
+        s"CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * ($sl)[i])) AS BIGINT)")
+        .mkString(",\n    ")
+      s"""WITH $quantCte, proj AS (
+         |  SELECT vec_id, q,
+         |    [$yExprs] AS y
+         |  FROM qv
+         |), pr AS (
+         |  SELECT
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS dx2,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.y)), i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))) AS BIGINT) AS dy2
+         |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+         |), r AS (
+         |  SELECT dx2, dy2,
+         |    CASE WHEN dx2 > 0 THEN dy2 * 1000 // ($JlDims * dx2) END AS ratio_e3
+         |  FROM pr
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN dx2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+         |  CAST(sum(ratio_e3) // count(ratio_e3) AS BIGINT) AS mean_ratio_e3,
+         |  CAST(min(ratio_e3) AS BIGINT) AS min_ratio_e3,
+         |  CAST(max(ratio_e3) AS BIGINT) AS max_ratio_e3,
+         |  CAST(count(CASE WHEN abs(ratio_e3 - 1000) <= 300 THEN 1 END) AS BIGINT) AS n_within30,
+         |  CAST(CAST(count(CASE WHEN abs(ratio_e3 - 1000) <= 300 THEN 1 END) AS BIGINT) * 1000000
+         |    // greatest(count(*) - sum(CASE WHEN dx2 = 0 THEN 1 ELSE 0 END), 1) AS BIGINT) AS within30_ppm
+         |FROM r""".stripMargin
+    },
     // Same e4 quantization, same per-dim min/max, same truncating
     // code/reconstruction arithmetic (1-based dims via generate_series).
     "q228_sq_audit" ->

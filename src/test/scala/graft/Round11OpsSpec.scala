@@ -301,6 +301,38 @@ class Round11OpsSpec extends SparkSpec {
     row.getLong(row.fieldIndex("kappa_e6")) shouldBe expected
   }
 
+  // -- q230: JL projection distortion audit -----------------------------------
+
+  test("q230 is algebraically exact on single-dimension differences") {
+    // If two vectors differ in exactly one dimension by δ, every
+    // projected coordinate differs by ±δ (the sign), so ‖Δy‖² = 16·δ²
+    // = 16·‖Δx‖² and the ratio is EXACTLY 1000 regardless of the sign
+    // matrix. Pair (2,3) is byte-identical → degenerate, excluded.
+    val dir = tmpDir("q230fix")
+    val zeros = Seq.fill(64)(0.0f)
+    val oneHot = 1.0f +: Seq.fill(63)(0.0f)
+    Seq((1L, zeros), (2L, oneHot), (3L, oneHot))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.queries.NearDup.q230JlDistortion(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe Seq(2L, 1L, 1000L, 1000L, 1000L, 1L, 1000000L)
+  }
+
+  test("q230 aggregate identities hold at sf0.001") {
+    val row = graft.queries.NearDup.q230JlDistortion(spark, sf)
+      .collect().head
+    val nPairs = row.getLong(row.fieldIndex("n_pairs"))
+    val nDegen = row.getLong(row.fieldIndex("n_degenerate"))
+    nPairs should be > 0L
+    val mean = row.getLong(row.fieldIndex("mean_ratio_e3"))
+    mean should be >= row.getLong(row.fieldIndex("min_ratio_e3"))
+    mean should be <= row.getLong(row.fieldIndex("max_ratio_e3"))
+    row.getLong(row.fieldIndex("within30_ppm")) shouldBe
+      row.getLong(row.fieldIndex("n_within30")) * 1000000L /
+        math.max(nPairs - nDegen, 1L)
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
