@@ -1317,7 +1317,11 @@ object Profiling {
     * 4 bit rows per probe token against the BROADCAST filter; the
     * exact leg is one token-keyed left join. Everything after the
     * vocab distinct is bounded by |vocab| or m, never corpus volume. */
-  private def bloomBitArr(t: Column): Column =
+  /** The k bit coordinates of a token — shared verbatim with
+    * [[graft.streaming.StreamingBloom]] so the maintained bitset is
+    * the batch bitset and the q221 oracle transitively gates the
+    * streaming membership answers. */
+  private[graft] def bloomBitArr(t: Column): Column =
     array((0 until BloomHashes).map(j =>
       conv(substring(md5(concat(lit(s"bloom$j|"), t)), 1, 12), 16, 10)
         .cast("long") % BloomBits): _*)
