@@ -1283,10 +1283,13 @@ object Analytics {
       .groupBy("b").agg(sum(col("f")).as("n_b"), count(lit(1)).as("d_b"))
       .agg(sum(expr("n_b * n_b div d_b")).as("est_hist"),
         sum(col("n_b")).as("n_rows"), sum(col("d_b")).as("n_keys"))
-      .withColumn("grp", lit(1))
     val exact = perKey.agg(sum(col("f") * col("f")).as("exact_card"))
-      .withColumn("grp", lit(1))
-    est.join(broadcast(exact), "grp")
+    // join-free scalar combine (the q221 pattern): a literal-key join
+    // would plan as a nested loop the gate bans
+    est.unionByName(exact, allowMissingColumns = true)
+      .agg(max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
+        max(col("est_hist")).as("est_hist"),
+        max(col("exact_card")).as("exact_card"))
       .select(col("n_rows"), col("n_keys"),
         expr("n_rows * n_rows div n_keys").as("est_uniform"),
         col("est_hist"), col("exact_card"),

@@ -1243,7 +1243,6 @@ object NearDup {
       .transform(graft.ops.SharedCache.persist)
     val pairCols = (10 to 20).map(b => count(when(col("bin") >= b, 1)).as(s"p$b"))
     val pairAgg = pairs.agg(pairCols.head, pairCols.tail: _*)
-      .withColumn("grp", lit(1))
     val docCols = (10 to 20).flatMap(b => Seq(
       count(when(col("mx") >= b, 1)).as(s"d$b"),
       sum(when(col("mx") >= b, col("n_tokens")).otherwise(0L)).as(s"t$b")))
@@ -1254,8 +1253,14 @@ object NearDup {
         .select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
       .agg(docCols.head, docCols.tail: _*)
-      .withColumn("grp", lit(1))
-    pairAgg.join(broadcast(docAgg), "grp")
+    // join-free scalar combine (the q221 pattern): union the two 1-row
+    // legs (missing columns null) and max-fold — a literal-key join
+    // would plan as a nested loop the gate bans
+    val allCols = (10 to 20).map(b => max(col(s"p$b")).as(s"p$b")) ++
+      (10 to 20).flatMap(b => Seq(max(col(s"d$b")).as(s"d$b"),
+        max(col(s"t$b")).as(s"t$b")))
+    pairAgg.unionByName(docAgg, allowMissingColumns = true)
+      .agg(allCols.head, allCols.tail: _*)
       .selectExpr("stack(11, " +
         (10 to 20).map(b =>
           s"${b * 50000}L, p$b, d$b, coalesce(t$b, 0L)").mkString(", ") +

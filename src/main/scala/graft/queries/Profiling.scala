@@ -1345,9 +1345,7 @@ object Profiling {
       .distinct()
       .transform(graft.ops.SharedCache.persist)
     val inserted = train.agg(count(lit(1)).as("n_inserted"))
-      .withColumn("grp", lit(1))
     val bitsSet = bloom.agg(count(lit(1)).as("bits_set"))
-      .withColumn("grp", lit(1))
     // per probe token: all-4-bits-present hit flag (rows per j, NOT
     // distinct bits — two colliding hashes still contribute two rows,
     // mirrored by the oracle) + the exact-membership flag
@@ -1364,8 +1362,18 @@ object Profiling {
         sum(col("hit")).as("n_hits"),
         sum(when(col("hit") === 1 && col("member").isNull, 1L).otherwise(0L))
           .as("n_false_pos"))
-      .withColumn("grp", lit(1))
-    probe.join(broadcast(inserted), "grp").join(broadcast(bitsSet), "grp")
+    // join-free scalar combine: a literal-key equi-join would constant-
+    // fold into the BroadcastNestedLoopJoin the plan gate bans — union
+    // the three 1-row legs (missing columns null) and max-fold instead
+    probe
+      .unionByName(inserted, allowMissingColumns = true)
+      .unionByName(bitsSet, allowMissingColumns = true)
+      .agg(max(col("n_probes")).as("n_probes"),
+        max(col("n_members")).as("n_members"),
+        max(col("n_hits")).as("n_hits"),
+        max(col("n_false_pos")).as("n_false_pos"),
+        max(col("n_inserted")).as("n_inserted"),
+        max(col("bits_set")).as("bits_set"))
       .withColumn("fill_ppm", expr(s"bits_set * 1000000 div $BloomBits"))
       .withColumn("est_fpr_ppm",
         expr("(fill_ppm * fill_ppm div 1000000) * (fill_ppm * fill_ppm div 1000000) div 1000000"))
@@ -1425,14 +1433,17 @@ object Profiling {
       .withColumn("rn", row_number().over(Window.orderBy(col("mean_est"), col("g"))))
       .filter(col("rn") === 2 || col("rn") === 3)
       .agg(expr("sum(mean_est) div 2").as("est_f2"))
-      .withColumn("grp", lit(1))
     val spread = ests
       .agg(min(col("est")).as("est_min"), max(col("est")).as("est_max"))
-      .withColumn("grp", lit(1))
     val exact = toks.groupBy("t").agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("true_f2"))
-      .withColumn("grp", lit(1))
-    exact.join(broadcast(medianOfMeans), "grp").join(broadcast(spread), "grp")
+    // join-free scalar combine (see q221): union the 1-row legs and
+    // max-fold — a literal-key join would plan as a nested loop
+    exact
+      .unionByName(medianOfMeans, allowMissingColumns = true)
+      .unionByName(spread, allowMissingColumns = true)
+      .agg(max(col("true_f2")).as("true_f2"), max(col("est_f2")).as("est_f2"),
+        max(col("est_min")).as("est_min"), max(col("est_max")).as("est_max"))
       .select(col("true_f2"), col("est_f2"),
         expr("abs(est_f2 - true_f2) * 1000000 div greatest(true_f2, 1)")
           .as("err_ppm"),

@@ -690,6 +690,99 @@ class PlanQualitySpec extends SparkSpec {
     p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
   }
 
+  // -- named pins for the round-11 family (q221–q230) ------------------
+
+  test("q221 bloom filter broadcasts to the probe leg; exchanges carry tokens, not docs") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q221_bloom_precheck")
+    p should include("BroadcastHashJoin") // ≤m-row filter vs probe bits
+    p should not include "Expand"
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q222 AMS counters collapse map-side; downstream runs on 16 cached rows") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q222_ams_f2")
+    p should include("InMemoryTableScan") // cached toks + 16-row ests
+    p should not include "SortMergeJoin"  // only 1-row grp broadcasts
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1 // median-of-4 rank
+  }
+
+  test("q223 KMV sketches ride the TopK aggregator; exchanges carry hashes, not text") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q223_kmv_overlap")
+    p should include("ObjectHashAggregate") // map-side bottom-k
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q224 all three estimates ride ONE cached (bucket, key) pass") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q224_hist_join_card")
+    p should include("InMemoryTableScan")
+    // the only FileScan lives inside the cache's build lineage
+    p.substring(0, p.indexOf("InMemoryRelation")) should not include "FileScan"
+    p should not include "SortMergeJoin"
+  }
+
+  test("q225 S-curve: keyed equi-joins only; collision test is in-row") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q225_lsh_scurve")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should include("arrays_overlap") // no band re-explode on the audit path
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q226 sweep is constant-width folds over cached pairs: no Expand, no per-threshold rescan") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q226_threshold_sweep")
+    p should not include "Expand"
+    p should include("InMemoryTableScan") // q39's cached pair relation
+    // 11 thresholds never multiply scans: above the cache boundary only
+    // the doc token-mass leg reads parquet (the plan string embeds each
+    // InMemoryRelation's build lineage — q203's technique)
+    p.substring(0, p.indexOf("InMemoryRelation"))
+      .linesIterator.count(_.contains("FileScan parquet")) should be <= 1
+  }
+
+  test("q227 balance audit: q50's one window, rollups reuse its lang partitioning") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q227_shard_balance")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q228 SQ audit: 64-row ranges broadcast back onto the cached dim pass") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q228_sq_audit")
+    p should include("BroadcastHashJoin")
+    p should include("InMemoryTableScan")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q229 kappa: two narrow gates, one keyed join, no windows, no Expand") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q229_gate_agreement")
+    p should not include "Expand"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 0
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("q230 JL audit: literal-matrix projection stays narrow; one keyed pair join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q230_jl_distortion")
+    p.linesIterator.count(_.contains("Window [")) shouldBe 0
+    p should not include "Generate" // projection is zip_with folds, no explode
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")
