@@ -354,12 +354,17 @@ object NearDup {
       ((md(0) & 1) * 2 - 1).toLong
     }
 
+  /** The 16-long JL projection of an e4 vector column — one zip_with
+    * fold per output dim over the plan-time sign literals; shared by
+    * q230 (the distortion audit) and q231 (the coarse re-rank stage). */
+  private def jlProjArr(q: Column): Column =
+    array((0 until JlDims).map(j =>
+      aggregate(zip_with(q, typedLit(jlSigns(j)), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)): _*)
+
   val q230JlDistortion: Q = (s, d) => {
     val proj = quantized(s, d)
-      .select(col("vec_id"), col("q"),
-        array((0 until JlDims).map(j =>
-          aggregate(zip_with(col("q"), typedLit(jlSigns(j)), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x)): _*).as("y"))
+      .select(col("vec_id"), col("q"), jlProjArr(col("q")).as("y"))
     val pairs = proj.select(col("vec_id").as("ida"), col("q").as("qa"),
         col("y").as("ya"))
       .join(proj.select((col("vec_id") - 1).as("ida"), col("q").as("qb"),
@@ -461,6 +466,96 @@ object NearDup {
         cosE6(dotL(col("q"), col("qq")), col("s2"), col("qs2")).as("cos_e6"))
       .dropDuplicates("q_id", "neighbor_id")
     graft.functions.TopK.topKPerGroup(scored, "q_id", "neighbor_id", "cos_e6", 5)
+  }
+
+  // -- q231: two-stage retrieval (coarse JL prune + exact re-rank) ------
+
+  private val RerankR = 16
+
+  /** TWO-STAGE RETRIEVAL AUDIT — the pattern every production ANN
+    * serves with: a CHEAP coarse score prunes the probed candidates
+    * (here the 16-d JL projected dot — 4× fewer multiplies than the
+    * exact 64-d cosine, and q230 certifies the projection), then the
+    * exact score re-ranks only the R = 16 survivors per query. The
+    * audit prices the trade next to its own baselines: q33's
+    * exact-score-every-candidate recall (what pruning can lose) and
+    * q23's brute-force truth (what both are measured against). The
+    * report: truth edges, IVF hits, two-stage hits, both recalls,
+    * the SIGNED prune loss (subtraction only — never a negative
+    * division), and the candidate→re-rank work reduction.
+    *
+    * Determinism: same centroid assignment as q33 (same argmax
+    * tiebreak), coarse and exact top-k both (score desc, id asc) —
+    * the oracle mirrors every rank. Scale: candidates come from the
+    * bounded cell equi-join (q33's plan); the coarse stage is a
+    * narrow 16-mult map + the map-side TopK aggregator, so the exact
+    * re-rank touches R·|queries| rows no matter how hot the cells
+    * get — the whole point of the pattern at 100 TB. */
+  val q231TwoStageRetrieval: Q = (s, d) => {
+    val proj = quantized(s, d)
+      .select(col("vec_id"), col("q"), col("s2"), jlProjArr(col("q")).as("y"))
+      .transform(graft.ops.SharedCache.persist)
+    val cents = proj.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val ranked = proj.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
+      .withColumn("crank", row_number().over(w))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cand = assign.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id")).distinct()
+      .transform(graft.ops.SharedCache.persist)
+    val coarse = cand
+      .join(proj.select(col("vec_id").as("neighbor_id"), col("y").as("yn")),
+        "neighbor_id")
+      .join(proj.select(col("vec_id").as("q_id"), col("y").as("yq")), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        aggregate(zip_with(col("yn"), col("yq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("coarse"))
+    val survivors = graft.functions.TopK
+      .topKPerGroup(coarse, "q_id", "neighbor_id", "coarse", RerankR)
+      .select(col("q_id"), col("neighbor_id"))
+      .transform(graft.ops.SharedCache.persist)
+    val rerank = survivors
+      .join(proj.select(col("vec_id").as("neighbor_id"), col("q").as("qn"),
+        col("s2").as("sn")), "neighbor_id")
+      .join(proj.select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("s2").as("sq")), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosE6(dotL(col("qn"), col("qq")), col("sn"), col("sq")).as("cos_e6"))
+    val twoTop = graft.functions.TopK
+      .topKPerGroup(rerank, "q_id", "neighbor_id", "cos_e6", 5)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("ts_hit"))
+    val ivfTop = q33AnnIvf(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("ivf_hit"))
+    val hits = LlmPipeline.q23AnnBruteForce(s, d)
+      .select(col("q_id"), col("neighbor_id"))
+      .join(twoTop, Seq("q_id", "neighbor_id"), "left")
+      .join(ivfTop, Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("ivf_hit"), lit(0L))).as("n_ivf_hit"),
+        sum(coalesce(col("ts_hit"), lit(0L))).as("n_two_stage_hit"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nSurv = survivors.agg(count(lit(1)).as("n_reranked"))
+    // join-free scalar combine (the q221 pattern)
+    hits.unionByName(nCand, allowMissingColumns = true)
+      .unionByName(nSurv, allowMissingColumns = true)
+      .agg(max(col("n_exact")).as("n_exact"),
+        max(col("n_ivf_hit")).as("n_ivf_hit"),
+        max(col("n_two_stage_hit")).as("n_two_stage_hit"),
+        max(col("n_candidates")).as("n_candidates"),
+        max(col("n_reranked")).as("n_reranked"))
+      .select(col("n_exact"), col("n_ivf_hit"), col("n_two_stage_hit"),
+        col("n_candidates"), col("n_reranked"),
+        expr("n_ivf_hit * 1000000 div n_exact").as("ivf_recall_ppm"),
+        expr("n_two_stage_hit * 1000000 div n_exact").as("two_stage_recall_ppm"),
+        (expr("n_ivf_hit * 1000000 div n_exact") -
+          expr("n_two_stage_hit * 1000000 div n_exact")).as("prune_loss_ppm"))
   }
 
   // -- q191: IVF index-balance audit ----------------------------------
@@ -1415,6 +1510,7 @@ object NearDup {
     "q226_threshold_sweep" -> q226ThresholdSweep,
     "q228_sq_audit" -> q228SqAudit,
     "q230_jl_distortion" -> q230JlDistortion,
+    "q231_two_stage" -> q231TwoStageRetrieval,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1685,6 +1781,110 @@ object NearDup {
          |  CAST(count(*) - sum(hit) AS BIGINT) AS n_missed,
          |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS recall_ppm
          |FROM j""".stripMargin,
+    // q219's chains (IVF + brute truth) extended with the coarse JL
+    // prune: same sign literals as q230, same (score desc, id asc)
+    // ranks at both stages.
+    "q231_two_stage" -> {
+      val signLits = (0 until JlDims).map(j =>
+        "[" + jlSigns(j).mkString(", ") + "]")
+      val yExprs = signLits.map(sl =>
+        s"CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * ($sl)[i])) AS BIGINT)")
+        .mkString(",\n    ")
+      s"""WITH $quantCte, proj AS (
+         |  SELECT vec_id, q, s2, [$yExprs] AS y FROM ev
+         |), cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
+         |), cell_scores AS (
+         |  SELECT e.vec_id, e.q, e.s2, c.c_id,
+         |    ${cosSql(dotSql("e.q", "c.cq"), "e.s2", "c.cs2")} AS c_cos
+         |  FROM ev e CROSS JOIN cents c
+         |), iranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crank
+         |  FROM cell_scores
+         |), iassign AS (
+         |  SELECT vec_id, c_id AS cell FROM iranked WHERE crank = 1
+         |), iprobes AS (
+         |  SELECT vec_id AS q_id, c_id AS cell
+         |  FROM iranked WHERE vec_id % 25 = 0 AND crank <= $IvfProbes
+         |), cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id
+         |  FROM iassign a JOIN iprobes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |), coarse AS (
+         |  SELECT c.q_id, c.neighbor_id,
+         |    CAST(list_sum(list_transform(generate_series(1, len(pn.y)),
+         |      i -> pn.y[i] * pq.y[i])) AS BIGINT) AS coarse
+         |  FROM cand c
+         |  JOIN proj pn ON pn.vec_id = c.neighbor_id
+         |  JOIN proj pq ON pq.vec_id = c.q_id
+         |), surv AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY coarse DESC, neighbor_id) AS rank
+         |    FROM coarse
+         |  ) WHERE rank <= $RerankR
+         |), rerank AS (
+         |  SELECT s.q_id, s.neighbor_id,
+         |    ${cosSql(dotSql("pn.q", "pq.q"), "pn.s2", "pq.s2")} AS cos_e6
+         |  FROM surv s
+         |  JOIN proj pn ON pn.vec_id = s.neighbor_id
+         |  JOIN proj pq ON pq.vec_id = s.q_id
+         |), tstop AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |    FROM rerank
+         |  ) WHERE rank <= 5
+         |), iscored AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id,
+         |    ${cosSql(dotSql("a.q", "p.qq"), "a.s2", "p.qs2")} AS cos_e6
+         |  FROM (SELECT vec_id, q, s2, c_id AS cell FROM iranked WHERE crank = 1) a
+         |  JOIN (SELECT vec_id AS q_id, q AS qq, s2 AS qs2, c_id AS cell
+         |        FROM iranked WHERE vec_id % 25 = 0 AND crank <= $IvfProbes) p
+         |    ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |), itop AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |    FROM iscored
+         |  ) WHERE rank <= 5
+         |), bpairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |         a.q AS qa, b.q AS qb, a.s2 AS sa, b.s2 AS sb
+         |  FROM ev a JOIN ev b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 25 = 0
+         |), bdots AS (
+         |  SELECT q_id, neighbor_id, CAST(sum(qa[u.i] * qb[u.i]) AS BIGINT) AS dot
+         |  FROM bpairs, LATERAL unnest(generate_series(1, len(qa))) u(i)
+         |  GROUP BY 1, 2
+         |), bscored AS (
+         |  SELECT p.q_id, p.neighbor_id,
+         |    CAST(round(1e6 * CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(p.sa AS DOUBLE)) * sqrt(CAST(p.sb AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+         |  FROM bpairs p JOIN bdots d ON p.q_id = d.q_id AND p.neighbor_id = d.neighbor_id
+         |), btop AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |    FROM bscored
+         |  ) WHERE rank <= 5
+         |), j AS (
+         |  SELECT b.q_id, b.neighbor_id,
+         |    CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END AS ivf_hit,
+         |    CASE WHEN t.q_id IS NOT NULL THEN 1 ELSE 0 END AS ts_hit
+         |  FROM btop b
+         |  LEFT JOIN itop i ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id
+         |  LEFT JOIN tstop t ON b.q_id = t.q_id AND b.neighbor_id = t.neighbor_id
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(ivf_hit) AS BIGINT) AS n_ivf_hit,
+         |    CAST(sum(ts_hit) AS BIGINT) AS n_two_stage_hit
+         |  FROM j
+         |), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand
+         |), ns AS (SELECT CAST(count(*) AS BIGINT) AS n_reranked FROM surv)
+         |SELECT a.n_exact, a.n_ivf_hit, a.n_two_stage_hit,
+         |  nc.n_candidates, ns.n_reranked,
+         |  a.n_ivf_hit * 1000000 // a.n_exact AS ivf_recall_ppm,
+         |  a.n_two_stage_hit * 1000000 // a.n_exact AS two_stage_recall_ppm,
+         |  a.n_ivf_hit * 1000000 // a.n_exact
+         |    - a.n_two_stage_hit * 1000000 // a.n_exact AS prune_loss_ppm
+         |FROM agg a, nc, ns""".stripMargin
+    },
     "q146_lsh_recall" ->
       s"""WITH ${LlmPipeline.minhashPairCtes}, lsh AS (
          |  ${LlmPipeline.minhashPairSelect}

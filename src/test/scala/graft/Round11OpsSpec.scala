@@ -333,6 +333,31 @@ class Round11OpsSpec extends SparkSpec {
         math.max(nPairs - nDegen, 1L)
   }
 
+  // -- q231: two-stage retrieval audit ----------------------------------------
+
+  test("q231 reconciles with q219's IVF recall and obeys the stage bounds at sf0.001") {
+    val row = graft.queries.NearDup.q231TwoStageRetrieval(spark, sf)
+      .collect().head
+    // the IVF leg is exactly q219's audit — same truth, same index
+    val q219 = graft.queries.NearDup.q219IvfRecall(spark, sf).collect().head
+    row.getLong(row.fieldIndex("n_exact")) shouldBe
+      q219.getLong(q219.fieldIndex("n_exact"))
+    row.getLong(row.fieldIndex("n_ivf_hit")) shouldBe
+      q219.getLong(q219.fieldIndex("n_ivf_hit"))
+    // survivors are a per-query top-16 subset of the candidates
+    val nCand = row.getLong(row.fieldIndex("n_candidates"))
+    val nRerank = row.getLong(row.fieldIndex("n_reranked"))
+    nRerank should be <= nCand
+    nRerank should be <= (row.getLong(row.fieldIndex("n_exact")) / 5) * 16
+    // ppm identities (prune loss is SIGNED subtraction of the two)
+    val nExact = row.getLong(row.fieldIndex("n_exact"))
+    val ivf = row.getLong(row.fieldIndex("n_ivf_hit")) * 1000000L / nExact
+    val ts = row.getLong(row.fieldIndex("n_two_stage_hit")) * 1000000L / nExact
+    row.getLong(row.fieldIndex("ivf_recall_ppm")) shouldBe ivf
+    row.getLong(row.fieldIndex("two_stage_recall_ppm")) shouldBe ts
+    row.getLong(row.fieldIndex("prune_loss_ppm")) shouldBe ivf - ts
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
