@@ -558,6 +558,59 @@ object NearDup {
           expr("n_two_stage_hit * 1000000 div n_exact")).as("prune_loss_ppm"))
   }
 
+  // -- q232: split semantic-shift audit ---------------------------------
+
+  /** SPLIT SEMANTIC-SHIFT AUDIT — q213 checks the splitter LEXICALLY
+    * (unigram L1); this checks it in EMBEDDING SPACE, the axis
+    * semantic contamination and topic skew actually live on: per q42
+    * split, the centroid of the split's vectors against the corpus
+    * centroid — cosine (direction shift) and per-dim L1 (magnitude
+    * shift). A hash split should sit at cos ≈ 1e6 and small L1; a
+    * split whose centroid drifts means validation loss is measured on
+    * a different distribution than training sees (q177's health
+    * argument, turned on the split boundary).
+    *
+    * Integer contract: centroids are truncating means of e4 sums —
+    * SIGN-DECOMPOSED (CASE on the sum's sign) because Spark's div
+    * truncates toward zero while DuckDB floors; the cosine is the
+    * shared one-IEEE-op formula over identical integer operands.
+    *
+    * Plan: ONE posexplode pass to (split, dim, v) — map-combined to
+    * 3·64 split cells and 64 corpus cells (the corpus cells derive
+    * from the split cells, no second scan); everything after is
+    * arithmetic over ≤192 rows. */
+  val q232SplitShift: Q = (s, d) => {
+    val signedDiv = (sv: String, n: String) =>
+      s"CASE WHEN $sv >= 0 THEN $sv div $n ELSE -((-$sv) div $n) END"
+    val cells = Tables.embeddings(s, d)
+      .select(
+        when(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 < 8, "train")
+          .when(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10 === 8, "val")
+          .otherwise("test").as("split"),
+        posexplode(quant(col("embedding"))).as(Seq("p", "v")))
+      .groupBy("split", "p")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .transform(graft.ops.SharedCache.persist)
+    val splitCent = cells
+      .select(col("split"), col("p"), col("n"),
+        expr(signedDiv("sv", "n")).as("c"))
+    val corpusCent = cells.groupBy("p")
+      .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+      .select(col("p"), expr(signedDiv("sv", "n")).as("c0"))
+    splitCent.join(broadcast(corpusCent), "p")
+      .groupBy("split")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("c") * col("c0")).as("dot"),
+        sum(col("c") * col("c")).as("s2a"),
+        sum(col("c0") * col("c0")).as("s2b"),
+        sum(abs(col("c") - col("c0"))).as("l1_e4"))
+      .select(col("split"), col("n_vecs"),
+        cosE6(col("dot"), col("s2a"), col("s2b")).as("cos_to_corpus_e6"),
+        col("l1_e4"))
+  }
+
   // -- q191: IVF index-balance audit ----------------------------------
 
   /** IVF CELL-BALANCE AUDIT — the index-health report an ANN deploy
@@ -1511,6 +1564,7 @@ object NearDup {
     "q228_sq_audit" -> q228SqAudit,
     "q230_jl_distortion" -> q230JlDistortion,
     "q231_two_stage" -> q231TwoStageRetrieval,
+    "q232_split_shift" -> q232SplitShift,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -1885,6 +1939,39 @@ object NearDup {
          |    - a.n_two_stage_hit * 1000000 // a.n_exact AS prune_loss_ppm
          |FROM agg a, nc, ns""".stripMargin
     },
+    // Same e4 cells, same sign-decomposed truncating centroid means,
+    // same shared-IEEE cosine.
+    "q232_split_shift" ->
+      s"""WITH $quantCte, cells AS (
+         |  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 < 8 THEN 'train'
+         |              WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT) % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |    i.i AS p, q[i.i] AS v
+         |  FROM qv, LATERAL unnest(generate_series(1, len(q))) i(i)
+         |), sc AS (
+         |  SELECT split, p, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1, 2
+         |), spc AS (
+         |  SELECT split, p, n,
+         |    CASE WHEN sv >= 0 THEN sv // n ELSE -((-sv) // n) END AS c
+         |  FROM sc
+         |), cc AS (
+         |  SELECT p,
+         |    CASE WHEN sum(sv) >= 0 THEN CAST(sum(sv) AS BIGINT) // CAST(sum(n) AS BIGINT)
+         |         ELSE -(CAST(-sum(sv) AS BIGINT) // CAST(sum(n) AS BIGINT)) END AS c0
+         |  FROM sc GROUP BY 1
+         |), g AS (
+         |  SELECT split, CAST(max(n) AS BIGINT) AS n_vecs,
+         |    CAST(sum(s.c * c.c0) AS BIGINT) AS dot,
+         |    CAST(sum(s.c * s.c) AS BIGINT) AS s2a,
+         |    CAST(sum(c.c0 * c.c0) AS BIGINT) AS s2b,
+         |    CAST(sum(abs(s.c - c.c0)) AS BIGINT) AS l1_e4
+         |  FROM spc s JOIN cc c USING (p) GROUP BY 1
+         |)
+         |SELECT split, n_vecs,
+         |  ${cosSql("CAST(dot AS DOUBLE)", "s2a", "s2b")} AS cos_to_corpus_e6,
+         |  l1_e4
+         |FROM g""".stripMargin,
     "q146_lsh_recall" ->
       s"""WITH ${LlmPipeline.minhashPairCtes}, lsh AS (
          |  ${LlmPipeline.minhashPairSelect}

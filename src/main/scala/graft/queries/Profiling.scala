@@ -1450,6 +1450,65 @@ object Profiling {
         col("est_min"), col("est_max"))
   }
 
+  // -- q233: HLL cumulative adoption curve ----------------------------------
+
+  /** MERGEABLE-SKETCH ADOPTION CURVE — q186 computes the exact
+    * cumulative-distinct-users-per-day curve; THIS is how the same
+    * curve is served at 100 TB: per-day HLL registers (q129's m = 16
+    * estimator, verbatim constants) merged FORWARD with a running
+    * per-bucket MAX — the property that registers merge by max is
+    * exactly why HLL answers "distinct so far" without ever
+    * re-scanning history; day N's estimate reads 16 registers, not N
+    * days of events. The exact cumulative leg (q186's min-first-day
+    * discipline) is the verification column, with per-day error —
+    * production keeps the registers and drops it.
+    *
+    * Plan: one map-combined (day, bucket) register pass; the dense
+    * day×16 grid comes from an IN-ROW sequence explode on the
+    * |days|-row spine (no cross join); running max + harmonic fold
+    * run on |days|·16 rows. The exact leg is one map-combined MIN-day
+    * per user + a running count over the spine. */
+  val q233HllAdoption: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        conv(substring(md5(concat(lit("hll"), col("user_id").cast("string"))),
+          1, 12), 16, 10).cast("long").as("h48"))
+    val regs = ev
+      .withColumn("bucket", expr(s"h48 div ${1L << 44}L"))
+      .withColumn("rho",
+        when(expr(s"h48 % ${1L << 44}L") === 0, lit(45L))
+          .otherwise(lit(45L) -
+            length(bin(expr(s"h48 % ${1L << 44}L"))).cast("long")))
+      .groupBy("day", "bucket").agg(max(col("rho")).as("r"))
+    val spine = ev.select(col("day")).distinct()
+      .select(col("day"), explode(sequence(lit(0L), lit(15L))).as("bucket"))
+    val wcum = Window.partitionBy("bucket").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = spine.join(regs, Seq("day", "bucket"), "left")
+      .withColumn("rc", max(col("r")).over(wcum)) // max skips nulls
+      .groupBy("day")
+      .agg(sum(when(col("rc").isNull, lit(1L << 45))
+        .otherwise(expr("shiftleft(1L, cast(45 - rc as int))"))).as("s45"))
+      .select(col("day"), expr(s"${HllAlphaNumerator}L div s45").as("est_cum_users"))
+    val wday = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = graft.Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cum_users", sum(col("n_new")).over(wday))
+      .select(col("day"), col("n_cum_users"))
+    // left join from the full spine: a day with no NEW users still has
+    // the previous cumulative — carry it forward with a running max
+    est.join(exact, Seq("day"), "left")
+      .withColumn("n_cum_users",
+        max(col("n_cum_users")).over(wday))
+      .select(col("day"), col("est_cum_users"), col("n_cum_users"),
+        expr("abs(est_cum_users - n_cum_users) * 100 div n_cum_users")
+          .as("err_pct"))
+  }
+
   // -- q229: quality-gate agreement (Cohen's kappa) ------------------------
 
   /** GATE-AGREEMENT AUDIT — the corpus runs TWO quality filters (q22's
@@ -1498,6 +1557,7 @@ object Profiling {
 
   val defs: Map[String, Q] = Map(
     "q229_gate_agreement" -> q229GateAgreement,
+    "q233_hll_adoption" -> q233HllAdoption,
     "q221_bloom_precheck" -> q221BloomPrecheck,
     "q222_ams_f2" -> q222AmsF2,
     "q206_dp_release" -> q206DpRelease,
@@ -1528,6 +1588,49 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // q129's register construction verbatim, the same dense day×16
+    // grid, running per-bucket max (window max skips nulls in both
+    // engines), harmonic fold, and q186's exact cumulative leg.
+    "q233_hll_adoption" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h48
+         |  FROM events
+         |), regs AS (
+         |  SELECT day, h48 // ${1L << 44} AS bucket,
+         |    CAST(max(CASE WHEN h48 % ${1L << 44} = 0 THEN 45
+         |             ELSE 45 - length(bin(h48 % ${1L << 44})) END) AS BIGINT) AS r
+         |  FROM ev GROUP BY 1, 2
+         |), spine AS (
+         |  SELECT day, j.b AS bucket
+         |  FROM (SELECT DISTINCT day FROM ev), (SELECT unnest(range(16)) AS b) j
+         |), cum AS (
+         |  SELECT s.day, s.bucket,
+         |    max(r.r) OVER (PARTITION BY s.bucket ORDER BY s.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+         |  FROM spine s LEFT JOIN regs r ON r.day = s.day AND r.bucket = s.bucket
+         |), est AS (
+         |  SELECT day,
+         |    ${HllAlphaNumerator} // CAST(sum(CASE WHEN rc IS NULL THEN ${1L << 45}
+         |      ELSE (CAST(1 AS BIGINT) << CAST(45 - rc AS INT)) END) AS BIGINT) AS est_cum_users
+         |  FROM cum GROUP BY 1
+         |), firstday AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+         |), newu AS (
+         |  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM firstday GROUP BY 1
+         |), ex AS (
+         |  SELECT day, CAST(sum(n_new) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum_users
+         |  FROM newu
+         |), joined AS (
+         |  SELECT e.day, e.est_cum_users,
+         |    max(x.n_cum_users) OVER (ORDER BY e.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum_users
+         |  FROM est e LEFT JOIN ex x ON x.day = e.day
+         |)
+         |SELECT day, est_cum_users, CAST(n_cum_users AS BIGINT) AS n_cum_users,
+         |  abs(est_cum_users - n_cum_users) * 100 // n_cum_users AS err_pct
+         |FROM joined""".stripMargin,
     // q22's is_quality and q113's keep restated, same 2x2 cells,
     // same truncating po/pe ppm and the signed toward-zero kappa CASE.
     "q229_gate_agreement" ->

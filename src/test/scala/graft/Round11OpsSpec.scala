@@ -358,6 +358,54 @@ class Round11OpsSpec extends SparkSpec {
     row.getLong(row.fieldIndex("prune_loss_ppm")) shouldBe ivf - ts
   }
 
+  // -- q232: split semantic-shift audit ----------------------------------------
+
+  test("q232 matches the hand-computed two-dim fixture") {
+    // vec_ids 2,4 → train ([1,0] each), 3 → test ([0,1]); corpus
+    // centroid (6666, 3333) after truncating e4 means. train cos =
+    // 2/√5 → 894427, L1 6667; test cos = 1/√5 → 447214, L1 13333.
+    val dir = tmpDir("q232fix")
+    Seq((2L, Seq(1.0f, 0.0f)), (4L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.NearDup.q232SplitShift(spark, dir)
+      .orderBy("split").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq("test", 1L, 447214L, 13333L),
+      Seq("train", 2L, 894427L, 6667L))
+  }
+
+  test("q232 split centroids stay near the corpus direction at sf0.001") {
+    val rows = graft.queries.NearDup.q232SplitShift(spark, sf).collect()
+    rows.length should be > 0
+    val n = rows.map(r => r.getLong(r.fieldIndex("n_vecs"))).sum
+    n should be > 0L
+    // the dominant (train) split must track the corpus centroid closely
+    val train = rows.find(_.getString(0) == "train").get
+    train.getLong(train.fieldIndex("cos_to_corpus_e6")) should be > 800000L
+  }
+
+  // -- q233: HLL cumulative adoption curve --------------------------------------
+
+  test("q233 estimate and exact curves are monotone; last day reconciles at sf0.001") {
+    val rows = graft.queries.Profiling.q233HllAdoption(spark, sf)
+      .orderBy("day").collect()
+    rows.length should be > 1
+    // registers only grow (running max) → s45 shrinks → est grows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getLong(1) should be >= a.getLong(1)
+      b.getLong(2) should be >= a.getLong(2)
+    }
+    // the exact leg lands on the true all-time distinct-user count
+    val allUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.last.getLong(2) shouldBe allUsers
+    rows.foreach { r =>
+      r.getLong(3) shouldBe
+        math.abs(r.getLong(1) - r.getLong(2)) * 100L / r.getLong(2)
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
