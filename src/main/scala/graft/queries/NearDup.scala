@@ -1415,6 +1415,57 @@ object NearDup {
         ") as (thresh_e6, n_pairs, n_dup_docs, n_tokens_affected)")
   }
 
+  // -- q235: weighted (multiset) Jaccard re-scoring ----------------------
+
+  /** WEIGHTED JACCARD — the frequency-aware second opinion on q39's
+    * verdicts: set Jaccard over distinct shingles treats "the the the
+    * spam page" and a real document as equally similar if their
+    * shingle SETS agree; the multiset similarity Σmin(fa,fb)/Σmax
+    * over TOKEN counts weighs repeated content. Re-scoring exactly
+    * q39's pairs (the already-verified dup candidates) gives each pair
+    * both numbers and the signed delta — a large |delta| separates
+    * true rewrites (set-close, weight-far) from literal mirrors
+    * (both ≈ 1), the triage column for survivorship decisions.
+    *
+    * Exact integers throughout: Σmax = na + nb − Σmin, so one shared-
+    * token Σmin pass + two totals answer everything; weighted_e6 is a
+    * truncating div (non-negative operands), the delta a signed
+    * SUBTRACTION only.
+    *
+    * Plan: rides q39's pairs; token counts are one map-combined
+    * (doc, token-hash) aggregate (SharedCache'd — text dies at the
+    * scan); the Σmin leg joins pairs to a-counts then equi-joins
+    * (doc_b, hash) — fan-out bounded by per-doc vocabulary, pairs are
+    * the dup set, never the corpus. */
+  val q235WeightedJaccard: Q = (s, d) => {
+    val pairs = q39DedupNgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e6"))
+      .transform(graft.ops.SharedCache.persist)
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long").as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("c"))
+      .transform(graft.ops.SharedCache.persist)
+    val totals = counts.groupBy("doc_id").agg(sum(col("c")).as("n_tok"))
+    val smin = pairs.select(col("doc_a"), col("doc_b"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("th"),
+        col("c").as("ca")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("th"),
+        col("c").as("cb")), Seq("doc_b", "th"))
+      .groupBy("doc_a", "doc_b").agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    pairs
+      .join(smin, Seq("doc_a", "doc_b"), "left")
+      .join(totals.select(col("doc_id").as("doc_a"), col("n_tok").as("na")),
+        "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("n_tok").as("nb")),
+        "doc_b")
+      .withColumn("smin", coalesce(col("smin"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e6"),
+        expr("smin * 1000000 div (na + nb - smin)").as("weighted_jaccard_e6"))
+      .withColumn("delta_e6", col("weighted_jaccard_e6") - col("jaccard_e6"))
+  }
+
   // -- q219: IVF recall audit (vs the exact brute-force truth) ---------
 
   /** IVF RECALL AUDIT — q146's measured-recall discipline applied to
@@ -1565,6 +1616,7 @@ object NearDup {
     "q230_jl_distortion" -> q230JlDistortion,
     "q231_two_stage" -> q231TwoStageRetrieval,
     "q232_split_shift" -> q232SplitShift,
+    "q235_weighted_jaccard" -> q235WeightedJaccard,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -2324,6 +2376,65 @@ object NearDup {
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
          |FROM scored WHERE CAST(round(1e6 * CAST(n_inter AS DOUBLE)
          |    / CAST(na + nb - n_inter AS DOUBLE), 0) AS BIGINT) >= $JaccardThresholdE6""".stripMargin,
+    // q39's truth pairs + the same (doc, token-hash) count relation,
+    // shared-token Σmin, and the na+nb−Σmin identity.
+    "q235_weighted_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |  FROM documents
+         |), ex AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[u.i:u.i+2], ' ') AS sh
+         |  FROM toks, LATERAL unnest(generate_series(1, len(tk)-2)) u(i)
+         |  WHERE len(tk) >= 3
+         |), exh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h
+         |  FROM ex
+         |), freq AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM exh GROUP BY h
+         |), sets AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_sort(list(least(df, 32767) * ${1L << 48} + exh.h)),
+         |      k -> k & ${(1L << 48) - 1}) AS hs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM exh JOIN freq ON exh.h = freq.h
+         |  GROUP BY doc_id
+         |), pre AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sets
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM pre l JOIN pre r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), tp AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(round(1e6 * CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / CAST(a.n + b.n - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 0) AS BIGINT) AS jaccard_e6
+         |  FROM cand
+         |  JOIN sets a ON doc_a = a.doc_id
+         |  JOIN sets b ON doc_b = b.doc_id
+         |), tp5 AS (
+         |  SELECT * FROM tp WHERE jaccard_e6 >= $JaccardThresholdE6
+         |), cnts AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(u.t), 1, 12) AS BIGINT) AS th,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM toks, LATERAL unnest(tk) u(t)
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok FROM cnts GROUP BY 1
+         |), sm AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS smin
+         |  FROM tp5 p
+         |  JOIN cnts ca ON ca.doc_id = p.doc_a
+         |  JOIN cnts cb ON cb.doc_id = p.doc_b AND cb.th = ca.th
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.doc_a, p.doc_b, p.jaccard_e6,
+         |  coalesce(s.smin, 0) * 1000000 // (ta.n_tok + tb.n_tok - coalesce(s.smin, 0)) AS weighted_jaccard_e6,
+         |  coalesce(s.smin, 0) * 1000000 // (ta.n_tok + tb.n_tok - coalesce(s.smin, 0)) - p.jaccard_e6 AS delta_e6
+         |FROM tp5 p
+         |LEFT JOIN sm s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+         |JOIN tot ta ON ta.doc_id = p.doc_a
+         |JOIN tot tb ON tb.doc_id = p.doc_b""".stripMargin,
     // q39's prefix-filter truth restated (same CTE chain), then the
     // same 11-threshold fold: pair counts off the pair relation, doc
     // and token counts off each doc's MAX pair bin.

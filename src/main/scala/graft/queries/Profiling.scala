@@ -1509,6 +1509,43 @@ object Profiling {
           .as("err_pct"))
   }
 
+  // -- q234: token frequency spectrum (doubling buckets) ---------------------
+
+  /** FREQUENCY SPECTRUM — the distribution-SHAPE profile behind vocab
+    * sizing and BPE budgets: q190 reads the head (top-k coverage),
+    * this reads the whole curve by doubling bucket b = ⌊log2 f⌋ (the
+    * exact integer identity length(bin(f)) − 1): per bucket, type and
+    * token counts with corpus shares, plus the geometric decay ratio
+    * n_types(b)/n_types(b−1) in e3 — Zipf with exponent ≈ 1 halves
+    * type counts per doubling, so a decay far from ~500 flags a
+    * non-power-law corpus (template spam inflates one bucket;
+    * over-deduped corpora empty the tail). All exact integer math.
+    *
+    * Plan: one token pass → vocab-sized (token, f) map-combined
+    * aggregate → ≤64-bucket rollup; windows (shares, lag decay) run on
+    * the bucket relation only. */
+  val q234FreqSpectrum: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = cmsTokens(Tables.documents(s, d))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .select((length(bin(col("f"))) - 1).cast("long").as("b"), col("f"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    buckets
+      .withColumn("tot_types", sum(col("n_types")).over(wAll))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("prev_types",
+        lag(col("n_types"), 1).over(Window.orderBy("b")))
+      .select(col("b"), expr("shiftleft(1L, cast(b as int))").as("lo_freq"),
+        col("n_types"), col("n_tokens"),
+        expr("n_types * 1000000 div tot_types").as("types_share_ppm"),
+        expr("n_tokens * 1000000 div tot_tokens").as("tokens_share_ppm"),
+        expr("CASE WHEN prev_types IS NULL THEN NULL ELSE n_types * 1000 div prev_types END")
+          .as("decay_e3"))
+  }
+
   // -- q229: quality-gate agreement (Cohen's kappa) ------------------------
 
   /** GATE-AGREEMENT AUDIT — the corpus runs TWO quality filters (q22's
@@ -1558,6 +1595,7 @@ object Profiling {
   val defs: Map[String, Q] = Map(
     "q229_gate_agreement" -> q229GateAgreement,
     "q233_hll_adoption" -> q233HllAdoption,
+    "q234_freq_spectrum" -> q234FreqSpectrum,
     "q221_bloom_precheck" -> q221BloomPrecheck,
     "q222_ams_f2" -> q222AmsF2,
     "q206_dp_release" -> q206DpRelease,
@@ -1588,6 +1626,31 @@ object Profiling {
     "q99_incremental_rollup" -> q99IncrementalRollup)
 
   val oracles: Map[String, String] = Map(
+    // Same tokenizer, same length(bin(f))−1 doubling bucket, same
+    // window shares and lag decay.
+    "q234_freq_spectrum" ->
+      s"""WITH tok AS (
+         |  SELECT u.t AS t
+         |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+         |        FROM documents), LATERAL unnest(tk) u(t)
+         |), f AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t
+         |), bk AS (
+         |  SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(f) AS BIGINT) AS n_tokens
+         |  FROM f GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(n_types) AS BIGINT) AS tt,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tk FROM bk
+         |)
+         |SELECT b, (CAST(1 AS BIGINT) << CAST(b AS INT)) AS lo_freq,
+         |  n_types, n_tokens,
+         |  n_types * 1000000 // t.tt AS types_share_ppm,
+         |  n_tokens * 1000000 // t.tk AS tokens_share_ppm,
+         |  CASE WHEN lag(n_types) OVER (ORDER BY b) IS NULL THEN NULL
+         |       ELSE n_types * 1000 // lag(n_types) OVER (ORDER BY b) END AS decay_e3
+         |FROM bk, t""".stripMargin,
     // q129's register construction verbatim, the same dense day×16
     // grid, running per-bucket max (window max skips nulls in both
     // engines), harmonic fold, and q186's exact cumulative leg.

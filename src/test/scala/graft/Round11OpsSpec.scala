@@ -406,6 +406,69 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q234: token frequency spectrum --------------------------------------
+
+  test("q234 matches the hand-computed two-bucket fixture") {
+    // "a a a b": f(a)=3 → bucket 1, f(b)=1 → bucket 0. Shares over
+    // 2 types / 4 tokens; decay undefined on the lowest bucket, then
+    // 1·1000/1 = 1000.
+    val dir = tmpDir("q234fix")
+    Seq((1L, "a a a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Profiling.q234FreqSpectrum(spark, dir)
+      .orderBy("b").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq(0L, 1L, 1L, 1L, 500000L, 250000L, null),
+      Seq(1L, 2L, 1L, 3L, 500000L, 750000L, 1000L))
+  }
+
+  test("q234 shares fold to ~1e6 and bucket identities hold at sf0.001") {
+    val rows = graft.queries.Profiling.q234FreqSpectrum(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getLong(r.fieldIndex("lo_freq")) shouldBe (1L << r.getLong(0).toInt)
+      r.getLong(r.fieldIndex("n_tokens")) should be >=
+        r.getLong(r.fieldIndex("n_types")) * r.getLong(r.fieldIndex("lo_freq"))
+    }
+    // truncating shares can each lose <1 ppm
+    val ts = rows.map(_.getLong(4)).sum
+    ts should be <= 1000000L
+    ts should be > 1000000L - rows.length.toLong
+  }
+
+  // -- q235: weighted (multiset) Jaccard --------------------------------------
+
+  test("q235 separates literal mirrors from weight-skewed rewrites") {
+    // (1,2): byte-identical → set 1e6, weighted 1e6, delta 0.
+    // (3,4): identical shingle SETS (J = 1e6) but 3× vs 2× repetition
+    // → Σmin = 6, na+nb−Σmin = 9 → weighted 666666, delta −333334 —
+    // the set-close/weight-far case the operator exists to expose.
+    val dir = tmpDir("q235fix")
+    Seq(
+      (1L, "x y x"), (2L, "x y x"),
+      (3L, "p q r p q r p q r"), (4L, "p q r p q r"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.NearDup.q235WeightedJaccard(spark, dir)
+      .orderBy("doc_a").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq(1L, 2L, 1000000L, 1000000L, 0L),
+      Seq(3L, 4L, 1000000L, 666666L, -333334L))
+  }
+
+  test("q235 covers every q39 pair with consistent deltas at sf0.001") {
+    val rows = graft.queries.NearDup.q235WeightedJaccard(spark, sf).collect()
+    rows.length.toLong shouldBe
+      graft.queries.NearDup.q39DedupNgramJaccard(spark, sf).count()
+    rows.foreach { r =>
+      val wj = r.getLong(r.fieldIndex("weighted_jaccard_e6"))
+      wj should be >= 0L
+      wj should be <= 1000000L
+      r.getLong(r.fieldIndex("delta_e6")) shouldBe
+        wj - r.getLong(r.fieldIndex("jaccard_e6"))
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
