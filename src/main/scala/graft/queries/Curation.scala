@@ -324,6 +324,44 @@ object Curation {
         expr("max_load * 1000000 div ((total_chars + n_shards - 1) div n_shards)")
           .as("makespan_ppm"))
 
+  // -- q236: shard-budget sweep ---------------------------------------
+
+  private val ShardBudgetSweep = Seq(10000L, 20000L, 40000L)
+
+  /** SHARD-BUDGET SWEEP — q227 audits the one shipped budget; this
+    * tables the CHOICE: for each candidate shard budget (chars), the
+    * per-language shard count, max load, imbalance, and makespan
+    * ratio — bigger shards amortize per-file overhead but worsen the
+    * epoch barrier (the max/mean straggler), and this is the curve
+    * that decision reads. The key fact making it ONE pass: q50's
+    * running-sum window is budget-INDEPENDENT — only the final floor
+    * division depends on B — so one window pass + an in-row budget
+    * explode serves every candidate; the assignment for the shipped
+    * budget matches q50's exactly (floor of the same non-negative
+    * operands).
+    *
+    * Plan: one window pass (q50's shared helper), a 3-fold in-row
+    * budget expansion, then two map-combined rollups to
+    * |budgets|·|langs| rows. */
+  val q236ShardBudgetSweep: Q = (s, d) =>
+    shardPack(s, d)
+      .select(col("lang"), col("n_chars"), col("cum_chars"),
+        explode(typedLit(ShardBudgetSweep)).as("budget_chars"))
+      .withColumn("shard",
+        expr("(cum_chars - n_chars) div budget_chars"))
+      .groupBy("budget_chars", "lang", "shard")
+      .agg(sum(col("n_chars")).as("load_chars"))
+      .groupBy("budget_chars", "lang")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("load_chars")).as("total_chars"),
+        max(col("load_chars")).as("max_load"))
+      .select(col("budget_chars"), col("lang"), col("n_shards"),
+        col("total_chars"), col("max_load"),
+        expr("max_load * 1000000 div (total_chars div n_shards)")
+          .as("imbalance_ppm"),
+        expr("max_load * 1000000 div ((total_chars + n_shards - 1) div n_shards)")
+          .as("makespan_ppm"))
+
   // -- q51: corpus-composition pivot mart ----------------------------
 
   /** PIVOT: the lang × source-group composition matrix (doc counts and
@@ -1750,6 +1788,7 @@ object Curation {
     "q49_stratified_sample" -> q49StratifiedSample,
     "q50_token_shards" -> q50TokenShards,
     "q227_shard_balance" -> q227ShardBalance,
+    "q236_shard_budget_sweep" -> q236ShardBudgetSweep,
     "q51_mix_pivot" -> q51MixPivot,
     "q52_corpus_shuffle" -> q52CorpusShuffle)
 
@@ -2598,6 +2637,37 @@ object Curation {
          |SELECT doc_id, lang, cum_chars,
          |  CAST(floor(CAST(cum_chars - n_chars AS DOUBLE) / $ShardBudgetChars.0) AS BIGINT) AS shard
          |FROM c""".stripMargin,
+    // q50's window restated once, the same 3-budget expansion, and
+    // q227's rollup/ratio math per (budget, lang).
+    "q236_shard_budget_sweep" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5('shard' || CAST(doc_id AS VARCHAR)) AS hk
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+         |  FROM h
+         |), a AS (
+         |  SELECT lang, n_chars,
+         |    b.b AS budget_chars,
+         |    (cum_chars - n_chars) // b.b AS shard
+         |  FROM c, (SELECT unnest([${ShardBudgetSweep.mkString(", ")}]) AS b) b
+         |), loads AS (
+         |  SELECT budget_chars, lang, shard, CAST(sum(n_chars) AS BIGINT) AS load_chars
+         |  FROM a GROUP BY 1, 2, 3
+         |), summ AS (
+         |  SELECT budget_chars, lang, CAST(count(*) AS BIGINT) AS n_shards,
+         |    CAST(sum(load_chars) AS BIGINT) AS total_chars,
+         |    CAST(max(load_chars) AS BIGINT) AS max_load
+         |  FROM loads GROUP BY 1, 2
+         |)
+         |SELECT CAST(budget_chars AS BIGINT) AS budget_chars, lang, n_shards,
+         |  total_chars, max_load,
+         |  max_load * 1000000 // (total_chars // n_shards) AS imbalance_ppm,
+         |  max_load * 1000000 // ((total_chars + n_shards - 1) // n_shards) AS makespan_ppm
+         |FROM summ""".stripMargin,
     // q50's window restated, then the same two rollups and truncating
     // ratio math.
     "q227_shard_balance" ->

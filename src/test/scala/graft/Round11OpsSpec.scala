@@ -469,6 +469,39 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q236: shard-budget sweep -------------------------------------------------
+
+  test("q236 shipped-budget rows reconcile with q227 at sf0.001") {
+    val sweep = graft.queries.Curation.q236ShardBudgetSweep(spark, sf)
+      .filter(col("budget_chars") === 20000L).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    val audit = graft.queries.Curation.q227ShardBalance(spark, sf).collect()
+    audit.length shouldBe sweep.size
+    audit.foreach { r =>
+      val (nShards, total, maxL, imb, mk) = sweep(r.getString(0))
+      nShards shouldBe r.getLong(r.fieldIndex("n_shards"))
+      total shouldBe r.getLong(r.fieldIndex("total_chars"))
+      maxL shouldBe r.getLong(r.fieldIndex("max_load"))
+      imb shouldBe r.getLong(r.fieldIndex("imbalance_ppm"))
+      mk shouldBe r.getLong(r.fieldIndex("makespan_ppm"))
+    }
+  }
+
+  test("q236 shard counts shrink as the budget grows at sf0.001") {
+    val rows = graft.queries.Curation.q236ShardBudgetSweep(spark, sf)
+      .collect()
+      .groupBy(_.getString(1))
+    rows.foreach { case (_, rs) =>
+      val byBudget = rs.sortBy(_.getLong(0)).map(_.getLong(2))
+      byBudget.sliding(2).foreach { case Array(lo, hi) =>
+        hi should be <= lo
+      }
+      // total char mass is budget-independent
+      rs.map(_.getLong(3)).distinct.length shouldBe 1
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
