@@ -183,6 +183,78 @@ object LlmPipeline {
       .filter(col("jaccard_e6") >= 500000L)
   }
 
+  // -- q237: MinHash banding-config sweep -----------------------------
+
+  /** (bands, rows/band) partitions of the 16-hash signature to sweep —
+    * the shipped q21 config is (8, 2). */
+  private val BandConfigs = Seq((4, 4), (8, 2), (16, 1))
+
+  /** BANDING-CONFIG SWEEP — the (b, r) decision behind q21, measured
+    * instead of argued: the SAME 16 minhashes support (4 bands × 4
+    * rows), (8 × 2 — shipped), and (16 × 1); per config the sweep
+    * reports measured recall against q39's exact truth AND the
+    * candidate-pair volume the banding generates — the actual cost
+    * axis (16×1 collides on any single shared minhash: near-total
+    * recall, explosive candidates; 4×4 is cheap and misses). q225
+    * calibrates the shipped curve; THIS is the table you choose the
+    * config from. Signatures are computed once (shared with q21);
+    * per-config collision is an in-row arrays_overlap on truth pairs,
+    * and candidate volume is the banded bucket expansion q21 itself
+    * uses — never all-pairs.
+    *
+    * Determinism: band signatures are tagged strings over the same
+    * minhash values; every rank/agg is integer. */
+  val q237BandingSweep: Q = (s, d) => {
+    val sig = minhashSignatures(hashedShingleSet(s, d))
+      .transform(graft.ops.SharedCache.persist)
+    def cfgBands(b: Int, r: Int): Column = array((0 until b).map { i =>
+      concat_ws("|", (Seq(lit(s"b$b"), lit(i)) ++
+        (0 until r).map(j => col(s"h${i * r + j}"))): _*)
+    }: _*)
+    val withBands = sig.select(Seq(col("doc_id")) ++ BandConfigs.map {
+      case (b, r) => cfgBands(b, r).as(s"bands_b$b") }: _*)
+      .transform(graft.ops.SharedCache.persist)
+    // measured recall per config over the exact q39 truth
+    val truth = graft.queries.NearDup.q39DedupNgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    val aSide = withBands.select(Seq(col("doc_id").as("doc_a")) ++
+      BandConfigs.map { case (b, _) => col(s"bands_b$b").as(s"a_b$b") }: _*)
+    val bSide = withBands.select(Seq(col("doc_id").as("doc_b")) ++
+      BandConfigs.map { case (b, _) => col(s"bands_b$b").as(s"b_b$b") }: _*)
+    val recallCols = BandConfigs.flatMap { case (b, _) => Seq(
+      count(lit(1)).as(s"t_b$b"),
+      sum(arrays_overlap(col(s"a_b$b"), col(s"b_b$b")).cast("long"))
+        .as(s"c_b$b")) }
+    val recall = truth.join(aSide, "doc_a").join(bSide, "doc_b")
+      .agg(recallCols.head, recallCols.tail: _*)
+    // candidate volume per config: q21's banded bucket expansion
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val candLegs = BandConfigs.map { case (b, _) =>
+      withBands.select(col("doc_id"), explode(col(s"bands_b$b")).as("bsig"))
+        .groupBy("bsig").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(pairsArr).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
+        .agg(count(lit(1)).as(s"cand_b$b"))
+    }
+    // join-free scalar combine (the q221 pattern)
+    val combined = candLegs.foldLeft(recall)(
+      (acc, leg) => acc.unionByName(leg, allowMissingColumns = true))
+    val maxCols = BandConfigs.flatMap { case (b, _) => Seq(
+      max(col(s"t_b$b")).as(s"t_b$b"), max(col(s"c_b$b")).as(s"c_b$b"),
+      max(col(s"cand_b$b")).as(s"cand_b$b")) }
+    combined.agg(maxCols.head, maxCols.tail: _*)
+      .selectExpr("stack(" + BandConfigs.length + ", " +
+        BandConfigs.map { case (b, r) =>
+          s"'b${b}r$r', ${b}L, ${r}L, cand_b$b, t_b$b, c_b$b, " +
+            s"c_b$b * 1000000 div t_b$b" }.mkString(", ") +
+        ") as (config, n_bands, rows_per_band, n_candidates, n_truth, n_collide, recall_ppm)")
+  }
+
   // -- q214: contrastive pair mining (positives + hard negatives) -----
 
   /** CONTRASTIVE PAIR MINING — the training-data op hiding inside
@@ -1299,6 +1371,7 @@ object LlmPipeline {
     "q100_pretrain_pipeline" -> q100PretrainPipeline,
     "q20_dedup_exact" -> q20DedupExact,
     "q21_dedup_minhash_lsh" -> q21DedupMinhashLsh,
+    "q237_banding_sweep" -> q237BandingSweep,
     "q214_contrastive_pairs" -> q214ContrastivePairs,
     "q22_text_stats" -> q22TextStats,
     "q23_ann_brute_force" -> q23AnnBruteForce,
@@ -1571,6 +1644,62 @@ object LlmPipeline {
         |GROUP BY 1""".stripMargin,
     "q21_dedup_minhash_lsh" ->
       s"WITH $minhashPairCtes\n$minhashPairSelect",
+    // Same sig relation, per-config tagged band strings, q39's truth
+    // chain off the same exh relation; candidates = the distinct
+    // banded-collision pair set per config.
+    "q237_banding_sweep" -> {
+      val cfgCtes = BandConfigs.map { case (b, r) =>
+        val legs = (0 until b).map { i =>
+          val hs = (0 until r).map(j => s"h${i * r + j}").mkString(", ")
+          s"SELECT doc_id, concat_ws('|', 'b$b', $i, $hs) AS bsig FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""bands$b AS (
+           |  $legs
+           |), coll$b AS (
+           |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |  FROM bands$b l JOIN bands$b r
+           |    ON l.bsig = r.bsig AND l.doc_id < r.doc_id
+           |)""".stripMargin
+      }.mkString(", ")
+      val rows = BandConfigs.map { case (b, r) =>
+        s"""SELECT 'b${b}r$r' AS config, CAST($b AS BIGINT) AS n_bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM coll$b) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truthp) AS n_truth,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truthp t
+           |     JOIN coll$b c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_collide,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truthp t
+           |     JOIN coll$b c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 1000000
+           |    // (SELECT count(*) FROM truthp) AS recall_ppm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $minhashPairCtes, dh AS (
+         |  SELECT DISTINCT doc_id, h1 AS h FROM exh
+         |), freq2 AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM dh GROUP BY h
+         |), sets2 AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_sort(list(least(df, 32767) * ${1L << 48} + dh.h)),
+         |      k -> k & ${(1L << 48) - 1}) AS hs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM dh JOIN freq2 ON dh.h = freq2.h
+         |  GROUP BY doc_id
+         |), pre2 AS (
+         |  SELECT doc_id, unnest(hs[1 : CAST(n - (n + 1) // 2 + 1 AS INT)]) AS h
+         |  FROM sets2
+         |), cand2 AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM pre2 l JOIN pre2 r ON l.h = r.h AND l.doc_id < r.doc_id
+         |), truthp AS (
+         |  SELECT doc_a, doc_b FROM cand2
+         |  JOIN sets2 a ON doc_a = a.doc_id
+         |  JOIN sets2 b ON doc_b = b.doc_id
+         |  WHERE CAST(round(1e6 * CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |    / CAST(a.n + b.n - len(list_intersect(a.hs, b.hs)) AS DOUBLE), 0)
+         |    AS BIGINT) >= 500000
+         |), $cfgCtes
+         |$rows""".stripMargin
+    },
     // q21's scored CTE WITHOUT the threshold filter: the label is the
     // threshold, not a row cut.
     "q214_contrastive_pairs" ->

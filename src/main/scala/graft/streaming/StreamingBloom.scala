@@ -4,11 +4,11 @@ import graft.ops.TableSwap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Continuous Bloom filter — the streaming twin of batch q221,
-  * completing the sketch family's batch/stream symmetry (HLL is
-  * windowless, Misra–Gries has [[StreamingHeavyHitters]], count-min
-  * has [[StreamingCountMin]]; this gives the MEMBERSHIP question its
-  * continuous form): as documents arrive, fold their distinct tokens'
+/** Continuous Bloom filter — the streaming twin of batch q221
+  * (Misra–Gries has [[StreamingHeavyHitters]], count-min has
+  * [[StreamingCountMin]], HLL has [[StreamingHll]]; this gives the
+  * MEMBERSHIP question its continuous form): as documents arrive,
+  * fold their distinct tokens'
   * bit coordinates into one ≤65536-row bit relation and answer
   * "might we have seen this token?" at any moment — the streaming
   * decontamination precheck in front of an exact q47-style join.

@@ -30,7 +30,10 @@ class PlanQualitySpec extends SparkSpec {
       "q191_ivf_balance",
       // q219 certifies q33 against the q23 brute-force truth — an
       // audit is a baseline consumer by design (the q163 allowance)
-      "q219_ivf_recall")
+      "q219_ivf_recall",
+      // q231 rebuilds q33's bounded K=16 centroid-assignment join AND
+      // consumes the q23 baseline — both existing allowances
+      "q231_two_stage")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")
@@ -781,6 +784,66 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Generate" // projection is zip_with folds, no explode
     (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("q231 two-stage: both top-k stages ride the TopK aggregator, no rank windows") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q231_two_stage")
+    p should include("ObjectHashAggregate") // coarse top-16 + exact top-5
+    p should include("InMemoryTableScan")   // cached proj/cand/survivors
+  }
+
+  test("q232 split shift: one cached cell pass, centroid join broadcasts on dim") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q232_split_shift")
+    p should include("BroadcastHashJoin") // 64-row corpus centroid
+    p should include("InMemoryTableScan") // the shared (split, dim) cells
+    p.substring(0, p.indexOf("InMemoryRelation")) should not include "FileScan"
+    p should not include "SortMergeJoin"
+  }
+
+  test("q233 HLL adoption: dense grid via in-row explode, keyed joins only") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q233_hll_adoption")
+    p should include("Generate") // day×16 spine from sequence explode
+    p should not include "SortMergeJoin"
+    // running register max + exact running count + carry-forward
+    p.linesIterator.count(_.contains("Window [")) should be <= 3
+  }
+
+  test("q234 spectrum: windows only on the bucket relation, no joins") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q234_freq_spectrum")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) should be <= 2
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q235 weighted jaccard: exchanges carry hashes and counts, never text") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q235_weighted_jaccard")
+    p should include("InMemoryTableScan") // q39 pairs + token counts
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+  }
+
+  test("q236 budget sweep: one window pass serves all budgets") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q236_shard_budget_sweep")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    p should include("Generate") // the in-row budget explode
+    p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+  }
+
+  test("q237 banding sweep: one signature pass, collisions in-row, hashes-only exchanges") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q237_banding_sweep")
+    p should include("InMemoryTableScan") // shared sig + per-config bands
+    p should include("arrays_overlap")    // truth-pair collision is in-row
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
   }
 
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {

@@ -502,6 +502,43 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q237: MinHash banding-config sweep ----------------------------------------
+
+  test("q237 all configs catch a byte-identical pair with one candidate") {
+    val dir = tmpDir("q237fix")
+    Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.LlmPipeline.q237BandingSweep(spark, dir)
+      .orderBy("n_bands").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq("b4r4", 4L, 4L, 1L, 1L, 1L, 1000000L),
+      Seq("b8r2", 8L, 2L, 1L, 1L, 1L, 1000000L),
+      Seq("b16r1", 16L, 1L, 1L, 1L, 1L, 1000000L))
+  }
+
+  test("q237 collision sets nest with band width; shipped config matches q146") {
+    // a (4×4) band match is four equal hashes → its two (8×2) halves
+    // match → its four (16×1) singles match: candidate and collide
+    // counts are monotone in the band count
+    val rows = graft.queries.LlmPipeline.q237BandingSweep(spark, sf)
+      .orderBy("n_bands").collect()
+    rows.length shouldBe 3
+    rows.map(_.getLong(4)).distinct.length shouldBe 1 // one truth set
+    rows.sliding(2).foreach { case Array(narrow, wide) =>
+      wide.getLong(3) should be >= narrow.getLong(3) // candidates
+      wide.getLong(5) should be >= narrow.getLong(5) // collides
+    }
+    rows.foreach { r =>
+      r.getLong(6) shouldBe r.getLong(5) * 1000000L / r.getLong(4)
+    }
+    // a truth pair that band-collides always verifies (J ≥ 0.5 IS the
+    // verify threshold), so the shipped config's recall is q146's
+    val q146 = graft.queries.NearDup.q146LshRecall(spark, sf).collect().head
+    val shipped = rows.find(_.getString(0) == "b8r2").get
+    shipped.getLong(6) shouldBe q146.getLong(q146.fieldIndex("recall_ppm"))
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
