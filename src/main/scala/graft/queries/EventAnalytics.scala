@@ -804,6 +804,70 @@ object EventAnalytics {
         col("z_score"))
   }
 
+  // -- q238: SPRT sequential conversion test -----------------------------
+
+  private val SprtP0 = 0.10 // H0 conversion rate
+  private val SprtP1 = 0.20 // H1 conversion rate
+  /** e6 log-likelihood steps and Wald thresholds (α = β = 0.05),
+    * computed on the driver and baked as the SAME literals into the
+    * Spark plan and the oracle SQL — the q131 Benford convention: no
+    * runtime libm on either engine. */
+  private val SprtStepHit =
+    math.round(1e6 * math.log(SprtP1 / SprtP0))
+  private val SprtStepMiss =
+    math.round(1e6 * math.log((1 - SprtP1) / (1 - SprtP0)))
+  private val SprtThreshold = math.round(1e6 * math.log(0.95 / 0.05))
+
+  /** SEQUENTIAL PROBABILITY RATIO TEST — the experiment readout q133's
+    * fixed-horizon z-test can't give: Wald's SPRT walks the cumulative
+    * log-likelihood ratio observation by observation and STOPS the
+    * moment the evidence crosses a threshold — the "can we end the
+    * A/B test early" machinery, with α = β = 0.05 guaranteed by the
+    * thresholds ±ln(19) regardless of when it stops. Per variant
+    * (q133's user-parity split): the decision, the exact observation
+    * count to decision (the sample-size saving vs a fixed horizon),
+    * conversions, and the final walk value.
+    *
+    * Exactness: steps and thresholds are e6 integer literals baked at
+    * plan build; the walk is an exact integer running sum; the first
+    * crossing is min(rn) with the crossing-time value recovered by
+    * struct-min — no doubles anywhere.
+    *
+    * Plan: ONE per-variant ordered window pass (a sequential test IS
+    * an ordered statistic — the honest cost); at 100 TB the same walk
+    * distributes as q102's two-phase prefix sum (per-shard partials,
+    * carried-in offsets), identical semantics. Everything after the
+    * walk is a 2-row aggregate. */
+  val q238SprtTest: Q = (s, d) => {
+    val w = Window.partitionBy("variant").orderBy("ts", "event_id")
+    val walk = Tables.events(s, d)
+      .select((col("user_id") % 2).as("variant"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", lit(SprtStepHit))
+          .otherwise(lit(SprtStepMiss)).as("step"),
+        (col("event_type") === "purchase").cast("long").as("hit"))
+      .withColumn("cum", sum(col("step")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .transform(graft.ops.SharedCache.persist)
+    val crossing = walk
+      .filter(col("cum") >= SprtThreshold || col("cum") <= -SprtThreshold)
+      .groupBy("variant")
+      .agg(min(struct(col("rn"), col("cum"))).as("x"))
+      .select(col("variant"), col("x.rn").as("n_to_decision"),
+        col("x.cum").as("cum_at_decision"))
+    walk.groupBy("variant")
+      .agg(count(lit(1)).as("n_obs"), sum(col("hit")).as("n_conversions"),
+        max(struct(col("rn"), col("cum"))).as("last"))
+      .select(col("variant"), col("n_obs"), col("n_conversions"),
+        col("last.cum").as("llr_final_e6"))
+      .join(crossing, Seq("variant"), "left")
+      .select(col("variant"), col("n_obs"), col("n_conversions"),
+        expr(s"""CASE WHEN n_to_decision IS NULL THEN 'undecided'
+                |     WHEN cum_at_decision >= ${SprtThreshold}L THEN 'accept_h1'
+                |     ELSE 'accept_h0' END""".stripMargin).as("decision"),
+        col("n_to_decision"), col("llr_final_e6"))
+  }
+
   // -- q134: CUSUM change-point detection -------------------------------
 
   /** CHANGE-POINT SCAN: for each event type's daily-count series, the
@@ -1246,6 +1310,7 @@ object EventAnalytics {
     "q139_multitouch_attribution" -> q139MultiTouch,
     "q132_autocorr_daily" -> q132Autocorr,
     "q133_ab_ztest" -> q133AbZtest,
+    "q238_sprt_test" -> q238SprtTest,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
     "q135_seasonal_baseline" -> q135SeasonalBaseline,
     "q127_ohlc_bars" -> q127OhlcBars,
@@ -1553,6 +1618,40 @@ object EventAnalytics {
         |           * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
         |   END AS acf1
         |FROM m""".stripMargin,
+    // Same baked e6 step/threshold literals, same (ts, event_id)
+    // ordered walk, same first-crossing semantics.
+    "q238_sprt_test" ->
+      s"""WITH obs AS (
+         |  SELECT user_id % 2 AS variant, ts, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN $SprtStepHit
+         |         ELSE $SprtStepMiss END AS step,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+         |  FROM events
+         |), walk AS (
+         |  SELECT variant, hit,
+         |    CAST(sum(step) OVER (PARTITION BY variant ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(row_number() OVER (PARTITION BY variant ORDER BY ts, event_id) AS BIGINT) AS rn
+         |  FROM obs
+         |), crossing AS (
+         |  SELECT variant, rn AS n_to_decision, cum AS cum_at_decision
+         |  FROM (SELECT variant, rn, cum,
+         |          row_number() OVER (PARTITION BY variant ORDER BY rn) AS k
+         |        FROM walk
+         |        WHERE cum >= $SprtThreshold OR cum <= -$SprtThreshold)
+         |  WHERE k = 1
+         |), summ AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n_obs,
+         |    CAST(sum(hit) AS BIGINT) AS n_conversions,
+         |    CAST(max_by(cum, rn) AS BIGINT) AS llr_final_e6
+         |  FROM walk GROUP BY 1
+         |)
+         |SELECT s.variant, s.n_obs, s.n_conversions,
+         |  CASE WHEN c.n_to_decision IS NULL THEN 'undecided'
+         |       WHEN c.cum_at_decision >= $SprtThreshold THEN 'accept_h1'
+         |       ELSE 'accept_h0' END AS decision,
+         |  c.n_to_decision, s.llr_final_e6
+         |FROM summ s LEFT JOIN crossing c ON c.variant = s.variant""".stripMargin,
     // Same parity split and accumulator set; Welch z in one IEEE
     // double expression over the exact BIGINTs.
     "q133_ab_ztest" ->

@@ -539,6 +539,45 @@ class Round11OpsSpec extends SparkSpec {
     shipped.getLong(6) shouldBe q146.getLong(q146.fieldIndex("recall_ppm"))
   }
 
+  // -- q238: SPRT sequential conversion test --------------------------------------
+
+  test("q238 crosses at the hand-computed observation counts") {
+    // All-purchase arm: +693147/obs crosses +2944439 at obs 5
+    // (4×693147 = 2772588 < threshold ≤ 3465735 = 5×). All-miss arm:
+    // −117783/obs crosses −2944439 at obs 25 (24× = −2826792 above,
+    // 25× = −2944575 below).
+    val dir = tmpDir("q238fix")
+    val rows = (1 to 30).flatMap { i =>
+      Seq(
+        (i.toLong * 2, java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00"),
+          2L, "purchase"),
+        (i.toLong * 2 + 1, java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00"),
+          1L, "view"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.EventAnalytics.q238SprtTest(spark, dir)
+      .orderBy("variant").collect()
+    out.map(_.toSeq) shouldBe Array(
+      Seq(0L, 30L, 30L, "accept_h1", 5L, 30L * 693147L),
+      Seq(1L, 30L, 0L, "accept_h0", 25L, 30L * -117783L))
+  }
+
+  test("q238 decisions are consistent with the walk at sf0.001") {
+    val rows = graft.queries.EventAnalytics.q238SprtTest(spark, sf).collect()
+    rows.length shouldBe 2
+    rows.foreach { r =>
+      val dec = r.getString(r.fieldIndex("decision"))
+      Set("accept_h0", "accept_h1", "undecided") should contain(dec)
+      r.getLong(r.fieldIndex("n_conversions")) should be <=
+        r.getLong(r.fieldIndex("n_obs"))
+      if (dec != "undecided") {
+        r.getLong(r.fieldIndex("n_to_decision")) should be <=
+          r.getLong(r.fieldIndex("n_obs"))
+      } else r.isNullAt(r.fieldIndex("n_to_decision")) shouldBe true
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
