@@ -214,6 +214,95 @@ object Analytics {
     layout("arrival", "fa").unionByName(layout("zorder", "fz"))
   }
 
+  // -- q239: per-file Bloom data-skipping audit ----------------------------
+
+  private val FileBloomBits = 16384L
+  private val FileBloomHashes = 2
+  private val ZoneBucketWidth = 1024L
+  private val FileBloomFileWidth = 128L // 512-row files — q209's 4096 makes
+                                        // every file contain every key
+
+  /** FILE-SKIPPING INDEX SHOOTOUT — q209 showed zone maps work only on
+    * clustered layouts; THIS measures the index that works on the
+    * layout you actually have: per arrival-order file (the unclustered
+    * worst case), a min/max zone map AND a 16384-bit / 2-hash Bloom
+    * filter over the file's distinct partkeys, both probed with the
+    * same deterministic key sample. Per probe: files truly containing
+    * the key, files the zone map can't skip, files the Bloom filter
+    * can't skip — on random layouts the zones span the whole domain
+    * (zone ≈ all files) while Bloom prunes to truth + a bounded
+    * false-positive excess. This is the parquet bloom_filter vs
+    * min/max statistics decision, measured.
+    *
+    * One-sidedness: a containing file always zone-hits AND bloom-hits,
+    * so both excess columns are ≥ 0 by construction (spec-pinned).
+    *
+    * Plan: one scan → (file, partkey) distinct (SharedCache'd) feeds
+    * all three legs; the Bloom relation is ≤ |files|·m distinct bits
+    * (mergeable by union — per-file filters build map-side at scale);
+    * zone containment avoids a range join via the q63 bucket trick
+    * (files explode to ≤ domain/1024 bucket rows each); probes join
+    * every leg by equi-keys only. */
+  val q239FileBloomAudit: Q = (s, d) => {
+    val fileKeys = Tables.lineitem(s, d)
+      .select(expr(s"l_orderkey div $FileBloomFileWidth").as("f"),
+        col("l_partkey").as("k"))
+      .distinct()
+      .transform(graft.ops.SharedCache.persist)
+    val probes = fileKeys.select(col("k")).distinct()
+      .filter(col("k") % 97 === 0)
+      .transform(graft.ops.SharedCache.persist)
+    val nFiles = fileKeys.select(col("f")).distinct()
+      .agg(count(lit(1)).as("n_files"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    // exact truth: files containing the probed key
+    val trueHits = probes.join(fileKeys, "k")
+      .agg(count(lit(1)).as("true_pairs"))
+    // zone-map leg: bucketed range containment
+    val zones = fileKeys.groupBy("f")
+      .agg(min(col("k")).as("zmin"), max(col("k")).as("zmax"))
+    val zoneBuckets = zones.select(col("f"), col("zmin"), col("zmax"),
+      explode(sequence(expr(s"zmin div $ZoneBucketWidth"),
+        expr(s"zmax div $ZoneBucketWidth"))).as("bkt"))
+    val zoneHits = probes
+      .withColumn("bkt", expr(s"k div $ZoneBucketWidth"))
+      .join(zoneBuckets, "bkt")
+      .filter(col("k") >= col("zmin") && col("k") <= col("zmax"))
+      .agg(count(lit(1)).as("zone_pairs"))
+    // bloom leg: per-file bit sets, all-k-bits-present probe
+    val bitArr = (k: Column) => array((0 until FileBloomHashes).map(j =>
+      conv(substring(md5(concat(lit(s"fb$j|"), k.cast("string"))), 1, 12),
+        16, 10).cast("long") % FileBloomBits): _*)
+    val bloomBits = fileKeys
+      .select(col("f"), explode(bitArr(col("k"))).as("bit"))
+      .distinct()
+      .transform(graft.ops.SharedCache.persist)
+    val bloomHits = probes
+      .select(col("k"), explode(bitArr(col("k"))).as("bit"))
+      .join(bloomBits, "bit")
+      .groupBy("k", "f")
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === FileBloomHashes)
+      .agg(count(lit(1)).as("bloom_pairs"))
+    // join-free scalar combine (the q221 pattern)
+    Seq(nProbes, trueHits, zoneHits, bloomHits)
+      .foldLeft(nFiles.asInstanceOf[DataFrame])(
+        (acc, leg) => acc.unionByName(leg, allowMissingColumns = true))
+      .agg(max(col("n_files")).as("n_files"),
+        max(col("n_probes")).as("n_probes"),
+        max(col("true_pairs")).as("true_pairs"),
+        max(col("zone_pairs")).as("zone_pairs"),
+        max(col("bloom_pairs")).as("bloom_pairs"))
+      .select(col("n_files"), col("n_probes"),
+        expr("true_pairs * 1000 div greatest(n_probes, 1)").as("true_files_e3"),
+        expr("zone_pairs * 1000 div greatest(n_probes, 1)").as("zone_files_e3"),
+        expr("bloom_pairs * 1000 div greatest(n_probes, 1)").as("bloom_files_e3"),
+        expr("(zone_pairs - true_pairs) * 1000 div greatest(n_probes, 1)")
+          .as("zone_excess_e3"),
+        expr("(bloom_pairs - true_pairs) * 1000 div greatest(n_probes, 1)")
+          .as("bloom_excess_e3"))
+  }
+
   // -- q212: space-filling-curve layout comparison ------------------------
 
   /** Hilbert-curve index of a (x, y) cell in the 2^ZBits grid — the
@@ -1301,6 +1390,7 @@ object Analytics {
 
   val defs: Map[String, Q] = Map(
     "q224_hist_join_card" -> q224HistJoinCard,
+    "q239_file_bloom_audit" -> q239FileBloomAudit,
     "q209_zonemap_audit" -> q209ZoneMapAudit,
     "q212_curve_comparison" -> q212CurveComparison,
     "q185_ship_latency" -> q185ShipLatency,
@@ -1341,6 +1431,46 @@ object Analytics {
   // -- DuckDB oracles ------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    // Same (file, key) relation, same md5 bit hashes, same probe
+    // sample; the zone leg checks containment directly (the oracle
+    // may cross join — the bucket trick is the engine's concern).
+    "q239_file_bloom_audit" ->
+      s"""WITH fk AS (
+         |  SELECT DISTINCT l_orderkey // $FileBloomFileWidth AS f, l_partkey AS k
+         |  FROM lineitem
+         |), probes AS (
+         |  SELECT DISTINCT k FROM fk WHERE k % 97 = 0
+         |), nf AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_files FROM fk
+         |), np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes
+         |), tp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS true_pairs
+         |  FROM probes p JOIN fk ON fk.k = p.k
+         |), zones AS (
+         |  SELECT f, CAST(min(k) AS BIGINT) AS zmin, CAST(max(k) AS BIGINT) AS zmax
+         |  FROM fk GROUP BY 1
+         |), zp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS zone_pairs
+         |  FROM probes p JOIN zones z ON p.k >= z.zmin AND p.k <= z.zmax
+         |), bb AS (
+         |  SELECT DISTINCT f,
+         |    CAST('0x' || substr(md5('fb' || CAST(j.j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 12) AS BIGINT) % $FileBloomBits AS bit
+         |  FROM fk, (SELECT unnest([0, 1]) AS j) j
+         |), pb AS (
+         |  SELECT k, CAST('0x' || substr(md5('fb' || CAST(j.j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 12) AS BIGINT) % $FileBloomBits AS bit
+         |  FROM probes, (SELECT unnest([0, 1]) AS j) j
+         |), bp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS bloom_pairs FROM (
+         |    SELECT p.k, b.f
+         |    FROM pb p JOIN bb b ON b.bit = p.bit
+         |    GROUP BY 1, 2 HAVING count(*) = $FileBloomHashes)
+         |)
+         |SELECT nf.n_files, np.n_probes,
+         |  tp.true_pairs * 1000 // greatest(np.n_probes, 1) AS true_files_e3,
+         |  zp.zone_pairs * 1000 // greatest(np.n_probes, 1) AS zone_files_e3,
+         |  bp.bloom_pairs * 1000 // greatest(np.n_probes, 1) AS bloom_files_e3,
+         |  (zp.zone_pairs - tp.true_pairs) * 1000 // greatest(np.n_probes, 1) AS zone_excess_e3,
+         |  (bp.bloom_pairs - tp.true_pairs) * 1000 // greatest(np.n_probes, 1) AS bloom_excess_e3
+         |FROM nf, np, tp, zp, bp""".stripMargin,
     // Same md5 bucket hash, same (bucket, key) relation, same three
     // estimates and truncating error math.
     "q224_hist_join_card" ->

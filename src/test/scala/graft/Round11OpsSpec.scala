@@ -578,6 +578,41 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q239: per-file Bloom data-skipping audit ------------------------------------
+
+  test("q239 matches the hand-built two-file fixture") {
+    // File 0 (orderkeys < 128) holds partkeys {0, 5}; file 1 holds
+    // {0, 97}. Probes (k % 97 == 0): {0, 97}. True pairs: 0 ∈ both
+    // files, 97 ∈ file 1 → 3. Zones: f0 = [0,5] contains 0 only;
+    // f1 = [0,97] contains both → 3 zone pairs. Bloom ⊇ true with
+    // 2 keys in 16384 bits → no false positives → 3.
+    val dir = tmpDir("q239fix")
+    Seq((1L, 0L), (2L, 5L), (200L, 0L), (201L, 97L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Analytics.q239FileBloomAudit(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.toSeq shouldBe
+      Seq(2L, 2L, 1500L, 1500L, 1500L, 0L, 0L)
+  }
+
+  test("q239 one-sidedness and ordering hold at sf0.001") {
+    val row = graft.queries.Analytics.q239FileBloomAudit(spark, sf)
+      .collect().head
+    val trueE3 = row.getLong(row.fieldIndex("true_files_e3"))
+    val zoneE3 = row.getLong(row.fieldIndex("zone_files_e3"))
+    val bloomE3 = row.getLong(row.fieldIndex("bloom_files_e3"))
+    // a containing file always zone-hits and bloom-hits
+    zoneE3 should be >= trueE3
+    bloomE3 should be >= trueE3
+    row.getLong(row.fieldIndex("zone_excess_e3")) shouldBe zoneE3 - trueE3
+    row.getLong(row.fieldIndex("bloom_excess_e3")) shouldBe bloomE3 - trueE3
+    // Bloom never reads more than the zone map; the STRICT win needs
+    // keys rarer than sf0.001's 12 saturated files (at sf0.01 the
+    // gate-checked output reads 27.8 vs 113.7 files per probe)
+    bloomE3 should be <= zoneE3
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
