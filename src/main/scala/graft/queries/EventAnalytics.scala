@@ -868,6 +868,109 @@ object EventAnalytics {
         col("n_to_decision"), col("llr_final_e6"))
   }
 
+  // -- q240: Markov removal-effect attribution ----------------------------
+
+  private val RemovalIters = 10
+
+  /** The declared channel domain (q51's explicit-pivot-values
+    * convention — the oracle must be static SQL, so the channel set is
+    * a contract, not a scan): every non-purchase event type of the
+    * testdata schema. A state outside the set would still transit
+    * correctly but would receive no credit row. */
+  private val RemovalChannels = Seq("click", "error", "signup", "view")
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven complement of
+    * q139's position-based linear credit (Anderl et al. 2014, the
+    * model every attribution vendor ships): build the journey chain
+    * start → channels → {conv, null} (absorb at the FIRST purchase;
+    * journeys without one terminate in null), then ask per channel
+    * what conversion probability the chain LOSES when that channel is
+    * removed (its states absorb into null) — removal effect, credit =
+    * effect share. Unlike last-touch/linear this prices channels by
+    * their causal position in the observed graph: a channel that only
+    * ever leads to dead ends gets nothing no matter how often it is
+    * touched.
+    *
+    * Exactness: transition rates in e9; absorption probabilities by
+    * RemovalIters fixed value-iteration steps of v ← t_conv + T·v
+    * (documented fixed-K, the q162/q204 convention — chains here are
+    * 5 states, geometric convergence) with per-edge truncating
+    * `rate·v div 1e9` mirrored exactly by the oracle's unrolled CTEs.
+    * Effects are differences of e9 integers; shares are a final
+    * truncating ppm over the Σ-effect (guarded).
+    *
+    * Plan: journeys build in-row (per-user sorted state array + one
+    * consecutive-pair explode — text never shuffles, one user-keyed
+    * aggregate); the matrix is a ≤(|channels|+2)²-row relation
+    * (SharedCache'd), and every scenario's iterations run on |states|
+    * rows behind per-step localCheckpoints (q204's discipline). The
+    * channel list is a ≤|event types| driver collect — declared
+    * control plane (the k-means centroid convention). */
+  val q240RemovalEffect: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ranked = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val firstP = ranked.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("rn")).as("prn"))
+    val journeys = ranked.join(firstP, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", "conv").otherwise(col("event_type")))
+      .groupBy("user_id")
+      .agg(transform(sort_array(collect_list(struct(col("rn"), col("state")))),
+        x => x.getField("state")).as("sts"))
+      .select(col("user_id"),
+        concat(array(lit("start")), col("sts"),
+          when(element_at(col("sts"), -1) === "conv", array())
+            .otherwise(array(lit("null")))).as("seq"))
+    val trans = journeys
+      .select(explode(zip_with(col("seq"),
+        slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
+        (a, b) => struct(a.as("prev"), b.as("next")))).as("p"))
+      .filter(col("p.next").isNotNull)
+      .groupBy(col("p.prev").as("prev"), col("p.next").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("src_total",
+        sum(col("n")).over(Window.partitionBy("prev")))
+      .select(col("prev"), col("next"),
+        expr("n * 1000000000 div src_total").as("rate_ppb"))
+      .transform(graft.ops.SharedCache.persist)
+    val channels = RemovalChannels
+    val tconv = trans.filter(col("next") === "conv")
+      .select(col("prev").as("node"), col("rate_ppb").as("conv_ppb"))
+    def solve(removed: Option[String]): Long = {
+      val nodes = ("start" +: channels.filterNot(removed.contains)).toDF("node")
+      var v = nodes.select(col("node"), lit(0L).as("v"))
+      (1 to RemovalIters).foreach { _ =>
+        val inflow = trans
+          .join(v.select(col("node").as("next"), col("v")), "next")
+          .select(col("prev"), expr("rate_ppb * v div 1000000000").as("c"))
+          .groupBy("prev").agg(sum(col("c")).as("infl"))
+        v = nodes
+          .join(inflow.select(col("prev").as("node"), col("infl")), Seq("node"), "left")
+          .join(tconv, Seq("node"), "left")
+          .select(col("node"),
+            (coalesce(col("conv_ppb"), lit(0L)) + coalesce(col("infl"), lit(0L)))
+              .as("v"))
+          .localCheckpoint(true)
+      }
+      v.filter(col("node") === "start").head() match {
+        case r if r.isNullAt(1) => 0L
+        case r => r.getLong(1)
+      }
+    }
+    val base = solve(None)
+    val rows = channels.map(c => (c, base, solve(Some(c))))
+    val eff = rows.map { case (c, b, r) => (c, b, r, b - r) }
+    val total = math.max(eff.map(_._4).map(math.max(_, 0L)).sum, 1L)
+    eff.map { case (c, b, r, e) =>
+      (c, b, r, e, math.max(e, 0L) * 1000000L / total)
+    }.toDF("channel", "base_conv_e9", "removed_conv_e9", "effect_e9",
+      "credit_ppm")
+  }
+
   // -- q134: CUSUM change-point detection -------------------------------
 
   /** CHANGE-POINT SCAN: for each event type's daily-count series, the
@@ -1311,6 +1414,7 @@ object EventAnalytics {
     "q132_autocorr_daily" -> q132Autocorr,
     "q133_ab_ztest" -> q133AbZtest,
     "q238_sprt_test" -> q238SprtTest,
+    "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
     "q135_seasonal_baseline" -> q135SeasonalBaseline,
     "q127_ohlc_bars" -> q127OhlcBars,
@@ -1618,6 +1722,78 @@ object EventAnalytics {
         |           * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
         |   END AS acf1
         |FROM m""".stripMargin,
+    // Same journey pairs (lag + start/terminal rows), same e9 rates,
+    // and every scenario's 10 value-iteration steps unrolled as CTEs
+    // with the identical per-edge truncating div.
+    "q240_removal_effect" -> {
+      def nodesSql(removed: Option[String]): String =
+        ("start" +: RemovalChannels.filterNot(removed.contains))
+          .map(c => s"('$c')").mkString(", ")
+      def scenario(tag: String, removed: Option[String]): String = {
+        val chain = (1 to RemovalIters).map { k =>
+          val prev = s"v_${tag}_${k - 1}"
+          s"""v_${tag}_$k AS (
+             |  SELECT n.node,
+             |    CAST(coalesce(tc.conv_ppb, 0) + coalesce(i.x, 0) AS BIGINT) AS v
+             |  FROM nodes_$tag n
+             |  LEFT JOIN tconv tc ON tc.node = n.node
+             |  LEFT JOIN (
+             |    SELECT r.prev, CAST(sum(r.rate_ppb * v.v // 1000000000) AS BIGINT) AS x
+             |    FROM rates r JOIN $prev v ON v.node = r.next
+             |    GROUP BY 1) i ON i.prev = n.node
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""nodes_$tag(node) AS (VALUES ${nodesSql(removed)}),
+           |v_${tag}_0 AS (SELECT node, CAST(0 AS BIGINT) AS v FROM nodes_$tag),
+           |$chain,
+           |res_$tag AS MATERIALIZED (SELECT v FROM v_${tag}_$RemovalIters WHERE node = 'start')""".stripMargin
+      }
+      val scenarios = (scenario("base", None) +:
+        RemovalChannels.map(c => scenario(c, Some(c)))).mkString(",\n")
+      val effs = RemovalChannels.map(c =>
+        s"greatest((SELECT v FROM res_base) - (SELECT v FROM res_$c), 0)")
+      val finalRows = RemovalChannels.map { c =>
+        s"""SELECT '$c' AS channel,
+           |  (SELECT v FROM res_base) AS base_conv_e9,
+           |  (SELECT v FROM res_$c) AS removed_conv_e9,
+           |  (SELECT v FROM res_base) - (SELECT v FROM res_$c) AS effect_e9,
+           |  greatest((SELECT v FROM res_base) - (SELECT v FROM res_$c), 0) * 1000000
+           |    // (SELECT t FROM tot) AS credit_ppm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), firstp AS (
+         |  SELECT user_id, min(rn) AS prn FROM ranked
+         |  WHERE event_type = 'purchase' GROUP BY 1
+         |), kept AS (
+         |  SELECT r.user_id, r.rn,
+         |    CASE WHEN r.event_type = 'purchase' THEN 'conv' ELSE r.event_type END AS state
+         |  FROM ranked r LEFT JOIN firstp f USING (user_id)
+         |  WHERE f.prn IS NULL OR r.rn <= f.prn
+         |), seqp AS (
+         |  SELECT user_id, state,
+         |    lag(state) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rrn
+         |  FROM kept
+         |), pairs AS (
+         |  SELECT coalesce(prev, 'start') AS prev, state AS next FROM seqp
+         |  UNION ALL
+         |  SELECT state, 'null' FROM seqp WHERE rrn = 1 AND state <> 'conv'
+         |), tcounts AS (
+         |  SELECT prev, next, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+         |), rates AS MATERIALIZED (
+         |  SELECT prev, next,
+         |    CAST(n * 1000000000 // sum(n) OVER (PARTITION BY prev) AS BIGINT) AS rate_ppb
+         |  FROM tcounts
+         |), tconv AS MATERIALIZED (
+         |  SELECT prev AS node, rate_ppb AS conv_ppb FROM rates WHERE next = 'conv'
+         |),
+         |$scenarios,
+         |tot AS (SELECT greatest(${effs.mkString(" + ")}, 1) AS t)
+         |$finalRows""".stripMargin
+    },
     // Same baked e6 step/threshold literals, same (ts, event_id)
     // ordered walk, same first-crossing semantics.
     "q238_sprt_test" ->

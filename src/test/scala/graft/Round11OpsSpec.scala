@@ -613,6 +613,47 @@ class Round11OpsSpec extends SparkSpec {
     bloomE3 should be <= zoneE3
   }
 
+  // -- q240: Markov removal-effect attribution -------------------------------------
+
+  test("q240 matches the hand-solved two-journey chain") {
+    // User 1: view → purchase; user 2: view (ends in null). Matrix:
+    // start→view 1e9, view→conv 5e8, view→null 5e8 ⇒ P(conv|start) =
+    // 5e8. Removing 'view' kills the only path (0); removing any
+    // absent channel changes nothing — so view takes ALL the credit.
+    val dir = tmpDir("q240fix")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "view"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "purchase"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.EventAnalytics.q240RemovalEffect(spark, dir)
+      .orderBy("channel").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq("click", 500000000L, 500000000L, 0L, 0L),
+      Seq("error", 500000000L, 500000000L, 0L, 0L),
+      Seq("signup", 500000000L, 500000000L, 0L, 0L),
+      Seq("view", 500000000L, 0L, 500000000L, 1000000L))
+  }
+
+  test("q240 removal can only lose conversion probability at sf0.001") {
+    val rows = graft.queries.EventAnalytics.q240RemovalEffect(spark, sf)
+      .collect()
+    rows.length shouldBe 4
+    var creditSum = 0L
+    rows.foreach { r =>
+      val base = r.getLong(r.fieldIndex("base_conv_e9"))
+      val removed = r.getLong(r.fieldIndex("removed_conv_e9"))
+      base should be <= 1000000000L
+      // removing a state deletes non-negative path mass at every
+      // iteration step, so the inequality survives truncation
+      removed should be <= base
+      r.getLong(r.fieldIndex("effect_e9")) shouldBe base - removed
+      creditSum += r.getLong(r.fieldIndex("credit_ppm"))
+    }
+    creditSum should be <= 1000000L
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
