@@ -940,30 +940,34 @@ object EventAnalytics {
     val channels = RemovalChannels
     val tconv = trans.filter(col("next") === "conv")
       .select(col("prev").as("node"), col("rate_ppb").as("conv_ppb"))
-    def solve(removed: Option[String]): Long = {
-      val nodes = ("start" +: channels.filterNot(removed.contains)).toDF("node")
-      var v = nodes.select(col("node"), lit(0L).as("v"))
-      (1 to RemovalIters).foreach { _ =>
-        val inflow = trans
-          .join(v.select(col("node").as("next"), col("v")), "next")
-          .select(col("prev"), expr("rate_ppb * v div 1000000000").as("c"))
-          .groupBy("prev").agg(sum(col("c")).as("infl"))
-        v = nodes
-          .join(inflow.select(col("prev").as("node"), col("infl")), Seq("node"), "left")
-          .join(tconv, Seq("node"), "left")
-          .select(col("node"),
-            (coalesce(col("conv_ppb"), lit(0L)) + coalesce(col("infl"), lit(0L)))
-              .as("v"))
-          .localCheckpoint(true)
-      }
-      v.filter(col("node") === "start").head() match {
-        case r if r.isNullAt(1) => 0L
-        case r => r.getLong(1)
-      }
+    // ALL scenarios iterate together keyed by (scn, node): 10 stages
+    // total instead of 5 scenarios × 10 — same per-scenario recurrence
+    // (an edge contributes only when both endpoints are in the
+    // scenario's node set: next via the v join, prev via the spine)
+    val scenarios = "base" +: channels
+    val spine = scenarios.flatMap(scn =>
+      ("start" +: channels.filterNot(_ == scn)).map(n => (scn, n)))
+      .toDF("scn", "node")
+    var v = spine.withColumn("v", lit(0L))
+    (1 to RemovalIters).foreach { _ =>
+      val inflow = trans
+        .join(v.select(col("scn"), col("node").as("next"), col("v")), "next")
+        .select(col("scn"), col("prev"),
+          expr("rate_ppb * v div 1000000000").as("c"))
+        .groupBy("scn", "prev").agg(sum(col("c")).as("infl"))
+      v = spine
+        .join(inflow.select(col("scn"), col("prev").as("node"), col("infl")),
+          Seq("scn", "node"), "left")
+        .join(tconv, Seq("node"), "left")
+        .select(col("scn"), col("node"),
+          (coalesce(col("conv_ppb"), lit(0L)) + coalesce(col("infl"), lit(0L)))
+            .as("v"))
+        .localCheckpoint(true)
     }
-    val base = solve(None)
-    val rows = channels.map(c => (c, base, solve(Some(c))))
-    val eff = rows.map { case (c, b, r) => (c, b, r, b - r) }
+    val res = v.filter(col("node") === "start")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val base = res("base")
+    val eff = channels.map(c => (c, base, res(c), base - res(c)))
     val total = math.max(eff.map(_._4).map(math.max(_, 0L)).sum, 1L)
     eff.map { case (c, b, r, e) =>
       (c, b, r, e, math.max(e, 0L) * 1000000L / total)

@@ -846,6 +846,39 @@ class PlanQualitySpec extends SparkSpec {
     exchanges should not include "text"
   }
 
+  test("q238 SPRT walk and rank share one per-variant window pass") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q238_sprt_test")
+    // cum-sum and row_number differ in frame (two Window nodes) but
+    // both live INSIDE the cached walk's build lineage; above the
+    // cache boundary the consumers are pure aggregates — no window,
+    // no re-sort of the fact stream (count above the first
+    // InMemoryRelation: the q203 technique, stable whether or not an
+    // earlier suite already materialized the walk)
+    p should include("InMemoryTableScan")
+    p.substring(0, p.indexOf("InMemoryRelation"))
+      .linesIterator.count(_.contains("Window [")) shouldBe 0
+  }
+
+  test("q239 bloom audit: keyed equi-joins only, shared cached key relation") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q239_file_bloom_audit")
+    p should include("InMemoryTableScan") // (file, key) + bits + probes
+    p should include("Generate")          // zone buckets via sequence explode
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("q240 removal effect surfaces the driver-held credit rows") {
+    assume(haveData, s"$sfDir not present")
+    // every scenario's value iterations ran behind localCheckpoints at
+    // construction (q204's discipline); what surfaces is the
+    // |channels|-row attribution table
+    val p = plan("q240_removal_effect")
+    p should include("LocalTableScan")
+    p should not include "Join"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")
