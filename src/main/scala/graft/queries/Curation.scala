@@ -763,6 +763,38 @@ object Curation {
         e6Frac(col("n_shared"), col("n_a") + col("n_b") - col("n_shared")).as("jaccard_e6"))
   }
 
+  // -- q242: feed mirror-direction audit ---------------------------------
+
+  private val MirrorThresholdE6 = 900000L
+
+  /** MIRROR-DIRECTION AUDIT — q115's Jaccard says two feeds overlap;
+    * this says WHO mirrors WHOM: per overlapping source pair, the
+    * asymmetric containments shared/|A| and shared/|B| — a scraper
+    * feed sits almost entirely inside its origin (containment ≈ 1 one
+    * way, small the other) while two siblings of a common ancestor
+    * overlap symmetrically. The direction column names the verdict
+    * and is_mirror flags pairs where either side is ≥ 90% contained —
+    * the feed-level analog of q71's document containment, and the
+    * actionable column behind q205's keep/cut reading (cut the COPY,
+    * not the origin).
+    *
+    * Integer contract: containments are truncating e6 divisions of
+    * exact set sizes. Plan: rides q115's SharedCache'd gram relation
+    * verbatim — the audit is pure arithmetic over the |pairs|-row
+    * overlap matrix. */
+  val q242MirrorDirection: Q = (s, d) =>
+    q115SourceOverlap(s, d)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("n_shared * 1000000 div n_a").as("cont_a_e6"),
+        expr("n_shared * 1000000 div n_b").as("cont_b_e6"))
+      .withColumn("direction",
+        when(col("cont_a_e6") > col("cont_b_e6"), "a_in_b")
+          .when(col("cont_b_e6") > col("cont_a_e6"), "b_in_a")
+          .otherwise("balanced"))
+      .withColumn("is_mirror",
+        greatest(col("cont_a_e6"), col("cont_b_e6")) >= MirrorThresholdE6)
+
   // -- q205: per-source n-gram novelty curve ----------------------------
 
   /** NOVELTY CURVE — the marginal-value-of-each-feed report behind
@@ -1750,6 +1782,7 @@ object Curation {
 
   val defs: Map[String, Q] = Map(
     "q223_kmv_overlap" -> q223KmvOverlap,
+    "q242_mirror_direction" -> q242MirrorDirection,
     "q205_novelty_curve" -> q205NoveltyCurve,
     "q200_bpe_compression" -> q200BpeCompressionCurve,
     "q197_mix_diversity" -> q197MixDiversity,
@@ -2241,6 +2274,34 @@ object Curation {
          |  e.exact_jaccard_e6,
          |  abs(s.n_shared_k * 1000000 // s.k_used - e.exact_jaccard_e6) AS err_e6
          |FROM est s JOIN exact e USING (src_a, src_b)""".stripMargin,
+    // q115's matrix + truncating asymmetric containments and the
+    // direction/mirror verdicts.
+    "q242_mirror_direction" ->
+      s"""WITH $toksCte, sg AS (
+         |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh
+         |  FROM (SELECT source, unnest(list_distinct(${gramsSql(ContamN)})) AS g FROM toks)
+         |), sizes AS (
+         |  SELECT source, count(*) AS n FROM sg GROUP BY 1
+         |), inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |), m AS (
+         |  SELECT i.src_a, i.src_b,
+         |    CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |    CAST(i.n_shared AS BIGINT) AS n_shared,
+         |    CAST(i.n_shared AS BIGINT) * 1000000 // sa.n AS cont_a_e6,
+         |    CAST(i.n_shared AS BIGINT) * 1000000 // sb.n AS cont_b_e6
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.source = i.src_a
+         |  JOIN sizes sb ON sb.source = i.src_b
+         |)
+         |SELECT src_a, src_b, n_a, n_b, n_shared, cont_a_e6, cont_b_e6,
+         |  CASE WHEN cont_a_e6 > cont_b_e6 THEN 'a_in_b'
+         |       WHEN cont_b_e6 > cont_a_e6 THEN 'b_in_a'
+         |       ELSE 'balanced' END AS direction,
+         |  greatest(cont_a_e6, cont_b_e6) >= $MirrorThresholdE6 AS is_mirror
+         |FROM m""".stripMargin,
     "q115_source_overlap" ->
       s"""WITH $toksCte, sg AS (
          |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS gh

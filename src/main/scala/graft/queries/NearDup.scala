@@ -611,6 +611,76 @@ object NearDup {
         col("l1_e4"))
   }
 
+  // -- q241: IVF probe-count sweep ---------------------------------------
+
+  private val ProbeSweep = Seq(1, 2, 4)
+
+  /** PROBE-COUNT SWEEP — q237's config-selection discipline applied to
+    * the OTHER index family: q33 ships nprobe = 2, and this measures
+    * what each candidate probe count buys — per nprobe ∈ {1, 2, 4},
+    * recall of the probed top-5 against q23's brute-force truth AND
+    * the candidate volume scanned (the latency axis: candidates scale
+    * linearly with probes, recall saturates — the knee is the config
+    * decision). Candidate sets NEST by construction (a pair generated
+    * at probe rank r exists for every nprobe ≥ r), so ONE pair pass
+    * with the generating probe's rank attached serves every config:
+    * per-config filtering is a predicate, never a re-join.
+    *
+    * Determinism: q33's centroid argmax and (cos desc, id asc) top-5
+    * tiebreaks verbatim per config, mirrored by the oracle. Scale:
+    * q33's bounded-cell equi-join at the widest nprobe; the per-config
+    * legs are TopK folds over the shared pair relation. */
+  val q241ProbeSweep: Q = (s, d) => {
+    val e = quantized(s, d)
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val ranked = e.join(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("s2"), col("c_id"),
+        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
+      .withColumn("crank", row_number().over(w))
+    val assign = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("q"), col("s2"), col("c_id").as("cell"))
+    val maxProbe = ProbeSweep.max
+    val probes = ranked
+      .filter(col("vec_id") % 25 === 0 && col("crank") <= maxProbe)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("s2").as("qs2"),
+        col("c_id").as("cell"), col("crank").as("prank"))
+    // one pair pass at the widest nprobe; mincrank = the cheapest probe
+    // rank that would have generated the pair
+    val pairs = assign.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"),
+        // the cosine is a pure function of the pair, so grouping by it
+        // is a no-op on cardinality — it just rides along exactly
+        cosE6(dotL(col("q"), col("qq")), col("s2"), col("qs2")).as("cos_e6"))
+      .agg(min(col("prank")).as("mincrank"))
+      .transform(graft.ops.SharedCache.persist)
+    val truth = LlmPipeline.q23AnnBruteForce(s, d)
+      .select(col("q_id"), col("neighbor_id"))
+      .transform(graft.ops.SharedCache.persist)
+    val legs = ProbeSweep.map { p =>
+      val top = graft.functions.TopK.topKPerGroup(
+        pairs.filter(col("mincrank") <= p), "q_id", "neighbor_id", "cos_e6", 5)
+        .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val rec = truth.join(top, Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as(s"t_$p"),
+          sum(coalesce(col("hit"), lit(0L))).as(s"h_$p"))
+      val cand = pairs.filter(col("mincrank") <= p)
+        .agg(count(lit(1)).as(s"c_$p"))
+      rec.unionByName(cand, allowMissingColumns = true)
+    }
+    val maxCols = ProbeSweep.flatMap(p => Seq(
+      max(col(s"t_$p")).as(s"t_$p"), max(col(s"h_$p")).as(s"h_$p"),
+      max(col(s"c_$p")).as(s"c_$p")))
+    legs.reduce(_.unionByName(_, allowMissingColumns = true))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .selectExpr("stack(" + ProbeSweep.length + ", " +
+        ProbeSweep.map(p =>
+          s"${p}L, c_$p, t_$p, h_$p, h_$p * 1000000 div t_$p").mkString(", ") +
+        ") as (nprobe, n_candidates, n_exact, n_hit, recall_ppm)")
+  }
+
   // -- q191: IVF index-balance audit ----------------------------------
 
   /** IVF CELL-BALANCE AUDIT — the index-health report an ANN deploy
@@ -1617,6 +1687,7 @@ object NearDup {
     "q231_two_stage" -> q231TwoStageRetrieval,
     "q232_split_shift" -> q232SplitShift,
     "q235_weighted_jaccard" -> q235WeightedJaccard,
+    "q241_probe_sweep" -> q241ProbeSweep,
     "q194_cluster_agreement" -> q194ClusterAgreement,
     "q144_survivorship" -> q144Survivorship,
     "q125_blocked_linkage" -> q125BlockedLinkage,
@@ -2276,6 +2347,72 @@ object NearDup {
          |  CAST(max(err) AS BIGINT) AS max_err_e4,
          |  range_e4 // 255 + 1 AS bound_e4
          |FROM errs GROUP BY 1, 2, 3, 4""".stripMargin,
+    // q219's IVF and truth chains with the generating probe rank
+    // attached to each pair; per-config legs are predicates over the
+    // shared pair relation, same tiebreaks.
+    "q241_probe_sweep" -> {
+      val maxProbe = ProbeSweep.max
+      val rows = ProbeSweep.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS nprobe,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs WHERE mincrank <= $p) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM btop) AS n_exact,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM btop b JOIN top$p i
+           |     ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id) AS n_hit,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM btop b JOIN top$p i
+           |     ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id) * 1000000
+           |    // (SELECT count(*) FROM btop) AS recall_ppm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val topCtes = ProbeSweep.map { p =>
+        s"""top$p AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+           |    FROM pairs WHERE mincrank <= $p
+           |  ) WHERE rank <= 5
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $quantCte, cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, s2 AS cs2 FROM ev WHERE vec_id < $IvfCells
+         |), cell_scores AS (
+         |  SELECT e.vec_id, e.q, e.s2, c.c_id,
+         |    ${cosSql(dotSql("e.q", "c.cq"), "e.s2", "c.cs2")} AS c_cos
+         |  FROM ev e CROSS JOIN cents c
+         |), iranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS crank
+         |  FROM cell_scores
+         |), iassign AS (
+         |  SELECT vec_id, q, s2, c_id AS cell FROM iranked WHERE crank = 1
+         |), iprobes AS (
+         |  SELECT vec_id AS q_id, q AS qq, s2 AS qs2, c_id AS cell, crank AS prank
+         |  FROM iranked WHERE vec_id % 25 = 0 AND crank <= $maxProbe
+         |), pairs AS MATERIALIZED (
+         |  SELECT p.q_id, a.vec_id AS neighbor_id,
+         |    ${cosSql(dotSql("a.q", "p.qq"), "a.s2", "p.qs2")} AS cos_e6,
+         |    CAST(min(p.prank) AS BIGINT) AS mincrank
+         |  FROM iassign a JOIN iprobes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |  GROUP BY 1, 2, 3
+         |), bpairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |         a.q AS qa, b.q AS qb, a.s2 AS sa, b.s2 AS sb
+         |  FROM ev a JOIN ev b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 25 = 0
+         |), bdots AS (
+         |  SELECT q_id, neighbor_id, CAST(sum(qa[u.i] * qb[u.i]) AS BIGINT) AS dot
+         |  FROM bpairs, LATERAL unnest(generate_series(1, len(qa))) u(i)
+         |  GROUP BY 1, 2
+         |), bscored AS (
+         |  SELECT p.q_id, p.neighbor_id,
+         |    CAST(round(1e6 * CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(p.sa AS DOUBLE)) * sqrt(CAST(p.sb AS DOUBLE))), 0) AS BIGINT) AS cos_e6
+         |  FROM bpairs p JOIN bdots d ON p.q_id = d.q_id AND p.neighbor_id = d.neighbor_id
+         |), btop AS MATERIALIZED (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, neighbor_id) AS rank
+         |    FROM bscored
+         |  ) WHERE rank <= 5
+         |), $topCtes
+         |$rows""".stripMargin
+    },
     // Bands come verbatim from q21's minhash CTEs; the truth side is
     // q39's prefix-filter restatement built off the same exh relation
     // (h1 IS q39's 48-bit shingle hash); the analytic column is the

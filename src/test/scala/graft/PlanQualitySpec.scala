@@ -33,7 +33,10 @@ class PlanQualitySpec extends SparkSpec {
       "q219_ivf_recall",
       // q231 rebuilds q33's bounded K=16 centroid-assignment join AND
       // consumes the q23 baseline — both existing allowances
-      "q231_two_stage")
+      "q231_two_stage",
+      // q241 sweeps q33's probe count — same bounded centroid join,
+      // same q23 baseline consumption
+      "q241_probe_sweep")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")
@@ -877,6 +880,20 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q240_removal_effect")
     p should include("LocalTableScan")
     p should not include "Join"
+  }
+
+  test("q241 probe sweep: one shared pair pass feeds all configs via TopK") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q241_probe_sweep")
+    p should include("ObjectHashAggregate") // per-config top-5 folds
+    p should include("InMemoryTableScan")   // the shared rank-attached pairs
+  }
+
+  test("q242 mirror audit is arithmetic over the cached q115 matrix") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q242_mirror_direction")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
   }
 
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {

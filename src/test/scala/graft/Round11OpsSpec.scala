@@ -654,6 +654,64 @@ class Round11OpsSpec extends SparkSpec {
     creditSum should be <= 1000000L
   }
 
+  // -- q241: IVF probe-count sweep -----------------------------------------------
+
+  test("q241 candidates and recall are monotone in nprobe; nprobe=2 matches q219") {
+    val rows = graft.queries.NearDup.q241ProbeSweep(spark, sf)
+      .orderBy("nprobe").collect()
+    rows.length shouldBe 3
+    rows.map(_.getLong(2)).distinct.length shouldBe 1 // one truth set
+    // candidate sets nest: every pair at probe rank r exists for p >= r
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      hi.getLong(1) should be >= lo.getLong(1)
+      hi.getLong(3) should be >= lo.getLong(3)
+    }
+    rows.foreach { r =>
+      r.getLong(4) shouldBe r.getLong(3) * 1000000L / r.getLong(2)
+    }
+    // the shipped nprobe=2 row IS q219's audit
+    val q219 = graft.queries.NearDup.q219IvfRecall(spark, sf).collect().head
+    val shipped = rows.find(_.getLong(0) == 2L).get
+    shipped.getLong(3) shouldBe q219.getLong(q219.fieldIndex("n_ivf_hit"))
+    shipped.getLong(2) shouldBe q219.getLong(q219.fieldIndex("n_exact"))
+  }
+
+  // -- q242: feed mirror-direction audit --------------------------------------------
+
+  test("q242 names the direction on a hand-built scraper fixture") {
+    // Source b is a strict subset of a's grams (one 5-token doc inside
+    // a 6-token doc): shared = 1 = |B| → cont_b = 1e6 (b_in_a verdict
+    // means B's content is inside A... direction tracks the LARGER
+    // containment side), is_mirror true. |A| = 2 grams → cont_a 500000.
+    val dir = tmpDir("q242fix")
+    Seq(
+      (1L, "t1 t2 t3 t4 t5 t6", "a"),
+      (2L, "t1 t2 t3 t4 t5", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Curation.q242MirrorDirection(spark, dir).collect()
+    rows.length shouldBe 1
+    rows.head.toSeq shouldBe
+      Seq("a", "b", 2L, 1L, 1L, 500000L, 1000000L, "b_in_a", true)
+  }
+
+  test("q242 covers the q115 matrix with consistent verdicts at sf0.001") {
+    val rows = graft.queries.Curation.q242MirrorDirection(spark, sf).collect()
+    rows.length.toLong shouldBe
+      graft.queries.Curation.q115SourceOverlap(spark, sf).count()
+    rows.foreach { r =>
+      val ca = r.getLong(r.fieldIndex("cont_a_e6"))
+      val cb = r.getLong(r.fieldIndex("cont_b_e6"))
+      ca shouldBe r.getLong(4) * 1000000L / r.getLong(2)
+      cb shouldBe r.getLong(4) * 1000000L / r.getLong(3)
+      val expected =
+        if (ca > cb) "a_in_b" else if (cb > ca) "b_in_a" else "balanced"
+      r.getString(r.fieldIndex("direction")) shouldBe expected
+      r.getBoolean(r.fieldIndex("is_mirror")) shouldBe
+        (math.max(ca, cb) >= 900000L)
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
