@@ -971,6 +971,45 @@ object Curation {
       .filter(col("gap_e3") > 0)
   }
 
+  // -- q243: soft-dedup loss weights -----------------------------------
+
+  /** SOFT DEDUP — the alternative to DROPPING near-duplicates that
+    * modern data recipes increasingly prefer: keep every document but
+    * weight its training loss by 1/|dup cluster|, so each piece of
+    * underlying content contributes exactly once in expectation while
+    * no variant's unique phrasing is lost. Per source: raw doc/token
+    * counts next to the soft-deduped effective masses (Σ 1e6/|cluster|
+    * in ppm — a byte-identical pair contributes 2 × 500000 = one
+    * document) — the columns a loss-weighting data loader reads, and
+    * the number that reconciles with q183's hard-dedup yield (effective
+    * docs = clusters + singletons, by construction).
+    *
+    * Exact integers: weight_ppm = 1e6 div size (truncating — a
+    * 3-cluster weighs 3 × 333333 = 999999 ppm, the documented ulp);
+    * token masses multiply BEFORE the div-weight product is summed.
+    * Plan: q55's clustering + one window over its |clustered docs|
+    * rows, a doc-keyed left join onto the narrow (doc, source, tokens)
+    * projection, ONE map-combined source rollup — text never shuffles. */
+  val q243SoftDedupWeights: Q = (s, d) => {
+    val sizes = graft.queries.Graph.q55DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("csize"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(sizes, Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .withColumn("w_ppm", expr("1000000 div csize"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("w_ppm")).as("eff_docs_ppm"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_tokens") * col("w_ppm")).as("eff_tokens_ppm"))
+  }
+
   // -- q218: greedy quality-knapsack source mix ---------------------------
 
   /** Budget share: keep the best half of the corpus by tokens. */
@@ -1783,6 +1822,7 @@ object Curation {
   val defs: Map[String, Q] = Map(
     "q223_kmv_overlap" -> q223KmvOverlap,
     "q242_mirror_direction" -> q242MirrorDirection,
+    "q243_soft_dedup_weights" -> q243SoftDedupWeights,
     "q205_novelty_curve" -> q205NoveltyCurve,
     "q200_bpe_compression" -> q200BpeCompressionCurve,
     "q197_mix_diversity" -> q197MixDiversity,
@@ -2163,6 +2203,40 @@ object Curation {
          |FROM r""".stripMargin,
     // q55's closure (LlmPipeline's shared pair CTEs) + q113's margin,
     // extremes via the two rank windows matching the struct order.
+    // q55's recursive closure + the same 1e6 div size weights and
+    // source rollup (singletons weigh 1e6 via the left-join coalesce).
+    "q243_soft_dedup_weights" ->
+      s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
+         |  ${LlmPipeline.minhashPairSelect}
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), walk AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, w.lbl FROM walk w
+         |  JOIN edges e ON e.src = w.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+         |), sz AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+         |  FROM comp
+         |), tokc AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), j AS (
+         |  SELECT t.source, t.n_tokens, coalesce(s.csize, 1) AS csize
+         |  FROM tokc t LEFT JOIN sz s USING (doc_id)
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_tokens * (1000000 // csize)) AS BIGINT) AS eff_tokens_ppm
+         |FROM j GROUP BY 1""".stripMargin,
     "q216_preference_pairs" ->
       s"""WITH RECURSIVE ${LlmPipeline.minhashPairCtes}, pairs AS (
          |  ${LlmPipeline.minhashPairSelect}

@@ -812,11 +812,11 @@ object EventAnalytics {
     * computed on the driver and baked as the SAME literals into the
     * Spark plan and the oracle SQL — the q131 Benford convention: no
     * runtime libm on either engine. */
-  private val SprtStepHit =
+  private[graft] val SprtStepHit =
     math.round(1e6 * math.log(SprtP1 / SprtP0))
-  private val SprtStepMiss =
+  private[graft] val SprtStepMiss =
     math.round(1e6 * math.log((1 - SprtP1) / (1 - SprtP0)))
-  private val SprtThreshold = math.round(1e6 * math.log(0.95 / 0.05))
+  private[graft] val SprtThreshold = math.round(1e6 * math.log(0.95 / 0.05))
 
   /** SEQUENTIAL PROBABILITY RATIO TEST — the experiment readout q133's
     * fixed-horizon z-test can't give: Wald's SPRT walks the cumulative

@@ -896,6 +896,14 @@ class PlanQualitySpec extends SparkSpec {
     exchanges should not include "text"
   }
 
+  test("q243 soft weights: doc-keyed join, text never shuffles") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q243_soft_dedup_weights")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    exchanges should not include "text"
+    p should not include "Expand"
+  }
+
   test("q85 edit-distance dedup joins neighborhood keys, never all pairs") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q85_edit_distance_dedup")

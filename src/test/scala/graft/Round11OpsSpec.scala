@@ -712,6 +712,41 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q243: soft-dedup loss weights ------------------------------------------------
+
+  test("q243 weighs a byte-identical pair to one effective document") {
+    val dir = tmpDir("q243fix")
+    Seq(
+      (1L, "w1 w2 w3 w4 w5", "a"), (2L, "w1 w2 w3 w4 w5", "a"),
+      (3L, "u1 u2 u3 u4", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Curation.q243SoftDedupWeights(spark, dir)
+      .orderBy("source").collect()
+    rows.map(_.toSeq) shouldBe Array(
+      Seq("a", 2L, 2L, 1000000L, 10L, 5000000L),
+      Seq("b", 1L, 0L, 1000000L, 4L, 4000000L))
+  }
+
+  test("q243 effective mass reconciles with the cluster count at sf0.001") {
+    val rows = graft.queries.Curation.q243SoftDedupWeights(spark, sf)
+      .collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    val effSum = rows.map(_.getLong(3)).sum
+    val clustered = graft.queries.Graph.q55DupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+    val nClusters = clustered.map(_.getLong(1)).distinct.length.toLong
+    val singletons = nDocs - clustered.length
+    // Σ 1e6 div size over a cluster's members = 1e6 minus a <size ulp
+    val ideal = (nClusters + singletons) * 1000000L
+    effSum should be <= ideal
+    effSum should be > ideal - nDocs
+    rows.foreach { r =>
+      r.getLong(2) should be <= r.getLong(1)
+      r.getLong(3) should be <= r.getLong(1) * 1000000L
+    }
+  }
+
   // -- q223: KMV sketch-estimated source overlap ----------------------------
 
   test("q223 equals exact Jaccard (up to floor-vs-round) on a sub-k fixture") {
