@@ -1352,8 +1352,20 @@ object Analytics {
     * over the global uniformity assumption under this key's skew.
     *
     * Integer contract: per-bucket est n_b² div d_b and naive N² div D
-    * are truncating integer ops (n ≤ 2^20 here, n² < 2^40 — exact in
-    * BIGINT); errors in ppm against the exact leg, zero-guarded.
+    * are truncating integer ops, computed via the EXACT pre-divided
+    * decomposition (r11 advice — the naive n*n product overflows
+    * BIGINT at n > ~3.0e9 rows, i.e. exactly the 100 TB regime this
+    * statistic is framed for): with q = n div d, r = n mod d,
+    *   n² div d = q²·d + 2·q·r + (r² div d)
+    * identically (n² = q²d² + 2qrd + r², and only the r² term is
+    * truncated by d). Largest intermediate is max(q²·d, r²) ≤
+    * max(result, d²) — overflow now requires the RESULT to exceed
+    * int64 (an unavoidable contract ceiling) or d > ~3.0e9 DISTINCT
+    * keys in one bucket, ~3e9× the 2^20-key test corpus and a regime
+    * where est ≈ n anyway. Errors in ppm against the exact leg,
+    * zero-guarded. The DuckDB oracle keeps the textbook n*n // d
+    * form — the decomposition is value-identical, so the gate pins
+    * the equality.
     *
     * Plan: ONE map-combined (bucket, key) count — the same shuffle
     * the exact leg needs anyway, SharedCache'd — then two constant-
@@ -1370,7 +1382,9 @@ object Analytics {
       .transform(graft.ops.SharedCache.persist)
     val est = perKey
       .groupBy("b").agg(sum(col("f")).as("n_b"), count(lit(1)).as("d_b"))
-      .agg(sum(expr("n_b * n_b div d_b")).as("est_hist"),
+      .agg(sum(expr(
+          "(n_b div d_b) * (n_b div d_b) * d_b + 2 * (n_b div d_b) * (n_b % d_b)" +
+            " + (n_b % d_b) * (n_b % d_b) div d_b")).as("est_hist"),
         sum(col("n_b")).as("n_rows"), sum(col("d_b")).as("n_keys"))
     val exact = perKey.agg(sum(col("f") * col("f")).as("exact_card"))
     // join-free scalar combine (the q221 pattern): a literal-key join
@@ -1379,12 +1393,15 @@ object Analytics {
       .agg(max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
         max(col("est_hist")).as("est_hist"),
         max(col("exact_card")).as("exact_card"))
-      .select(col("n_rows"), col("n_keys"),
-        expr("n_rows * n_rows div n_keys").as("est_uniform"),
+      .withColumn("est_uniform", expr(
+        "(n_rows div n_keys) * (n_rows div n_keys) * n_keys" +
+          " + 2 * (n_rows div n_keys) * (n_rows % n_keys)" +
+          " + (n_rows % n_keys) * (n_rows % n_keys) div n_keys"))
+      .select(col("n_rows"), col("n_keys"), col("est_uniform"),
         col("est_hist"), col("exact_card"),
         expr("abs(est_hist - exact_card) * 1000000 div greatest(exact_card, 1)")
           .as("hist_err_ppm"),
-        expr("abs(n_rows * n_rows div n_keys - exact_card) * 1000000 div greatest(exact_card, 1)")
+        expr("abs(est_uniform - exact_card) * 1000000 div greatest(exact_card, 1)")
           .as("uniform_err_ppm"))
   }
 

@@ -962,6 +962,14 @@ object EventAnalytics {
         .select(col("scn"), col("node"),
           (coalesce(col("conv_ppb"), lit(0L)) + coalesce(col("infl"), lit(0L)))
             .as("v"))
+        // X146 policy note — declared BOUNDED-ITERATION EXEMPTION from
+        // Checkpoints.ensureDurable: this is the one loop off the
+        // durable helper, legitimately — the value relation is
+        // |scenarios|×|nodes| ≈ 30 rows at ANY corpus size (channel
+        // domain, not data volume) and RemovalIters is a compile-time
+        // constant ≪ the ~18-round lineage blowup threshold, so the
+        // eager in-memory cut is the whole job; data-dependent loops
+        // (CC, k-core, BFS) stay on the durable fallback.
         .localCheckpoint(true)
     }
     val res = v.filter(col("node") === "start")

@@ -213,6 +213,19 @@ object NearDup {
       .filter(col("jaccard_e6") >= JaccardThresholdE6)
   }
 
+  /** q39's exact-truth pair relation, SharedCache'd (r11 verdict
+    * item 3): the calibration family — q146 recall, q225 S-curve,
+    * q226 threshold sweep, q235 weighted-Jaccard, q194 cluster
+    * agreement, q237's banding sweep — each consume this truth, and
+    * before this entry every one re-ran the PPJoin verification
+    * (~2 s/query in shared mode). The relation is dup-PAIR-sized
+    * (five longs per qualifying pair), orders of magnitude below the
+    * shingle-set cache it derives from, so registering it is strictly
+    * cheaper than one recompute. Isolate mode still releases it
+    * between queries, keeping per-query attribution honest. */
+  private[graft] def q39Truth(s: SparkSession, d: String): DataFrame =
+    q39DedupNgramJaccard(s, d).transform(graft.ops.SharedCache.persist)
+
   // -- q71: exact containment dedup (excerpt/quote detection) --------
 
   private val ContainThresholdE6 = 900000L // t = 0.9
@@ -378,7 +391,13 @@ object NearDup {
         when(col("dx2") > 0, expr(s"dy2 * 1000 div (${JlDims}L * dx2)")))
     pairs.agg(count(lit(1)).as("n_pairs"),
         sum(when(col("dx2") === 0, 1L).otherwise(0L)).as("n_degenerate"),
-        expr("sum(ratio_e3) div count(ratio_e3)").as("mean_ratio_e3"),
+        // greatest(...,1) guard (r11 advice): on an all-degenerate
+        // corpus (every dx2 = 0) the unguarded count is 0 — Spark's
+        // div yields NULL but DuckDB's // raises, an engine-behavior
+        // divergence on the empty edge. Guarded, both sides agree on
+        // NULL (sum is NULL, NULL div 1 = NULL in both engines).
+        expr("sum(ratio_e3) div greatest(count(ratio_e3), 1)")
+          .as("mean_ratio_e3"),
         min(col("ratio_e3")).as("min_ratio_e3"),
         max(col("ratio_e3")).as("max_ratio_e3"),
         count(when(abs(col("ratio_e3") - 1000) <= 300, 1)).as("n_within30"))
@@ -552,10 +571,17 @@ object NearDup {
         max(col("n_reranked")).as("n_reranked"))
       .select(col("n_exact"), col("n_ivf_hit"), col("n_two_stage_hit"),
         col("n_candidates"), col("n_reranked"),
-        expr("n_ivf_hit * 1000000 div n_exact").as("ivf_recall_ppm"),
-        expr("n_two_stage_hit * 1000000 div n_exact").as("two_stage_recall_ppm"),
-        (expr("n_ivf_hit * 1000000 div n_exact") -
-          expr("n_two_stage_hit * 1000000 div n_exact")).as("prune_loss_ppm"))
+        // greatest(n_exact, 1) guard (r11 advice): a corpus with no
+        // brute-force truth edges made Spark's div return NULL while
+        // DuckDB's // errored; guarded, both report 0 recall — the
+        // same guard style as n_candidates ratios in this select list
+        expr("n_ivf_hit * 1000000 div greatest(n_exact, 1)")
+          .as("ivf_recall_ppm"),
+        expr("n_two_stage_hit * 1000000 div greatest(n_exact, 1)")
+          .as("two_stage_recall_ppm"),
+        (expr("n_ivf_hit * 1000000 div greatest(n_exact, 1)") -
+          expr("n_two_stage_hit * 1000000 div greatest(n_exact, 1)"))
+          .as("prune_loss_ppm"))
   }
 
   // -- q232: split semantic-shift audit ---------------------------------
@@ -677,7 +703,8 @@ object NearDup {
       .agg(maxCols.head, maxCols.tail: _*)
       .selectExpr("stack(" + ProbeSweep.length + ", " +
         ProbeSweep.map(p =>
-          s"${p}L, c_$p, t_$p, h_$p, h_$p * 1000000 div t_$p").mkString(", ") +
+          s"${p}L, c_$p, t_$p, h_$p, h_$p * 1000000 div greatest(t_$p, 1)")
+          .mkString(", ") +
         ") as (nprobe, n_candidates, n_exact, n_hit, recall_ppm)")
   }
 
@@ -1370,7 +1397,7 @@ object NearDup {
     * left join and collapse to one row — audit cost is dominated by
     * the operators being audited, as it should be. */
   val q146LshRecall: Q = (s, d) => {
-    val exact = q39DedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val exact = q39Truth(s, d).select(col("doc_a"), col("doc_b"))
     val lsh = LlmPipeline.q21DedupMinhashLsh(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     exact.join(lsh, Seq("doc_a", "doc_b"), "left")
@@ -1410,7 +1437,7 @@ object NearDup {
         LlmPipeline.hashedShingles(Tables.documents(s, d)))
       .select(col("doc_id"), LlmPipeline.bandSigArray.as("bands"))
       .transform(graft.ops.SharedCache.persist)
-    val truth = q39DedupNgramJaccard(s, d)
+    val truth = q39Truth(s, d)
       .select(col("doc_a"), col("doc_b"), col("jaccard_e6"))
     truth
       .join(sig.select(col("doc_id").as("doc_a"), col("bands").as("bands_a")),
@@ -1456,7 +1483,7 @@ object NearDup {
     * for token masses, then a constant 11-row stack unpivot. Nothing
     * scales with the threshold count except literal width. */
   val q226ThresholdSweep: Q = (s, d) => {
-    val pairs = q39DedupNgramJaccard(s, d)
+    val pairs = q39Truth(s, d)
       .select(col("doc_a"), col("doc_b"), expr("jaccard_e6 div 50000").as("bin"))
       .transform(graft.ops.SharedCache.persist)
     val pairCols = (10 to 20).map(b => count(when(col("bin") >= b, 1)).as(s"p$b"))
@@ -1508,7 +1535,7 @@ object NearDup {
     * (doc_b, hash) — fan-out bounded by per-doc vocabulary, pairs are
     * the dup set, never the corpus. */
   val q235WeightedJaccard: Q = (s, d) => {
-    val pairs = q39DedupNgramJaccard(s, d)
+    val pairs = q39Truth(s, d)
       .select(col("doc_a"), col("doc_b"), col("jaccard_e6"))
       .transform(graft.ops.SharedCache.persist)
     val counts = Tables.documents(s, d)
@@ -1586,7 +1613,7 @@ object NearDup {
     val lshLbl = Graph.q55DupClusters(s, d)
       .select(col("doc_id"), col("cluster_id").as("ca"))
     val exLbl = Graph.connectedComponents(
-        q39DedupNgramJaccard(s, d)
+        q39Truth(s, d)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("id").as("doc_id"), col("lbl").as("cb"))
     val cells = lshLbl.join(exLbl, Seq("doc_id"), "full_outer")
@@ -2056,10 +2083,10 @@ object NearDup {
          |), ns AS (SELECT CAST(count(*) AS BIGINT) AS n_reranked FROM surv)
          |SELECT a.n_exact, a.n_ivf_hit, a.n_two_stage_hit,
          |  nc.n_candidates, ns.n_reranked,
-         |  a.n_ivf_hit * 1000000 // a.n_exact AS ivf_recall_ppm,
-         |  a.n_two_stage_hit * 1000000 // a.n_exact AS two_stage_recall_ppm,
-         |  a.n_ivf_hit * 1000000 // a.n_exact
-         |    - a.n_two_stage_hit * 1000000 // a.n_exact AS prune_loss_ppm
+         |  a.n_ivf_hit * 1000000 // greatest(a.n_exact, 1) AS ivf_recall_ppm,
+         |  a.n_two_stage_hit * 1000000 // greatest(a.n_exact, 1) AS two_stage_recall_ppm,
+         |  a.n_ivf_hit * 1000000 // greatest(a.n_exact, 1)
+         |    - a.n_two_stage_hit * 1000000 // greatest(a.n_exact, 1) AS prune_loss_ppm
          |FROM agg a, nc, ns""".stripMargin
     },
     // Same e4 cells, same sign-decomposed truncating centroid means,
@@ -2315,7 +2342,7 @@ object NearDup {
          |)
          |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(sum(CASE WHEN dx2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
-         |  CAST(sum(ratio_e3) // count(ratio_e3) AS BIGINT) AS mean_ratio_e3,
+         |  CAST(sum(ratio_e3) // greatest(count(ratio_e3), 1) AS BIGINT) AS mean_ratio_e3,
          |  CAST(min(ratio_e3) AS BIGINT) AS min_ratio_e3,
          |  CAST(max(ratio_e3) AS BIGINT) AS max_ratio_e3,
          |  CAST(count(CASE WHEN abs(ratio_e3 - 1000) <= 300 THEN 1 END) AS BIGINT) AS n_within30,
@@ -2360,7 +2387,7 @@ object NearDup {
            |     ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id) AS n_hit,
            |  (SELECT CAST(count(*) AS BIGINT) FROM btop b JOIN top$p i
            |     ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id) * 1000000
-           |    // (SELECT count(*) FROM btop) AS recall_ppm""".stripMargin
+           |    // greatest((SELECT count(*) FROM btop), 1) AS recall_ppm""".stripMargin
       }.mkString("\nUNION ALL\n")
       val topCtes = ProbeSweep.map { p =>
         s"""top$p AS (

@@ -1287,7 +1287,11 @@ object Profiling {
   // -- q221: Bloom-filter decontamination precheck -----------------------
 
   private val BloomBits = 65536L // m — the WHOLE filter is one 8 KiB bitset
-  private val BloomHashes = 4    // k
+  /** k — exposed to [[graft.streaming.StreamingBloom]] so the probe's
+    * all-k-bits-present test can never disagree with the filter on the
+    * hash count (r11 advice: a hardcoded 4 in the twin would silently
+    * void the no-false-negative guarantee if k ever changed here). */
+  private[graft] val BloomHashes = 4
 
   /** BLOOM-FILTER MEMBERSHIP SKETCH — the fourth from-first-principles
     * sketch, completing the family: q129's HLL answers "how many
@@ -1412,20 +1416,31 @@ object Profiling {
     * longs per partition); everything downstream is windows over a
     * 16-row relation. The exact leg is one (token → count → Σn²)
     * two-level aggregate. */
-  val q222AmsF2: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val toks = cmsTokens(Tables.documents(s, d))
-      .transform(graft.ops.SharedCache.persist)
+  /** The 16 tug-of-war counter partials (i, x) of a token batch —
+    * X_i = Σ_t s_i(t) over the batch's tokens. Shared verbatim with
+    * [[graft.streaming.StreamingAmsF2]]: counters merge by `+`, so
+    * the twin's chunk-fold is bit-equal to these partials over the
+    * same rows and the q222 oracle transitively gates the streaming
+    * F2 estimates. */
+  private[graft] def amsCounterPartials(toks: DataFrame): DataFrame = {
     val sign = (i: Int) =>
       (conv(substring(md5(concat(lit(s"ams$i|"), col("t"))), 1, 12), 16, 10)
         .cast("long") % 2) * 2 - 1
-    val ests = toks
+    toks
       .select(explode(array((0 until AmsEstimators).map(i =>
-        struct(lit(i).as("i"), sign(i).as("sg"))): _*)).as("e"))
+        struct(lit(i.toLong).as("i"), sign(i).as("sg"))): _*)).as("e"))
       .groupBy(col("e.i").as("i"))
       .agg(sum(col("e.sg")).as("x"))
-      .withColumn("est", col("x") * col("x"))
-      .transform(graft.ops.SharedCache.persist)
+  }
+
+  /** The q222 estimate tail over a 16-counter relation (i, x):
+    * median-of-4-means of X², plus the min/max estimator spread —
+    * shared with [[graft.streaming.StreamingAmsF2.estimateF2]] so the
+    * streaming answer is the batch arithmetic over the maintained
+    * counters. */
+  private[graft] def amsEstimate(counters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ests = counters.withColumn("est", col("x") * col("x"))
     val means = ests
       .groupBy(expr(s"i div ${AmsEstimators / AmsGroups}").as("g"))
       .agg(expr(s"sum(est) div ${AmsEstimators / AmsGroups}").as("mean_est"))
@@ -1435,13 +1450,25 @@ object Profiling {
       .agg(expr("sum(mean_est) div 2").as("est_f2"))
     val spread = ests
       .agg(min(col("est")).as("est_min"), max(col("est")).as("est_max"))
+    medianOfMeans
+      .unionByName(spread, allowMissingColumns = true)
+      .agg(max(col("est_f2")).as("est_f2"),
+        max(col("est_min")).as("est_min"), max(col("est_max")).as("est_max"))
+  }
+
+  val q222AmsF2: Q = (s, d) => {
+    val toks = cmsTokens(Tables.documents(s, d))
+      .transform(graft.ops.SharedCache.persist)
+    // the estimate tail rides the SHARED helper (amsEstimate) so the
+    // streaming twin's answer is this exact code path
+    val estRow = amsEstimate(
+      amsCounterPartials(toks).transform(graft.ops.SharedCache.persist))
     val exact = toks.groupBy("t").agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("true_f2"))
     // join-free scalar combine (see q221): union the 1-row legs and
     // max-fold — a literal-key join would plan as a nested loop
     exact
-      .unionByName(medianOfMeans, allowMissingColumns = true)
-      .unionByName(spread, allowMissingColumns = true)
+      .unionByName(estRow, allowMissingColumns = true)
       .agg(max(col("true_f2")).as("true_f2"), max(col("est_f2")).as("est_f2"),
         max(col("est_min")).as("est_min"), max(col("est_max")).as("est_max"))
       .select(col("true_f2"), col("est_f2"),

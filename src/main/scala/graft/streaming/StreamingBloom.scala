@@ -95,7 +95,12 @@ object StreamingBloom {
       .join(broadcast(bits(spark, stateDir).withColumn("present", lit(1L))),
         Seq("bit"), "left")
       .groupBy("t")
-      .agg((sum(coalesce(col("present"), lit(0L))) === 4L).as("hit"))
+      // k comes from the SAME constant that generated the bit
+      // coordinates (Profiling.BloomHashes) — a hardcoded literal here
+      // could drift from bloomBitArr's k and silently turn every probe
+      // into a miss, voiding the no-false-negative guarantee
+      .agg((sum(coalesce(col("present"), lit(0L)))
+        === lit(graft.queries.Profiling.BloomHashes.toLong)).as("hit"))
       .select(col("t").as("token"), col("hit"))
   }
 }
