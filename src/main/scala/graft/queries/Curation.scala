@@ -740,13 +740,20 @@ object Curation {
   /** Distinct (source, 48-bit 5-gram hash) pairs — text collapses to
     * hashes at the scan; SharedCache'd, shared by q115 (overlap
     * matrix) and q205 (novelty curve). */
-  private def sourceGrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** The distinct (source, gram-hash) rows of a document batch —
+    * shared verbatim with [[graft.streaming.StreamingKmv]] so the
+    * maintained sketch hashes are the batch hashes and the q223
+    * oracle transitively gates the streaming overlap estimates. */
+  private[graft] def sourceGramRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(array_distinct(
         ngrams(tokens(col("text")), ContamN))).as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("gh"))
       .distinct()
+
+  private def sourceGrams(s: SparkSession, d: String): DataFrame =
+    sourceGramRows(Tables.documents(s, d))
       .transform(graft.ops.SharedCache.persist)
 
   val q115SourceOverlap: Q = (s, d) => {
@@ -836,6 +843,45 @@ object Curation {
 
   private val KmvSketchK = 64
 
+  /** Per-source bottom-k sketch of a (source, gh) relation — the k
+    * smallest distinct gram hashes, via the map-side TopK aggregator
+    * on negated hashes. Shared verbatim with
+    * [[graft.streaming.StreamingKmv]]: bottom-k of a union equals
+    * bottom-k of the merged bottom-k's (the KMV mergeable property),
+    * so the twin's chunk-fold lands on this exact sketch. */
+  private[graft] def kmvBottomK(grams: DataFrame): DataFrame =
+    graft.functions.TopK
+      .topKPerGroup(grams.withColumn("neg", -col("gh")),
+        "source", "gh", "neg", KmvSketchK)
+      .select(col("source"), col("gh"))
+
+  /** Broder/Beyer bottom-k Jaccard estimate for the given (src_a,
+    * src_b) pairs from a per-source sketch relation: K = the k
+    * smallest hashes of the union of the two sketches, est =
+    * |K ∩ A ∩ B|·1e6 div |K|. Shared verbatim between q223's estimate
+    * leg and [[graft.streaming.StreamingKmv.overlapEstimate]]. */
+  private[graft] def kmvPairEstimate(sk: DataFrame, pairs: DataFrame): DataFrame = {
+    val legA = pairs
+      .join(sk.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("gh"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val legB = pairs
+      .join(sk.withColumnRenamed("source", "src_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("gh"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    legA.unionByName(legB)
+      .groupBy("src_a", "src_b", "gh")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("gh")))
+      .filter(col("rn") <= KmvSketchK)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_shared_k"))
+      .withColumn("est_jaccard_e6", expr("n_shared_k * 1000000 div k_used"))
+  }
+
   /** SKETCH-COST GOVERNANCE — q115's overlap matrix priced for 100 TB:
     * instead of joining the full distinct-gram sets (exact, but the
     * intersection join touches every gram of every source), keep ONE
@@ -863,35 +909,14 @@ object Curation {
     * pair over ≤2k rows. Pairs with no shared grams at all are absent
     * (q115's matrix domain — no dense S×S cartesian). */
   val q223KmvOverlap: Q = (s, d) => {
-    val sk = graft.functions.TopK
-      .topKPerGroup(sourceGrams(s, d).withColumn("neg", -col("gh")),
-        "source", "gh", "neg", KmvSketchK)
-      .select(col("source"), col("gh"))
+    val sk = kmvBottomK(sourceGrams(s, d))
       .transform(graft.ops.SharedCache.persist)
     val exact = q115SourceOverlap(s, d)
       .select(col("src_a"), col("src_b"),
         col("jaccard_e6").as("exact_jaccard_e6"))
       .transform(graft.ops.SharedCache.persist)
     val pairs = exact.select(col("src_a"), col("src_b"))
-    val legA = pairs
-      .join(sk.withColumnRenamed("source", "src_a"), "src_a")
-      .select(col("src_a"), col("src_b"), col("gh"),
-        lit(1L).as("in_a"), lit(0L).as("in_b"))
-    val legB = pairs
-      .join(sk.withColumnRenamed("source", "src_b"), "src_b")
-      .select(col("src_a"), col("src_b"), col("gh"),
-        lit(0L).as("in_a"), lit(1L).as("in_b"))
-    val est = legA.unionByName(legB)
-      .groupBy("src_a", "src_b", "gh")
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("src_a", "src_b").orderBy("gh")))
-      .filter(col("rn") <= KmvSketchK)
-      .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("k_used"),
-        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
-          .as("n_shared_k"))
-      .withColumn("est_jaccard_e6", expr("n_shared_k * 1000000 div k_used"))
+    val est = kmvPairEstimate(sk, pairs)
     est.join(exact, Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("k_used"), col("n_shared_k"),
         col("est_jaccard_e6"), col("exact_jaccard_e6"),
