@@ -496,6 +496,12 @@ object Graph {
         deg = nextDeg
       }
     }
+    // one greppable line per peel: the ScaleGen certification reads
+    // this to show the DRIVER ROUND COUNT stays flat as data scales
+    // (the cascade depth is a property of the graph's degeneracy
+    // structure, not its size — the r12 30× measurement's claim)
+    System.err.println(s"[kcore] k=$k driver_rounds=$round " +
+      s"peel_rounds=${round - 1}")
     deg.select(col("node"), col("deg").as("deg_in_core"))
   }
 

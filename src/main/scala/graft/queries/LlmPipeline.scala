@@ -214,8 +214,10 @@ object LlmPipeline {
     val withBands = sig.select(Seq(col("doc_id")) ++ BandConfigs.map {
       case (b, r) => cfgBands(b, r).as(s"bands_b$b") }: _*)
       .transform(graft.ops.SharedCache.persist)
-    // measured recall per config over the exact q39 truth
-    val truth = graft.queries.NearDup.q39DedupNgramJaccard(s, d)
+    // measured recall per config over the exact q39 truth (the
+    // SharedCache'd relation — the whole calibration family rides one
+    // PPJoin materialization in shared mode)
+    val truth = graft.queries.NearDup.q39Truth(s, d)
       .select(col("doc_a"), col("doc_b"))
     val aSide = withBands.select(Seq(col("doc_id").as("doc_a")) ++
       BandConfigs.map { case (b, _) => col(s"bands_b$b").as(s"a_b$b") }: _*)
