@@ -191,6 +191,20 @@ class PlanQualitySpec extends SparkSpec {
     exchanges should not include "text"
   }
 
+  test("q39 truth relation is SharedCache-registered for the calibration family") {
+    assume(haveData, s"$sfDir not present")
+    // r11 verdict item 3: q146/q225/q226/q235/q194/q237 all consume
+    // q39's PPJoin-verified pair relation; the registration below is
+    // what lets shared mode pay the verification ONCE. storageLevel
+    // is the observable contract — NONE here means someone removed
+    // the SharedCache.persist and every consumer silently re-verifies.
+    val truth = graft.queries.NearDup.q39Truth(spark, sfDir)
+    truth.storageLevel.useMemory shouldBe true
+    // consumers read it through the cache boundary, not a fresh PPJoin
+    val p = plan("q146_lsh_recall")
+    p should include("InMemoryTableScan")
+  }
+
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q53_exact_k_sample")
