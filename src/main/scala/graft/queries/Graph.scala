@@ -348,12 +348,16 @@ object Graph {
           .otherwise(lit(0L)).as("clustering_e6"))
   }
 
-  /** The support-floored part co-purchase graph (parts bought together
-    * in ≥ [[TriMinSupport]] orders), built with the in-row pair
-    * expansion — one shuffle on l_orderkey, no self-join on raw
-    * lineitem. Shared by q121 (triangles, ≥2 support) and q138
-    * (k-core, all pairs). */
-  private[graft] def copurchaseEdges(s: SparkSession, d: String, minSupport: Int): DataFrame = {
+  /** The COUNTED co-purchase pair relation (x, y, n_orders), built
+    * with the in-row pair expansion — one shuffle on l_orderkey, no
+    * self-join on raw lineitem — and SharedCache'd (r12): FOUR graph
+    * queries derive their edge list from it (q121 triangles and
+    * q162 LPA and q175 modularity at ≥[[TriMinSupport]] support, q138
+    * k-core at all pairs), and before the registration each one
+    * re-ran the basket expansion; the cached relation is three longs
+    * per distinct pair — key-space-sized, never lineitem-sized.
+    * Isolate mode releases it between queries as always. */
+  private[graft] def copurchasePairCounts(s: SparkSession, d: String): DataFrame = {
     import graft.Tables
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -365,9 +369,15 @@ object Graph {
           struct(x.as("x"), y.as("y")))))).as("p"))
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(count(lit(1)).as("n_orders"))
+      .transform(graft.ops.SharedCache.persist)
+  }
+
+  /** The support-floored part co-purchase graph (parts bought together
+    * in ≥ minSupport orders) — a filter over the shared pair counts. */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String, minSupport: Int): DataFrame =
+    copurchasePairCounts(s, d)
       .filter(col("n_orders") >= minSupport)
       .select(col("x"), col("y"))
-  }
 
   val q121TriangleCount: Q = (s, d) =>
     triangleStats(copurchaseEdges(s, d, TriMinSupport)).withColumnRenamed("node", "p_partkey")
