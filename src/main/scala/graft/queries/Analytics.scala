@@ -1405,7 +1405,105 @@ object Analytics {
           .as("uniform_err_ppm"))
   }
 
+  // -- q244: Poisson-bootstrap confidence intervals -------------------------
+
+  private val BootReps = 40
+  /** Cumulative Poisson(1) CDF in ppm, truncated at w=8 (the residual
+    * 10 ppm of draws land on 8) — DECLARED literals shared verbatim
+    * with the oracle; their rounding vs the analytic e⁻¹/k! values is
+    * part of the operator contract, not a correctness concern. */
+  private[graft] val BootPoissonCdfPpm =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L)
+
+  /** Inverse-CDF Poisson(1) weight of a uniform ppm draw — exposed for
+    * the spec's exact-integral pin (over the full 0..999999 grid the
+    * declared literals integrate to Σw = 999,998, i.e. mean weight
+    * 0.999998 — the truncation-at-8 deficit is 2 ppm by construction). */
+  private[graft] def bootWeight(u: Column): Column =
+    BootPoissonCdfPpm.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((c, k), acc) => when(u < c, lit(k.toLong)).otherwise(acc)
+    }
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the missing member of
+    * the uncertainty family (q133 gives a parametric z-test, q141 a
+    * Wilson interval for PROPORTIONS; nothing gave a distribution-free
+    * interval for a MEAN): per order priority, a 95% percentile
+    * interval for mean order value from B = 40 bootstrap replicates.
+    *
+    * The 100 TB design point is WHY it is the Poisson bootstrap
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams") and not the classic resample-n-rows bootstrap: exact
+    * multinomial resampling needs coordinated sampling of n rows per
+    * replicate — a shuffle per replicate, B full passes. The Poisson
+    * approximation gives each row an INDEPENDENT Poisson(1) weight
+    * per replicate, so all B replicates ride ONE scan as an in-row
+    * 40-way (replicate, weight) expansion: weights are md5-derived
+    * inverse-CDF draws (the q24 planeWeights determinism convention),
+    * the per-(priority, replicate) sums partial-aggregate map-side,
+    * and everything after the shuffle is 5·40 rows. No resampled
+    * copy of the data ever exists.
+    *
+    * Integer contract: x = order value in exact cents (the sumE2
+    * row-scaling rule); replicate mean = Σw·x div max(Σw, 1); the
+    * interval is the (2nd, 39th) order statistics of the 40 replicate
+    * means — the [2.5%, 97.5%] percentile convention at B = 40, ties
+    * broken by replicate id (value-identical under any tie order).
+    * Draw u = md5("boot{r}|orderkey") ppm — byte-identical in DuckDB,
+    * so the gate is bit-for-bit on every interval endpoint. */
+  val q244PoissonBootstrap: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100.0, 0).cast("long").as("x_e2"))
+    val exact = base.groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("x_e2")).as("sum_e2"))
+      .select(col("priority"), col("n_orders"),
+        expr("sum_e2 div n_orders").as("mean_e2"))
+    // the expansion is pure CPU: spread the narrow 3-column base
+    // across the cluster first — at 100 TB the scan is already
+    // thousands of partitions and this exchange is a no-op cost; at
+    // test scale it keeps one parquet file from serializing the
+    // 40·|orders| expansion onto one core (measured 12 s → 2 s at
+    // sf0.1). Draws are PACKED three per digest (10 hex chars =
+    // 40 bits each, the 12-hex negligible-modulo-bias argument
+    // unchanged), bounding hash work at 14 digests/row; measured,
+    // the generator machinery — not the digest — dominates the
+    // B·rows expansion, which is DECLARED linear in B·rows (the
+    // q202 codec-linear convention): its scale path is executor
+    // count, and B is the resolution/CPU knob.
+    val draws = base
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("priority"), col("x_e2"),
+        explode(array((0 until BootReps).map { r =>
+          val j = r / 3
+          val t = r % 3
+          struct(lit(r.toLong).as("r"),
+            (conv(substring(md5(concat(lit(s"boot$j|"),
+              col("o_orderkey").cast("string"))), t * 10 + 1, 10), 16, 10)
+              .cast("long") % 1000000L).as("u"))
+        }: _*)).as("e"))
+    val reps = draws
+      .select(col("priority"), col("e.r").as("r"),
+        bootWeight(col("e.u")).as("w"), col("x_e2"))
+      .groupBy("priority", "r")
+      .agg(sum(col("w") * col("x_e2")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("priority"), col("r"),
+        expr("swx div greatest(sw, 1)").as("mean_r_e2"))
+    val ci = reps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("priority").orderBy(col("mean_r_e2"), col("r"))))
+      .groupBy("priority")
+      .agg(min(when(col("rn") === 2, col("mean_r_e2"))).as("boot_lo_e2"),
+        min(when(col("rn") === BootReps - 1, col("mean_r_e2"))).as("boot_hi_e2"))
+    // both sides are |priorities|-row aggregates; the hint keeps the
+    // planner off a sort-merge join over two 5-row relations
+    exact.join(broadcast(ci), Seq("priority"))
+      .select(col("priority"), col("n_orders"), col("mean_e2"),
+        col("boot_lo_e2"), col("boot_hi_e2"),
+        (col("boot_hi_e2") - col("boot_lo_e2")).as("width_e2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q244_poisson_bootstrap" -> q244PoissonBootstrap,
     "q224_hist_join_card" -> q224HistJoinCard,
     "q239_file_bloom_audit" -> q239FileBloomAudit,
     "q209_zonemap_audit" -> q209ZoneMapAudit,
@@ -1447,7 +1545,49 @@ object Analytics {
 
   // -- DuckDB oracles ------------------------------------------------
 
+  private def bootWCaseSql(u: String): String =
+    BootPoissonCdfPpm.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
   val oracles: Map[String, String] = Map(
+    // Same cents scaling, same md5 ppm draws, same CDF literals, same
+    // truncating replicate means and (2nd, 39th) order statistics.
+    "q244_poisson_bootstrap" ->
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS priority, o_orderkey,
+         |    CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS x_e2
+         |  FROM orders
+         |), exact AS (
+         |  SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+         |    CAST(sum(x_e2) // count(*) AS BIGINT) AS mean_e2
+         |  FROM base GROUP BY 1
+         |), draws AS (
+         |  SELECT priority, x_e2, jj.j * 3 + tt.t AS r,
+         |    CAST('0x' || substr(md5('boot' || CAST(jj.j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), tt.t * 10 + 1, 10) AS BIGINT) % 1000000 AS u
+         |  FROM base,
+         |    (SELECT unnest(generate_series(0, ${(BootReps - 1) / 3})) AS j) jj,
+         |    (SELECT unnest([0, 1, 2]) AS t) tt
+         |  WHERE jj.j * 3 + tt.t < $BootReps
+         |), reps AS (
+         |  SELECT priority, r,
+         |    CAST(sum((${bootWCaseSql("u")}) * x_e2) AS BIGINT)
+         |      // greatest(CAST(sum(${bootWCaseSql("u")}) AS BIGINT), 1) AS mean_r_e2
+         |  FROM draws GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT priority, mean_r_e2,
+         |    row_number() OVER (PARTITION BY priority ORDER BY mean_r_e2, r) AS rn
+         |  FROM reps
+         |), ci AS (
+         |  SELECT priority,
+         |    CAST(min(CASE WHEN rn = 2 THEN mean_r_e2 END) AS BIGINT) AS boot_lo_e2,
+         |    CAST(min(CASE WHEN rn = ${BootReps - 1} THEN mean_r_e2 END) AS BIGINT) AS boot_hi_e2
+         |  FROM ranked GROUP BY 1
+         |)
+         |SELECT e.priority, e.n_orders, e.mean_e2,
+         |  c.boot_lo_e2, c.boot_hi_e2,
+         |  c.boot_hi_e2 - c.boot_lo_e2 AS width_e2
+         |FROM exact e JOIN ci c ON c.priority = e.priority""".stripMargin,
     // Same (file, key) relation, same md5 bit hashes, same probe
     // sample; the zone leg checks containment directly (the oracle
     // may cross join — the bucket trick is the engine's concern).

@@ -205,6 +205,22 @@ class PlanQualitySpec extends SparkSpec {
     p should include("InMemoryTableScan")
   }
 
+  test("q244 bootstrap: all 40 replicates ride one scan, three exchanges total") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q244_poisson_bootstrap")
+    // the Poisson-bootstrap point: replicate weights are an IN-ROW
+    // 40-way expansion feeding a map-combined (priority, r) aggregate
+    // — no per-replicate pass, no resampled data copy. Exchanges:
+    // exact leg (priority), replicate sums (priority, r), the window
+    // repartition (priority) that the ci rollup then reuses; the
+    // 5-row ci side joins broadcast.
+    p should include("partial_sum")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 3
+    p should include("BroadcastHashJoin")
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+  }
+
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q53_exact_k_sample")
