@@ -804,6 +804,83 @@ object EventAnalytics {
         col("z_score"))
   }
 
+  // -- q245: permutation test for the A/B mean difference -----------------
+
+  private val PermReps = 64
+
+  /** PERMUTATION TEST — the nonparametric companion to q133's Welch
+    * z-test, same hypothesis (does the user-parity split differ in
+    * mean event value?), no normality assumption: the observed
+    * |Δmean| is ranked against B = 64 random USER relabelings and
+    * p = (1 + #{perm ≥ obs}) / (B + 1), the add-one Monte-Carlo
+    * convention (Phipson & Smyth 2010). Relabeling is per USER, not
+    * per event — the split being tested is user-level, so the
+    * permutation must respect the clustering (a row-level flip would
+    * test a different, too-easy null).
+    *
+    * The q244 scale recipe, sharpened: events first COLLAPSE to
+    * per-(type, user) cells (map-combined — the corpus never meets
+    * the replicates), then the B-way in-row expansion runs on the
+    * cell relation, orders of magnitude smaller; flips are md5 BITS
+    * (48 per digest — 2 digests per user for all 64 replicates),
+    * partial-aggregated to |types|·B rows. Declared linear in
+    * B·cells (the q202 convention). All-one-side replicates are
+    * greatest(...,1)-guarded in both engines.
+    *
+    * Integer contract: cents sums, truncating means, p in exact ppm
+    * — every column bit-for-bit against the oracle. Under this true
+    * null (orderkey parity is noise) the report is also a
+    * SELF-CALIBRATION: p should be well away from 0, and the gate
+    * pins the exact value. */
+  val q245PermutationTest: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 1).as("treat"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "user_id", "treat")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val obs = cells.groupBy("event_type")
+      .agg(sum(when(!col("treat"), col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("treat"), col("n")).otherwise(0L)).as("n1"),
+        sum(when(!col("treat"), col("sv")).otherwise(0L)).as("s0"),
+        sum(when(col("treat"), col("sv")).otherwise(0L)).as("s1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("s0 div greatest(n0, 1)").as("mean0_e2"),
+        expr("s1 div greatest(n1, 1)").as("mean1_e2"),
+        expr("abs(s1 div greatest(n1, 1) - s0 div greatest(n0, 1))")
+          .as("obs_diff_e2"))
+    val draws = cells
+      .select(col("event_type"), col("n"), col("sv"),
+        explode(array((0 until PermReps).map { r =>
+          val j = r / 48
+          val t = r % 48
+          struct(lit(r.toLong).as("r"),
+            shiftright(conv(substring(md5(concat(lit(s"perm$j|"),
+              col("user_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long"), t).bitwiseAND(lit(1L)).as("b"))
+        }: _*)).as("e"))
+    val perm = draws
+      .groupBy(col("event_type"), col("e.r").as("r"))
+      .agg(sum(when(col("e.b") === 0L, col("n")).otherwise(0L)).as("pn0"),
+        sum(when(col("e.b") === 1L, col("n")).otherwise(0L)).as("pn1"),
+        sum(when(col("e.b") === 0L, col("sv")).otherwise(0L)).as("ps0"),
+        sum(when(col("e.b") === 1L, col("sv")).otherwise(0L)).as("ps1"))
+      .select(col("event_type"), col("r"),
+        expr("abs(ps1 div greatest(pn1, 1) - ps0 div greatest(pn0, 1))")
+          .as("perm_diff_e2"))
+    val counts = perm
+      .join(broadcast(obs.select(col("event_type"), col("obs_diff_e2"))),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(when(col("perm_diff_e2") >= col("obs_diff_e2"), 1L)
+        .otherwise(0L)).as("n_perm_ge"))
+    obs.join(broadcast(counts), Seq("event_type"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("mean0_e2"), col("mean1_e2"), col("obs_diff_e2"),
+        col("n_perm_ge"),
+        expr(s"(1 + n_perm_ge) * 1000000 div ${PermReps + 1}").as("p_ppm"))
+  }
+
   // -- q238: SPRT sequential conversion test -----------------------------
 
   private val SprtP0 = 0.10 // H0 conversion rate
@@ -1425,6 +1502,7 @@ object EventAnalytics {
     "q139_multitouch_attribution" -> q139MultiTouch,
     "q132_autocorr_daily" -> q132Autocorr,
     "q133_ab_ztest" -> q133AbZtest,
+    "q245_permutation_test" -> q245PermutationTest,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -1840,6 +1918,49 @@ object EventAnalytics {
          |       ELSE 'accept_h0' END AS decision,
          |  c.n_to_decision, s.llr_final_e6
          |FROM summ s LEFT JOIN crossing c ON c.variant = s.variant""".stripMargin,
+    // Same per-user cells, same per-digest bit flips, same truncating
+    // means and add-one Monte-Carlo p — bit-for-bit on every column.
+    "q245_permutation_test" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, user_id, (user_id % 2 = 1) AS treat,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv
+         |  FROM events GROUP BY 1, 2, 3
+         |), obs AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN NOT treat THEN n ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN treat THEN n ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN NOT treat THEN sv ELSE 0 END) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN treat THEN sv ELSE 0 END) AS BIGINT) AS s1
+         |  FROM cells GROUP BY 1
+         |), obs2 AS (
+         |  SELECT event_type, n0, n1,
+         |    s0 // greatest(n0, 1) AS mean0_e2,
+         |    s1 // greatest(n1, 1) AS mean1_e2,
+         |    abs(s1 // greatest(n1, 1) - s0 // greatest(n0, 1)) AS obs_diff_e2
+         |  FROM obs
+         |), draws AS (
+         |  SELECT event_type, n, sv, rr.r AS r,
+         |    (CAST('0x' || substr(md5('perm' || CAST(rr.r // 48 AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+         |      >> (rr.r % 48)) & 1 AS b
+         |  FROM cells, (SELECT unnest(generate_series(0, ${PermReps - 1})) AS r) rr
+         |), perm AS (
+         |  SELECT event_type, r,
+         |    abs(CAST(sum(CASE WHEN b = 1 THEN sv ELSE 0 END) AS BIGINT)
+         |          // greatest(CAST(sum(CASE WHEN b = 1 THEN n ELSE 0 END) AS BIGINT), 1)
+         |      - CAST(sum(CASE WHEN b = 0 THEN sv ELSE 0 END) AS BIGINT)
+         |          // greatest(CAST(sum(CASE WHEN b = 0 THEN n ELSE 0 END) AS BIGINT), 1)) AS perm_diff_e2
+         |  FROM draws GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT p.event_type,
+         |    CAST(sum(CASE WHEN p.perm_diff_e2 >= o.obs_diff_e2 THEN 1 ELSE 0 END) AS BIGINT) AS n_perm_ge
+         |  FROM perm p JOIN obs2 o ON o.event_type = p.event_type
+         |  GROUP BY 1
+         |)
+         |SELECT o.event_type, o.n0, o.n1, o.mean0_e2, o.mean1_e2,
+         |  o.obs_diff_e2, c.n_perm_ge,
+         |  (1 + c.n_perm_ge) * 1000000 // ${PermReps + 1} AS p_ppm
+         |FROM obs2 o JOIN cnt c ON c.event_type = o.event_type""".stripMargin,
     // Same parity split and accumulator set; Welch z in one IEEE
     // double expression over the exact BIGINTs.
     "q133_ab_ztest" ->

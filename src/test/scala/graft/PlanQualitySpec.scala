@@ -221,6 +221,20 @@ class PlanQualitySpec extends SparkSpec {
     p.linesIterator.count(_.contains("Window [")) shouldBe 1
   }
 
+  test("q245 permutation test: replicates expand the cell relation, not the corpus") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q245_permutation_test")
+    // the B=64 expansion must sit ABOVE the per-(type, user) cell
+    // aggregate: Generate (the explode) appears after a partial_sum
+    // collapse, never over the raw event scan, and the two scalar
+    // combines are broadcast equi-joins (no literal-key nested loop)
+    p should include("partial_sum")
+    p should include("Generate explode")
+    p.linesIterator.count(_.contains("BroadcastHashJoin")) shouldBe 2
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q53_exact_k_sample")

@@ -42,6 +42,60 @@ class Round12OpsSpec extends SparkSpec {
     total shouldBe 999998L
   }
 
+  // -- q245: permutation test ----------------------------------------------
+
+  test("q245 reconciles with q133's split and respects the add-one p floor") {
+    val perm = graft.queries.EventAnalytics.q245PermutationTest(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // same parity split, same cents: n0/n1/means must EQUAL q133's
+    val z = graft.queries.EventAnalytics.q133AbZtest(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    perm.keySet shouldBe z.keySet
+    perm.foreach { case (t, p) =>
+      val zr = z(t)
+      withClue(s"$t:") {
+        p.getLong(p.fieldIndex("n0")) shouldBe zr.getLong(zr.fieldIndex("n0"))
+        p.getLong(p.fieldIndex("n1")) shouldBe zr.getLong(zr.fieldIndex("n1"))
+        p.getLong(p.fieldIndex("mean0_e2")) shouldBe
+          zr.getLong(zr.fieldIndex("mean0_e2"))
+        p.getLong(p.fieldIndex("mean1_e2")) shouldBe
+          zr.getLong(zr.fieldIndex("mean1_e2"))
+        val nGe = p.getLong(p.fieldIndex("n_perm_ge"))
+        nGe should be >= 0L
+        nGe should be <= 64L
+        // the add-one Monte-Carlo convention: p ∈ [1/65, 1] exactly
+        p.getLong(p.fieldIndex("p_ppm")) shouldBe (1 + nGe) * 1000000L / 65L
+        p.getLong(p.fieldIndex("p_ppm")) should be >= 15384L
+        p.getLong(p.fieldIndex("obs_diff_e2")) shouldBe
+          math.abs(p.getLong(p.fieldIndex("mean1_e2")) -
+            p.getLong(p.fieldIndex("mean0_e2")))
+      }
+    }
+  }
+
+  test("q245 survives an all-one-side fixture (guarded means, p well-defined)") {
+    val dir = tmpDir("q245fix")
+    // every user odd → treat side only; n0 = 0 must yield mean0 = 0
+    // (greatest guard), not a crash or NULL, in both engines' algebra
+    Seq((1L, 1L, "purchase", 10.0, "2024-01-01 00:00:00"),
+      (2L, 3L, "purchase", 30.0, "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.EventAnalytics.q245PermutationTest(spark, dir)
+      .collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getLong(row.fieldIndex("n0")) shouldBe 0L
+    row.getLong(row.fieldIndex("n1")) shouldBe 2L
+    row.getLong(row.fieldIndex("mean0_e2")) shouldBe 0L
+    row.getLong(row.fieldIndex("mean1_e2")) shouldBe 2000L
+    row.getLong(row.fieldIndex("obs_diff_e2")) shouldBe 2000L
+    val p = row.getLong(row.fieldIndex("p_ppm"))
+    p should be >= 15384L
+    p should be <= 1000000L
+  }
+
   test("q244 intervals: one row per priority, ordered endpoints, exact mean leg") {
     val rows = graft.queries.Analytics.q244PoissonBootstrap(spark, sf)
       .collect()
