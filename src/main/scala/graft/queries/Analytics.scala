@@ -1450,28 +1450,23 @@ object Analytics {
     * broken by replicate id (value-identical under any tie order).
     * Draw u = md5("boot{r}|orderkey") ppm — byte-identical in DuckDB,
     * so the gate is bit-for-bit on every interval endpoint. */
-  val q244PoissonBootstrap: Q = (s, d) => {
-    val base = Tables.orders(s, d)
-      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
-        round(col("o_totalprice") * 100.0, 0).cast("long").as("x_e2"))
-    val exact = base.groupBy("priority")
+  /** The per-order (priority, orderkey, cents) base rows of a batch —
+    * shared verbatim with [[graft.streaming.StreamingBootstrap]]. */
+  private[graft] def bootBaseRows(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+      round(col("o_totalprice") * 100.0, 0).cast("long").as("x_e2"))
+
+  /** The additive exact-leg partials (priority, n_orders, sum_e2) —
+    * mergeable by +; shared with the streaming twin. */
+  private[graft] def bootExactPartials(base: DataFrame): DataFrame =
+    base.groupBy("priority")
       .agg(count(lit(1)).as("n_orders"), sum(col("x_e2")).as("sum_e2"))
-      .select(col("priority"), col("n_orders"),
-        expr("sum_e2 div n_orders").as("mean_e2"))
-    // the expansion is pure CPU: spread the narrow 3-column base
-    // across the cluster first — at 100 TB the scan is already
-    // thousands of partitions and this exchange is a no-op cost; at
-    // test scale it keeps one parquet file from serializing the
-    // 40·|orders| expansion onto one core (measured 12 s → 2 s at
-    // sf0.1). Draws are PACKED three per digest (10 hex chars =
-    // 40 bits each, the 12-hex negligible-modulo-bias argument
-    // unchanged), bounding hash work at 14 digests/row; measured,
-    // the generator machinery — not the digest — dominates the
-    // B·rows expansion, which is DECLARED linear in B·rows (the
-    // q202 codec-linear convention): its scale path is executor
-    // count, and B is the resolution/CPU knob.
-    val draws = base
-      .repartition(s.sparkContext.defaultParallelism)
+
+  /** The additive replicate cells (priority, r, swx, sw) — Poisson
+    * weights are a pure row function, so cells merge by + under any
+    * chunking; shared with the streaming twin. */
+  private[graft] def bootCellPartials(base: DataFrame): DataFrame =
+    base
       .select(col("priority"), col("x_e2"),
         explode(array((0 until BootReps).map { r =>
           val j = r / 3
@@ -1481,13 +1476,19 @@ object Analytics {
               col("o_orderkey").cast("string"))), t * 10 + 1, 10), 16, 10)
               .cast("long") % 1000000L).as("u"))
         }: _*)).as("e"))
-    val reps = draws
       .select(col("priority"), col("e.r").as("r"),
         bootWeight(col("e.u")).as("w"), col("x_e2"))
       .groupBy("priority", "r")
       .agg(sum(col("w") * col("x_e2")).as("swx"), sum(col("w")).as("sw"))
-      .select(col("priority"), col("r"),
-        expr("swx div greatest(sw, 1)").as("mean_r_e2"))
+
+  /** The q244 report tail over the two additive state relations —
+    * shared with [[graft.streaming.StreamingBootstrap.intervals]] so
+    * the streaming answer is this exact code path. */
+  private[graft] def bootFinalize(exactRows: DataFrame, cells: DataFrame): DataFrame = {
+    val exact = exactRows.select(col("priority"), col("n_orders"),
+      expr("sum_e2 div n_orders").as("mean_e2"))
+    val reps = cells.select(col("priority"), col("r"),
+      expr("swx div greatest(sw, 1)").as("mean_r_e2"))
     val ci = reps
       .withColumn("rn", row_number().over(
         Window.partitionBy("priority").orderBy(col("mean_r_e2"), col("r"))))
@@ -1500,6 +1501,24 @@ object Analytics {
       .select(col("priority"), col("n_orders"), col("mean_e2"),
         col("boot_lo_e2"), col("boot_hi_e2"),
         (col("boot_hi_e2") - col("boot_lo_e2")).as("width_e2"))
+  }
+
+  val q244PoissonBootstrap: Q = (s, d) => {
+    // the expansion is pure CPU: spread the narrow 3-column base
+    // across the cluster first — at 100 TB the scan is already
+    // thousands of partitions and this exchange is a no-op cost; at
+    // test scale it keeps one parquet file from serializing the
+    // 40·|orders| expansion onto one core (measured 12 s → 2 s at
+    // sf0.1). Draws are PACKED three per digest (10 hex chars =
+    // 40 bits each, the 12-hex negligible-modulo-bias argument
+    // unchanged), bounding hash work at 14 digests/row; measured,
+    // the generator machinery — not the digest — dominates the
+    // B·rows expansion, which is DECLARED linear in B·rows (the
+    // q202 codec-linear convention): its scale path is executor
+    // count, and B is the resolution/CPU knob.
+    val base = bootBaseRows(Tables.orders(s, d))
+      .repartition(s.sparkContext.defaultParallelism)
+    bootFinalize(bootExactPartials(base), bootCellPartials(base))
   }
 
   val defs: Map[String, Q] = Map(
