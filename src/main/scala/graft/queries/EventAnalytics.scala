@@ -832,24 +832,32 @@ object EventAnalytics {
     * null (orderkey parity is noise) the report is also a
     * SELF-CALIBRATION: p should be well away from 0, and the gate
     * pins the exact value. */
-  val q245PermutationTest: Q = (s, d) => {
-    val cells = Tables.events(s, d)
+  /** The per-(type, user) cells of an events batch — the flip unit's
+    * aggregates; shared verbatim with
+    * [[graft.streaming.StreamingPermTest]]. */
+  private[graft] def permBaseCells(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), col("user_id"),
         (col("user_id") % 2 === 1).as("treat"),
         round(col("value") * 100, 0).cast("long").as("v"))
       .groupBy("event_type", "user_id", "treat")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-    val obs = cells.groupBy("event_type")
+
+  /** The additive observed-leg partials (event_type, n0, n1, s0, s1)
+    * — mergeable by +; shared with the streaming twin. */
+  private[graft] def permObsPartials(cells: DataFrame): DataFrame =
+    cells.groupBy("event_type")
       .agg(sum(when(!col("treat"), col("n")).otherwise(0L)).as("n0"),
         sum(when(col("treat"), col("n")).otherwise(0L)).as("n1"),
         sum(when(!col("treat"), col("sv")).otherwise(0L)).as("s0"),
         sum(when(col("treat"), col("sv")).otherwise(0L)).as("s1"))
-      .select(col("event_type"), col("n0"), col("n1"),
-        expr("s0 div greatest(n0, 1)").as("mean0_e2"),
-        expr("s1 div greatest(n1, 1)").as("mean1_e2"),
-        expr("abs(s1 div greatest(n1, 1) - s0 div greatest(n0, 1))")
-          .as("obs_diff_e2"))
-    val draws = cells
+
+  /** The additive permuted-side partials (event_type, r, pn0, pn1,
+    * ps0, ps1): the flip is a pure (user, r) function, so a user's
+    * contributions ADD across any chunking of their events —
+    * mergeable by +; shared with the streaming twin. */
+  private[graft] def permCellPartials(cells: DataFrame): DataFrame =
+    cells
       .select(col("event_type"), col("n"), col("sv"),
         explode(array((0 until PermReps).map { r =>
           val j = r / 48
@@ -859,12 +867,23 @@ object EventAnalytics {
               col("user_id").cast("string"))), 1, 12), 16, 10)
               .cast("long"), t).bitwiseAND(lit(1L)).as("b"))
         }: _*)).as("e"))
-    val perm = draws
       .groupBy(col("event_type"), col("e.r").as("r"))
       .agg(sum(when(col("e.b") === 0L, col("n")).otherwise(0L)).as("pn0"),
         sum(when(col("e.b") === 1L, col("n")).otherwise(0L)).as("pn1"),
         sum(when(col("e.b") === 0L, col("sv")).otherwise(0L)).as("ps0"),
         sum(when(col("e.b") === 1L, col("sv")).otherwise(0L)).as("ps1"))
+
+  /** The q245 report tail over the two additive state relations —
+    * shared with [[graft.streaming.StreamingPermTest.report]] so the
+    * streaming answer is this exact code path. */
+  private[graft] def permFinalize(obsRows: DataFrame, permCells: DataFrame): DataFrame = {
+    val obs = obsRows
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("s0 div greatest(n0, 1)").as("mean0_e2"),
+        expr("s1 div greatest(n1, 1)").as("mean1_e2"),
+        expr("abs(s1 div greatest(n1, 1) - s0 div greatest(n0, 1))")
+          .as("obs_diff_e2"))
+    val perm = permCells
       .select(col("event_type"), col("r"),
         expr("abs(ps1 div greatest(pn1, 1) - ps0 div greatest(pn0, 1))")
           .as("perm_diff_e2"))
@@ -879,6 +898,11 @@ object EventAnalytics {
         col("mean0_e2"), col("mean1_e2"), col("obs_diff_e2"),
         col("n_perm_ge"),
         expr(s"(1 + n_perm_ge) * 1000000 div ${PermReps + 1}").as("p_ppm"))
+  }
+
+  val q245PermutationTest: Q = (s, d) => {
+    val cells = permBaseCells(Tables.events(s, d))
+    permFinalize(permObsPartials(cells), permCellPartials(cells))
   }
 
   // -- q238: SPRT sequential conversion test -----------------------------
