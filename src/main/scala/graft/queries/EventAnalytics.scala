@@ -905,6 +905,138 @@ object EventAnalytics {
     permFinalize(permObsPartials(cells), permCellPartials(cells))
   }
 
+  // -- q246: Mann–Whitney U rank-sum test --------------------------------
+
+  /** MANN–WHITNEY U TEST — the rank-based robust member of the
+    * experiment-readout family (q133 Welch z on MEANS, q245 the
+    * Monte-Carlo permutation, q238 the sequential walk; this is the
+    * closed-form nonparametric test): does the user-parity split shift
+    * the event-value DISTRIBUTION, judged on ranks so a heavy tail or
+    * a few whale purchases can't swamp the answer the way they can a
+    * mean. q149 already uses the rank-sum identity as an AUC point
+    * estimate; this is the inference side — U with tie-correct average
+    * ranks, the tie-adjusted normal-approximation variance
+    * σ²_U = n₀n₁/12·[(N+1) − Σ(t³−t)/(N(N−1))], and the z score.
+    *
+    * Exactness: doubled average ranks 2·r̄_v = 2·cumbefore_v + t_v + 1
+    * are exact BIGINTs (the q149 trick), so 2·U₁ and the tie term
+    * Σ(t³−t) are exact integer accumulators; z is ONE fixed-shape IEEE
+    * double expression over them (q133 convention) and the
+    * common-language effect size U₁/(n₀n₁) is an exact truncating ppm.
+    * The all-tied degenerate group (σ = 0 ⟺ Σ(t³−t) = N³−N) and
+    * one-sided groups are CASE-guarded to NULL in both engines.
+    *
+    * Plan: events collapse map-combined to per-(type, value) cells
+    * (the q187 frequency-relation discipline — the only row-scaled
+    * stage), ONE running-count window per type over the cells orders
+    * by value (cell count is bounded by the cents-value domain, not
+    * by rows), then a |types|-row aggregate. Overflow ceiling: the
+    * rank sums are Σ n_v·(2N+1) ≤ N·(2N+1) and the tie term ≤ N³−N —
+    * exact to N ≈ 2×10⁶ rows per type (the q224 documentation
+    * convention; the cents-cell relation, not raw rows, is what the
+    * window walks at any scale). */
+  /** The per-(type, cents-value, arm) count cells both rank tests walk
+    * — additive by + under any chunking of the event stream; shared
+    * verbatim with [[graft.streaming.StreamingRankTests]]. */
+  private[graft] def rankCells(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        (col("user_id") % 2 === 1).as("treat"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v")
+      .agg(sum(when(!col("treat"), 1L).otherwise(0L)).as("n0v"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n1v"))
+
+  /** The q246 report tail over the cell relation — shared with the
+    * streaming twin so its answer is this exact code path. */
+  private[graft] def rankSumFinalize(cells: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("event_type").orderBy("v")
+    cells
+      .withColumn("t", col("n0v") + col("n1v"))
+      .withColumn("cumbefore", sum(col("t")).over(wRun) - col("t"))
+      .withColumn("two_r", lit(2) * col("cumbefore") + col("t") + 1)
+      .groupBy("event_type")
+      .agg(sum(col("n0v")).as("n0"), sum(col("n1v")).as("n1"),
+        sum(col("n1v") * col("two_r")).as("sum_two_r1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        (col("sum_two_r1") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        col("tie3"))
+      .select(col("event_type"), col("n0"), col("n1"), col("u1_x2"),
+        col("tie3"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0
+               | THEN u1_x2 * 1000000 div (2 * n0 * n1) END""".stripMargin)
+          .as("cles_ppm"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0
+               |  AND (n0 + n1) * ((n0 + n1) * (n0 + n1) - 1) > tie3 THEN
+               | (CAST(u1_x2 - n0 * n1 AS DOUBLE) / 2)
+               | / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+               |        * ((n0 + n1 + 1)
+               |           - CAST(tie3 AS DOUBLE)
+               |             / ((n0 + n1) * (CAST(n0 AS DOUBLE) + n1 - 1))))
+               | END""".stripMargin).as("z_score"))
+  }
+
+  val q246RankSumTest: Q = (s, d) =>
+    rankSumFinalize(rankCells(Tables.events(s, d)))
+
+  // -- q247: Kolmogorov–Smirnov two-sample distance -----------------------
+
+  /** KOLMOGOROV–SMIRNOV TWO-SAMPLE TEST — the whole-distribution
+    * complement of q246's location test: D = max_x |F₀(x) − F₁(x)|
+    * between the two arms' event-value ECDFs, per event type. A split
+    * can leave the mean AND the rank-sum untouched while deforming the
+    * shape (variance, bimodality); D is the sup-norm detector every
+    * distribution-equality audit reaches for, and the same statistic
+    * doubles as the drift monitor between any two cohorts.
+    *
+    * Exactness: with n₀, n₁ fixed, n₀n₁·D = max over distinct values
+    * of |c₀(v)·n₁ − c₁(v)·n₀| is an exact BIGINT (cross-multiplied
+    * cumulative counts — no rational ever materializes); ks_e6 divides
+    * once at the end. The argmax value v_at_d (smallest v attaining
+    * the max) is recovered with a max-window + conditional-min, same
+    * deterministic tiebreak in both engines. The α = 0.05 decision
+    * compares D against c(α)·√((n₀+n₁)/(n₀n₁)) with c = 1.358 baked
+    * as a literal (the q131 convention) — sqrt is IEEE-correctly-
+    * rounded so the comparison is engine-exact.
+    *
+    * Plan: the q246 cell relation (map-combined, value-domain-sized),
+    * one ordered window per type for the two running counts + one
+    * partition-max window on the SAME partitioning (single Window
+    * node region, no extra shuffle), then a |types|-row aggregate.
+    * Overflow: c·n products ≤ N² — exact to N ≈ 3×10⁹ rows per type
+    * (q224 convention). */
+  /** The q247 report tail over the SAME cell relation — shared with
+    * the streaming twin. */
+  private[graft] def ksFinalize(cells: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("event_type").orderBy("v")
+    val wAll = Window.partitionBy("event_type")
+    cells
+      .withColumn("c0", sum(col("n0v")).over(wRun))
+      .withColumn("c1", sum(col("n1v")).over(wRun))
+      .withColumn("n0", sum(col("n0v")).over(wAll))
+      .withColumn("n1", sum(col("n1v")).over(wAll))
+      .withColumn("gap", abs(col("c0") * col("n1") - col("c1") * col("n0")))
+      .withColumn("d_num", max(col("gap")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(col("gap")).as("d_num"),
+        min(when(col("gap") === col("d_num"), col("v"))).as("v_at_d"))
+      .select(col("event_type"), col("n0"), col("n1"), col("d_num"),
+        col("v_at_d"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 THEN d_num * 1000000 div (n0 * n1) END")
+          .as("ks_e6"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 THEN
+               | CASE WHEN CAST(d_num AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+               |        > 1.358 * sqrt((CAST(n0 AS DOUBLE) + n1)
+               |                       / (CAST(n0 AS DOUBLE) * n1))
+               |      THEN 1 ELSE 0 END END""".stripMargin)
+          .cast("long").as("reject_05"))
+  }
+
+  val q247KsTwoSample: Q = (s, d) =>
+    ksFinalize(rankCells(Tables.events(s, d)))
+
   // -- q238: SPRT sequential conversion test -----------------------------
 
   private val SprtP0 = 0.10 // H0 conversion rate
@@ -1527,6 +1659,8 @@ object EventAnalytics {
     "q132_autocorr_daily" -> q132Autocorr,
     "q133_ab_ztest" -> q133AbZtest,
     "q245_permutation_test" -> q245PermutationTest,
+    "q246_rank_sum_test" -> q246RankSumTest,
+    "q247_ks_two_sample" -> q247KsTwoSample,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -1942,6 +2076,79 @@ object EventAnalytics {
          |       ELSE 'accept_h0' END AS decision,
          |  c.n_to_decision, s.llr_final_e6
          |FROM summ s LEFT JOIN crossing c ON c.variant = s.variant""".stripMargin,
+    // Same (type, value) cells, same doubled average ranks and tie
+    // term; z is the identical IEEE expression over the exact BIGINTs.
+    "q246_rank_sum_test" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n0v,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, n0v, n1v, n0v + n1v AS t,
+        |    2 * (sum(n0v + n1v) OVER (PARTITION BY event_type ORDER BY v)
+        |         - (n0v + n1v)) + (n0v + n1v) + 1 AS two_r
+        |  FROM cells
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(n0v) AS BIGINT) AS n0,
+        |    CAST(sum(n1v) AS BIGINT) AS n1,
+        |    CAST(sum(n1v * two_r) AS BIGINT) AS sum_two_r1,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM ranked GROUP BY 1
+        |), u AS (
+        |  SELECT event_type, n0, n1,
+        |    sum_two_r1 - n1 * (n1 + 1) AS u1_x2, tie3
+        |  FROM m
+        |)
+        |SELECT event_type, n0, n1, u1_x2, tie3,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |       THEN u1_x2 * 1000000 // (2 * n0 * n1) END AS cles_ppm,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |        AND (n0 + n1) * ((n0 + n1) * (n0 + n1) - 1) > tie3 THEN
+        |    (CAST(u1_x2 - n0 * n1 AS DOUBLE) / 2)
+        |    / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+        |           * ((n0 + n1 + 1)
+        |              - CAST(tie3 AS DOUBLE)
+        |                / ((n0 + n1) * (CAST(n0 AS DOUBLE) + n1 - 1))))
+        |  END AS z_score
+        |FROM u""".stripMargin,
+    // Same cell relation, same cross-multiplied cumulative gaps, same
+    // smallest-argmax tiebreak and baked 1.358 critical literal.
+    "q247_ks_two_sample" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n0v,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+        |  FROM events GROUP BY 1, 2
+        |), walk AS (
+        |  SELECT event_type, v,
+        |    sum(n0v) OVER (PARTITION BY event_type ORDER BY v) AS c0,
+        |    sum(n1v) OVER (PARTITION BY event_type ORDER BY v) AS c1,
+        |    sum(n0v) OVER (PARTITION BY event_type) AS n0,
+        |    sum(n1v) OVER (PARTITION BY event_type) AS n1
+        |  FROM cells
+        |), gaps AS (
+        |  SELECT event_type, v, n0, n1,
+        |    abs(c0 * n1 - c1 * n0) AS gap,
+        |    max(abs(c0 * n1 - c1 * n0)) OVER (PARTITION BY event_type) AS d_num
+        |  FROM walk
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+        |    CAST(max(gap) AS BIGINT) AS d_num,
+        |    CAST(min(CASE WHEN gap = d_num THEN v END) AS BIGINT) AS v_at_d
+        |  FROM gaps GROUP BY 1
+        |)
+        |SELECT event_type, n0, n1, d_num, v_at_d,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |       THEN d_num * 1000000 // (n0 * n1) END AS ks_e6,
+        |  CAST(CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    CASE WHEN CAST(d_num AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+        |           > 1.358 * sqrt((CAST(n0 AS DOUBLE) + n1)
+        |                          / (CAST(n0 AS DOUBLE) * n1))
+        |         THEN 1 ELSE 0 END END AS BIGINT) AS reject_05
+        |FROM agg""".stripMargin,
     // Same per-user cells, same per-digest bit flips, same truncating
     // means and add-one Monte-Carlo p — bit-for-bit on every column.
     "q245_permutation_test" ->

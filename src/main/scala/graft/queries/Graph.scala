@@ -382,6 +382,57 @@ object Graph {
   val q121TriangleCount: Q = (s, d) =>
     triangleStats(copurchaseEdges(s, d, TriMinSupport)).withColumnRenamed("node", "p_partkey")
 
+  // -- q248: degree assortativity ----------------------------------------
+
+  /** DEGREE ASSORTATIVITY of the co-purchase graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over the edge list — do
+    * hub products attach to other hubs (r > 0, a dense core the
+    * degree distribution alone can't see) or to the periphery (r < 0,
+    * the hub-and-spoke shape most retail graphs have)? One number that
+    * tells you which graph ALGORITHMS will behave: positive
+    * assortativity keeps a k-core deep and tight (q138), negative
+    * spreads triangles thin (q121) — the structural audit read before
+    * trusting either.
+    *
+    * Newman's per-edge form: with j,k the endpoint degrees over the M
+    * undirected edges, r = [4M·Σjk − (Σ(j+k))²] / [2M·Σ(j²+k²) −
+    * (Σ(j+k))²] — numerator/denominator are EXACT BIGINTs over the
+    * integer moments (each edge counted once; the ½ factors of the
+    * textbook form cancel in the 4M/2M cross-multiplication), and the
+    * signed ratio becomes one fixed-shape IEEE double rounded to e6
+    * (the q150 signed-statistic convention — never a signed integer
+    * div, which floors differently across engines). Denominator = 0
+    * ⟺ every node has equal degree (a regular graph has no
+    * assortativity) — CASE-guarded NULL in both engines.
+    *
+    * Plan: the SharedCache'd pair counts (q121's relation), a
+    * symmetrized map-combined degree aggregate, two equi-joins to
+    * attach dx/dy (key-partitioned shuffle joins — degree relations
+    * are node-sized, deliberately NOT broadcast-hinted so the plan is
+    * the one that survives a 10⁹-node graph; AQE broadcasts them at
+    * test scale on its own), then ONE scalar aggregate. Moment
+    * overflow: Σ(j²+k²) ≤ 2M·d²max, 2M·Σ(j²+k²) ≤ 4M²d²max — exact
+    * past 10⁹ edges at retail-shaped degree caps (q224 convention). */
+  val q248DegreeAssortativity: Q = (s, d) => {
+    val e = copurchaseEdges(s, d, TriMinSupport)
+    val deg = e.select(col("x").as("node"))
+      .unionAll(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx") * col("dy")).as("sum_jk"),
+        sum(col("dx") + col("dy")).as("sum_jpk"),
+        sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sum_j2k2"))
+      .select(col("n_edges"), col("sum_jk"), col("sum_jpk"), col("sum_j2k2"),
+        expr("""CASE WHEN 2 * n_edges * sum_j2k2 - sum_jpk * sum_jpk > 0 THEN
+               | CAST(round(
+               |   CAST(4 * n_edges * sum_jk - sum_jpk * sum_jpk AS DOUBLE)
+               |   / (2 * n_edges * sum_j2k2 - sum_jpk * sum_jpk)
+               |   * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("assort_e6"))
+  }
+
   private val RaMaxBasket = 64
   private val RaMinShared = 2
 
@@ -912,6 +963,7 @@ object Graph {
     "q90b_pagerank_mass" -> q90bPageRankMass,
     "q121_triangle_count" -> q121TriangleCount,
     "q136_link_prediction" -> q136LinkPrediction,
+    "q248_degree_assortativity" -> q248DegreeAssortativity,
     "q138_kcore" -> q138KCore,
     "q162_label_prop" -> q162LabelProp)
 
@@ -1165,6 +1217,34 @@ object Graph {
         |           // (deg.deg * (deg.deg - 1))
         |    ELSE 0 END AS clustering_e6
         |FROM deg LEFT JOIN corners ON corners.node = deg.node""".stripMargin,
+    // q121's edge + degree CTEs verbatim; the same exact integer
+    // moments and the identical rounded IEEE ratio.
+    "q248_degree_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+        |  ) GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(da.deg * db.deg) AS BIGINT) AS sum_jk,
+        |    CAST(sum(da.deg + db.deg) AS BIGINT) AS sum_jpk,
+        |    CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sum_j2k2
+        |  FROM e JOIN deg da ON da.node = e.x JOIN deg db ON db.node = e.y
+        |)
+        |SELECT n_edges, sum_jk, sum_jpk, sum_j2k2,
+        |  CASE WHEN 2 * n_edges * sum_j2k2 - sum_jpk * sum_jpk > 0 THEN
+        |    CAST(round(
+        |      CAST(4 * n_edges * sum_jk - sum_jpk * sum_jpk AS DOUBLE)
+        |      / (2 * n_edges * sum_j2k2 - sum_jpk * sum_jpk)
+        |      * 1000000, 0) AS BIGINT)
+        |  END AS assort_e6
+        |FROM m""".stripMargin,
     // q55's closure CTEs verbatim; non-keepers are the clustered docs
     // whose id is not their component's min label; same tokenizer as
     // every token query, same truncating ppm.

@@ -798,6 +798,47 @@ object Profiling {
                | END""".stripMargin).as("auc_e6"))
   }
 
+  // -- q249: average precision (area under the PR curve) -----------------
+
+  /** AVERAGE PRECISION of the q148/q149 ranking — the third face of
+    * the same eval (q148 tables the deciles, q149 collapses to AUC):
+    * AP = (1/n₊)·Σ_{k rel} P@k, the rank-weighted precision that AUC
+    * deliberately ignores — AUC is invariant to WHERE in the ranking
+    * the positives sit relative to each other, AP rewards front-
+    * loading, which is what a filtering/curation cut actually
+    * consumes. Same scorer (doc length) and label (lang='en') per
+    * source; the random-ranker baseline AP ≈ base rate is attached so
+    * the lift is row-derivable.
+    *
+    * Exactness: ranks use the deterministic (n_chars DESC, doc_id)
+    * total order (q148's tiebreak); each relevant position contributes
+    * the truncating ppm cumpos_k·1e6 div k and AP divides the exact
+    * term sum by n₊ once — per-term floor-quantization (≤1 ppm/term)
+    * is the declared semantics, mirrored in the oracle (the q161
+    * floor-before-sum convention; never a float accumulation).
+    *
+    * Plan: one narrow projection, a per-source rank window + running
+    * positive count on the SAME (source)-partitioned sort (one Window
+    * region, the q148 declared per-group window limit), then a
+    * |sources|-row aggregate. */
+  val q249AveragePrecision: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(when(col("pos") === 1L,
+          expr("cum_pos * 1000000 div k")).otherwise(0L)).as("term_sum"))
+      .select(col("source"), col("n_docs"), col("n_pos"),
+        expr("CASE WHEN n_pos > 0 THEN term_sum div n_pos END").as("ap_e6"),
+        expr("n_pos * 1000000 div n_docs").as("base_e6"))
+  }
+
   // -- q164: Merkle-style partition fingerprints ------------------------
 
   private val MerkleBuckets = 256L
@@ -1638,6 +1679,7 @@ object Profiling {
     "q170_ri_check" -> q170RiCheck,
     "q148_decile_lift" -> q148DecileLift,
     "q149_exact_auc" -> q149ExactAuc,
+    "q249_average_precision" -> q249AveragePrecision,
     "q140_quantile_normalize" -> q140QuantileNormalize,
     "q137_chisq_independence" -> q137ChisqIndependence,
     "q129_hll_distinct" -> q129HllDistinct,
@@ -2146,6 +2188,30 @@ object Profiling {
         |    CAST((sum_two_r - n_pos * (n_pos + 1)) * 1000000
         |      // (2 * n_pos * n_neg) AS BIGINT)
         |    END AS auc_e6
+        |FROM m""".stripMargin,
+    // Same (n_chars DESC, doc_id) total order, same truncating
+    // per-term ppm and final n_pos division.
+    "q249_average_precision" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |      AS BIGINT) AS cum_pos
+        |  FROM documents
+        |), m AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pos = 1
+        |      THEN cum_pos * 1000000 // k ELSE 0 END) AS BIGINT) AS term_sum
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_pos,
+        |  CASE WHEN n_pos > 0 THEN term_sum // n_pos END AS ap_e6,
+        |  n_pos * 1000000 // n_docs AS base_e6
         |FROM m""".stripMargin,
     // Same per-source ntile (deterministic under the total order) and
     // the same truncating cross-source mean.

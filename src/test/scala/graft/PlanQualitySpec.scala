@@ -235,6 +235,38 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q246/q247 rank tests walk value cells, not raw rows, in one window region") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q246_rank_sum_test", "q247_ks_two_sample").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        // events collapse map-combined to (type, value) cells BEFORE
+        // any window: exactly two exchanges (cell aggregate, then the
+        // per-type window repartition the final aggregate reuses) and
+        // ONE sort — q247's three window specs share the (type, v)
+        // order, so Catalyst stacks them in a single region
+        p should include("partial_sum")
+        p.sliding("Exchange hashpartitioning".length)
+          .count(_ == "Exchange hashpartitioning") shouldBe 2
+        p.linesIterator.count(_.trim.startsWith("+- Sort")) shouldBe 1
+        p should not include "Join"
+      }
+    }
+  }
+
+  test("q249 average precision is one per-source window region, no join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q249_average_precision")
+    // rank + running positive count share the (source | n_chars DESC,
+    // doc_id) sort: one Window node, one exchange pair (window
+    // repartition + final per-source aggregate), document text pruned
+    // at the scan
+    p.linesIterator.count(_.contains("Window [")) shouldBe 1
+    p should not include "Join"
+    val readSchema = p.substring(p.indexOf("ReadSchema:"))
+    readSchema should not include "text"
+  }
+
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q53_exact_k_sample")
