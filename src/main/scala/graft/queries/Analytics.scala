@@ -1263,6 +1263,71 @@ object Analytics {
       .agg(count(lit(1)).as("n_pairs"), median(col("slope")).as("ts_slope"))
   }
 
+  // -- q253: Mann–Kendall trend test --------------------------------------
+
+  /** MANN–KENDALL TREND TEST — the inference companion of q160's
+    * Theil–Sen slope (the literature pairs them: Sen 1968 estimates
+    * the slope, Mann–Kendall decides whether a monotone trend EXISTS):
+    * per event type, S = Σ_{i<j} sign(x_j − x_i) over all day pairs of
+    * the daily count series, the tie-corrected variance Var(S) =
+    * [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, Kendall's τ_b against
+    * the day axis, and the continuity-corrected z. Distribution-free
+    * and rank-based: one spike day shifts S by at most n−1, where it
+    * drags q150's OLS slope arbitrarily — the q157/q160 robustness
+    * family completed with a decision rule.
+    *
+    * Exactness: S, the tie terms, and both τ_b factors are exact
+    * BIGINTs; τ_b is e6-snapped via round over one IEEE expression
+    * (q150's signed-statistic convention) and z is the standard
+    * (S∓1)/√Var(S) fixed shape — sqrt is IEEE-correctly-rounded so
+    * every column is engine-exact. Var(S) = 0 (all days tied) guards
+    * to NULL; |days| < 2 yields no pairs and drops the type (matching
+    * the oracle's inner-join semantics).
+    *
+    * Plan: q160's exactly — the daily rollup is the only pass over raw
+    * events (map-combined), the pair stage is the DECLARED
+    * calendar-bounded |days|² equi-join on event_type (SharedCache'd
+    * daily relation on both sides), tie groups ride a second
+    * domain-bounded aggregate on (type, count-value), and the final
+    * relation is |types| rows. */
+  val q253MannKendall: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .transform(graft.ops.SharedCache.persist) // pair sides + tie groups
+    val a = daily.select(col("event_type"), col("t").as("t1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("t").as("t2"), col("x").as("x2"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    val ties = daily
+      .groupBy("event_type", "x")
+      .agg(count(lit(1)).as("tg"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"), sum(col("tg")).as("n_days"),
+        sum(col("tg") * (col("tg") - 1) * (lit(2) * col("tg") + 5)).as("tie_v"),
+        sum(col("tg") * (col("tg") - 1)).as("tie_tau_x2"))
+    pairs.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"), col("tie_v"),
+        expr("""CASE WHEN 2 * n_pairs - tie_tau_x2 > 0 THEN
+               | CAST(round(CAST(s_stat AS DOUBLE)
+               |   / sqrt(CAST(2 * n_pairs - tie_tau_x2 AS DOUBLE) / 2
+               |          * n_pairs)
+               |   * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("tau_b_e6"),
+        expr("""CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_v > 0 THEN
+               | CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+               |        / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) - tie_v) / 18)
+               |      WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+               |        / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) - tie_v) / 18)
+               |      ELSE CAST(0 AS DOUBLE) END
+               | END""".stripMargin).as("z_mk"))
+  }
+
   // -- q179: persistent bestsellers (top-k persistence profile) ---------
 
   private val PersistTopK = 10
@@ -1530,6 +1595,7 @@ object Analytics {
     "q185_ship_latency" -> q185ShipLatency,
     "q179_persistent_topk" -> q179PersistentTopk,
     "q160_theil_sen" -> q160TheilSen,
+    "q253_mann_kendall" -> q253MannKendall,
     "q156_abc_classes" -> q156AbcClasses,
     "q157_robust_trend" -> q157RobustTrend,
     "q151_spearman_rho" -> q151SpearmanRho,
@@ -1840,6 +1906,49 @@ object Analytics {
         |  median(CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)) AS ts_slope
         |FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.t < b.t
         |GROUP BY 1""".stripMargin,
+    // q160's daily/pair CTEs verbatim; the same exact S, tie terms,
+    // and the identical rounded tau / continuity-corrected z shapes.
+    "q253_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), pts AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT) AS t,
+        |    CAST(x AS BIGINT) AS x
+        |  FROM daily
+        |), pairs AS (
+        |  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.t < b.t
+        |  GROUP BY 1
+        |), grp AS (
+        |  SELECT event_type, x, CAST(count(*) AS BIGINT) AS tg
+        |  FROM pts GROUP BY 1, 2
+        |), ties AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(tg) AS BIGINT) AS n_days,
+        |    CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_v,
+        |    CAST(sum(tg * (tg - 1)) AS BIGINT) AS tie_tau_x2
+        |  FROM grp GROUP BY 1
+        |)
+        |SELECT p.event_type, t.n_days, p.n_pairs, p.s_stat, t.tie_v,
+        |  CASE WHEN 2 * p.n_pairs - t.tie_tau_x2 > 0 THEN
+        |    CAST(round(CAST(p.s_stat AS DOUBLE)
+        |      / sqrt(CAST(2 * p.n_pairs - t.tie_tau_x2 AS DOUBLE) / 2
+        |             * p.n_pairs)
+        |      * 1000000, 0) AS BIGINT)
+        |  END AS tau_b_e6,
+        |  CASE WHEN t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_v > 0 THEN
+        |    CASE WHEN p.s_stat > 0 THEN (CAST(p.s_stat AS DOUBLE) - 1)
+        |           / sqrt((CAST(t.n_days AS DOUBLE) * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_v) / 18)
+        |         WHEN p.s_stat < 0 THEN (CAST(p.s_stat AS DOUBLE) + 1)
+        |           / sqrt((CAST(t.n_days AS DOUBLE) * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_v) / 18)
+        |         ELSE CAST(0 AS DOUBLE) END
+        |  END AS z_mk
+        |FROM pairs p JOIN ties t ON t.event_type = p.event_type""".stripMargin,
     // Same strictly-before cumulative frame and integer thresholds.
     "q156_abc_classes" ->
       """WITH spend AS (

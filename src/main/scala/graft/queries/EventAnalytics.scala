@@ -1037,6 +1037,160 @@ object EventAnalytics {
   val q247KsTwoSample: Q = (s, d) =>
     ksFinalize(rankCells(Tables.events(s, d)))
 
+  // -- q250: CUPED variance-reduced A/B readout ----------------------------
+
+  /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
+    * Xu, Kohavi & Walker 2013), the variance-reduction trick every
+    * mature experimentation platform applies before reading q133's
+    * z-test: adjust each user's outcome by their own baseline,
+    * Y' = Y − θ·X, and the treatment-effect estimate keeps its mean
+    * but sheds ρ² of its variance — the same experiment decides in
+    * (1−ρ²)× the sample size for free. Covariate X = the user's spend
+    * on EVEN epoch days, outcome Y = spend on ODD epoch days (a
+    * deterministic interleaved split — in production X is the
+    * pre-experiment window; the parity split is the SQL-expressible
+    * stand-in that keeps both engines and any replay in agreement,
+    * the q133 assignment convention applied to time).
+    *
+    * Per event type: pooled θ = cov(X,Y)/var(X) from exact BIGINT
+    * cents moments, the raw arm difference in Y, the CUPED-adjusted
+    * difference (raw − θ·Δ̄X), and the variance-reduction factor
+    * ρ² — all doubles are ONE fixed-shape IEEE expression over exact
+    * integer accumulators (q133/q150 convention), θ and ρ² e6-snapped
+    * via round (signed-statistic convention). Zero-variance and
+    * one-sided arms CASE-guarded NULL. Overflow ceiling: n·Σxy of
+    * per-user cents products — ~2.5×10¹⁵ at sf0.1, exact to ~9×10¹⁸
+    * (the q133 documentation convention; the decimal money mode is
+    * the declared escape hatch past it).
+    *
+    * Plan: ONE map-combined shuffle to per-(type, user) covariate
+    * cells (the q245 cell discipline — the corpus never meets the
+    * moment stage), then a |types|-row aggregate. */
+  val q250Cuped: Q = (s, d) => {
+    val ucells = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 1).as("treat"),
+        (datediff(col("ts"), lit("1970-01-01")) % 2 === 0).as("pre"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "user_id", "treat")
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+    ucells.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(!col("treat"), col("x")).otherwise(0L)).as("sx0"),
+        sum(when(col("treat"), col("x")).otherwise(0L)).as("sx1"),
+        sum(when(!col("treat"), col("y")).otherwise(0L)).as("sy0"),
+        sum(when(col("treat"), col("y")).otherwise(0L)).as("sy1"))
+      .select(col("event_type"), col("n"), col("n0"), col("n1"),
+        expr("""CASE WHEN n * sxx - sx * sx > 0 THEN
+               | CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+               |   / (n * sxx - sx * sx) * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("theta_e6"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 THEN
+               | CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0
+               | END""".stripMargin).as("diff_raw"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 AND n * sxx - sx * sx > 0 THEN
+               | (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+               | - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+               |   * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+               | END""".stripMargin).as("diff_cuped"),
+        expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               | CAST(round(
+               |   (CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy))
+               |   / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+               |   * 1000000, 0) AS BIGINT)
+               | END""".stripMargin).as("var_red_e6"))
+  }
+
+  // -- q251: MDE sample-size ladder ----------------------------------------
+
+  /** Candidate minimum-detectable-effect sizes, in percent of the
+    * current mean — the rows of the q251 ladder (the q51
+    * explicit-domain convention). */
+  private[graft] val MdeLadderPct = Seq(1L, 2L, 5L, 10L)
+
+  /** (z_{α/2} + z_β)² at α = 0.05 two-sided, power 0.80 — computed on
+    * the driver from the canonical normal quantiles 1.96/0.8416 and
+    * baked as the SAME literal into both plans (the q238 convention:
+    * no runtime quantile function on either engine). */
+  private[graft] val PowerK: Double = {
+    val v = (1.96 + 0.8416) * (1.96 + 0.8416); v
+  }
+
+  /** SAMPLE-SIZE / MDE LADDER — the question asked BEFORE q133 ever
+    * runs: "how many observations per arm until a Δ of 1/2/5/10% of
+    * the current mean is detectable at α = 0.05 with 80% power?" —
+    * n/arm = (z_{α/2}+z_β)²·2σ̂²/δ², the planning table that decides
+    * whether an experiment is worth starting and when q238's
+    * sequential walk could realistically stop. σ̂² and the mean come
+    * from the same exact cents accumulators as q133 (n, Σv, Σv²);
+    * the ladder is an in-row 4-way literal expansion (q173's
+    * stack/unpivot convention — no join); each n/arm is ONE
+    * fixed-shape IEEE expression over exact BIGINTs, ceil'd to the
+    * integer an experimenter actually provisions (ceil of identical
+    * doubles is engine-exact). Degenerate σ̂² = 0 or a single
+    * observation CASE-guards to NULL. Plan: one map-combined
+    * |types|-row aggregate + a constant-width 4-row-per-type
+    * expansion. */
+  val q251MdeLadder: Q = (s, d) => {
+    val m = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("qv"))
+    m.select(col("event_type"), col("n"), col("sv"), col("qv"),
+        explode(array(MdeLadderPct.map(lit): _*)).as("mde_pct"))
+      .select(col("event_type"), col("mde_pct"), col("n").as("n_obs"),
+        expr(s"""CASE WHEN n > 1 AND sv > 0
+                |  AND CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n > 0 THEN
+                | CAST(ceil(
+                |   $PowerK * 2
+                |   * ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+                |   / ((CAST(sv AS DOUBLE) / n * mde_pct / 100)
+                |      * (CAST(sv AS DOUBLE) / n * mde_pct / 100)))
+                | AS BIGINT) END""".stripMargin).as("n_per_arm"))
+  }
+
+  // -- q252: Benjamini–Hochberg FDR step-up --------------------------------
+
+  /** BENJAMINI–HOCHBERG FDR CONTROL — the multiple-testing correction
+    * the experiment-readout family was still missing: once q245 hands
+    * back a p-value PER event type, reading each against α = 0.05
+    * alone inflates the family-wise false-discovery rate; BH's
+    * step-up (1995) sorts the m p-values, finds k* = max{k : p₍ₖ₎ ≤
+    * α·k/m}, and rejects exactly the first k* — FDR ≤ α guaranteed
+    * under independence. The p source is q245's EXACT integer ppm
+    * p-values (Monte-Carlo permutation — no normal CDF anywhere, so
+    * the whole correction stays engine-exact: the step-up comparisons
+    * are p_ppm·m ≤ 50000·k on BIGINTs, never a float threshold).
+    *
+    * Ordering ties break on event_type — deterministic in both
+    * engines. The ranking window is GLOBAL over the |types|-row
+    * report relation (the q189 tiny-relation convention: windows over
+    * domain-bounded control-plane rows, never over the corpus); all
+    * row-scaled work happens inside q245's pinned plan. */
+  val q252BhFdr: Q = (s, d) => {
+    val wRank = Window.orderBy("p_ppm", "event_type")
+    val wAll = Window.partitionBy()
+    q245PermutationTest(s, d)
+      .select(col("event_type"), col("p_ppm"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("k_star",
+        max(when(col("p_ppm") * col("m") <= lit(50000L) * col("rk"), col("rk"))
+          .otherwise(0L)).over(wAll))
+      .select(col("event_type"), col("p_ppm"), col("rk"), col("m"),
+        expr("50000 * rk div m").as("bh_limit_ppm"), col("k_star"),
+        when(col("rk") <= col("k_star"), 1L).otherwise(0L).as("rejected"))
+  }
+
   // -- q238: SPRT sequential conversion test -----------------------------
 
   private val SprtP0 = 0.10 // H0 conversion rate
@@ -1661,6 +1815,9 @@ object EventAnalytics {
     "q245_permutation_test" -> q245PermutationTest,
     "q246_rank_sum_test" -> q246RankSumTest,
     "q247_ks_two_sample" -> q247KsTwoSample,
+    "q250_cuped" -> q250Cuped,
+    "q251_mde_ladder" -> q251MdeLadder,
+    "q252_bh_fdr" -> q252BhFdr,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -1687,7 +1844,8 @@ object EventAnalytics {
 
   // -- DuckDB oracles ---------------------------------------------------
 
-  val oracles: Map[String, String] = Map(
+  // lazy: references oraclesMore/q245OracleSql, declared after this map
+  lazy val oracles: Map[String, String] = oraclesMore ++ Map(
     // Same per-user MIN day, same day counts and running sum.
     "q186_first_seen_curve" ->
       """WITH fd AS (
@@ -2149,9 +2307,103 @@ object EventAnalytics {
         |                          / (CAST(n0 AS DOUBLE) * n1))
         |         THEN 1 ELSE 0 END END AS BIGINT) AS reject_05
         |FROM agg""".stripMargin,
+    // Same per-(type, user) parity-split covariate cells, same exact
+    // BIGINT moments; theta/rho2 and both diffs are the identical IEEE
+    // expressions, e6-snapped the same way.
+    "q250_cuped" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, (user_id % 2 = 1) AS treat,
+        |    CAST(sum(CASE WHEN datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |          date_trunc('day', CAST(ts AS TIMESTAMP))) % 2 = 0
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |          date_trunc('day', CAST(ts AS TIMESTAMP))) % 2 = 1
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(CASE WHEN NOT treat THEN x ELSE 0 END) AS BIGINT) AS sx0,
+        |    CAST(sum(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(sum(CASE WHEN NOT treat THEN y ELSE 0 END) AS BIGINT) AS sy0,
+        |    CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS sy1
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT event_type, n, n0, n1,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (n * sxx - sx * sx) * 1000000, 0) AS BIGINT)
+        |  END AS theta_e6,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0
+        |  END AS diff_raw,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND n * sxx - sx * sx > 0 THEN
+        |    (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+        |      * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+        |  END AS diff_cuped,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(round(
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy))
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+        |      * 1000000, 0) AS BIGINT)
+        |  END AS var_red_e6
+        |FROM m""".stripMargin,
+    // Same exact accumulators, same baked (z_a/2+z_b)^2 literal, the
+    // identical IEEE shape under an engine-exact ceil.
+    "q251_mde_ladder" ->
+      s"""WITH m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sv,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+         |           * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS qv
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT event_type, CAST(l.mde_pct AS BIGINT) AS mde_pct,
+         |  n AS n_obs,
+         |  CASE WHEN n > 1 AND sv > 0
+         |    AND CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n > 0 THEN
+         |    CAST(ceil(
+         |      $PowerK * 2
+         |      * ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+         |      / ((CAST(sv AS DOUBLE) / n * l.mde_pct / 100)
+         |         * (CAST(sv AS DOUBLE) / n * l.mde_pct / 100)))
+         |    AS BIGINT) END AS n_per_arm
+         |FROM m, (VALUES (${MdeLadderPct.mkString("), (")})) AS l(mde_pct)""".stripMargin,
     // Same per-user cells, same per-digest bit flips, same truncating
     // means and add-one Monte-Carlo p — bit-for-bit on every column.
-    "q245_permutation_test" ->
+    // (Factored to a val so q252's BH step-up restates it verbatim as
+    // its p-value source.)
+    "q245_permutation_test" -> q245OracleSql,
+    // q245's oracle verbatim as the p source (nested-WITH derived
+    // table), then the same deterministic ordering and integer
+    // step-up comparisons.
+    "q252_bh_fdr" ->
+      s"""WITH p AS (SELECT event_type, p_ppm FROM ($q245OracleSql) q245),
+         |ranked AS (
+         |  SELECT event_type, p_ppm,
+         |    CAST(row_number() OVER (ORDER BY p_ppm, event_type) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM p
+         |), ok AS (
+         |  SELECT event_type, p_ppm, rk, m,
+         |    50000 * rk // m AS bh_limit_ppm,
+         |    max(CASE WHEN p_ppm * m <= 50000 * rk THEN rk ELSE 0 END)
+         |      OVER () AS k_star
+         |  FROM ranked
+         |)
+         |SELECT event_type, p_ppm, rk, m, bh_limit_ppm, k_star,
+         |  CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS BIGINT) AS rejected
+         |FROM ok""".stripMargin)
+
+  /** q245's full oracle SQL (see the map comment above). */
+  private[graft] lazy val q245OracleSql: String =
       s"""WITH cells AS (
          |  SELECT event_type, user_id, (user_id % 2 = 1) AS treat,
          |    CAST(count(*) AS BIGINT) AS n,
@@ -2191,7 +2443,11 @@ object EventAnalytics {
          |SELECT o.event_type, o.n0, o.n1, o.mean0_e2, o.mean1_e2,
          |  o.obs_diff_e2, c.n_perm_ge,
          |  (1 + c.n_perm_ge) * 1000000 // ${PermReps + 1} AS p_ppm
-         |FROM obs2 o JOIN cnt c ON c.event_type = o.event_type""".stripMargin,
+         |FROM obs2 o JOIN cnt c ON c.event_type = o.event_type""".stripMargin
+
+  /** The rest of the oracle map (split from the literal above so
+    * [[q245OracleSql]] can sit between them as a named val). */
+  private val oraclesMore: Map[String, String] = Map(
     // Same parity split and accumulator set; Welch z in one IEEE
     // double expression over the exact BIGINTs.
     "q133_ab_ztest" ->

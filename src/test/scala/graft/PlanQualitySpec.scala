@@ -267,6 +267,31 @@ class PlanQualitySpec extends SparkSpec {
     readSchema should not include "text"
   }
 
+  test("q250 CUPED collapses to user cells before the moment aggregate") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q250_cuped")
+    // one map-combined shuffle to (type, user) covariate cells, one
+    // |types|-row moment aggregate — no join, no window, the corpus
+    // never meets the moment stage
+    p should include("partial_sum")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("q251 MDE ladder expands ABOVE the per-type aggregate, joins nothing") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q251_mde_ladder")
+    // the 4-way ladder explode sits above the |types|-row moment
+    // aggregate (the q245 Generate-above-partial discipline)
+    p should include("partial_sum")
+    p should include("Generate explode")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+  }
+
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q53_exact_k_sample")
