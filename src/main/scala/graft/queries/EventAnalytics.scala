@@ -901,8 +901,15 @@ object EventAnalytics {
   }
 
   val q245PermutationTest: Q = (s, d) => {
+    // SharedCache (r12c): the cells feed BOTH partial legs within this
+    // query, and q252's BH step-up re-derives the identical plans —
+    // CacheManager's canonical-plan dedup turns its whole p-value
+    // source into a |types|·(B+1)-row cache hit in shared mode.
     val cells = permBaseCells(Tables.events(s, d))
-    permFinalize(permObsPartials(cells), permCellPartials(cells))
+      .transform(graft.ops.SharedCache.persist)
+    permFinalize(
+      graft.ops.SharedCache.persist(permObsPartials(cells)),
+      graft.ops.SharedCache.persist(permCellPartials(cells)))
   }
 
   // -- q246: Mann–Whitney U rank-sum test --------------------------------
@@ -1066,8 +1073,12 @@ object EventAnalytics {
     * Plan: ONE map-combined shuffle to per-(type, user) covariate
     * cells (the q245 cell discipline — the corpus never meets the
     * moment stage), then a |types|-row aggregate. */
-  val q250Cuped: Q = (s, d) => {
-    val ucells = Tables.events(s, d)
+  /** The per-(type, user, arm) covariate/outcome cells — additive by
+    * + under any chunking of the event stream (a user's even- and
+    * odd-day cents sums fold across batches exactly); shared verbatim
+    * with [[graft.streaming.StreamingCuped]]. */
+  private[graft] def cupedCells(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), col("user_id"),
         (col("user_id") % 2 === 1).as("treat"),
         (datediff(col("ts"), lit("1970-01-01")) % 2 === 0).as("pre"),
@@ -1075,6 +1086,10 @@ object EventAnalytics {
       .groupBy("event_type", "user_id", "treat")
       .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
         sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+
+  /** The q250 report tail over the cell relation — shared with the
+    * streaming twin so its answer is this exact code path. */
+  private[graft] def cupedFinalize(ucells: DataFrame): DataFrame =
     ucells.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
@@ -1106,7 +1121,9 @@ object EventAnalytics {
                |   / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
                |   * 1000000, 0) AS BIGINT)
                | END""".stripMargin).as("var_red_e6"))
-  }
+
+  val q250Cuped: Q = (s, d) =>
+    cupedFinalize(cupedCells(Tables.events(s, d)))
 
   // -- q251: MDE sample-size ladder ----------------------------------------
 
