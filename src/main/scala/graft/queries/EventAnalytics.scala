@@ -1208,6 +1208,138 @@ object EventAnalytics {
         when(col("rk") <= col("k_star"), 1L).otherwise(0L).as("rejected"))
   }
 
+  // -- q254: Kaplan–Meier time-to-conversion ------------------------------
+
+  /** KAPLAN–MEIER SURVIVAL CURVE — time-to-conversion with RIGHT
+    * CENSORING, the estimator q65's funnel rate can't replace: a user
+    * who hasn't purchased YET is not a non-converter, and dropping or
+    * mis-binning them biases every naive "days to purchase" average.
+    * The product-limit estimator (Kaplan & Meier 1958) handles it
+    * exactly: at each conversion day t, S(t) ← S(t⁻)·(n_t − d_t)/n_t
+    * where n_t counts users still at risk (not yet converted OR
+    * censored) — censored users contribute risk exposure up to their
+    * censor day and then leave without an event.
+    *
+    * Units: duration = days from the user's first 'view' to their
+    * first 'purchase' AT-OR-AFTER it (the event); users with no such
+    * purchase censor at their LAST observed event day (per-user
+    * observation end — no global data-dependent scalar, so no scalar
+    * join anywhere). Day-granular by design: the time axis is
+    * calendar-bounded, so the curve relation is |days| rows.
+    *
+    * Exactness: the survival product is a RUNNING TRUNCATING integer
+    * fold in e9 — acc ← acc·(n−d) div n at each event day (acc stays
+    * in e9 scale because (n−d)/n ≤ 1; one ulp per step, the declared
+    * semantics, q161 floor-before-sum spirit) — expressed as an
+    * in-row `aggregate` HOF over the window-collected day prefix in
+    * Spark and the equivalent recursive CTE in DuckDB: bit-for-bit
+    * equal, no float product or exp/log anywhere. Overflow:
+    * acc·(n−d) ≤ 1e9·N — exact past 9×10⁹ users.
+    *
+    * Plan: one map-combined shuffle to per-user (first-view,
+    * first-purchase, last-event) cells, a second map-combined
+    * collapse to per-day (d, c) counts — the ONLY row-scaled stages —
+    * then windows + the prefix fold over the |days|-bounded curve
+    * relation. */
+  val q254KaplanMeier: Q = (s, d) => {
+    val durations = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        datediff(col("ts"), lit("1970-01-01")).cast("long").as("t"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("t"))).as("fpAny"),
+        max(col("t")).as("le"))
+      .filter(col("fv").isNotNull)
+      .select(col("user_id"),
+        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"), 1L)
+          .otherwise(0L).as("event"),
+        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"),
+          col("fpAny") - col("fv"))
+          .otherwise(col("le") - col("fv")).as("dur"))
+    val days = durations
+      .groupBy(col("dur").as("day"))
+      .agg(sum(col("event")).as("d_conv"),
+        sum(lit(1L) - col("event")).as("n_censored"))
+    val wPrev = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPfx = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    days
+      .withColumn("n_total", sum(col("d_conv") + col("n_censored")).over(wAll))
+      .withColumn("gone",
+        coalesce(sum(col("d_conv") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("n_risk", col("n_total") - col("gone"))
+      .withColumn("pfx",
+        collect_list(struct(col("n_risk").as("n"), col("d_conv").as("d")))
+          .over(wPfx))
+      .filter(col("d_conv") > 0) // the KM table lists event times only
+      .select(col("day"), col("n_risk"), col("d_conv"), col("n_censored"),
+        expr("""aggregate(pfx, CAST(1000000000 AS BIGINT),
+               | (acc, s) -> CASE WHEN s.d > 0
+               |   THEN acc * (s.n - s.d) div s.n ELSE acc END)""".stripMargin)
+          .as("surv_e9"))
+  }
+
+  // -- q255: uplift deciles / Qini curve -----------------------------------
+
+  /** UPLIFT DECILES (Qini-style) — the targeting readout the A/B
+    * family still lacked: q133/q250 estimate ONE average treatment
+    * effect, but a campaign targets the users it helps most, and the
+    * standard evidence is the uplift-by-decile table (Radcliffe 2007):
+    * rank users by a pre-treatment score, split into deciles, and in
+    * each compare the arms' conversion rates — plus the cumulative
+    * Qini numerator that turns the table into the model-selection
+    * curve (steeper early rise = better targeting).
+    *
+    * Score = the user's even-epoch-day spend (q250's covariate,
+    * shared convention — deterministic and pre-outcome by the same
+    * parity-day argument); outcome = any 'purchase'; arms = the
+    * q133 user-parity split. Exactness: per-arm rates are truncating
+    * non-negative ppm (house div contract), their difference an exact
+    * signed BIGINT subtraction; the cumulative Qini leg is the
+    * CROSS-MULTIPLIED form cc₁·cn₀ − cc₀·cn₁ — an exact signed
+    * BIGINT with NO division at all (the q148 cross-product
+    * discipline), so the curve ranks models engine-exactly.
+    *
+    * Plan: one map-combined shuffle to per-user cells, a global
+    * decile rank over the USER DIMENSION (q73's global-ntile
+    * allowance — users, not events, and deterministic under the
+    * (score DESC, user_id) total order), one 10-row aggregate +
+    * cumulative windows over the decile relation. Overflow: cc·cn ≤
+    * N² — exact past 3×10⁹ users. */
+  val q255UpliftDeciles: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 1).as("treat"),
+        (datediff(col("ts"), lit("1970-01-01")) % 2 === 0).as("pre"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("user_id", "treat")
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val wRank = Window.orderBy(col("score").desc, col("user_id"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("decile", ntile(10).over(wRank).cast("long"))
+      .groupBy("decile")
+      .agg(sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("treat"), col("conv")).otherwise(0L)).as("conv0"),
+        sum(when(col("treat"), col("conv")).otherwise(0L)).as("conv1"))
+      .withColumn("cn0", sum(col("n0")).over(wCum))
+      .withColumn("cn1", sum(col("n1")).over(wCum))
+      .withColumn("cc0", sum(col("conv0")).over(wCum))
+      .withColumn("cc1", sum(col("conv1")).over(wCum))
+      .select(col("decile"), col("n0"), col("n1"), col("conv0"), col("conv1"),
+        expr("CASE WHEN n0 > 0 THEN conv0 * 1000000 div n0 END").as("rate0_ppm"),
+        expr("CASE WHEN n1 > 0 THEN conv1 * 1000000 div n1 END").as("rate1_ppm"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0 THEN
+               | conv1 * 1000000 div n1 - conv0 * 1000000 div n0
+               | END""".stripMargin).as("uplift_ppm"),
+        (col("cc1") * col("cn0") - col("cc0") * col("cn1")).as("qini_x"))
+  }
+
   // -- q238: SPRT sequential conversion test -----------------------------
 
   private val SprtP0 = 0.10 // H0 conversion rate
@@ -1835,6 +1967,8 @@ object EventAnalytics {
     "q250_cuped" -> q250Cuped,
     "q251_mde_ladder" -> q251MdeLadder,
     "q252_bh_fdr" -> q252BhFdr,
+    "q254_kaplan_meier" -> q254KaplanMeier,
+    "q255_uplift_deciles" -> q255UpliftDeciles,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -2393,6 +2527,93 @@ object EventAnalytics {
          |         * (CAST(sv AS DOUBLE) / n * l.mde_pct / 100)))
          |    AS BIGINT) END AS n_per_arm
          |FROM m, (VALUES (${MdeLadderPct.mkString("), (")})) AS l(mde_pct)""".stripMargin,
+    // Same per-user score/conversion cells, same (score DESC, user)
+    // ntile order, same truncating ppm rates and cross-multiplied
+    // Qini numerator.
+    "q255_uplift_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id, (user_id % 2 = 1) AS treat,
+        |    CAST(sum(CASE WHEN datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |          date_trunc('day', CAST(ts AS TIMESTAMP))) % 2 = 0
+        |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY 1, 2
+        |), dec AS (
+        |  SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+        |    AS BIGINT) AS decile
+        |  FROM u
+        |), g AS (
+        |  SELECT decile,
+        |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT) AS conv0,
+        |    CAST(sum(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS conv1
+        |  FROM dec GROUP BY 1
+        |), c AS (
+        |  SELECT *,
+        |    CAST(sum(n0) OVER (ORDER BY decile) AS BIGINT) AS cn0,
+        |    CAST(sum(n1) OVER (ORDER BY decile) AS BIGINT) AS cn1,
+        |    CAST(sum(conv0) OVER (ORDER BY decile) AS BIGINT) AS cc0,
+        |    CAST(sum(conv1) OVER (ORDER BY decile) AS BIGINT) AS cc1
+        |  FROM g
+        |)
+        |SELECT decile, n0, n1, conv0, conv1,
+        |  CASE WHEN n0 > 0 THEN conv0 * 1000000 // n0 END AS rate0_ppm,
+        |  CASE WHEN n1 > 0 THEN conv1 * 1000000 // n1 END AS rate1_ppm,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    conv1 * 1000000 // n1 - conv0 * 1000000 // n0
+        |  END AS uplift_ppm,
+        |  cc1 * cn0 - cc0 * cn1 AS qini_x
+        |FROM c""".stripMargin,
+    // Same per-user duration cells and per-day counts; the truncating
+    // e9 survival fold restated as a linear recursive CTE — the same
+    // acc*(n-d)//n step, bit-for-bit.
+    "q254_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fp,
+        |    max(CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS le
+        |  FROM events GROUP BY 1
+        |), dur AS (
+        |  SELECT CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv
+        |         ELSE le - fv END AS dur
+        |  FROM u WHERE fv IS NOT NULL
+        |), days AS (
+        |  SELECT dur AS day, CAST(sum(event) AS BIGINT) AS d_conv,
+        |    CAST(sum(1 - event) AS BIGINT) AS n_censored
+        |  FROM dur GROUP BY 1
+        |), risk AS (
+        |  SELECT day, d_conv, n_censored,
+        |    CAST(sum(d_conv + n_censored) OVER () AS BIGINT)
+        |      - CAST(coalesce(sum(d_conv + n_censored) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM days
+        |), km AS (
+        |  SELECT rn, day, n_risk, d_conv, n_censored,
+        |    CASE WHEN d_conv > 0
+        |      THEN (CAST(1000000000 AS BIGINT) * (n_risk - d_conv)) // n_risk
+        |      ELSE CAST(1000000000 AS BIGINT) END AS surv_e9
+        |  FROM risk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.day, r.n_risk, r.d_conv, r.n_censored,
+        |    CASE WHEN r.d_conv > 0
+        |      THEN (k.surv_e9 * (r.n_risk - r.d_conv)) // r.n_risk
+        |      ELSE k.surv_e9 END
+        |  FROM risk r JOIN km k ON r.rn = k.rn + 1
+        |)
+        |SELECT day, n_risk, d_conv, n_censored, surv_e9
+        |FROM km WHERE d_conv > 0""".stripMargin,
     // Same per-user cells, same per-digest bit flips, same truncating
     // means and add-one Monte-Carlo p — bit-for-bit on every column.
     // (Factored to a val so q252's BH step-up restates it verbatim as

@@ -292,6 +292,32 @@ class PlanQualitySpec extends SparkSpec {
     p should not include "Join"
   }
 
+  test("q254 Kaplan-Meier: two map-combined collapses, the fold joins nothing") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q254_kaplan_meier")
+    // one scan -> per-user cells (user key) -> per-day counts (day
+    // key); the survival fold runs over the |days|-bounded curve
+    // relation (SinglePartition is the declared tiny-relation stage)
+    p should not include "Join"
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p should include("partial_min")
+    p should include("collect_list")
+  }
+
+  test("q255 uplift deciles: user cells collapse before the single global rank") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q255_uplift_deciles")
+    // the only row-scaled shuffle is the per-user cell aggregate; the
+    // ntile ranks USERS (declared q73 allowance), and the decile
+    // table + cumulative windows live on 10 rows
+    p should not include "Join"
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should include("ntile(10)")
+    p should include("partial_sum")
+  }
+
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q53_exact_k_sample")
