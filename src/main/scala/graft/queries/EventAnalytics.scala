@@ -1241,7 +1241,9 @@ object EventAnalytics {
     * collapse to per-day (d, c) counts — the ONLY row-scaled stages —
     * then windows + the prefix fold over the |days|-bounded curve
     * relation. */
-  val q254KaplanMeier: Q = (s, d) => {
+  /** The q254 event-day curve relation — SharedCache'd (q257's RMST
+    * integrates exactly this relation). */
+  private[graft] def kmEventCurve(s: SparkSession, d: String): DataFrame = {
     val durations = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         datediff(col("ts"), lit("1970-01-01")).cast("long").as("t"))
@@ -1279,6 +1281,130 @@ object EventAnalytics {
                | (acc, s) -> CASE WHEN s.d > 0
                |   THEN acc * (s.n - s.d) div s.n ELSE acc END)""".stripMargin)
           .as("surv_e9"))
+      .transform(graft.ops.SharedCache.persist)
+  }
+
+  val q254KaplanMeier: Q = (s, d) => kmEventCurve(s, d)
+
+  // -- q256: log-rank test ---------------------------------------------------
+
+  /** LOG-RANK TEST (Mantel 1966) — does the parity split change the
+    * time-to-conversion DISTRIBUTION, the inference companion of
+    * q254's curve the way q253 is of q160's slope: at each conversion
+    * day the treated arm's observed events d₁ are compared with the
+    * hypergeometric expectation d·n₁/n given the day's risk sets, and
+    * U = Σ(d₁ − d·n₁/n), V = Σ d·(n₁/n)(1−n₁/n)(n−d)/(n−1),
+    * z = U/√V. Censoring-safe by construction — exactly the
+    * comparison a naive conversion-rate delta (q133 on a converted
+    * flag) gets wrong when observation windows differ by arm.
+    *
+    * Exactness: per-day risk/event counts are exact BIGINTs; each
+    * day's U and V term is ONE fixed-shape IEEE expression ROUNDED to
+    * e9 BEFORE the sum (the q161 floor-before-sum convention, signed
+    * via round per the q150 rule — never a signed integer div), so
+    * the sums are exact BIGINT folds of identically-quantized terms
+    * in both engines; z is one IEEE expression at the very end.
+    * Declared 1-ulp-per-event-day quantization.
+    *
+    * Plan: q254's exactly, with arm-split counts — one map-combined
+    * per-user pass, one per-day collapse, windows over the
+    * calendar-bounded day relation, a scalar aggregate. */
+  val q256LogRank: Q = (s, d) => {
+    val durations = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        (col("user_id") % 2 === 1).as("treat"),
+        datediff(col("ts"), lit("1970-01-01")).cast("long").as("t"))
+      .groupBy("user_id", "treat")
+      .agg(min(when(col("event_type") === "view", col("t"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("t"))).as("fpAny"),
+        max(col("t")).as("le"))
+      .filter(col("fv").isNotNull)
+      .select(col("treat"),
+        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"), 1L)
+          .otherwise(0L).as("event"),
+        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"),
+          col("fpAny") - col("fv"))
+          .otherwise(col("le") - col("fv")).as("dur"))
+    val days = durations
+      .groupBy(col("dur").as("day"))
+      .agg(sum(col("event")).as("d_all"),
+        sum(when(col("treat"), col("event")).otherwise(0L)).as("d1"),
+        sum(lit(1L) - col("event")).as("c_all"),
+        sum(when(col("treat"), lit(1L) - col("event")).otherwise(0L)).as("c1"))
+    val wPrev = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    days
+      .withColumn("n_tot", sum(col("d_all") + col("c_all")).over(wAll))
+      .withColumn("n1_tot", sum(col("d1") + col("c1")).over(wAll))
+      .withColumn("gone",
+        coalesce(sum(col("d_all") + col("c_all")).over(wPrev), lit(0L)))
+      .withColumn("gone1",
+        coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n", col("n_tot") - col("gone"))
+      .withColumn("n1", col("n1_tot") - col("gone1"))
+      .filter(col("d_all") > 0)
+      .select(col("day"), col("d_all"), col("d1"), col("n"), col("n1"),
+        expr("""CAST(round((CAST(d1 AS DOUBLE)
+               | - CAST(d_all AS DOUBLE) * n1 / n) * 1000000000, 0)
+               | AS BIGINT)""".stripMargin).as("u_e9"),
+        expr("""CASE WHEN n > 1 THEN
+               | CAST(round(CAST(d_all AS DOUBLE)
+               |   * (CAST(n1 AS DOUBLE) / n) * (1 - CAST(n1 AS DOUBLE) / n)
+               |   * (CAST(n AS DOUBLE) - d_all) / (n - 1)
+               |   * 1000000000, 0) AS BIGINT)
+               | ELSE CAST(0 AS BIGINT) END""".stripMargin).as("v_e9"),
+        expr("""CAST(round(CAST(d_all AS DOUBLE) * n1 / n * 1000000000, 0)
+               | AS BIGINT)""".stripMargin).as("e1_e9"))
+      .agg(count(lit(1)).as("n_event_days"),
+        sum(col("d1")).as("o1"),
+        sum(col("e1_e9")).as("e1_e9"),
+        sum(col("u_e9")).as("u_e9"),
+        sum(col("v_e9")).as("v_e9"))
+      .select(col("n_event_days"), col("o1"), col("e1_e9"),
+        col("u_e9"), col("v_e9"),
+        expr("""CASE WHEN v_e9 > 0 THEN
+               | CAST(u_e9 AS DOUBLE) / sqrt(CAST(v_e9 AS DOUBLE) * 1000000000)
+               | END""".stripMargin).as("z_logrank"))
+  }
+
+  // -- q257: restricted mean survival time -----------------------------------
+
+  private[graft] val RmstHorizonDays = 30L
+
+  /** RESTRICTED MEAN SURVIVAL TIME + MEDIAN — the two scalar readings
+    * of q254's curve an experiment report actually quotes: RMST(τ) =
+    * ∫₀^τ S(t)dt, "average conversion-free days in the first τ = 30"
+    * (well-defined under censoring where the plain mean is not), and
+    * the median conversion day (first day S ≤ ½). Both are PURE
+    * INTEGER ARITHMETIC over the SharedCache'd q254 curve: the step
+    * function is constant between event days, so the integral is
+    * Σ S_k·(span clipped to τ) in exact e9·days — day spans via one
+    * lead() window over the |event-days| relation, no new corpus
+    * work at all.
+    *
+    * The declared τ = 30 is baked into both engines (q238 literal
+    * convention). Median NULL when the curve never crosses ½. */
+  val q257Rmst: Q = (s, d) => {
+    val wLead = Window.orderBy("day")
+    kmEventCurve(s, d)
+      .withColumn("next_day",
+        coalesce(lead(col("day"), 1).over(wLead), lit(RmstHorizonDays)))
+      .select(
+        greatest(
+          least(col("next_day"), lit(RmstHorizonDays)) -
+            least(col("day"), lit(RmstHorizonDays)),
+          lit(0L)).as("span"),
+        col("surv_e9"), col("day"))
+      .agg(sum(col("span") * col("surv_e9")).as("tail_e9"),
+        min(col("day")).as("first_day"),
+        min(when(col("surv_e9") <= 500000000L, col("day")))
+          .as("median_day"))
+      .select(lit(RmstHorizonDays).as("tau_days"),
+        (col("tail_e9") +
+          lit(1000000000L) * least(col("first_day"), lit(RmstHorizonDays)))
+          .as("rmst_e9_days"),
+        col("median_day"))
   }
 
   // -- q255: uplift deciles / Qini curve -----------------------------------
@@ -1969,6 +2095,8 @@ object EventAnalytics {
     "q252_bh_fdr" -> q252BhFdr,
     "q254_kaplan_meier" -> q254KaplanMeier,
     "q255_uplift_deciles" -> q255UpliftDeciles,
+    "q256_logrank_test" -> q256LogRank,
+    "q257_rmst" -> q257Rmst,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -2567,6 +2695,137 @@ object EventAnalytics {
         |  END AS uplift_ppm,
         |  cc1 * cn0 - cc0 * cn1 AS qini_x
         |FROM c""".stripMargin,
+    // Same arm-split duration cells and risk sets; each day's U/V/E
+    // term is the identical IEEE expression rounded to e9 BEFORE the
+    // exact BIGINT sum.
+    "q256_logrank_test" ->
+      """WITH u AS (
+        |  SELECT user_id, (user_id % 2 = 1) AS treat,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fp,
+        |    max(CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS le
+        |  FROM events GROUP BY 1, 2
+        |), dur AS (
+        |  SELECT treat,
+        |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv
+        |         ELSE le - fv END AS dur
+        |  FROM u WHERE fv IS NOT NULL
+        |), days AS (
+        |  SELECT dur AS day,
+        |    CAST(sum(event) AS BIGINT) AS d_all,
+        |    CAST(sum(CASE WHEN treat THEN event ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(1 - event) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN treat THEN 1 - event ELSE 0 END) AS BIGINT) AS c1
+        |  FROM dur GROUP BY 1
+        |), risk AS (
+        |  SELECT day, d_all, d1,
+        |    CAST(sum(d_all + c_all) OVER () AS BIGINT)
+        |      - CAST(coalesce(sum(d_all + c_all) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n,
+        |    CAST(sum(d1 + c1) OVER () AS BIGINT)
+        |      - CAST(coalesce(sum(d1 + c1) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n1
+        |  FROM days
+        |), terms AS (
+        |  SELECT day, d_all, d1, n, n1,
+        |    CAST(round((CAST(d1 AS DOUBLE)
+        |      - CAST(d_all AS DOUBLE) * n1 / n) * 1000000000, 0)
+        |      AS BIGINT) AS u_e9,
+        |    CASE WHEN n > 1 THEN
+        |      CAST(round(CAST(d_all AS DOUBLE)
+        |        * (CAST(n1 AS DOUBLE) / n) * (1 - CAST(n1 AS DOUBLE) / n)
+        |        * (CAST(n AS DOUBLE) - d_all) / (n - 1)
+        |        * 1000000000, 0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS v_e9,
+        |    CAST(round(CAST(d_all AS DOUBLE) * n1 / n * 1000000000, 0)
+        |      AS BIGINT) AS e1_e9
+        |  FROM risk WHERE d_all > 0
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+        |    CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(e1_e9) AS BIGINT) AS e1_e9,
+        |    CAST(sum(u_e9) AS BIGINT) AS u_e9,
+        |    CAST(sum(v_e9) AS BIGINT) AS v_e9
+        |  FROM terms
+        |)
+        |SELECT n_event_days, o1, e1_e9, u_e9, v_e9,
+        |  CASE WHEN v_e9 > 0 THEN
+        |    CAST(u_e9 AS DOUBLE) / sqrt(CAST(v_e9 AS DOUBLE) * 1000000000)
+        |  END AS z_logrank
+        |FROM agg""".stripMargin,
+    // The q254 curve CTEs verbatim + one lead() span pass; the
+    // integral and median are pure BIGINT arithmetic, tau baked.
+    "q257_rmst" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view'
+         |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fv,
+         |    min(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fp,
+         |    max(CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS le
+         |  FROM events GROUP BY 1
+         |), dur AS (
+         |  SELECT CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS event,
+         |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv
+         |         ELSE le - fv END AS dur
+         |  FROM u WHERE fv IS NOT NULL
+         |), days AS (
+         |  SELECT dur AS day, CAST(sum(event) AS BIGINT) AS d_conv,
+         |    CAST(sum(1 - event) AS BIGINT) AS n_censored
+         |  FROM dur GROUP BY 1
+         |), risk AS (
+         |  SELECT day, d_conv, n_censored,
+         |    CAST(sum(d_conv + n_censored) OVER () AS BIGINT)
+         |      - CAST(coalesce(sum(d_conv + n_censored) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS n_risk,
+         |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+         |  FROM days
+         |), km AS (
+         |  SELECT rn, day, n_risk, d_conv, n_censored,
+         |    CASE WHEN d_conv > 0
+         |      THEN (CAST(1000000000 AS BIGINT) * (n_risk - d_conv)) // n_risk
+         |      ELSE CAST(1000000000 AS BIGINT) END AS surv_e9
+         |  FROM risk WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.rn, r.day, r.n_risk, r.d_conv, r.n_censored,
+         |    CASE WHEN r.d_conv > 0
+         |      THEN (k.surv_e9 * (r.n_risk - r.d_conv)) // r.n_risk
+         |      ELSE k.surv_e9 END
+         |  FROM risk r JOIN km k ON r.rn = k.rn + 1
+         |), curve AS (
+         |  SELECT day, surv_e9 FROM km WHERE d_conv > 0
+         |), spans AS (
+         |  SELECT day, surv_e9,
+         |    coalesce(lead(day, 1) OVER (ORDER BY day), $RmstHorizonDays)
+         |      AS next_day
+         |  FROM curve
+         |), agg AS (
+         |  SELECT
+         |    CAST(sum(greatest(least(next_day, $RmstHorizonDays)
+         |      - least(day, $RmstHorizonDays), 0) * surv_e9) AS BIGINT)
+         |      AS tail_e9,
+         |    CAST(min(day) AS BIGINT) AS first_day,
+         |    CAST(min(CASE WHEN surv_e9 <= 500000000 THEN day END)
+         |      AS BIGINT) AS median_day
+         |  FROM spans
+         |)
+         |SELECT CAST($RmstHorizonDays AS BIGINT) AS tau_days,
+         |  tail_e9 + CAST(1000000000 AS BIGINT)
+         |    * least(first_day, $RmstHorizonDays) AS rmst_e9_days,
+         |  median_day
+         |FROM agg""".stripMargin,
     // Same per-user duration cells and per-day counts; the truncating
     // e9 survival fold restated as a linear recursive CTE — the same
     // acc*(n-d)//n step, bit-for-bit.

@@ -72,6 +72,89 @@ class Round12dOpsSpec extends SparkSpec {
     }
   }
 
+  // -- q256: log-rank test ---------------------------------------------------
+
+  test("q256 hand fixture: per-day hypergeometric terms, quantized then summed") {
+    val dir = tmpDir("q256fix")
+    writeEvents(dir, Seq(
+      // treat u1: view d1, purchase d2 (event dur 1)
+      (1L, 1L, "view", 1.0, "2024-01-01 01:00:00"),
+      (2L, 1L, "purchase", 1.0, "2024-01-02 01:00:00"),
+      // control u2: view d1, purchase d3 (event dur 2)
+      (3L, 2L, "view", 1.0, "2024-01-01 02:00:00"),
+      (4L, 2L, "purchase", 1.0, "2024-01-03 02:00:00"),
+      // treat u3 / control u4: censored at dur 3
+      (5L, 3L, "view", 1.0, "2024-01-01 03:00:00"),
+      (6L, 3L, "view", 1.0, "2024-01-04 03:00:00"),
+      (7L, 4L, "view", 1.0, "2024-01-01 04:00:00"),
+      (8L, 4L, "view", 1.0, "2024-01-04 04:00:00")))
+    val r = graft.queries.EventAnalytics.q256LogRank(spark, dir).collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getLong(row.fieldIndex("n_event_days")) shouldBe 2L
+    row.getLong(row.fieldIndex("o1")) shouldBe 1L
+    // day1: U = 1 - 1*2/4 = 0.5; day2: U = 0 - 1*1/3
+    row.getLong(row.fieldIndex("u_e9")) shouldBe 500000000L - 333333333L
+    // day1: V = (2/4)(2/4)(3/3) = 0.25; day2: V = (1/3)(2/3)(2/2) = 2/9
+    row.getLong(row.fieldIndex("v_e9")) shouldBe 250000000L + 222222222L
+    row.getLong(row.fieldIndex("e1_e9")) shouldBe 500000000L + 333333333L
+    val z = row.getDouble(row.fieldIndex("z_logrank"))
+    z shouldBe (166666667.0 / math.sqrt(472222222.0 * 1e9)) +- 1e-12
+  }
+
+  test("q256 at sf0.001: O - E reconciles with U within the per-day ulp budget") {
+    val r = graft.queries.EventAnalytics.q256LogRank(spark, sf).collect().head
+    val o1 = r.getLong(r.fieldIndex("o1"))
+    val e1 = r.getLong(r.fieldIndex("e1_e9"))
+    val u = r.getLong(r.fieldIndex("u_e9"))
+    val days = r.getLong(r.fieldIndex("n_event_days"))
+    // U = O - E exactly before quantization; each day rounds both
+    // terms once, so the folded sums agree to <= 1 ulp per event day
+    math.abs(u - (o1 * 1000000000L - e1)) should be <= days
+    r.getLong(r.fieldIndex("v_e9")) should be > 0L
+  }
+
+  // -- q257: RMST + median ---------------------------------------------------
+
+  test("q257 hand fixture: step integral and median from the q254 curve") {
+    val dir = tmpDir("q257fix")
+    // the q254 fixture: events at day 0 (S -> .75) and day 2 (S -> .375)
+    writeEvents(dir, Seq(
+      (1L, 1L, "view", 1.0, "2024-01-01 01:00:00"),
+      (2L, 1L, "purchase", 1.0, "2024-01-03 01:00:00"),
+      (3L, 2L, "view", 1.0, "2024-01-01 02:00:00"),
+      (4L, 2L, "view", 1.0, "2024-01-05 02:00:00"),
+      (5L, 3L, "view", 1.0, "2024-01-02 03:00:00"),
+      (6L, 3L, "purchase", 1.0, "2024-01-02 04:00:00"),
+      (7L, 4L, "purchase", 1.0, "2024-01-01 05:00:00"),
+      (8L, 4L, "view", 1.0, "2024-01-02 06:00:00")))
+    val r = graft.queries.EventAnalytics.q257Rmst(spark, dir).collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getLong(row.fieldIndex("tau_days")) shouldBe 30L
+    // 0.75e9 * (2-0) + 0.375e9 * (30-2) = 12e9
+    row.getLong(row.fieldIndex("rmst_e9_days")) shouldBe 12000000000L
+    row.getLong(row.fieldIndex("median_day")) shouldBe 2L
+  }
+
+  test("q257 at sf0.001: integral reconciles with a scala restatement of q254") {
+    val curve = graft.queries.EventAnalytics.q254KaplanMeier(spark, sf)
+      .collect().map(r => (r.getLong(r.fieldIndex("day")),
+        r.getLong(r.fieldIndex("surv_e9")))).sortBy(_._1)
+    val tau = 30L
+    val tail = curve.zipWithIndex.map { case ((day, s), i) =>
+      val next = if (i + 1 < curve.length) curve(i + 1)._1 else tau
+      math.max(math.min(next, tau) - math.min(day, tau), 0L) * s
+    }.sum
+    val want = tail + 1000000000L * math.min(curve.head._1, tau)
+    val r = graft.queries.EventAnalytics.q257Rmst(spark, sf).collect().head
+    r.getLong(r.fieldIndex("rmst_e9_days")) shouldBe want
+    val med = curve.find(_._2 <= 500000000L).map(_._1)
+    if (med.isDefined)
+      r.getLong(r.fieldIndex("median_day")) shouldBe med.get
+    else r.isNullAt(r.fieldIndex("median_day")) shouldBe true
+  }
+
   // -- q255: uplift deciles --------------------------------------------------
 
   test("q255 hand fixture: one user per decile, guards and Qini cross-product") {
