@@ -1241,24 +1241,36 @@ object EventAnalytics {
     * collapse to per-day (d, c) counts — the ONLY row-scaled stages —
     * then windows + the prefix fold over the |days|-bounded curve
     * relation. */
-  /** The q254 event-day curve relation — SharedCache'd (q257's RMST
-    * integrates exactly this relation). */
-  private[graft] def kmEventCurve(s: SparkSession, d: String): DataFrame = {
-    val durations = Tables.events(s, d)
+  /** The per-(user, arm) survival state — first view, first purchase,
+    * last-seen day. MERGEABLE under any chunking of the event stream
+    * (min/min/max — not additive, but idempotently foldable, which is
+    * all the twin needs); shared verbatim with
+    * [[graft.streaming.StreamingSurvival]]. */
+  private[graft] def survivalCells(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("event_type"),
+        (col("user_id") % 2 === 1).as("treat"),
         datediff(col("ts"), lit("1970-01-01")).cast("long").as("t"))
-      .groupBy("user_id")
+      .groupBy("user_id", "treat")
       .agg(min(when(col("event_type") === "view", col("t"))).as("fv"),
-        min(when(col("event_type") === "purchase", col("t"))).as("fpAny"),
+        min(when(col("event_type") === "purchase", col("t"))).as("fp"),
         max(col("t")).as("le"))
+
+  /** (event, dur) rows per at-risk user — the shared censoring rule. */
+  private def survivalDurations(cells: DataFrame): DataFrame =
+    cells
       .filter(col("fv").isNotNull)
-      .select(col("user_id"),
-        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"), 1L)
+      .select(col("treat"),
+        when(col("fp").isNotNull && col("fp") >= col("fv"), 1L)
           .otherwise(0L).as("event"),
-        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"),
-          col("fpAny") - col("fv"))
+        when(col("fp").isNotNull && col("fp") >= col("fv"),
+          col("fp") - col("fv"))
           .otherwise(col("le") - col("fv")).as("dur"))
-    val days = durations
+
+  /** The q254 curve over the cell relation — shared with the
+    * streaming twin so its answer is this exact code path. */
+  private[graft] def kmFinalize(cells: DataFrame): DataFrame = {
+    val days = survivalDurations(cells)
       .groupBy(col("dur").as("day"))
       .agg(sum(col("event")).as("d_conv"),
         sum(lit(1L) - col("event")).as("n_censored"))
@@ -1281,8 +1293,13 @@ object EventAnalytics {
                | (acc, s) -> CASE WHEN s.d > 0
                |   THEN acc * (s.n - s.d) div s.n ELSE acc END)""".stripMargin)
           .as("surv_e9"))
-      .transform(graft.ops.SharedCache.persist)
   }
+
+  /** The q254 event-day curve relation — SharedCache'd (q257's RMST
+    * integrates exactly this relation). */
+  private[graft] def kmEventCurve(s: SparkSession, d: String): DataFrame =
+    kmFinalize(survivalCells(Tables.events(s, d)))
+      .transform(graft.ops.SharedCache.persist)
 
   val q254KaplanMeier: Q = (s, d) => kmEventCurve(s, d)
 
@@ -1309,23 +1326,10 @@ object EventAnalytics {
     * Plan: q254's exactly, with arm-split counts — one map-combined
     * per-user pass, one per-day collapse, windows over the
     * calendar-bounded day relation, a scalar aggregate. */
-  val q256LogRank: Q = (s, d) => {
-    val durations = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"),
-        (col("user_id") % 2 === 1).as("treat"),
-        datediff(col("ts"), lit("1970-01-01")).cast("long").as("t"))
-      .groupBy("user_id", "treat")
-      .agg(min(when(col("event_type") === "view", col("t"))).as("fv"),
-        min(when(col("event_type") === "purchase", col("t"))).as("fpAny"),
-        max(col("t")).as("le"))
-      .filter(col("fv").isNotNull)
-      .select(col("treat"),
-        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"), 1L)
-          .otherwise(0L).as("event"),
-        when(col("fpAny").isNotNull && col("fpAny") >= col("fv"),
-          col("fpAny") - col("fv"))
-          .otherwise(col("le") - col("fv")).as("dur"))
-    val days = durations
+  /** The q256 tail over the cell relation — shared with the streaming
+    * twin. */
+  private[graft] def logRankFinalize(cells: DataFrame): DataFrame = {
+    val days = survivalDurations(cells)
       .groupBy(col("dur").as("day"))
       .agg(sum(col("event")).as("d_all"),
         sum(when(col("treat"), col("event")).otherwise(0L)).as("d1"),
@@ -1368,6 +1372,9 @@ object EventAnalytics {
                | END""".stripMargin).as("z_logrank"))
   }
 
+  val q256LogRank: Q = (s, d) =>
+    logRankFinalize(survivalCells(Tables.events(s, d)))
+
   // -- q257: restricted mean survival time -----------------------------------
 
   private[graft] val RmstHorizonDays = 30L
@@ -1385,9 +1392,11 @@ object EventAnalytics {
     *
     * The declared τ = 30 is baked into both engines (q238 literal
     * convention). Median NULL when the curve never crosses ½. */
-  val q257Rmst: Q = (s, d) => {
+  /** The q257 tail over a KM curve relation — shared with the
+    * streaming twin. */
+  private[graft] def rmstFinalize(curve: DataFrame): DataFrame = {
     val wLead = Window.orderBy("day")
-    kmEventCurve(s, d)
+    curve
       .withColumn("next_day",
         coalesce(lead(col("day"), 1).over(wLead), lit(RmstHorizonDays)))
       .select(
@@ -1406,6 +1415,8 @@ object EventAnalytics {
           .as("rmst_e9_days"),
         col("median_day"))
   }
+
+  val q257Rmst: Q = (s, d) => rmstFinalize(kmEventCurve(s, d))
 
   // -- q255: uplift deciles / Qini curve -----------------------------------
 

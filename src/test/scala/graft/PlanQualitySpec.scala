@@ -297,12 +297,26 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q254_kaplan_meier")
     // one scan -> per-user cells (user key) -> per-day counts (day
     // key); the survival fold runs over the |days|-bounded curve
-    // relation (SinglePartition is the declared tiny-relation stage)
+    // relation (SinglePartition is the declared tiny-relation stage).
+    // The curve is SharedCache'd (q257/StreamingSurvival consumers):
+    // when an earlier spec already materialized it in this JVM the
+    // plan renders through InMemoryTableScan (whose stored build plan
+    // repeats the exchange lines in the text) — pin the build shape
+    // only on the uncached rendering.
     p should not include "Join"
-    p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") shouldBe 2
-    p should include("partial_min")
     p should include("collect_list")
+    if (!p.contains("InMemoryTableScan")) {
+      p.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") shouldBe 2
+      p should include("partial_min")
+    }
+    // q256 shares the same un-persisted two-collapse skeleton — pin
+    // the build shape there, where no cache wrapper can intervene
+    val p256 = plan("q256_logrank_test")
+    p256 should not include "Join"
+    p256.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p256 should include("partial_min")
   }
 
   test("q255 uplift deciles: user cells collapse before the single global rank") {
