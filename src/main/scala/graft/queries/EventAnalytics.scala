@@ -1477,6 +1477,55 @@ object EventAnalytics {
         (col("cc1") * col("cn0") - col("cc0") * col("cn1")).as("qini_x"))
   }
 
+  // -- q258: sample-ratio-mismatch guardrail -------------------------------
+
+  /** SAMPLE-RATIO MISMATCH CHECK — the guardrail every experiment
+    * platform runs BEFORE believing any readout in this family
+    * (Fabijan et al. 2019 report ~6% of experiments at scale fail
+    * it): under the declared 50/50 user-parity split, does the
+    * realized USER count per arm actually match? A mismatched ratio
+    * means assignment or logging is broken and q133/q245/q250's
+    * answers are garbage regardless of their p-values. One-df
+    * chi-square against the 50/50 expectation: χ² = (n₀−n₁)²/(n₀+n₁),
+    * flagged at the baked 3.841 critical value (α = 0.05).
+    *
+    * Exactness: counts are exact BIGINTs; χ² is surfaced as the
+    * exact truncating ppm cross-product (n₀−n₁)²·1e6 div (n₀+n₁)
+    * (squares make the numerator non-negative — house div contract
+    * holds) and the flag compares the SAME integer against
+    * ceil(3.841·(n₀+n₁))-free form: chi2_ppm > 3841000 ⟺
+    * (n₀−n₁)²·1e6 > 3841000·(n₀+n₁) — evaluated as the exact
+    * integer comparison, no float anywhere.
+    *
+    * Both granularities ship: USERS (the unit the split assigns —
+    * the real SRM) and raw events (whose imbalance is expected from
+    * per-user volume variance; reported for contrast). Plan: one
+    * map-combined pass to user cells + one |types|-row aggregate. */
+  val q258SrmCheck: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 1).as("treat"))
+      .groupBy("event_type", "user_id", "treat")
+      .agg(count(lit(1)).as("n_events"))
+    cells.groupBy("event_type")
+      .agg(sum(when(!col("treat"), 1L).otherwise(0L)).as("u0"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("u1"),
+        sum(when(!col("treat"), col("n_events")).otherwise(0L)).as("e0"),
+        sum(when(col("treat"), col("n_events")).otherwise(0L)).as("e1"))
+      .select(col("event_type"), col("u0"), col("u1"), col("e0"), col("e1"),
+        expr("""CASE WHEN u0 + u1 > 0 THEN
+               | (u0 - u1) * (u0 - u1) * 1000000 div (u0 + u1)
+               | END""".stripMargin).as("chi2_user_ppm"),
+        expr("""CASE WHEN u0 + u1 > 0 THEN
+               | CAST(CASE WHEN (u0 - u1) * (u0 - u1) * 1000000
+               |             > 3841000 * (u0 + u1)
+               |      THEN 1 ELSE 0 END AS BIGINT)
+               | END""".stripMargin).as("srm_flag"),
+        expr("""CASE WHEN e0 + e1 > 0 THEN
+               | (e0 - e1) * (e0 - e1) * 1000000 div (e0 + e1)
+               | END""".stripMargin).as("chi2_event_ppm"))
+  }
+
   // -- q238: SPRT sequential conversion test -----------------------------
 
   private val SprtP0 = 0.10 // H0 conversion rate
@@ -2108,6 +2157,7 @@ object EventAnalytics {
     "q255_uplift_deciles" -> q255UpliftDeciles,
     "q256_logrank_test" -> q256LogRank,
     "q257_rmst" -> q257Rmst,
+    "q258_srm_check" -> q258SrmCheck,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -2706,6 +2756,34 @@ object EventAnalytics {
         |  END AS uplift_ppm,
         |  cc1 * cn0 - cc0 * cn1 AS qini_x
         |FROM c""".stripMargin,
+    // Same user cells; the chi-square and its flag are the identical
+    // exact integer cross-products — no float anywhere.
+    "q258_srm_check" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id, (user_id % 2 = 1) AS treat,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |    CAST(sum(CASE WHEN NOT treat THEN n_events ELSE 0 END) AS BIGINT) AS e0,
+        |    CAST(sum(CASE WHEN treat THEN n_events ELSE 0 END) AS BIGINT) AS e1
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT event_type, u0, u1, e0, e1,
+        |  CASE WHEN u0 + u1 > 0 THEN
+        |    (u0 - u1) * (u0 - u1) * 1000000 // (u0 + u1)
+        |  END AS chi2_user_ppm,
+        |  CASE WHEN u0 + u1 > 0 THEN
+        |    CAST(CASE WHEN (u0 - u1) * (u0 - u1) * 1000000
+        |                > 3841000 * (u0 + u1)
+        |         THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS srm_flag,
+        |  CASE WHEN e0 + e1 > 0 THEN
+        |    (e0 - e1) * (e0 - e1) * 1000000 // (e0 + e1)
+        |  END AS chi2_event_ppm
+        |FROM m""".stripMargin,
     // Same arm-split duration cells and risk sets; each day's U/V/E
     // term is the identical IEEE expression rounded to e9 BEFORE the
     // exact BIGINT sum.

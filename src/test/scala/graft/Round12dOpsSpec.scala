@@ -155,6 +155,50 @@ class Round12dOpsSpec extends SparkSpec {
     else r.isNullAt(r.fieldIndex("median_day")) shouldBe true
   }
 
+  // -- q258: sample-ratio mismatch -------------------------------------------
+
+  test("q258 hand fixture: balanced split passes, broken assignment flags") {
+    val dir = tmpDir("q258fix")
+    // type "ok": 2 control + 2 treat users; type "bad": 6 control, 0 treat
+    val ok = Seq(1L, 2L, 3L, 4L).zipWithIndex.map { case (u, i) =>
+      ((i + 1).toLong, u, "ok", 1.0, s"2024-01-01 0$i:00:00")
+    }
+    val bad = Seq(2L, 4L, 6L, 8L, 10L, 12L).zipWithIndex.map { case (u, i) =>
+      ((i + 10).toLong, u, "bad", 1.0, s"2024-01-01 1$i:00:00")
+    }
+    writeEvents(dir, ok ++ bad)
+    val rows = graft.queries.EventAnalytics.q258SrmCheck(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = rows("ok")
+    o.getLong(o.fieldIndex("u0")) shouldBe 2L
+    o.getLong(o.fieldIndex("u1")) shouldBe 2L
+    o.getLong(o.fieldIndex("chi2_user_ppm")) shouldBe 0L
+    o.getLong(o.fieldIndex("srm_flag")) shouldBe 0L
+    val b = rows("bad")
+    b.getLong(b.fieldIndex("u0")) shouldBe 6L
+    b.getLong(b.fieldIndex("u1")) shouldBe 0L
+    // chi2 = 36/6 = 6.0 > 3.841
+    b.getLong(b.fieldIndex("chi2_user_ppm")) shouldBe 6000000L
+    b.getLong(b.fieldIndex("srm_flag")) shouldBe 1L
+  }
+
+  test("q258 at sf0.001: user counts reconcile with q250's arms, no SRM") {
+    val srm = graft.queries.EventAnalytics.q258SrmCheck(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cuped = graft.queries.EventAnalytics.q250Cuped(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    srm.keySet shouldBe cuped.keySet
+    srm.foreach { case (t, r) =>
+      val c = cuped(t)
+      withClue(s"$t:") {
+        r.getLong(r.fieldIndex("u0")) shouldBe c.getLong(c.fieldIndex("n0"))
+        r.getLong(r.fieldIndex("u1")) shouldBe c.getLong(c.fieldIndex("n1"))
+        // the generator's parity split is sound: no type may flag
+        r.getLong(r.fieldIndex("srm_flag")) shouldBe 0L
+      }
+    }
+  }
+
   // -- q255: uplift deciles --------------------------------------------------
 
   test("q255 hand fixture: one user per decile, guards and Qini cross-product") {
