@@ -926,10 +926,18 @@ object EventAnalytics {
     * σ²_U = n₀n₁/12·[(N+1) − Σ(t³−t)/(N(N−1))], and the z score.
     *
     * Exactness: doubled average ranks 2·r̄_v = 2·cumbefore_v + t_v + 1
-    * are exact BIGINTs (the q149 trick), so 2·U₁ and the tie term
-    * Σ(t³−t) are exact integer accumulators; z is ONE fixed-shape IEEE
-    * double expression over them (q133 convention) and the
-    * common-language effect size U₁/(n₀n₁) is an exact truncating ppm.
+    * are exact BIGINTs (the q149 trick), so 2·U₁ is an exact integer
+    * accumulator; the tie term Σ(t³−t) and its zero-variance guard
+    * N(N²−1) accumulate in DECIMAL(38,0) (r13, from the r12 ADVICE:
+    * the BIGINT forms wrapped at only ~2.1×10⁶ rows per type — far
+    * below the family's ~10⁹ ceilings — and Spark wraps silently
+    * where DuckDB widens, so the cross-engine equality would have
+    * broken SILENTLY past the ceiling; decimal is exact to ~10³⁸ and
+    * overflows to NULL loudly on both engines). tie3 is REPORTED as
+    * one correctly-rounded DOUBLE from the exact decimal — it only
+    * feeds the IEEE variance expression; z is ONE fixed-shape IEEE
+    * double expression (q133 convention) and the common-language
+    * effect size U₁/(n₀n₁) is an exact truncating ppm.
     * The all-tied degenerate group (σ = 0 ⟺ Σ(t³−t) = N³−N) and
     * one-sided groups are CASE-guarded to NULL in both engines.
     *
@@ -937,11 +945,13 @@ object EventAnalytics {
     * (the q187 frequency-relation discipline — the only row-scaled
     * stage), ONE running-count window per type over the cells orders
     * by value (cell count is bounded by the cents-value domain, not
-    * by rows), then a |types|-row aggregate. Overflow ceiling: the
-    * rank sums are Σ n_v·(2N+1) ≤ N·(2N+1) and the tie term ≤ N³−N —
-    * exact to N ≈ 2×10⁶ rows per type (the q224 documentation
-    * convention; the cents-cell relation, not raw rows, is what the
-    * window walks at any scale). */
+    * by rows), then a |types|-row aggregate. Overflow ceilings (q224
+    * documentation convention): the BIGINT rank sums Σ n_v·(2N+1) ≤
+    * N·(2N+1) and cles_ppm's 2U₁·1e6 bound N at ≈ 2×10⁹ and ≈ 4×10⁶
+    * per type respectively (cles is a bounded diagnostic ratio; its
+    * 1e6 product is the binding term), while the decimal tie term is
+    * exact past 10¹² — the cents-cell relation, not raw rows, is what
+    * the window walks at any scale. */
   /** The per-(type, cents-value, arm) count cells both rank tests walk
     * — additive by + under any chunking of the event stream; shared
     * verbatim with [[graft.streaming.StreamingRankTests]]. */
@@ -965,21 +975,32 @@ object EventAnalytics {
       .groupBy("event_type")
       .agg(sum(col("n0v")).as("n0"), sum(col("n1v")).as("n1"),
         sum(col("n1v") * col("two_r")).as("sum_two_r1"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        // r13 (r12 ADVICE): the tie term and its zero-variance guard
+        // accumulate in DECIMAL(38,0) — exact to t ≈ 4.6×10¹² per
+        // value cell vs the old BIGINT wrap at ~2.1×10⁶ rows/type,
+        // where Spark wrapped silently while DuckDB widened to
+        // HUGEINT and the declared cross-engine equality broke
+        sum((col("t").cast("decimal(38,0)") * col("t") * col("t")
+          - col("t")).cast("decimal(38,0)")).as("tie3d"))
       .select(col("event_type"), col("n0"), col("n1"),
         (col("sum_two_r1") - col("n1") * (col("n1") + 1)).as("u1_x2"),
-        col("tie3"))
+        col("tie3d"))
       .select(col("event_type"), col("n0"), col("n1"), col("u1_x2"),
-        col("tie3"),
+        // reported as DOUBLE (one correctly-rounded conversion from
+        // the exact decimal; the oracle converts its HUGEINT the same
+        // way) — it only feeds the IEEE variance expression anyway
+        col("tie3d").cast("double").as("tie3"),
         expr("""CASE WHEN n0 > 0 AND n1 > 0
                | THEN u1_x2 * 1000000 div (2 * n0 * n1) END""".stripMargin)
           .as("cles_ppm"),
         expr("""CASE WHEN n0 > 0 AND n1 > 0
-               |  AND (n0 + n1) * ((n0 + n1) * (n0 + n1) - 1) > tie3 THEN
+               |  AND CAST(n0 + n1 AS DECIMAL(38,0))
+               |      * (CAST(n0 + n1 AS DECIMAL(38,0)) * (n0 + n1) - 1)
+               |      > tie3d THEN
                | (CAST(u1_x2 - n0 * n1 AS DOUBLE) / 2)
                | / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
                |        * ((n0 + n1 + 1)
-               |           - CAST(tie3 AS DOUBLE)
+               |           - CAST(tie3d AS DOUBLE)
                |             / ((n0 + n1) * (CAST(n0 AS DOUBLE) + n1 - 1))))
                | END""".stripMargin).as("z_score"))
   }
@@ -1221,7 +1242,18 @@ object EventAnalytics {
     * censor day and then leave without an event.
     *
     * Units: duration = days from the user's first 'view' to their
-    * first 'purchase' AT-OR-AFTER it (the event); users with no such
+    * EARLIEST purchase overall, counted as a conversion event ONLY
+    * when that earliest purchase falls at-or-after the first view;
+    * a user whose earliest purchase PRECEDES their first view is
+    * censored at their last observed event day EVEN IF they purchase
+    * again later (r13 clarification, from the r12 ADVICE: such a
+    * user already owned the product before the view, so the later
+    * purchase is a repeat, not the view→conversion transition this
+    * curve estimates — and, operationally, it is the rule a bounded
+    * (min fv, min fp, max le) MERGEABLE state can compute; "first
+    * purchase at-or-after first view" would need unbounded per-user
+    * state under out-of-order stream merges, see
+    * [[graft.streaming.StreamingSurvival]]). Users with no qualifying
     * purchase censor at their LAST observed event day (per-user
     * observation end — no global data-dependent scalar, so no scalar
     * join anywhere). Day-granular by design: the time axis is
@@ -1256,7 +1288,12 @@ object EventAnalytics {
         min(when(col("event_type") === "purchase", col("t"))).as("fp"),
         max(col("t")).as("le"))
 
-  /** (event, dur) rows per at-risk user — the shared censoring rule. */
+  /** (event, dur) rows per at-risk user — the shared censoring rule:
+    * event ⟺ the user's EARLIEST purchase (fp = global min) is
+    * at-or-after the first view; an fp BEFORE fv censors the user at
+    * le even when later purchases exist (the bounded-mergeable-state
+    * rule — see the q254 Units paragraph; pinned by the Round13
+    * purchase-before-AND-after-view fixture). */
   private def survivalDurations(cells: DataFrame): DataFrame =
     cells
       .filter(col("fv").isNotNull)
@@ -1302,6 +1339,61 @@ object EventAnalytics {
       .transform(graft.ops.SharedCache.persist)
 
   val q254KaplanMeier: Q = (s, d) => kmEventCurve(s, d)
+
+  // -- q259: per-arm Kaplan–Meier curves ----------------------------------
+
+  /** ARM-SPLIT KAPLAN–MEIER CURVES — the two-curve overlay an
+    * experiment review actually reads (r12 verdict item 5): q254
+    * pools the arms and only q256's log-rank compares them as ONE
+    * scalar; this is the per-arm product-limit table itself — one
+    * independent KM fold per treatment arm over the arm's own risk
+    * set, so the treated and control conversion curves can be plotted
+    * against each other day by day. Same censoring rule, same
+    * truncating e9 running product, same day-granular axis as q254
+    * (see its Units paragraph — the bounded-mergeable-state
+    * conversion rule applies verbatim).
+    *
+    * Exactness: q254's exactly — the fold is the identical in-row
+    * `aggregate` HOF, just partitioned by arm; the oracle is q254's
+    * recursive CTE keyed by (arm, rn). Arm surfaced as BIGINT 0/1
+    * (boolean columns stay out of the oracle hash surface, q133
+    * convention).
+    *
+    * Plan: q254's exactly with `treat` carried through both
+    * map-combined collapses — no new row-scaled work (the per-user
+    * cell pass already computes treat for q256); windows partition by
+    * arm over the ≤2·|days| curve relation. Served from the SAME
+    * streaming state by [[graft.streaming.StreamingSurvival.armCurves]]
+    * — the fourth report off one maintained relation. */
+  private[graft] def kmArmFinalize(cells: DataFrame): DataFrame = {
+    val days = survivalDurations(cells)
+      .groupBy(col("treat"), col("dur").as("day"))
+      .agg(sum(col("event")).as("d_conv"),
+        sum(lit(1L) - col("event")).as("n_censored"))
+    val wPrev = Window.partitionBy("treat").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPfx = Window.partitionBy("treat").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("treat")
+    days
+      .withColumn("n_total", sum(col("d_conv") + col("n_censored")).over(wAll))
+      .withColumn("gone",
+        coalesce(sum(col("d_conv") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("n_risk", col("n_total") - col("gone"))
+      .withColumn("pfx",
+        collect_list(struct(col("n_risk").as("n"), col("d_conv").as("d")))
+          .over(wPfx))
+      .filter(col("d_conv") > 0) // the KM table lists event times only
+      .select(when(col("treat"), 1L).otherwise(0L).as("arm"),
+        col("day"), col("n_risk"), col("d_conv"), col("n_censored"),
+        expr("""aggregate(pfx, CAST(1000000000 AS BIGINT),
+               | (acc, s) -> CASE WHEN s.d > 0
+               |   THEN acc * (s.n - s.d) div s.n ELSE acc END)""".stripMargin)
+          .as("surv_e9"))
+  }
+
+  val q259KmByArm: Q = (s, d) =>
+    kmArmFinalize(survivalCells(Tables.events(s, d)))
 
   // -- q256: log-rank test ---------------------------------------------------
 
@@ -1391,7 +1483,11 @@ object EventAnalytics {
     * work at all.
     *
     * The declared τ = 30 is baked into both engines (q238 literal
-    * convention). Median NULL when the curve never crosses ½. */
+    * convention). Median NULL when the curve never crosses ½. An
+    * EMPTY curve (no conversions observed yet — the streaming twin's
+    * first batches) means S ≡ 1 on [0, τ], so RMST coalesces to
+    * exactly τ·1e9 rather than NULL (r13, from the r12 ADVICE);
+    * median stays NULL, which is correct — the curve never reached ½. */
   /** The q257 tail over a KM curve relation — shared with the
     * streaming twin. */
   private[graft] def rmstFinalize(curve: DataFrame): DataFrame = {
@@ -1410,8 +1506,14 @@ object EventAnalytics {
         min(when(col("surv_e9") <= 500000000L, col("day")))
           .as("median_day"))
       .select(lit(RmstHorizonDays).as("tau_days"),
-        (col("tail_e9") +
-          lit(1000000000L) * least(col("first_day"), lit(RmstHorizonDays)))
+        // degenerate curve (no conversion days yet — the streaming
+        // twin early in a stream): S ≡ 1 on [0, τ], so RMST = τ, not
+        // NULL (r12 ADVICE); the empty-curve aggregate yields NULL
+        // sums/mins and the coalesce restores the identity
+        coalesce(
+          col("tail_e9") +
+            lit(1000000000L) * least(col("first_day"), lit(RmstHorizonDays)),
+          lit(1000000000L * RmstHorizonDays))
           .as("rmst_e9_days"),
         col("median_day"))
   }
@@ -1439,12 +1541,32 @@ object EventAnalytics {
     * BIGINT with NO division at all (the q148 cross-product
     * discipline), so the curve ranks models engine-exactly.
     *
-    * Plan: one map-combined shuffle to per-user cells, a global
-    * decile rank over the USER DIMENSION (q73's global-ntile
-    * allowance — users, not events, and deterministic under the
-    * (score DESC, user_id) total order), one 10-row aggregate +
+    * Plan (r13 — the r12 watch-grade retired): one map-combined
+    * shuffle to per-user cells, then a DISTRIBUTED exact decile rank
+    * over the USER DIMENSION — the q102 two-phase prefix discipline
+    * adapted to a semantic total order, so NO single task ever sorts
+    * the user relation (the old global ntile funneled every user
+    * through one Window partition; at 100× users that task is the
+    * job). rank(u) under (score DESC, user_id ASC) decomposes into
+    * three bounded prefix sums:
+    *   rank−1 = |score' > score|            (score-domain cell prefix)
+    *          + |score' = score, bucket' < bucket|   (uid-bucket cells)
+    *          + rows before u inside its (score, bucket) partition,
+    * where bucket = user_id div 2²⁰ — user_ids are unique, so every
+    * (score, bucket) window partition holds ≤2²⁰ rows BY CONSTRUCTION
+    * and the two cell windows walk FREQUENCY relations (the q246
+    * cents-cell discipline: bounded by the score/uid-bucket domains,
+    * not by user count). The decile is then the closed-form ntile —
+    * N div 10 / N mod 10 bucket sizes off the driver-hosted N (q102's
+    * control-plane-scalar convention) — IDENTICAL output to the SQL
+    * ntile(10) the oracle keeps. The tail is a 10-row aggregate +
     * cumulative windows over the decile relation. Overflow: cc·cn ≤
     * N² — exact past 3×10⁹ users. */
+  /** Uid-bucket width for the distributed-rank tiebreak legs (q255,
+    * and q249's per-source twin in Profiling): ids are unique, so an
+    * inner rank partition never exceeds this many rows. */
+  private[graft] val RankIdBucket = 1L << 20
+
   val q255UpliftDeciles: Q = (s, d) => {
     val u = Tables.events(s, d)
       .select(col("event_type"), col("user_id"),
@@ -1455,10 +1577,39 @@ object EventAnalytics {
       .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("conv"))
-    val wRank = Window.orderBy(col("score").desc, col("user_id"))
+      .transform(graft.ops.SharedCache.persist)
+    // leg 1: users strictly above this score (score-domain cells)
+    val wScore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scorePfx = u.groupBy("score").agg(count(lit(1)).as("sc_n"))
+      .withColumn("above", coalesce(sum(col("sc_n")).over(wScore), lit(0L)))
+      .select(col("score"), col("above"))
+    // leg 2: same score, lower uid bucket (uid-bucket cells)
+    val wBkt = Window.partitionBy("score").orderBy("ub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPfx = u.withColumn("ub", expr(s"user_id div ${RankIdBucket}L"))
+      .groupBy("score", "ub").agg(count(lit(1)).as("b_n"))
+      .withColumn("b_before", coalesce(sum(col("b_n")).over(wBkt), lit(0L)))
+      .select(col("score"), col("ub"), col("b_before"))
+    // leg 3: row_number inside the ≤2²⁰-row (score, bucket) partition
+    val wIn = Window.partitionBy("score", "ub").orderBy("user_id")
+    // closed-form ntile off the control-plane N (exact ntile(10)
+    // semantics: the first N mod 10 deciles carry one extra user)
+    val n = u.agg(count(lit(1))).head.getLong(0)
+    val q10 = n / 10L; val rem = n % 10L
+    val cut = rem * (q10 + 1L); val qSafe = math.max(q10, 1L)
     val wCum = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("decile", ntile(10).over(wRank).cast("long"))
+    u.withColumn("ub", expr(s"user_id div ${RankIdBucket}L"))
+      .withColumn("rin", row_number().over(wIn).cast("long"))
+      .join(bktPfx, Seq("score", "ub"))
+      .join(scorePfx, Seq("score"))
+      .withColumn("rk", col("above") + col("b_before") + col("rin"))
+      .withColumn("decile",
+        expr(s"""CASE WHEN rk <= ${cut}L
+                |  THEN (rk - 1) div ${q10 + 1L}L + 1
+                |  ELSE ${rem}L + (rk - ${cut}L - 1) div ${qSafe}L + 1
+                |END""".stripMargin))
       .groupBy("decile")
       .agg(sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
         sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
@@ -1490,12 +1641,17 @@ object EventAnalytics {
     * flagged at the baked 3.841 critical value (α = 0.05).
     *
     * Exactness: counts are exact BIGINTs; χ² is surfaced as the
-    * exact truncating ppm cross-product (n₀−n₁)²·1e6 div (n₀+n₁)
-    * (squares make the numerator non-negative — house div contract
-    * holds) and the flag compares the SAME integer against
-    * ceil(3.841·(n₀+n₁))-free form: chi2_ppm > 3841000 ⟺
-    * (n₀−n₁)²·1e6 > 3841000·(n₀+n₁) — evaluated as the exact
-    * integer comparison, no float anywhere.
+    * exact truncating ppm (n₀−n₁)²·1e6 div (n₀+n₁), computed in the
+    * SPLIT-DIVISION form q div m·1e6 + (q mod m)·1e6 div m (identical
+    * value, never materializes diff²·1e6 — the r12 ADVICE overflow
+    * fix), and the flag is the exact integer comparison
+    * (n₀−n₁)² > 3841·(n₀+n₁) div 1000 ⟺ 1000·(n₀−n₁)² > 3841·(n₀+n₁)
+    * ⟺ χ² > 3.841 (floor-equivalence: both sides integers) — no float
+    * anywhere. Overflow ceilings (q224 documentation convention):
+    * |n₀−n₁| < 3.0×10⁹ (the square) and n₀+n₁ < 2.4×10¹⁵ (the flag's
+    * 3841 product) / 9.2×10¹² (the split division's mod·1e6 term) —
+    * the ~3×10⁹ sibling-family ceiling, vs ~3×10⁶ before the r13
+    * restructure.
     *
     * Both granularities ship: USERS (the unit the split assigns —
     * the real SRM) and raw events (whose imbalance is expected from
@@ -1514,15 +1670,19 @@ object EventAnalytics {
         sum(when(col("treat"), col("n_events")).otherwise(0L)).as("e1"))
       .select(col("event_type"), col("u0"), col("u1"), col("e0"), col("e1"),
         expr("""CASE WHEN u0 + u1 > 0 THEN
-               | (u0 - u1) * (u0 - u1) * 1000000 div (u0 + u1)
+               | (u0 - u1) * (u0 - u1) div (u0 + u1) * 1000000
+               | + (u0 - u1) * (u0 - u1) % (u0 + u1) * 1000000
+               |   div (u0 + u1)
                | END""".stripMargin).as("chi2_user_ppm"),
         expr("""CASE WHEN u0 + u1 > 0 THEN
-               | CAST(CASE WHEN (u0 - u1) * (u0 - u1) * 1000000
-               |             > 3841000 * (u0 + u1)
+               | CAST(CASE WHEN (u0 - u1) * (u0 - u1)
+               |             > 3841 * (u0 + u1) div 1000
                |      THEN 1 ELSE 0 END AS BIGINT)
                | END""".stripMargin).as("srm_flag"),
         expr("""CASE WHEN e0 + e1 > 0 THEN
-               | (e0 - e1) * (e0 - e1) * 1000000 div (e0 + e1)
+               | (e0 - e1) * (e0 - e1) div (e0 + e1) * 1000000
+               | + (e0 - e1) * (e0 - e1) % (e0 + e1) * 1000000
+               |   div (e0 + e1)
                | END""".stripMargin).as("chi2_event_ppm"))
   }
 
@@ -2158,6 +2318,7 @@ object EventAnalytics {
     "q256_logrank_test" -> q256LogRank,
     "q257_rmst" -> q257Rmst,
     "q258_srm_check" -> q258SrmCheck,
+    "q259_km_by_arm" -> q259KmByArm,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -2592,22 +2753,25 @@ object EventAnalytics {
         |    CAST(sum(n0v) AS BIGINT) AS n0,
         |    CAST(sum(n1v) AS BIGINT) AS n1,
         |    CAST(sum(n1v * two_r) AS BIGINT) AS sum_two_r1,
-        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie3h
         |  FROM ranked GROUP BY 1
         |), u AS (
         |  SELECT event_type, n0, n1,
-        |    sum_two_r1 - n1 * (n1 + 1) AS u1_x2, tie3
+        |    sum_two_r1 - n1 * (n1 + 1) AS u1_x2, tie3h
         |  FROM m
         |)
-        |SELECT event_type, n0, n1, u1_x2, tie3,
+        |SELECT event_type, n0, n1, u1_x2,
+        |  CAST(tie3h AS DOUBLE) AS tie3,
         |  CASE WHEN n0 > 0 AND n1 > 0
         |       THEN u1_x2 * 1000000 // (2 * n0 * n1) END AS cles_ppm,
         |  CASE WHEN n0 > 0 AND n1 > 0
-        |        AND (n0 + n1) * ((n0 + n1) * (n0 + n1) - 1) > tie3 THEN
+        |        AND CAST(n0 + n1 AS HUGEINT)
+        |            * (CAST(n0 + n1 AS HUGEINT) * (n0 + n1) - 1)
+        |            > tie3h THEN
         |    (CAST(u1_x2 - n0 * n1 AS DOUBLE) / 2)
         |    / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
         |           * ((n0 + n1 + 1)
-        |              - CAST(tie3 AS DOUBLE)
+        |              - CAST(tie3h AS DOUBLE)
         |                / ((n0 + n1) * (CAST(n0 AS DOUBLE) + n1 - 1))))
         |  END AS z_score
         |FROM u""".stripMargin,
@@ -2773,15 +2937,19 @@ object EventAnalytics {
         |)
         |SELECT event_type, u0, u1, e0, e1,
         |  CASE WHEN u0 + u1 > 0 THEN
-        |    (u0 - u1) * (u0 - u1) * 1000000 // (u0 + u1)
+        |    (u0 - u1) * (u0 - u1) // (u0 + u1) * 1000000
+        |    + (u0 - u1) * (u0 - u1) % (u0 + u1) * 1000000
+        |      // (u0 + u1)
         |  END AS chi2_user_ppm,
         |  CASE WHEN u0 + u1 > 0 THEN
-        |    CAST(CASE WHEN (u0 - u1) * (u0 - u1) * 1000000
-        |                > 3841000 * (u0 + u1)
+        |    CAST(CASE WHEN (u0 - u1) * (u0 - u1)
+        |                > 3841 * (u0 + u1) // 1000
         |         THEN 1 ELSE 0 END AS BIGINT)
         |  END AS srm_flag,
         |  CASE WHEN e0 + e1 > 0 THEN
-        |    (e0 - e1) * (e0 - e1) * 1000000 // (e0 + e1)
+        |    (e0 - e1) * (e0 - e1) // (e0 + e1) * 1000000
+        |    + (e0 - e1) * (e0 - e1) % (e0 + e1) * 1000000
+        |      // (e0 + e1)
         |  END AS chi2_event_ppm
         |FROM m""".stripMargin,
     // Same arm-split duration cells and risk sets; each day's U/V/E
@@ -2911,8 +3079,10 @@ object EventAnalytics {
          |  FROM spans
          |)
          |SELECT CAST($RmstHorizonDays AS BIGINT) AS tau_days,
-         |  tail_e9 + CAST(1000000000 AS BIGINT)
-         |    * least(first_day, $RmstHorizonDays) AS rmst_e9_days,
+         |  coalesce(tail_e9 + CAST(1000000000 AS BIGINT)
+         |    * least(first_day, $RmstHorizonDays),
+         |    CAST(${1000000000L * RmstHorizonDays} AS BIGINT))
+         |    AS rmst_e9_days,
          |  median_day
          |FROM agg""".stripMargin,
     // Same per-user duration cells and per-day counts; the truncating
@@ -2961,6 +3131,57 @@ object EventAnalytics {
         |  FROM risk r JOIN km k ON r.rn = k.rn + 1
         |)
         |SELECT day, n_risk, d_conv, n_censored, surv_e9
+        |FROM km WHERE d_conv > 0""".stripMargin,
+    // q254's recursive CTE keyed by (arm, rn): one independent
+    // truncating e9 fold per treatment arm, the same acc*(n-d)//n
+    // step bit-for-bit.
+    "q259_km_by_arm" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, (user_id % 2 = 1) AS treat,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fp,
+        |    max(CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+        |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS le
+        |  FROM events GROUP BY 1, 2
+        |), dur AS (
+        |  SELECT treat,
+        |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv
+        |         ELSE le - fv END AS dur
+        |  FROM u WHERE fv IS NOT NULL
+        |), days AS (
+        |  SELECT treat, dur AS day, CAST(sum(event) AS BIGINT) AS d_conv,
+        |    CAST(sum(1 - event) AS BIGINT) AS n_censored
+        |  FROM dur GROUP BY 1, 2
+        |), risk AS (
+        |  SELECT treat, day, d_conv, n_censored,
+        |    CAST(sum(d_conv + n_censored) OVER (PARTITION BY treat) AS BIGINT)
+        |      - CAST(coalesce(sum(d_conv + n_censored) OVER (PARTITION BY treat
+        |          ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_risk,
+        |    CAST(row_number() OVER (PARTITION BY treat ORDER BY day)
+        |      AS BIGINT) AS rn
+        |  FROM days
+        |), km AS (
+        |  SELECT treat, rn, day, n_risk, d_conv, n_censored,
+        |    CASE WHEN d_conv > 0
+        |      THEN (CAST(1000000000 AS BIGINT) * (n_risk - d_conv)) // n_risk
+        |      ELSE CAST(1000000000 AS BIGINT) END AS surv_e9
+        |  FROM risk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.treat, r.rn, r.day, r.n_risk, r.d_conv, r.n_censored,
+        |    CASE WHEN r.d_conv > 0
+        |      THEN (k.surv_e9 * (r.n_risk - r.d_conv)) // r.n_risk
+        |      ELSE k.surv_e9 END
+        |  FROM risk r JOIN km k ON r.treat = k.treat AND r.rn = k.rn + 1
+        |)
+        |SELECT CAST(CASE WHEN treat THEN 1 ELSE 0 END AS BIGINT) AS arm,
+        |  day, n_risk, d_conv, n_censored, surv_e9
         |FROM km WHERE d_conv > 0""".stripMargin,
     // Same per-user cells, same per-digest bit flips, same truncating
     // means and add-one Monte-Carlo p — bit-for-bit on every column.

@@ -817,19 +817,56 @@ object Profiling {
     * is the declared semantics, mirrored in the oracle (the q161
     * floor-before-sum convention; never a float accumulation).
     *
-    * Plan: one narrow projection, a per-source rank window + running
-    * positive count on the SAME (source)-partitioned sort (one Window
-    * region, the q148 declared per-group window limit), then a
-    * |sources|-row aggregate. */
+    * Plan (r13 — the r12 watch-grade retired): one narrow projection,
+    * then a DISTRIBUTED exact rank instead of the old per-source
+    * Window sort (which funneled ~N/|sources| docs through one task —
+    * at 100× docs that task is the job). The q255 decomposition,
+    * per source: under (n_chars DESC, doc_id ASC),
+    *   k−1      = |chars' > chars| + |chars'=chars, bucket' < bucket|
+    *              + rows before the doc in its (source, chars, bucket)
+    *                partition,
+    * and cum_pos decomposes identically over the positive counts
+    * carried on the SAME cells — bucket = doc_id div 2²⁰, so the
+    * inner window partition holds ≤2²⁰ rows BY CONSTRUCTION (doc_ids
+    * unique) and the two prefix windows walk FREQUENCY relations
+    * bounded by the (source × chars-domain) and bucket domains, not
+    * by doc count. Cells join back on their own keys (equi-joins, AQE
+    * sizes them); the tail is the same |sources|-row aggregate. */
   val q249AveragePrecision: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    Tables.documents(s, d)
+    val bkt = EventAnalytics.RankIdBucket
+    val base = Tables.documents(s, d)
       .select(col("source"), col("doc_id"), col("n_chars"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      .withColumn("k", row_number().over(w).cast("long"))
-      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .transform(graft.ops.SharedCache.persist)
+    // leg 1: docs strictly above this char count (chars-domain cells)
+    val wCh = Window.partitionBy("source").orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chPfx = base.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c_n"), sum(col("pos")).as("c_p"))
+      .withColumn("above_n", coalesce(sum(col("c_n")).over(wCh), lit(0L)))
+      .withColumn("above_p", coalesce(sum(col("c_p")).over(wCh), lit(0L)))
+      .select(col("source"), col("n_chars"), col("above_n"), col("above_p"))
+    // leg 2: same char count, lower doc-id bucket (bucket cells)
+    val wBkt = Window.partitionBy("source", "n_chars").orderBy("ib")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPfx = base.withColumn("ib", expr(s"doc_id div ${bkt}L"))
+      .groupBy("source", "n_chars", "ib")
+      .agg(count(lit(1)).as("b_n"), sum(col("pos")).as("b_p"))
+      .withColumn("bef_n", coalesce(sum(col("b_n")).over(wBkt), lit(0L)))
+      .withColumn("bef_p", coalesce(sum(col("b_p")).over(wBkt), lit(0L)))
+      .select(col("source"), col("n_chars"), col("ib"),
+        col("bef_n"), col("bef_p"))
+    // leg 3: rank + running positives inside the ≤2²⁰-row partition
+    val wIn = Window.partitionBy("source", "n_chars", "ib").orderBy("doc_id")
+    base.withColumn("ib", expr(s"doc_id div ${bkt}L"))
+      .withColumn("rin", row_number().over(wIn).cast("long"))
+      .withColumn("pin", sum(col("pos")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(bktPfx, Seq("source", "n_chars", "ib"))
+      .join(chPfx, Seq("source", "n_chars"))
+      .withColumn("k", col("above_n") + col("bef_n") + col("rin"))
+      .withColumn("cum_pos", col("above_p") + col("bef_p") + col("pin"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
         sum(when(col("pos") === 1L,

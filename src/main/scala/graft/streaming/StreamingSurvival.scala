@@ -6,15 +6,21 @@ import org.apache.spark.sql.functions._
 
 /** Continuous survival analysis — ONE maintained relation serving the
   * whole batch survival family after every micro-batch: q254's
-  * Kaplan–Meier curve, q256's log-rank test, and q257's RMST/median,
-  * with no rescan of history.
+  * Kaplan–Meier curve, q256's log-rank test, q257's RMST/median, and
+  * q259's per-arm curve overlay, with no rescan of history.
   *
   * Why it streams: the per-(user, arm) state is (first-view,
   * first-purchase, last-seen) — MERGEABLE by min/min/max under any
   * chunking of the event stream (not additive, but idempotently
   * foldable: a user's view in one batch and purchase in another fold
   * to the same cell the single batch would produce — the seam case
-  * the spec pins). Built with EXACTLY batch code
+  * the spec pins). The bounded triple is also WHY the family's
+  * conversion rule is "earliest purchase overall is at-or-after first
+  * view" rather than "first purchase at-or-after first view": the
+  * latter needs the full purchase-day multiset under out-of-order
+  * merges (a late-arriving earlier view can re-qualify a purchase the
+  * state already discarded), the former folds exactly — see the q254
+  * Units paragraph for the batch-side statement of the same rule. Built with EXACTLY batch code
   * ([[graft.queries.EventAnalytics.survivalCells]], shared verbatim);
   * the folded state is bit-equal to the single-batch cells, and all
   * three reports are the literally shared finalizers
@@ -105,4 +111,10 @@ object StreamingSurvival {
     * q257's columns, by the SHARED finalizers. */
   def rmstReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.EventAnalytics.rmstFinalize(curve(spark, stateDir))
+
+  /** The per-arm KM overlay over the accumulated stream — batch
+    * q259's columns, by the SHARED finalizer (the fourth report off
+    * the one maintained cell relation). */
+  def armCurves(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.EventAnalytics.kmArmFinalize(cells(spark, stateDir))
 }

@@ -254,15 +254,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("q249 average precision is one per-source window region, no join") {
+  test("q249 average precision: distributed rank, no full per-source sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q249_average_precision")
-    // rank + running positive count share the (source | n_chars DESC,
-    // doc_id) sort: one Window node, one exchange pair (window
-    // repartition + final per-source aggregate), document text pruned
-    // at the scan
-    p.linesIterator.count(_.contains("Window [")) shouldBe 1
-    p should not include "Join"
+    // r13 (r12 verdict watch-grade): the old single Window sorted
+    // each source's ENTIRE doc relation in one task. Now the rank is
+    // the three-leg cell decomposition — the only Window touching
+    // doc-dimension rows is the inner row_number/running-pos node,
+    // partitioned by (source, n_chars, ib) so a partition holds ≤2²⁰
+    // rows by doc_id uniqueness; the other two windows walk frequency
+    // cells. Three Window nodes, cell joins are broadcast equi-joins,
+    // document text still pruned at the scan.
+    p.linesIterator.count(_.contains("Window [")) shouldBe 3
+    p.linesIterator.filter(_.contains("row_number()")).foreach { l =>
+      l should include("ib")   // partitioned — never a whole-source sort
+    }
+    p should not include "SortMergeJoin" // cell sides stay broadcast-able
     val readSchema = p.substring(p.indexOf("ReadSchema:"))
     readSchema should not include "text"
   }
@@ -319,17 +326,42 @@ class PlanQualitySpec extends SparkSpec {
     p256 should include("partial_min")
   }
 
-  test("q255 uplift deciles: user cells collapse before the single global rank") {
+  test("q255 uplift deciles: distributed rank, no single-task user sort") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q255_uplift_deciles")
-    // the only row-scaled shuffle is the per-user cell aggregate; the
-    // ntile ranks USERS (declared q73 allowance), and the decile
-    // table + cumulative windows live on 10 rows
-    p should not include "Join"
-    p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") shouldBe 1
-    p should include("ntile(10)")
+    // r13 (r12 verdict watch-grade): the global ntile that funneled
+    // the whole user dimension through one Window partition is
+    // retired — the decile now comes from the three-leg distributed
+    // rank (score-cell prefix + uid-bucket prefix + ≤2²⁰-row inner
+    // row_number) and the closed-form ntile off the control-plane N.
+    // The user relation is never sorted in one task: the only
+    // SinglePartition windows walk the score-domain cell relation and
+    // the 10-row decile table.
+    p should not include "ntile("
+    p.linesIterator.filter(_.contains("row_number()")).foreach { l =>
+      l should include("ub")   // partitioned — never a whole-user sort
+    }
+    p.linesIterator.count(_.contains("Window [")) shouldBe 4
+    p should not include "SortMergeJoin" // cell sides stay broadcast-able
     p should include("partial_sum")
+  }
+
+  test("q259 per-arm KM shares q254's two-collapse skeleton, windows by arm") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q259_km_by_arm")
+    // q254's shape with treat carried through: no join, the fold is
+    // the in-row aggregate HOF, and every window partitions by the
+    // arm (no SinglePartition stage at all — the curve relation is
+    // ≤2·|days| rows but even that walks per-arm). Three exchanges:
+    // the two map-combined collapses q254 has, plus the per-arm
+    // window repartition its pooled SinglePartition windows didn't
+    // need.
+    p should not include "Join"
+    p should include("collect_list")
+    p should not include "SinglePartition"
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 3
+    p should include("partial_min")
   }
 
   test("q53 exact-k sample rides the TopK aggregator, not a window sort") {

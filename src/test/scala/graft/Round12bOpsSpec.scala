@@ -35,7 +35,8 @@ class Round12bOpsSpec extends SparkSpec {
     row.getLong(row.fieldIndex("n0")) shouldBe 2L
     row.getLong(row.fieldIndex("n1")) shouldBe 2L
     row.getLong(row.fieldIndex("u1_x2")) shouldBe 7L // 2*U1
-    row.getLong(row.fieldIndex("tie3")) shouldBe 6L
+    // r13: tie3 reports as DOUBLE from the exact decimal accumulator
+    row.getDouble(row.fieldIndex("tie3")) shouldBe 6.0
     row.getLong(row.fieldIndex("cles_ppm")) shouldBe 875000L // 3.5/4
     // z = 1.5 / sqrt(4/12 * (5 - 6/12)) = 1.5/sqrt(1.5)
     row.getDouble(row.fieldIndex("z_score")) shouldBe
@@ -49,7 +50,7 @@ class Round12bOpsSpec extends SparkSpec {
     r.length shouldBe 1
     val row = r.head
     row.getLong(row.fieldIndex("u1_x2")) shouldBe 1L // U1 = 0.5: one tie pair
-    row.getLong(row.fieldIndex("tie3")) shouldBe 6L  // N^3-N with N=2: all tied
+    row.getDouble(row.fieldIndex("tie3")) shouldBe 6.0 // N^3-N with N=2: all tied
     row.isNullAt(row.fieldIndex("z_score")) shouldBe true
     // U1 = 0.5 over n0*n1 = 1 pair: the tied pair is exactly half a win
     row.getLong(row.fieldIndex("cles_ppm")) shouldBe 500000L

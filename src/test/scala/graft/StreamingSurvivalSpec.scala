@@ -60,7 +60,7 @@ class StreamingSurvivalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet shouldBe batchCells
   }
 
-  test("two-chunk fold of the events table matches batch q254, q256, q257") {
+  test("two-chunk fold of the events table matches batch q254, q256, q257, q259") {
     val dir = tmpDir("surv-full")
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
@@ -81,6 +81,11 @@ class StreamingSurvivalSpec extends SparkSpec {
     StreamingSurvival.rmstReport(spark, dir)
       .collect().map(_.toSeq).toSet shouldBe
       graft.queries.EventAnalytics.q257Rmst(spark, sf)
+        .collect().map(_.toSeq).toSet
+    // r13: the fourth report off the same state — per-arm overlay
+    StreamingSurvival.armCurves(spark, dir)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.queries.EventAnalytics.q259KmByArm(spark, sf)
         .collect().map(_.toSeq).toSet
   }
 }
