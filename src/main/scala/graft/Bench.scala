@@ -78,11 +78,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-  /** Clean-host reference for the sentinel, measured at the r13
-    * baseline point (local[32], quiet machine, same probe). An
-    * artifact whose sentinel_pre is ≫ this was taken on a degraded
-    * host and its wall-clocks are inflated by ~the same factor. */
+  /** Parquet-scan sentinel: full scan + per-column hash of the SF
+    * dir's lineitem — the I/O+decode mode the CPU probe can't see
+    * (r13 calibration found the CPU probe reading clean while real
+    * queries ran ~1.4× the r11 wall-clocks, fresh JVM or warm; scan
+    * pressure is the prime suspect, so the artifact now certifies
+    * BOTH modes). Comparable across rounds at the SAME sf dir. */
+  private def scanSentinel(spark: SparkSession, sfDir: String): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      touch(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Clean-host references for the two sentinels, measured at the r13
+    * baseline point (local[32], quiet machine, same probes; scan ref
+    * is for sf0.1). An artifact whose sentinels are ≫ these was taken
+    * on a degraded host and its wall-clocks are inflated by ~the same
+    * factor. */
   private val SentinelRefSec = 0.60
+  private val ScanSentinelRefSec = 0.35
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,8 +153,9 @@ object Bench {
       (timings, failed.toSeq)
     }
 
-    // sentinel BEFORE the board: certifies the host at measurement time
+    // sentinels BEFORE the board: certify the host at measurement time
     val sentPre = sentinel(spark)
+    val scanPre = scanSentinel(spark, sfDir)
 
     // shared pass first (it is the headline and wants warm caches built
     // on its own clock, as the driver has always measured), then the
@@ -149,8 +165,9 @@ object Bench {
     val isolatePass =
       if (mode == "both") Some(runPass(isolate = true)) else None
 
-    // sentinel AFTER: a pre/post gap means the host degraded MID-run
+    // sentinels AFTER: a pre/post gap means the host degraded MID-run
     val sentPost = sentinel(spark)
+    val scanPost = scanSentinel(spark, sfDir)
 
     // declared-budget evidence: what the shared caches actually hold
     // (RDD names are multi-line plan dumps — flatten + truncate so each
@@ -173,12 +190,15 @@ object Bench {
     // self-describing noise fields (r12 verdict items 1/6): sentinel
     // pre/post + the committed clean-host reference + a derived flag,
     // plus optional free-text context (SPARK_GRAFT_BENCH_CONTEXT)
-    val degraded = math.min(sentPre, sentPost) > 1.3 * SentinelRefSec
+    val degraded = math.min(sentPre, sentPost) > 1.3 * SentinelRefSec ||
+      math.min(scanPre, scanPost) > 1.3 * ScanSentinelRefSec
     val ctx = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "")
       .replaceAll("[\"\\\\\\n\\r\\t]", " ")
     val sentinelFields =
       f""","sentinel_pre_sec":$sentPre%.3f,"sentinel_post_sec":$sentPost%.3f""" +
-        f""","sentinel_ref_sec":$SentinelRefSec%.3f,"host_degraded":$degraded""" +
+        f""","sentinel_ref_sec":$SentinelRefSec%.3f""" +
+        f""","scan_sentinel_pre_sec":$scanPre%.3f,"scan_sentinel_post_sec":$scanPost%.3f""" +
+        f""","scan_sentinel_ref_sec":$ScanSentinelRefSec%.3f,"host_degraded":$degraded""" +
         s""","context":"$ctx""""
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","queries":${qjson(timings)}$isolateFields$sentinelFields,"failed":$fl,"sf":"$sfDir"}"""

@@ -1392,8 +1392,87 @@ object EventAnalytics {
           .as("surv_e9"))
   }
 
-  val q259KmByArm: Q = (s, d) =>
+  /** The q259 arm-split curve relation — SharedCache'd (q260's RMST
+    * difference integrates exactly this relation, and in shared mode
+    * CacheManager's canonical-plan dedup serves q260's internal
+    * rebuild from this cache). */
+  private[graft] def kmArmCurve(s: SparkSession, d: String): DataFrame =
     kmArmFinalize(survivalCells(Tables.events(s, d)))
+      .transform(graft.ops.SharedCache.persist)
+
+  val q259KmByArm: Q = (s, d) => kmArmCurve(s, d)
+
+  // -- q260: per-arm RMST + difference -------------------------------------
+
+  /** RMST TREATMENT EFFECT — the number a modern survival-endpoint
+    * experiment actually reports (Royston & Parmar 2011; Uno et al.
+    * 2014 made it the hazard-ratio replacement): RMST per arm over
+    * q259's curves and their DIFFERENCE ∫₀^τ(S₁−S₀) — for a
+    * conversion endpoint a NEGATIVE diff means the treated arm
+    * converts faster (spends fewer conversion-free days in the first
+    * τ = 30). Censoring-safe where a mean-days-to-convert delta is
+    * not, and model-free where a hazard ratio assumes
+    * proportionality.
+    *
+    * Exactness: q257's pure-integer span·S fold per arm — exact
+    * e9·days BIGINTs, one subtraction, no division anywhere. An arm
+    * WITH at-risk users but NO conversions yet coalesces to exactly
+    * τ·1e9 (S ≡ 1, the q257 r13 degenerate rule — the arm spine
+    * comes from the duration cells, not the curve, so
+    * present-but-eventless and absent arms stay distinct); an arm
+    * with no at-risk users at all is NULL, as is the diff.
+    *
+    * Plan: q259's SharedCache'd curve + one lead() window per arm
+    * over the ≤2·|days| relation + a 2-row arm spine off the cell
+    * pass + ONE 1-row conditional pivot. Per-arm medians attached
+    * (q257 convention, NULL when the arm's curve never crosses ½). */
+  /** The q260 tail over the cell relation — shared with the streaming
+    * twin so its answer is this exact code path. */
+  private[graft] def rmstArmFinalize(cells: DataFrame): DataFrame = {
+    val wLead = Window.partitionBy("arm").orderBy("day")
+    val perArm = kmArmFinalize(cells)
+      .withColumn("next_day",
+        coalesce(lead(col("day"), 1).over(wLead), lit(RmstHorizonDays)))
+      .select(col("arm"),
+        greatest(
+          least(col("next_day"), lit(RmstHorizonDays)) -
+            least(col("day"), lit(RmstHorizonDays)),
+          lit(0L)).as("span"),
+        col("surv_e9"), col("day"))
+      .groupBy("arm")
+      .agg(sum(col("span") * col("surv_e9")).as("tail_e9"),
+        min(col("day")).as("first_day"),
+        min(when(col("surv_e9") <= 500000000L, col("day")))
+          .as("median_day"))
+    // the arm spine: arms that HAVE at-risk users (distinct from arms
+    // whose curve is merely empty — those coalesce to tau, not NULL)
+    val arms = survivalDurations(cells)
+      .groupBy(when(col("treat"), 1L).otherwise(0L).as("arm"))
+      .agg(count(lit(1)).as("n_at_risk"))
+    arms.join(perArm, Seq("arm"), "left")
+      .select(col("arm"), col("n_at_risk"),
+        coalesce(
+          col("tail_e9") +
+            lit(1000000000L) * least(col("first_day"), lit(RmstHorizonDays)),
+          lit(1000000000L * RmstHorizonDays)).as("rmst_e9_days"),
+        col("median_day"))
+      .agg(
+        max(when(col("arm") === 0L, col("n_at_risk"))).as("n0_at_risk"),
+        max(when(col("arm") === 1L, col("n_at_risk"))).as("n1_at_risk"),
+        max(when(col("arm") === 0L, col("rmst_e9_days"))).as("rmst0_e9_days"),
+        max(when(col("arm") === 1L, col("rmst_e9_days"))).as("rmst1_e9_days"),
+        max(when(col("arm") === 0L, col("median_day"))).as("median0_day"),
+        max(when(col("arm") === 1L, col("median_day"))).as("median1_day"))
+      .select(lit(RmstHorizonDays).as("tau_days"),
+        col("n0_at_risk"), col("n1_at_risk"),
+        col("rmst0_e9_days"), col("rmst1_e9_days"),
+        (col("rmst1_e9_days") - col("rmst0_e9_days"))
+          .as("rmst_diff_e9_days"),
+        col("median0_day"), col("median1_day"))
+  }
+
+  val q260RmstByArm: Q = (s, d) =>
+    rmstArmFinalize(survivalCells(Tables.events(s, d)))
 
   // -- q256: log-rank test ---------------------------------------------------
 
@@ -2319,6 +2398,7 @@ object EventAnalytics {
     "q257_rmst" -> q257Rmst,
     "q258_srm_check" -> q258SrmCheck,
     "q259_km_by_arm" -> q259KmByArm,
+    "q260_rmst_by_arm" -> q260RmstByArm,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -3183,6 +3263,92 @@ object EventAnalytics {
         |SELECT CAST(CASE WHEN treat THEN 1 ELSE 0 END AS BIGINT) AS arm,
         |  day, n_risk, d_conv, n_censored, surv_e9
         |FROM km WHERE d_conv > 0""".stripMargin,
+    // q259's per-arm recursive CTEs + q257's span/clip integral PER
+    // ARM, the arm spine from the duration cells (so an eventless arm
+    // coalesces to tau while an absent arm stays NULL), one pivot row.
+    "q260_rmst_by_arm" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT user_id, (user_id % 2 = 1) AS treat,
+         |    min(CASE WHEN event_type = 'view'
+         |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fv,
+         |    min(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fp,
+         |    max(CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS le
+         |  FROM events GROUP BY 1, 2
+         |), dur AS (
+         |  SELECT treat,
+         |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS event,
+         |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv
+         |         ELSE le - fv END AS dur
+         |  FROM u WHERE fv IS NOT NULL
+         |), days AS (
+         |  SELECT treat, dur AS day, CAST(sum(event) AS BIGINT) AS d_conv,
+         |    CAST(sum(1 - event) AS BIGINT) AS n_censored
+         |  FROM dur GROUP BY 1, 2
+         |), risk AS (
+         |  SELECT treat, day, d_conv, n_censored,
+         |    CAST(sum(d_conv + n_censored) OVER (PARTITION BY treat) AS BIGINT)
+         |      - CAST(coalesce(sum(d_conv + n_censored) OVER (PARTITION BY treat
+         |          ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS n_risk,
+         |    CAST(row_number() OVER (PARTITION BY treat ORDER BY day)
+         |      AS BIGINT) AS rn
+         |  FROM days
+         |), km AS (
+         |  SELECT treat, rn, day, n_risk, d_conv,
+         |    CASE WHEN d_conv > 0
+         |      THEN (CAST(1000000000 AS BIGINT) * (n_risk - d_conv)) // n_risk
+         |      ELSE CAST(1000000000 AS BIGINT) END AS surv_e9
+         |  FROM risk WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.treat, r.rn, r.day, r.n_risk, r.d_conv,
+         |    CASE WHEN r.d_conv > 0
+         |      THEN (k.surv_e9 * (r.n_risk - r.d_conv)) // r.n_risk
+         |      ELSE k.surv_e9 END
+         |  FROM risk r JOIN km k ON r.treat = k.treat AND r.rn = k.rn + 1
+         |), curve AS (
+         |  SELECT treat, day, surv_e9 FROM km WHERE d_conv > 0
+         |), spans AS (
+         |  SELECT treat, day, surv_e9,
+         |    coalesce(lead(day, 1) OVER (PARTITION BY treat ORDER BY day),
+         |      $RmstHorizonDays) AS next_day
+         |  FROM curve
+         |), agg AS (
+         |  SELECT treat,
+         |    CAST(sum(greatest(least(next_day, $RmstHorizonDays)
+         |      - least(day, $RmstHorizonDays), 0) * surv_e9) AS BIGINT)
+         |      AS tail_e9,
+         |    CAST(min(day) AS BIGINT) AS first_day,
+         |    CAST(min(CASE WHEN surv_e9 <= 500000000 THEN day END)
+         |      AS BIGINT) AS median_day
+         |  FROM spans GROUP BY 1
+         |), arms AS (
+         |  SELECT treat, CAST(count(*) AS BIGINT) AS n_at_risk
+         |  FROM dur GROUP BY 1
+         |), per AS (
+         |  SELECT a.treat, a.n_at_risk,
+         |    coalesce(g.tail_e9 + CAST(1000000000 AS BIGINT)
+         |        * least(g.first_day, $RmstHorizonDays),
+         |      CAST(${1000000000L * RmstHorizonDays} AS BIGINT))
+         |      AS rmst_e9_days,
+         |    g.median_day
+         |  FROM arms a LEFT JOIN agg g ON a.treat = g.treat
+         |)
+         |SELECT CAST($RmstHorizonDays AS BIGINT) AS tau_days,
+         |  max(CASE WHEN NOT treat THEN n_at_risk END) AS n0_at_risk,
+         |  max(CASE WHEN treat THEN n_at_risk END) AS n1_at_risk,
+         |  max(CASE WHEN NOT treat THEN rmst_e9_days END) AS rmst0_e9_days,
+         |  max(CASE WHEN treat THEN rmst_e9_days END) AS rmst1_e9_days,
+         |  max(CASE WHEN treat THEN rmst_e9_days END)
+         |    - max(CASE WHEN NOT treat THEN rmst_e9_days END)
+         |    AS rmst_diff_e9_days,
+         |  max(CASE WHEN NOT treat THEN median_day END) AS median0_day,
+         |  max(CASE WHEN treat THEN median_day END) AS median1_day
+         |FROM per""".stripMargin,
     // Same per-user cells, same per-digest bit flips, same truncating
     // means and add-one Monte-Carlo p — bit-for-bit on every column.
     // (Factored to a val so q252's BH step-up restates it verbatim as

@@ -117,4 +117,12 @@ object StreamingSurvival {
     * the one maintained cell relation). */
   def armCurves(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.EventAnalytics.kmArmFinalize(cells(spark, stateDir))
+
+  /** The RMST treatment-effect report over the accumulated stream —
+    * batch q260's columns, by the SHARED finalizer (fifth report; an
+    * arm with users but no conversions yet reads tau, the q257
+    * degenerate rule, so the effect is well-defined from the first
+    * batch on). */
+  def armRmstReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.EventAnalytics.rmstArmFinalize(cells(spark, stateDir))
 }

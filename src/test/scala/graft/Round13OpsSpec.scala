@@ -120,6 +120,56 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q260: per-arm RMST + difference -------------------------------------
+
+  test("q260 hand fixture: per-arm integrals, diff, eventless arm reads tau") {
+    // treat u1: view d1, purchase d3 (event dur 2) -> curve S(2)=0,
+    // RMST_1 = 2 days exactly; control u2: view d1, last d5, NO
+    // purchase -> at risk, eventless -> RMST_0 = tau = 30
+    val dir = tmpDir("q260fix")
+    writeEvents(dir, Seq(
+      (1L, 1L, "view", 1.0, "2024-01-01 01:00:00"),
+      (2L, 1L, "purchase", 1.0, "2024-01-03 01:00:00"),
+      (3L, 2L, "view", 1.0, "2024-01-01 02:00:00"),
+      (4L, 2L, "view", 1.0, "2024-01-05 02:00:00")))
+    val r = graft.queries.EventAnalytics.q260RmstByArm(spark, dir).collect()
+    r should have length 1
+    val row = r.head
+    row.getLong(row.fieldIndex("tau_days")) shouldBe 30L
+    row.getLong(row.fieldIndex("n0_at_risk")) shouldBe 1L
+    row.getLong(row.fieldIndex("n1_at_risk")) shouldBe 1L
+    row.getLong(row.fieldIndex("rmst0_e9_days")) shouldBe 30000000000L
+    row.getLong(row.fieldIndex("rmst1_e9_days")) shouldBe 2000000000L
+    row.getLong(row.fieldIndex("rmst_diff_e9_days")) shouldBe -28000000000L
+    row.isNullAt(row.fieldIndex("median0_day")) shouldBe true
+    row.getLong(row.fieldIndex("median1_day")) shouldBe 2L
+  }
+
+  test("q260 at sf0.001: per-arm RMSTs reconcile with q259's curves") {
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.queries.EventAnalytics.q260RmstByArm(spark, sf)
+      .collect().head
+    // independent integration of the q259 curve per arm
+    val curves = graft.queries.EventAnalytics.q259KmByArm(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    def integral(arm: Long): Long = {
+      val pts = curves(arm).map(r =>
+        r.getLong(r.fieldIndex("day")) ->
+          r.getLong(r.fieldIndex("surv_e9"))).sortBy(_._1)
+      val tau = 30L
+      val first = math.min(pts.head._1, tau)
+      val spans = pts.zip(pts.drop(1).map(_._1) :+ tau).map {
+        case ((d, s), nd) =>
+          math.max(math.min(nd, tau) - math.min(d, tau), 0L) * s
+      }
+      1000000000L * first + spans.sum
+    }
+    row.getLong(row.fieldIndex("rmst0_e9_days")) shouldBe integral(0L)
+    row.getLong(row.fieldIndex("rmst1_e9_days")) shouldBe integral(1L)
+    row.getLong(row.fieldIndex("rmst_diff_e9_days")) shouldBe
+      (integral(1L) - integral(0L))
+  }
+
   // -- q255: distributed decile ≡ ntile ----------------------------------
 
   private def upliftEvents(users: Seq[(Long, Long)]): Seq[(Long, Long, String, Double, String)] =

@@ -82,10 +82,15 @@ class StreamingSurvivalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet shouldBe
       graft.queries.EventAnalytics.q257Rmst(spark, sf)
         .collect().map(_.toSeq).toSet
-    // r13: the fourth report off the same state — per-arm overlay
+    // r13: the fourth and fifth reports off the same state — per-arm
+    // overlay and RMST treatment effect
     StreamingSurvival.armCurves(spark, dir)
       .collect().map(_.toSeq).toSet shouldBe
       graft.queries.EventAnalytics.q259KmByArm(spark, sf)
+        .collect().map(_.toSeq).toSet
+    StreamingSurvival.armRmstReport(spark, dir)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.queries.EventAnalytics.q260RmstByArm(spark, sf)
         .collect().map(_.toSeq).toSet
   }
 }
