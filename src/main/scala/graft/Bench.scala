@@ -67,8 +67,8 @@ object Bench {
     * JIT). Its timing measures the HOST, not the engine: diffing two
     * artifacts, divide by the sentinel ratio before reading anything
     * as a regression. */
-  private def sentinel(spark: SparkSession): Double =
-    (1 to 3).map { _ =>
+  private def sentinel(spark: SparkSession): Double = {
+    def once(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 20000000L, 1, 32)
         .select(xxhash64(col("id")).as("h"))
@@ -76,7 +76,11 @@ object Bench {
         .agg(sum("h").as("s"), count(lit(1)).as("c"))
         .agg(sum(xxhash64(col("g"), col("s"), col("c")))).collect()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    once() // discarded warmup: the r13 board showed pre 1.21s vs post
+           // 0.24s from JVM-start JIT alone — min-of-3 doesn't absorb it
+    (1 to 3).map(_ => once()).min
+  }
 
   /** Parquet-scan sentinel: full scan + per-column hash of the SF
     * dir's lineitem — the I/O+decode mode the CPU probe can't see
@@ -84,12 +88,15 @@ object Bench {
     * queries ran ~1.4× the r11 wall-clocks, fresh JVM or warm; scan
     * pressure is the prime suspect, so the artifact now certifies
     * BOTH modes). Comparable across rounds at the SAME sf dir. */
-  private def scanSentinel(spark: SparkSession, sfDir: String): Double =
-    (1 to 3).map { _ =>
+  private def scanSentinel(spark: SparkSession, sfDir: String): Double = {
+    def once(): Double = {
       val t0 = System.nanoTime()
       touch(spark.read.parquet(s"$sfDir/lineitem.parquet"))
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    once() // discarded warmup (JIT + page-cache fill on the first read)
+    (1 to 3).map(_ => once()).min
+  }
 
   /** Clean-host references for the two sentinels, measured at the r13
     * baseline point (local[32], quiet machine, same probes; scan ref

@@ -1646,8 +1646,12 @@ object EventAnalytics {
     * inner rank partition never exceeds this many rows. */
   private[graft] val RankIdBucket = 1L << 20
 
-  val q255UpliftDeciles: Q = (s, d) => {
-    val u = Tables.events(s, d)
+  /** The per-(user, arm) uplift state — pre-period score (additive by
+    * +) and conversion flag (idempotent by max): MERGEABLE under any
+    * chunking of the event stream; shared verbatim with
+    * [[graft.streaming.StreamingUplift]]. */
+  private[graft] def upliftCells(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), col("user_id"),
         (col("user_id") % 2 === 1).as("treat"),
         (datediff(col("ts"), lit("1970-01-01")) % 2 === 0).as("pre"),
@@ -1656,7 +1660,12 @@ object EventAnalytics {
       .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("conv"))
-      .transform(graft.ops.SharedCache.persist)
+
+  /** The q255 report tail over the cell relation (the distributed
+    * rank + closed-form decile + 10-row table) — shared with the
+    * streaming twin so its answer is this exact code path. */
+  private[graft] def upliftFinalize(cells: DataFrame): DataFrame = {
+    val u = cells.transform(graft.ops.SharedCache.persist)
     // leg 1: users strictly above this score (score-domain cells)
     val wScore = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1706,6 +1715,9 @@ object EventAnalytics {
                | END""".stripMargin).as("uplift_ppm"),
         (col("cc1") * col("cn0") - col("cc0") * col("cn1")).as("qini_x"))
   }
+
+  val q255UpliftDeciles: Q = (s, d) =>
+    upliftFinalize(upliftCells(Tables.events(s, d)))
 
   // -- q258: sample-ratio-mismatch guardrail -------------------------------
 
