@@ -1065,6 +1065,134 @@ object EventAnalytics {
   val q247KsTwoSample: Q = (s, d) =>
     ksFinalize(rankCells(Tables.events(s, d)))
 
+  // -- q261: winsorized (capped-metric) A/B readout ------------------------
+
+  /** WINSORIZED MEAN A/B READOUT — the capped-metric discipline every
+    * revenue experiment ships alongside the raw mean (a single whale
+    * purchase can flip q133's sign; platforms therefore report the
+    * metric winsorized at a high quantile, trading a small bias for
+    * variance the test can actually afford): per event type, the
+    * EXACT p99 cap from the value distribution, each arm's winsorized
+    * mean Σ n_v·min(v, cap) / n, their difference, and the raw means
+    * for contrast, plus how many observations the cap touched.
+    *
+    * Exactness: the cap is the exact rank-ceil(0.99·N) order
+    * statistic off the cents-value cell relation (the q185
+    * rank-percentile convention — ceil via (99N+99) div 100, no float
+    * quantile); winsorized sums are exact BIGINT Σ n_av·least(v, cap)
+    * (values non-negative, house div contract holds); means are
+    * truncating cents divisions, the diff an exact signed BIGINT
+    * subtraction of two non-negative truncations. No sampling, no
+    * t-digest — the cell relation makes the exact quantile affordable
+    * at any corpus size.
+    *
+    * Plan: the q246/q247 cell relation (map-combined, value-domain-
+    * sized), ONE window region per type (running count + per-type
+    * total + conditional-min cap share the (type | v) partitioning),
+    * then a |types|-row aggregate. Overflow: Σ n_v·v ≤ N·v_max — the
+    * family's standard cents-sum ceiling. */
+  /** The q261 report tail over the SAME cell relation as q246/q247 —
+    * shared with the streaming twin. */
+  private[graft] def winsorFinalize(cells: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("event_type").orderBy("v")
+    val wAll = Window.partitionBy("event_type")
+    cells
+      .withColumn("t", col("n0v") + col("n1v"))
+      .withColumn("cum", sum(col("t")).over(wRun))
+      .withColumn("n_all", sum(col("t")).over(wAll))
+      .withColumn("thr", expr("(99 * n_all + 99) div 100"))
+      .withColumn("cap", min(when(col("cum") >= col("thr"), col("v")))
+        .over(wAll))
+      .groupBy("event_type")
+      .agg(sum(col("n0v")).as("n0"), sum(col("n1v")).as("n1"),
+        max(col("cap")).as("cap_cents"),
+        sum(when(col("v") > col("cap"), col("t")).otherwise(0L))
+          .as("n_capped"),
+        sum(col("n0v") * least(col("v"), col("cap"))).as("ws0"),
+        sum(col("n1v") * least(col("v"), col("cap"))).as("ws1"),
+        sum(col("n0v") * col("v")).as("rs0"),
+        sum(col("n1v") * col("v")).as("rs1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("cap_cents"), col("n_capped"),
+        expr("CASE WHEN n0 > 0 THEN ws0 div n0 END").as("wmean0_cents"),
+        expr("CASE WHEN n1 > 0 THEN ws1 div n1 END").as("wmean1_cents"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0
+               | THEN ws1 div n1 - ws0 div n0 END""".stripMargin)
+          .as("wdiff_cents"),
+        expr("CASE WHEN n0 > 0 THEN rs0 div n0 END").as("rmean0_cents"),
+        expr("CASE WHEN n1 > 0 THEN rs1 div n1 END").as("rmean1_cents"))
+  }
+
+  val q261WinsorizedMeans: Q = (s, d) =>
+    winsorFinalize(rankCells(Tables.events(s, d)))
+
+  // -- q262: Schoenfeld events-needed ladder -------------------------------
+
+  /** Hazard-ratio rungs (×100) for the q262 power ladder and their
+    * driver-baked ln²(HR) literals (the q238/q251 no-runtime-libm
+    * convention: the SAME doubles are interpolated into the Spark
+    * plan and the oracle SQL). */
+  private[graft] val SchoenfeldHrX100 = Seq(50L, 70L, 80L, 90L)
+  private[graft] val SchoenfeldZSq = {
+    val z = 1.959963984540054 + 0.8416212335729143 // z_{.975} + z_{.80}
+    z * z
+  }
+
+  /** SCHOENFELD EVENTS-NEEDED LADDER — the power side of the survival
+    * suite (q251 plans the MEAN test's sample size; this plans the
+    * LOG-RANK's): Schoenfeld (1983) — the required number of EVENTS
+    * (not users: censoring makes events the currency) to detect a
+    * hazard ratio HR at α = 0.05 two-sided, power 0.80 is
+    * d = (z_{α/2}+z_β)² / (p(1−p)·ln²HR), with p the treated share
+    * of the risk population. Read next to q256's observed z: the
+    * rungs (HR 0.5/0.7/0.8/0.9) say which effect sizes the experiment
+    * can already judge with its events so far, and `enough` flags the
+    * rungs where it can.
+    *
+    * Exactness: p(1−p) is computed as the exact integer cross-product
+    * n₁·(n−n₁) over n² — the d expression is ONE fixed-shape IEEE
+    * double per rung over exact BIGINTs with both z² and ln²HR baked
+    * as driver literals (q238/q251 convention), under an engine-exact
+    * ceil; one-armed risk populations guard to NULL. Events observed
+    * is the exact pooled conversion count under the family's
+    * censoring rule.
+    *
+    * Plan: ONE map-combined pass to the survival cells (shared with
+    * q254–q260), a 1-row scalar aggregate, then the 4-way in-row
+    * rung expansion ABOVE it (the q251 Generate-above-aggregate
+    * discipline — the ladder never touches the corpus). */
+  private[graft] def schoenfeldFinalize(cells: DataFrame): DataFrame = {
+    val base = survivalDurations(cells)
+      .agg(count(lit(1)).as("n_risk_users"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n1_users"),
+        sum(col("event")).as("events_observed"))
+    val rungs = SchoenfeldHrX100.map { hr =>
+      val lnSq = { val l = math.log(hr.toDouble / 100.0); l * l }
+      struct(lit(hr).as("hr_x100"), lit(lnSq).as("ln_sq"))
+    }
+    base
+      .select(col("n_risk_users"), col("n1_users"), col("events_observed"),
+        explode(array(rungs: _*)).as("r"))
+      .select(col("r.hr_x100").as("hr_x100"),
+        col("n_risk_users"), col("events_observed"),
+        expr(s"""CASE WHEN n1_users > 0 AND n1_users < n_risk_users THEN
+                | CAST(ceil($SchoenfeldZSq
+                |   / ((CAST(n1_users AS DOUBLE)
+                |       * (n_risk_users - n1_users)
+                |       / (CAST(n_risk_users AS DOUBLE) * n_risk_users))
+                |      * r.ln_sq)) AS BIGINT)
+                | END""".stripMargin).as("events_needed"))
+      .select(col("hr_x100"), col("n_risk_users"), col("events_observed"),
+        col("events_needed"),
+        expr("""CASE WHEN events_needed IS NOT NULL THEN
+               | CAST(CASE WHEN events_observed >= events_needed
+               |      THEN 1 ELSE 0 END AS BIGINT) END""".stripMargin)
+          .as("enough"))
+  }
+
+  val q262SchoenfeldLadder: Q = (s, d) =>
+    schoenfeldFinalize(survivalCells(Tables.events(s, d)))
+
   // -- q250: CUPED variance-reduced A/B readout ----------------------------
 
   /** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
@@ -2411,6 +2539,8 @@ object EventAnalytics {
     "q258_srm_check" -> q258SrmCheck,
     "q259_km_by_arm" -> q259KmByArm,
     "q260_rmst_by_arm" -> q260RmstByArm,
+    "q261_winsorized_means" -> q261WinsorizedMeans,
+    "q262_schoenfeld_ladder" -> q262SchoenfeldLadder,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -3361,6 +3491,93 @@ object EventAnalytics {
          |  max(CASE WHEN NOT treat THEN median_day END) AS median0_day,
          |  max(CASE WHEN treat THEN median_day END) AS median1_day
          |FROM per""".stripMargin,
+    // Same cell relation as q246/q247, same exact rank-ceil cap, same
+    // truncating winsorized means — bit-for-bit on every column.
+    "q261_winsorized_means" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n0v,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, v, n0v, n1v, n0v + n1v AS t,
+        |    sum(n0v + n1v) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    sum(n0v + n1v) OVER (PARTITION BY event_type) AS n_all
+        |  FROM cells
+        |), capd AS (
+        |  SELECT *, min(CASE WHEN cum >= (99 * n_all + 99) // 100
+        |                THEN v END)
+        |      OVER (PARTITION BY event_type) AS cap
+        |  FROM w
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(n0v) AS BIGINT) AS n0,
+        |    CAST(sum(n1v) AS BIGINT) AS n1,
+        |    CAST(max(cap) AS BIGINT) AS cap_cents,
+        |    CAST(sum(CASE WHEN v > cap THEN t ELSE 0 END) AS BIGINT)
+        |      AS n_capped,
+        |    CAST(sum(n0v * least(v, cap)) AS BIGINT) AS ws0,
+        |    CAST(sum(n1v * least(v, cap)) AS BIGINT) AS ws1,
+        |    CAST(sum(n0v * v) AS BIGINT) AS rs0,
+        |    CAST(sum(n1v * v) AS BIGINT) AS rs1
+        |  FROM capd GROUP BY 1
+        |)
+        |SELECT event_type, n0, n1, cap_cents, n_capped,
+        |  CASE WHEN n0 > 0 THEN ws0 // n0 END AS wmean0_cents,
+        |  CASE WHEN n1 > 0 THEN ws1 // n1 END AS wmean1_cents,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |       THEN ws1 // n1 - ws0 // n0 END AS wdiff_cents,
+        |  CASE WHEN n0 > 0 THEN rs0 // n0 END AS rmean0_cents,
+        |  CASE WHEN n1 > 0 THEN rs1 // n1 END AS rmean1_cents
+        |FROM m""".stripMargin,
+    // Same survival cells and censoring rule; z² and each rung's
+    // ln²(HR) are the IDENTICAL driver-baked double literals, the d
+    // expression the same fixed IEEE shape under the same ceil.
+    "q262_schoenfeld_ladder" -> {
+      val rungRows = SchoenfeldHrX100.map { hr =>
+        val lnSq = { val l = math.log(hr.toDouble / 100.0); l * l }
+        s"($hr, $lnSq)"
+      }.mkString(", ")
+      s"""WITH u AS (
+         |  SELECT user_id, (user_id % 2 = 1) AS treat,
+         |    min(CASE WHEN event_type = 'view'
+         |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fv,
+         |    min(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) END) AS fp,
+         |    max(CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+         |        date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)) AS le
+         |  FROM events GROUP BY 1, 2
+         |), dur AS (
+         |  SELECT treat,
+         |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN 1 ELSE 0 END AS event
+         |  FROM u WHERE fv IS NOT NULL
+         |), base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_risk_users,
+         |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1_users,
+         |    CAST(sum(event) AS BIGINT) AS events_observed
+         |  FROM dur
+         |), rungs AS (
+         |  SELECT * FROM (VALUES $rungRows) AS t(hr_x100, ln_sq)
+         |), x AS (
+         |  SELECT CAST(r.hr_x100 AS BIGINT) AS hr_x100,
+         |    b.n_risk_users, b.events_observed,
+         |    CASE WHEN b.n1_users > 0 AND b.n1_users < b.n_risk_users THEN
+         |      CAST(ceil($SchoenfeldZSq
+         |        / ((CAST(b.n1_users AS DOUBLE)
+         |            * (b.n_risk_users - b.n1_users)
+         |            / (CAST(b.n_risk_users AS DOUBLE) * b.n_risk_users))
+         |           * r.ln_sq)) AS BIGINT)
+         |    END AS events_needed
+         |  FROM base b CROSS JOIN rungs r
+         |)
+         |SELECT hr_x100, n_risk_users, events_observed, events_needed,
+         |  CASE WHEN events_needed IS NOT NULL THEN
+         |    CAST(CASE WHEN events_observed >= events_needed
+         |         THEN 1 ELSE 0 END AS BIGINT) END AS enough
+         |FROM x""".stripMargin
+    },
     // Same per-user cells, same per-digest bit flips, same truncating
     // means and add-one Monte-Carlo p — bit-for-bit on every column.
     // (Factored to a val so q252's BH step-up restates it verbatim as

@@ -89,4 +89,12 @@ object StreamingRankTests {
     * batch q247's columns, computed by the SHARED finalizer. */
   def ksReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.EventAnalytics.ksFinalize(cells(spark, stateDir))
+
+  /** The winsorized-means report over the accumulated stream — batch
+    * q261's columns, computed by the SHARED finalizer (r13: a THIRD
+    * reading off the same maintained cell relation — the exact p99
+    * cap re-derives from the cells each refresh, so the cap tracks
+    * the stream's own distribution, no stale quantile). */
+  def winsorReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.EventAnalytics.winsorFinalize(cells(spark, stateDir))
 }

@@ -304,6 +304,80 @@ class Round13OpsSpec extends SparkSpec {
     b.isNullAt(b.fieldIndex("z_score")) shouldBe false
   }
 
+  // -- q261: winsorized means ----------------------------------------------
+
+  test("q261 hand fixture: exact p99 cap, whale capped, raw means diverge") {
+    // 100 events at 1.00 + one 500.00 whale (control user 102):
+    // N=101, thr=ceil(.99*101)=100 -> cap=100 cents, whale capped
+    val dir = tmpDir("q261fix")
+    val evs = (1L to 100L).map(i =>
+      (i, i, "buy", 1.00, "2024-01-01 01:00:00")) :+
+      (101L, 102L, "buy", 500.00, "2024-01-01 02:00:00")
+    writeEvents(dir, evs)
+    val r = graft.queries.EventAnalytics.q261WinsorizedMeans(spark, dir)
+      .collect()
+    r should have length 1
+    val row = r.head
+    row.getLong(row.fieldIndex("n0")) shouldBe 51L // 50 even + whale
+    row.getLong(row.fieldIndex("n1")) shouldBe 50L
+    row.getLong(row.fieldIndex("cap_cents")) shouldBe 100L
+    row.getLong(row.fieldIndex("n_capped")) shouldBe 1L
+    row.getLong(row.fieldIndex("wmean0_cents")) shouldBe 100L
+    row.getLong(row.fieldIndex("wmean1_cents")) shouldBe 100L
+    row.getLong(row.fieldIndex("wdiff_cents")) shouldBe 0L
+    // the raw mean is whale-dragged: (50*100 + 50000) div 51 = 1078
+    row.getLong(row.fieldIndex("rmean0_cents")) shouldBe 1078L
+    row.getLong(row.fieldIndex("rmean1_cents")) shouldBe 100L
+  }
+
+  test("q261 at sf0.001: winsorized means never exceed raw, cap touches <=1%") {
+    val rows = graft.queries.EventAnalytics
+      .q261WinsorizedMeans(spark, "/root/testdata/sf0.001").collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n0")) + r.getLong(r.fieldIndex("n1"))
+      r.getLong(r.fieldIndex("wmean0_cents")) should be <=
+        r.getLong(r.fieldIndex("rmean0_cents"))
+      r.getLong(r.fieldIndex("wmean1_cents")) should be <=
+        r.getLong(r.fieldIndex("rmean1_cents"))
+      // rank-ceil(.99N) cap: strictly-above-cap count is < 1% + 1
+      r.getLong(r.fieldIndex("n_capped")) should be <= (n / 100L + 1L)
+    }
+  }
+
+  // -- q262: Schoenfeld events ladder ---------------------------------------
+
+  test("q262 hand fixture: d = zsq/(p(1-p)ln2HR) under the exact ceil") {
+    // 4 at-risk users (2 treat, 2 control), 1 conversion
+    val dir = tmpDir("q262fix")
+    writeEvents(dir, Seq(
+      (1L, 1L, "view", 1.0, "2024-01-01 01:00:00"),
+      (2L, 1L, "purchase", 1.0, "2024-01-02 01:00:00"),
+      (3L, 2L, "view", 1.0, "2024-01-01 02:00:00"),
+      (4L, 3L, "view", 1.0, "2024-01-01 03:00:00"),
+      (5L, 4L, "view", 1.0, "2024-01-01 04:00:00")))
+    val rows = graft.queries.EventAnalytics.q262SchoenfeldLadder(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.keySet shouldBe Set(50L, 70L, 80L, 90L)
+    rows.values.foreach { r =>
+      r.getLong(r.fieldIndex("n_risk_users")) shouldBe 4L
+      r.getLong(r.fieldIndex("events_observed")) shouldBe 1L
+      r.getLong(r.fieldIndex("enough")) shouldBe 0L
+    }
+    // independent restatement of the fixed IEEE shape per rung
+    graft.queries.EventAnalytics.SchoenfeldHrX100.foreach { hr =>
+      val lnSq = { val l = math.log(hr.toDouble / 100.0); l * l }
+      val pTerm = 2.0 * (4L - 2L) / (4.0 * 4L)
+      val want = math.ceil(
+        graft.queries.EventAnalytics.SchoenfeldZSq / (pTerm * lnSq)).toLong
+      rows(hr).getLong(rows(hr).fieldIndex("events_needed")) shouldBe want
+    }
+    // monotone: smaller effect -> more events needed
+    val need = Seq(50L, 70L, 80L, 90L)
+      .map(hr => rows(hr).getLong(rows(hr).fieldIndex("events_needed")))
+    need shouldBe need.sorted
+  }
+
   // -- q258: restructured chi-square --------------------------------------
 
   test("q258 split-division chi2 and widened flag match the exact forms") {

@@ -72,5 +72,11 @@ class StreamingRankTestsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     StreamingRankTests.ksReport(spark, dir)
       .collect().map(_.toSeq).toSet shouldBe wantKs
+    // r13: the third reading off the same state — winsorized means
+    val wantW = graft.queries.EventAnalytics
+      .q261WinsorizedMeans(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    StreamingRankTests.winsorReport(spark, dir)
+      .collect().map(_.toSeq).toSet shouldBe wantW
   }
 }
