@@ -1126,6 +1126,77 @@ object EventAnalytics {
   val q261WinsorizedMeans: Q = (s, d) =>
     winsorFinalize(rankCells(Tables.events(s, d)))
 
+  // -- q263: quantile treatment effects ------------------------------------
+
+  /** The declared quantile rungs (×100) for the q263 QTE table. */
+  private[graft] val QtePctX100 = Seq(25L, 50L, 75L)
+
+  /** QUANTILE TREATMENT EFFECTS — the distributional readout that
+    * says WHERE the split moves the money: q133/q261 compare means
+    * (one number), q247 only DETECTS a shape change; QTE quantifies
+    * it — per event type and quantile p ∈ {25, 50, 75}, each arm's
+    * exact p-th value and their difference (Δmedian ≠ Δmean is the
+    * classic whale-vs-typical-user diagnosis, and quantile effects
+    * are what a heavy-tailed revenue metric actually supports
+    * reporting).
+    *
+    * Exactness: per-arm quantiles are exact rank-ceil(p·n_a/100)
+    * order statistics off the SAME cents-value cell relation as
+    * q246/q247/q261 (the q185/q261 convention — (p·n+99) div 100,
+    * conditional-min over the per-arm running count; no float
+    * quantile, no interpolation: the lower exact order statistic is
+    * the declared semantics); qte = q₁ − q₀ is an exact signed BIGINT.
+    * One-armed types guard to NULL.
+    *
+    * Plan: the shared cell relation (map-combined, value-domain-
+    * sized), ONE window region per type (both arms' running counts +
+    * totals + all six conditional mins share the (type | v)
+    * partitioning), a |types|-row aggregate, then the 3-rung in-row
+    * expansion ABOVE it (q251/q262 discipline — rungs never touch
+    * the corpus). */
+  /** The q263 report tail over the SAME cell relation — shared with
+    * the streaming twin. */
+  private[graft] def qteFinalize(cells: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("event_type").orderBy("v")
+    val wAll = Window.partitionBy("event_type")
+    val based = cells
+      .withColumn("c0", sum(col("n0v")).over(wRun))
+      .withColumn("c1", sum(col("n1v")).over(wRun))
+      .withColumn("n0", sum(col("n0v")).over(wAll))
+      .withColumn("n1", sum(col("n1v")).over(wAll))
+    val qCols = QtePctX100.flatMap { p =>
+      Seq(
+        min(when(col("c0") >= expr(s"($p * n0 + 99) div 100"), col("v")))
+          .over(wAll).as(s"q0_$p"),
+        min(when(col("c1") >= expr(s"($p * n1 + 99) div 100"), col("v")))
+          .over(wAll).as(s"q1_$p"))
+    }
+    val withQ = based.select(
+      (Seq(col("event_type"), col("n0"), col("n1")) ++ qCols): _*)
+    val aggTail = Seq(max(col("n1")).as("n1")) ++
+      QtePctX100.flatMap(p => Seq(
+        max(col(s"q0_$p")).as(s"q0_$p"),
+        max(col(s"q1_$p")).as(s"q1_$p")))
+    val agg = withQ.groupBy("event_type")
+      .agg(max(col("n0")).as("n0"), aggTail: _*)
+    val rungs = QtePctX100.map { p =>
+      struct(lit(p).as("pct"),
+        col(s"q0_$p").as("q0"), col(s"q1_$p").as("q1"))
+    }
+    agg
+      .select(col("event_type"), col("n0"), col("n1"),
+        explode(array(rungs: _*)).as("r"))
+      .select(col("event_type"), col("r.pct").as("pct_x100"),
+        col("n0"), col("n1"),
+        expr("CASE WHEN n0 > 0 THEN r.q0 END").as("q0_cents"),
+        expr("CASE WHEN n1 > 0 THEN r.q1 END").as("q1_cents"),
+        expr("""CASE WHEN n0 > 0 AND n1 > 0
+               | THEN r.q1 - r.q0 END""".stripMargin).as("qte_cents"))
+  }
+
+  val q263QuantileEffects: Q = (s, d) =>
+    qteFinalize(rankCells(Tables.events(s, d)))
+
   // -- q262: Schoenfeld events-needed ladder -------------------------------
 
   /** Hazard-ratio rungs (×100) for the q262 power ladder and their
@@ -2541,6 +2612,7 @@ object EventAnalytics {
     "q260_rmst_by_arm" -> q260RmstByArm,
     "q261_winsorized_means" -> q261WinsorizedMeans,
     "q262_schoenfeld_ladder" -> q262SchoenfeldLadder,
+    "q263_quantile_effects" -> q263QuantileEffects,
     "q238_sprt_test" -> q238SprtTest,
     "q240_removal_effect" -> q240RemovalEffect,
     "q134_cusum_changepoint" -> q134CusumChangepoint,
@@ -3530,6 +3602,43 @@ object EventAnalytics {
         |  CASE WHEN n0 > 0 THEN rs0 // n0 END AS rmean0_cents,
         |  CASE WHEN n1 > 0 THEN rs1 // n1 END AS rmean1_cents
         |FROM m""".stripMargin,
+    // Same cell relation, same per-arm rank-ceil order statistics,
+    // same rung stack — bit-for-bit on every quantile and diff.
+    "q263_quantile_effects" -> {
+      val rungSelects = QtePctX100.map { p =>
+        s"""  SELECT event_type, CAST($p AS BIGINT) AS pct_x100, n0, n1,
+           |    CASE WHEN n0 > 0 THEN q0_$p END AS q0_cents,
+           |    CASE WHEN n1 > 0 THEN q1_$p END AS q1_cents,
+           |    CASE WHEN n0 > 0 AND n1 > 0
+           |         THEN q1_$p - q0_$p END AS qte_cents
+           |  FROM m""".stripMargin
+      }.mkString("\n", "\n  UNION ALL\n", "")
+      val qAggs = QtePctX100.map { p =>
+        s"""    CAST(min(CASE WHEN c0 >= ($p * n0 + 99) // 100 THEN v END)
+           |      AS BIGINT) AS q0_$p,
+           |    CAST(min(CASE WHEN c1 >= ($p * n1 + 99) // 100 THEN v END)
+           |      AS BIGINT) AS q1_$p""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells AS (
+         |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+         |    CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n0v,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+         |  FROM events GROUP BY 1, 2
+         |), w AS (
+         |  SELECT event_type, v,
+         |    sum(n0v) OVER (PARTITION BY event_type ORDER BY v) AS c0,
+         |    sum(n1v) OVER (PARTITION BY event_type ORDER BY v) AS c1,
+         |    sum(n0v) OVER (PARTITION BY event_type) AS n0,
+         |    sum(n1v) OVER (PARTITION BY event_type) AS n1
+         |  FROM cells
+         |), m AS (
+         |  SELECT event_type,
+         |    CAST(max(n0) AS BIGINT) AS n0,
+         |    CAST(max(n1) AS BIGINT) AS n1,
+         |$qAggs
+         |  FROM w GROUP BY 1
+         |)$rungSelects""".stripMargin
+    },
     // Same survival cells and censoring rule; z² and each rung's
     // ln²(HR) are the IDENTICAL driver-baked double literals, the d
     // expression the same fixed IEEE shape under the same ceil.

@@ -97,4 +97,12 @@ object StreamingRankTests {
     * the stream's own distribution, no stale quantile). */
   def winsorReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.EventAnalytics.winsorFinalize(cells(spark, stateDir))
+
+  /** The quantile-treatment-effects report over the accumulated
+    * stream — batch q263's columns, computed by the SHARED finalizer
+    * (r13: a FOURTH reading off the same maintained cell relation —
+    * location test, shape test, capped means, and now the
+    * distributional effect table, all from one additive state). */
+  def qteReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.EventAnalytics.qteFinalize(cells(spark, stateDir))
 }

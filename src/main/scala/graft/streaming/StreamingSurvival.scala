@@ -125,4 +125,12 @@ object StreamingSurvival {
     * batch on). */
   def armRmstReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.EventAnalytics.rmstArmFinalize(cells(spark, stateDir))
+
+  /** The Schoenfeld events-needed ladder over the accumulated stream
+    * — batch q262's columns, by the SHARED finalizer (sixth report:
+    * the "can we stop collecting" planning read refreshed as the
+    * events actually arrive — exactly the question a sequential
+    * survival experiment asks after every batch). */
+  def schoenfeldReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.EventAnalytics.schoenfeldFinalize(cells(spark, stateDir))
 }

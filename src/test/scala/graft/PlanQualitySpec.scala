@@ -274,6 +274,50 @@ class PlanQualitySpec extends SparkSpec {
     readSchema should not include "text"
   }
 
+  test("q261 winsorized means: one cell pass, one window region, no join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q261_winsorized_means")
+    // the q246/q247 discipline: cells collapse map-combined, the
+    // running count / per-type total / conditional-min cap all share
+    // the (type | v) sort (three Window nodes, ONE Sort, two
+    // exchanges: cell aggregate + the per-type window repartition the
+    // final aggregate reuses), no join anywhere
+    p should include("partial_sum")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p.linesIterator.count(_.trim.startsWith("+- Sort")) shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q262 Schoenfeld ladder expands ABOVE the scalar aggregate, joins nothing") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q262_schoenfeld_ladder")
+    // the q251 convention: the 4-rung explode sits above the 1-row
+    // moment aggregate — one map-combined cell exchange, no join, no
+    // window, the corpus never meets the ladder
+    p should include("partial_sum")
+    p should include("Generate explode")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("q263 QTE: one window region, rung stack above the aggregate, no join") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q263_quantile_effects")
+    // q261's cell-window discipline (all six conditional mins share
+    // the (type | v) sort — 2 exchanges, 1 Sort) composed with the
+    // q251/q262 rung-stack discipline (Generate above the |types|-row
+    // aggregate — the rungs never touch the corpus)
+    p should include("partial_sum")
+    p should include("Generate explode")
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 2
+    p.linesIterator.count(_.trim.startsWith("+- Sort")) shouldBe 1
+    p should not include "Join"
+  }
+
   test("q250 CUPED collapses to user cells before the moment aggregate") {
     assume(haveData, s"$sfDir not present")
     val p = plan("q250_cuped")

@@ -345,6 +345,45 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // -- q263: quantile treatment effects -------------------------------------
+
+  test("q263 hand fixture: exact per-arm rank-ceil quantiles and diffs") {
+    // control (even uids): 1.00, 2.00, 3.00, 4.00; treat (odd):
+    // 11.00, 12.00, 13.00, 14.00 -> per-arm ranks ceil(p*4/100):
+    // p25 -> rank 1, p50 -> rank 2, p75 -> rank 3
+    val dir = tmpDir("q263fix")
+    writeEvents(dir, (1L to 4L).map(i =>
+      (i, i * 2L, "buy", i.toDouble, "2024-01-01 01:00:00")) ++
+      (1L to 4L).map(i =>
+        (4L + i, i * 2L + 1L, "buy", 10.0 + i, "2024-01-01 02:00:00")))
+    val rows = graft.queries.EventAnalytics.q263QuantileEffects(spark, dir)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    rows.keySet shouldBe Set(25L, 50L, 75L)
+    def q(p: Long, f: String) = rows(p).getLong(rows(p).fieldIndex(f))
+    q(25L, "q0_cents") shouldBe 100L
+    q(50L, "q0_cents") shouldBe 200L
+    q(75L, "q0_cents") shouldBe 300L
+    q(25L, "q1_cents") shouldBe 1100L
+    q(50L, "q1_cents") shouldBe 1200L
+    q(75L, "q1_cents") shouldBe 1300L
+    Seq(25L, 50L, 75L).foreach { p =>
+      q(p, "qte_cents") shouldBe (q(p, "q1_cents") - q(p, "q0_cents"))
+    }
+  }
+
+  test("q263 at sf0.001: quantiles are monotone in p and live in each arm's support") {
+    val rows = graft.queries.EventAnalytics
+      .q263QuantileEffects(spark, "/root/testdata/sf0.001").collect()
+    rows should not be empty
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val byP = g.sortBy(_.getLong(1))
+      byP.map(r => r.getLong(r.fieldIndex("q0_cents"))) shouldBe
+        byP.map(r => r.getLong(r.fieldIndex("q0_cents"))).sorted
+      byP.map(r => r.getLong(r.fieldIndex("q1_cents"))) shouldBe
+        byP.map(r => r.getLong(r.fieldIndex("q1_cents"))).sorted
+    }
+  }
+
   // -- q262: Schoenfeld events ladder ---------------------------------------
 
   test("q262 hand fixture: d = zsq/(p(1-p)ln2HR) under the exact ceil") {

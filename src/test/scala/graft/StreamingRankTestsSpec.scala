@@ -72,11 +72,17 @@ class StreamingRankTestsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     StreamingRankTests.ksReport(spark, dir)
       .collect().map(_.toSeq).toSet shouldBe wantKs
-    // r13: the third reading off the same state — winsorized means
+    // r13: the third and fourth readings off the same state —
+    // winsorized means and quantile treatment effects
     val wantW = graft.queries.EventAnalytics
       .q261WinsorizedMeans(spark, "/root/testdata/sf0.001")
       .collect().map(_.toSeq).toSet
     StreamingRankTests.winsorReport(spark, dir)
       .collect().map(_.toSeq).toSet shouldBe wantW
+    val wantQ = graft.queries.EventAnalytics
+      .q263QuantileEffects(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    StreamingRankTests.qteReport(spark, dir)
+      .collect().map(_.toSeq).toSet shouldBe wantQ
   }
 }

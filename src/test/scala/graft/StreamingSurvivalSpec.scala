@@ -92,5 +92,10 @@ class StreamingSurvivalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet shouldBe
       graft.queries.EventAnalytics.q260RmstByArm(spark, sf)
         .collect().map(_.toSeq).toSet
+    // ...and the sixth — the Schoenfeld planning ladder
+    StreamingSurvival.schoenfeldReport(spark, dir)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.queries.EventAnalytics.q262SchoenfeldLadder(spark, sf)
+        .collect().map(_.toSeq).toSet
   }
 }
