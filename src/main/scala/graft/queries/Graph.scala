@@ -284,6 +284,67 @@ object Graph {
     prStep(nodes, wedges, base, d2 / n)(r1)
   }
 
+  // -- q264: HITS hubs & authorities (two unrolled iterations) ----------
+
+  /** HITS (Kleinberg 1999) over the supplier→customer shipment graph
+    * — the centrality PageRank can't express on a BIPARTITE flow:
+    * q90 scores every node on one axis, but a procurement graph has
+    * two distinct roles, and HITS scores them jointly — a good HUB
+    * (supplier) ships to many good authorities, a good AUTHORITY
+    * (customer) buys from many good hubs. The mutual-reinforcement
+    * fixpoint is the other classic link-analysis eigenproblem, and on
+    * this graph it is the supplier-coverage / customer-demand ranking
+    * read next to q90's importance.
+    *
+    * Two full mutual iterations unrolled (h₀ uniform → a₁ → h₁ → a₂
+    * → h₂; no driver loop — the oracle restates them as chained
+    * CTEs). Normalization is L1 in integer e9 — score·1e9 div Σscore
+    * after every half-step (DECLARED variant: textbook HITS uses L2,
+    * whose sqrt would put a float in the fold; L1 differs from L2
+    * only by a positive per-vector scalar, so every iteration's
+    * RANKING is identical and the fixpoint direction is the same
+    * principal eigenvector) — identical floor math in both engines,
+    * no float anywhere. Norm sums are driver-hosted control-plane
+    * scalars (q90b's dangling-mass convention; the oracle uses 1-row
+    * CTEs). Overflow: every vector sums to ≤1e9 after normalization
+    * and in-edges are distinct, so raw ≤ 1e9 and raw·1e9 ≤ 1e18 —
+    * exact at any graph size.
+    *
+    * Plan: per half-step ONE keyed equi-join of the score vector onto
+    * the SharedCache'd static edge relation + one map-combined
+    * inflow/outflow sum — linear in edges, nothing quadratic, the
+    * q90 scale shape; the four raw relations are node-sized and
+    * SharedCache'd so the norm scalars don't recompute the chain. */
+  val q264Hits: Q = (s, d) => {
+    val (edges, _, _) = shipmentGraph(s, d)
+    def cache(df: DataFrame) = graft.ops.SharedCache.persist(df)
+    def normScalar(raw: DataFrame): Long = math.max(
+      raw.agg(coalesce(sum(col("raw")), lit(0L))).first().getLong(0), 1L)
+    val nHubs = math.max(edges.select(col("src")).distinct().count(), 1L)
+    val h0 = 1000000000L / nHubs
+    // a-step: authority raw = inflow of hub scores over in-edges
+    val a1raw = cache(edges.groupBy("dst").agg(sum(lit(h0)).as("raw")))
+    val a1 = a1raw.select(col("dst"),
+      expr(s"raw * 1000000000 div ${normScalar(a1raw)}L").as("a_e9"))
+    // h-step: hub raw = outflow sum of authority scores
+    val h1raw = cache(edges.join(a1, "dst")
+      .groupBy("src").agg(sum(col("a_e9")).as("raw")))
+    val h1 = h1raw.select(col("src"),
+      expr(s"raw * 1000000000 div ${normScalar(h1raw)}L").as("h_e9"))
+    val a2raw = cache(edges.join(h1, "src")
+      .groupBy("dst").agg(sum(col("h_e9")).as("raw")))
+    val a2 = a2raw.select(col("dst"),
+      expr(s"raw * 1000000000 div ${normScalar(a2raw)}L").as("a_e9"))
+    val h2raw = cache(edges.join(a2, "dst")
+      .groupBy("src").agg(sum(col("a_e9")).as("raw")))
+    val h2 = h2raw.select(col("src"),
+      expr(s"raw * 1000000000 div ${normScalar(h2raw)}L").as("h_e9"))
+    h2.select(lit("hub").as("kind"), col("src").as("node"),
+        col("h_e9").as("score_e9"))
+      .unionByName(a2.select(lit("authority").as("kind"),
+        col("dst").as("node"), col("a_e9").as("score_e9")))
+  }
+
   // -- q121: triangle counting (degree-ordered compact-forward) --------
 
   private val TriMinSupport = 2
@@ -961,6 +1022,7 @@ object Graph {
     "q55_dup_clusters" -> q55DupClusters,
     "q90_pagerank" -> q90PageRank,
     "q90b_pagerank_mass" -> q90bPageRankMass,
+    "q264_hits" -> q264Hits,
     "q121_triangle_count" -> q121TriangleCount,
     "q136_link_prediction" -> q136LinkPrediction,
     "q248_degree_assortativity" -> q248DegreeAssortativity,
@@ -1178,6 +1240,48 @@ object Graph {
         |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = node
         |)
         |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r2""".stripMargin,
+    // Same distinct bipartite edges, same L1-normalized integer e9
+    // half-steps restated as chained CTEs with 1-row norm CTEs where
+    // the Spark plan holds driver scalars — identical floor math.
+    "q264_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |    'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), hn AS (
+        |  SELECT greatest(count(DISTINCT src), 1) AS nh FROM e
+        |), a1raw AS (
+        |  SELECT dst, CAST(sum(1000000000 // nh) AS BIGINT) AS raw
+        |  FROM e CROSS JOIN hn GROUP BY 1
+        |), sa1 AS (SELECT greatest(coalesce(sum(raw), 0), 1) AS sv FROM a1raw),
+        |a1 AS (
+        |  SELECT dst, CAST(raw * 1000000000 // sv AS BIGINT) AS a_e9
+        |  FROM a1raw CROSS JOIN sa1
+        |), h1raw AS (
+        |  SELECT e.src, CAST(sum(a.a_e9) AS BIGINT) AS raw
+        |  FROM e JOIN a1 a ON a.dst = e.dst GROUP BY 1
+        |), sh1 AS (SELECT greatest(coalesce(sum(raw), 0), 1) AS sv FROM h1raw),
+        |h1 AS (
+        |  SELECT src, CAST(raw * 1000000000 // sv AS BIGINT) AS h_e9
+        |  FROM h1raw CROSS JOIN sh1
+        |), a2raw AS (
+        |  SELECT e.dst, CAST(sum(h.h_e9) AS BIGINT) AS raw
+        |  FROM e JOIN h1 h ON h.src = e.src GROUP BY 1
+        |), sa2 AS (SELECT greatest(coalesce(sum(raw), 0), 1) AS sv FROM a2raw),
+        |a2 AS (
+        |  SELECT dst, CAST(raw * 1000000000 // sv AS BIGINT) AS a_e9
+        |  FROM a2raw CROSS JOIN sa2
+        |), h2raw AS (
+        |  SELECT e.src, CAST(sum(a.a_e9) AS BIGINT) AS raw
+        |  FROM e JOIN a2 a ON a.dst = e.dst GROUP BY 1
+        |), sh2 AS (SELECT greatest(coalesce(sum(raw), 0), 1) AS sv FROM h2raw),
+        |h2 AS (
+        |  SELECT src, CAST(raw * 1000000000 // sv AS BIGINT) AS h_e9
+        |  FROM h2raw CROSS JOIN sh2
+        |)
+        |SELECT 'hub' AS kind, src AS node, h_e9 AS score_e9 FROM h2
+        |UNION ALL
+        |SELECT 'authority' AS kind, dst AS node, a_e9 AS score_e9 FROM a2""".stripMargin,
     // Independent restatement: plain a<b pair expansion via self-join
     // (no in-row expansion), the same (deg, id) orientation via
     // DuckDB row-value comparison, and the same wedge-close join.

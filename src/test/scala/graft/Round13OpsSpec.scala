@@ -170,6 +170,51 @@ class Round13OpsSpec extends SparkSpec {
       (integral(1L) - integral(0L))
   }
 
+  // -- q264: HITS hubs & authorities ----------------------------------------
+
+  test("q264 at sf0.001: scores equal an independent in-memory HITS restatement") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Graph.q264Hits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent restatement: collect the tiny edge list, run the
+    // same L1-normalized integer half-steps in plain Scala
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = li.flatMap { case (ok, sk) =>
+      ord.get(ok).map(ck => (s"s$sk", s"c$ck"))
+    }.distinct
+    val hubs = edges.map(_._1).distinct
+    val h0 = 1000000000L / math.max(hubs.length, 1L)
+    def norm(m: Map[String, Long]): Map[String, Long] = {
+      val s = math.max(m.values.sum, 1L)
+      m.map { case (k, v) => k -> (v * 1000000000L / s) }
+    }
+    def aStep(h: Map[String, Long]) = norm(
+      edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum
+      })
+    def hStep(a: Map[String, Long]) = norm(
+      edges.groupBy(_._1).map { case (s0, es) =>
+        s0 -> es.map(e => a(e._2)).sum
+      })
+    val a1 = aStep(Map.empty[String, Long].withDefaultValue(h0))
+    val h1 = hStep(a1); val a2 = aStep(h1); val h2 = hStep(a2)
+    got.count(_._1._1 == "hub") shouldBe h2.size
+    got.count(_._1._1 == "authority") shouldBe a2.size
+    h2.foreach { case (n, v) => got(("hub", n)) shouldBe v }
+    a2.foreach { case (n, v) => got(("authority", n)) shouldBe v }
+    // L1 normalization: each vector sums to 1e9 minus the floor loss
+    val hs = h2.values.sum; val as = a2.values.sum
+    hs should be <= 1000000000L
+    hs should be > (1000000000L - h2.size.toLong)
+    as should be <= 1000000000L
+    as should be > (1000000000L - a2.size.toLong)
+  }
+
   // -- q255: distributed decile ≡ ntile ----------------------------------
 
   private def upliftEvents(users: Seq[(Long, Long)]): Seq[(Long, Long, String, Double, String)] =
