@@ -98,13 +98,43 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
 
-  /** Clean-host references for the two sentinels, measured at the r13
-    * baseline point (local[32], quiet machine, same probes; scan ref
-    * is for sf0.1). An artifact whose sentinels are ≫ these was taken
-    * on a degraded host and its wall-clocks are inflated by ~the same
-    * factor. */
-  private val SentinelRefSec = 0.60
-  private val ScanSentinelRefSec = 0.35
+  /** Clean-host references for the two sentinels: the BEST host state
+    * ever observed at the calibration point (local[32], same probes;
+    * scan ref is for sf0.1) — r14 recalibration: the r13 refs
+    * (0.60/0.35) were measured on what turned out to be a still-
+    * degraded host (the r14 board measured 0.258/0.249 on identical
+    * probes), so "ref = best observed" is the stable convention:
+    * sentinel_ratio reads ≥~1, normalized wall-clocks are
+    * best-host-equivalents, and host_degraded keeps meaning "slower
+    * than the machine has demonstrably been". An artifact whose
+    * sentinels are ≫ these was taken on a degraded host and its
+    * wall-clocks are inflated by ~the same factor. r14 (r13 ADVICE):
+    * the calibration POINT is part of the artifact — the CPU ref
+    * binds only at `CalCpus` cores and the scan ref only at a dir
+    * ending in `CalSfSuffix`; off the calibration point the
+    * host_degraded flag is withheld (JSON null) instead of firing
+    * spuriously. */
+  private val SentinelRefSec = 0.26
+  private val ScanSentinelRefSec = 0.25
+  private val CalCpus = "32"
+  private val CalSfSuffix = "sf0.1"
+
+  /** Frozen cross-round anchor block (r13 verdict item 2): ~20 FIXED
+    * query ids spanning the board's plan shapes — scan, broadcast and
+    * multiway joins, SCD2 merge, agg, window, interval join, exact /
+    * MinHash dedup, ANN (brute, LSH, IVF, IVF-PQ), k-means, sketch,
+    * skew profile, drift, k-core, dedup yield, distributed rank.
+    * Measured best-of-3 in isolate discipline after the board; the
+    * set is APPEND-ONLY across rounds so `anchors`/`normalized_anchors`
+    * diff field-for-field between BENCH_FULL_r{N} artifacts. */
+  private val AnchorIds = Seq(
+    "q01_pruned_scan", "q06_join_left_broadcast", "q08_join_multiway_fanout",
+    "q12_agg_kpi_dashboard", "q17_scd2_merge", "q20_dedup_exact",
+    "q21_dedup_minhash_lsh", "q23_ann_brute_force", "q24_ann_lsh_bucketed",
+    "q33_ann_ivf", "q41_profile_sketch", "q57_kmeans_cluster",
+    "q62_trailing_window", "q63_interval_join", "q87_key_skew_profile",
+    "q114_ann_ivf_pq", "q118_source_drift", "q138_kcore",
+    "q193_dedup_yield", "q255_uplift_deciles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,6 +202,25 @@ object Bench {
     val isolatePass =
       if (mode == "both") Some(runPass(isolate = true)) else None
 
+    // frozen anchor block: best-of-3, isolate discipline, fixed ids —
+    // the cross-round comparison surface (see AnchorIds). Skipped on
+    // filtered A/B runs (SPARK_GRAFT_BENCH_ONLY), whose artifacts are
+    // scratch, not round records.
+    val anchors = scala.collection.mutable.LinkedHashMap[String, Double]()
+    (if (only.isEmpty) AnchorIds else Nil)
+      .filter(SparkEntry.queries.contains).foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val best = (1 to 3).map { _ =>
+        graft.ops.SharedCache.releaseAll()
+        graft.ops.Checkpoints.releaseAll(spark)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { touch(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.NaN }
+      }.min
+      if (!best.isNaN) anchors(name) = best
+    }
+
     // sentinels AFTER: a pre/post gap means the host degraded MID-run
     val sentPost = sentinel(spark)
     val scanPost = scanSentinel(spark, sfDir)
@@ -196,16 +245,45 @@ object Bench {
     }.getOrElse("")
     // self-describing noise fields (r12 verdict items 1/6): sentinel
     // pre/post + the committed clean-host reference + a derived flag,
-    // plus optional free-text context (SPARK_GRAFT_BENCH_CONTEXT)
-    val degraded = math.min(sentPre, sentPost) > 1.3 * SentinelRefSec ||
-      math.min(scanPre, scanPost) > 1.3 * ScanSentinelRefSec
+    // plus optional free-text context (SPARK_GRAFT_BENCH_CONTEXT).
+    // r14 (r13 ADVICE): the flag is derived ONLY at the calibration
+    // point the refs were measured at (CalCpus / CalSfSuffix) — off it
+    // (other core count / other sf dir) the corresponding comparison
+    // is withheld rather than spuriously fired, and the calibration
+    // point itself rides in the artifact.
+    val cpuCal = cpus == CalCpus
+    val scanCal = cpuCal && sfDir.endsWith(CalSfSuffix)
+    val degraded: Option[Boolean] =
+      if (!cpuCal && !scanCal) None
+      else Some(
+        (cpuCal && math.min(sentPre, sentPost) > 1.3 * SentinelRefSec) ||
+        (scanCal && math.min(scanPre, scanPost) > 1.3 * ScanSentinelRefSec))
     val ctx = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTEXT", "")
       .replaceAll("[\"\\\\\\n\\r\\t]", " ")
+    // r14 (r13 verdict item 2): self-normalizing wall-clocks — each
+    // timing divided by the HOST factor min(sentinel_pre, sentinel_post)
+    // / sentinel_ref (the CPU probe; data-independent, so it binds
+    // whenever the core count matches calibration). Cross-round diffs
+    // read normalized_queries/normalized_anchors directly instead of
+    // dividing by sentinel ratios by hand. Off-calibration the ratio
+    // is declared 1 (normalized == raw) and sentinel_cal_match says so.
+    val sentRatio =
+      if (cpuCal) math.max(math.min(sentPre, sentPost) / SentinelRefSec, 1e-9)
+      else 1.0
+    def njson(t: scala.collection.mutable.LinkedHashMap[String, Double]): String =
+      t.map { case (k, v) => "\"" + k + "\":" + f"${v / sentRatio}%.3f" }
+        .mkString("{", ",", "}")
     val sentinelFields =
       f""","sentinel_pre_sec":$sentPre%.3f,"sentinel_post_sec":$sentPost%.3f""" +
         f""","sentinel_ref_sec":$SentinelRefSec%.3f""" +
         f""","scan_sentinel_pre_sec":$scanPre%.3f,"scan_sentinel_post_sec":$scanPost%.3f""" +
-        f""","scan_sentinel_ref_sec":$ScanSentinelRefSec%.3f,"host_degraded":$degraded""" +
+        f""","scan_sentinel_ref_sec":$ScanSentinelRefSec%.3f""" +
+        s""","sentinel_cal_cpus":"$CalCpus","sentinel_cal_sf_suffix":"$CalSfSuffix"""" +
+        s""","sentinel_cal_match":{"cpu":$cpuCal,"scan":$scanCal}""" +
+        s""","host_degraded":${degraded.map(_.toString).getOrElse("null")}""" +
+        f""","sentinel_ratio":$sentRatio%.3f""" +
+        s""","normalized_queries":${njson(timings)}""" +
+        s""","anchors":${qjson(anchors)},"normalized_anchors":${njson(anchors)}""" +
         s""","context":"$ctx""""
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","queries":${qjson(timings)}$isolateFields$sentinelFields,"failed":$fl,"sf":"$sfDir"}"""

@@ -932,8 +932,14 @@ object EventAnalytics {
     * the BIGINT forms wrapped at only ~2.1×10⁶ rows per type — far
     * below the family's ~10⁹ ceilings — and Spark wraps silently
     * where DuckDB widens, so the cross-engine equality would have
-    * broken SILENTLY past the ceiling; decimal is exact to ~10³⁸ and
-    * overflows to NULL loudly on both engines). tie3 is REPORTED as
+    * broken SILENTLY past the ceiling; decimal is exact to ~10³⁸.
+    * Past that unreachable ceiling the engines diverge in FAILURE
+    * MODE, not in emitted values: Spark's non-ANSI decimal overflow
+    * yields NULL tie3/z for the row while DuckDB's HUGEINT raises —
+    * either way no wrong number is ever reported, which is the
+    * contract; a NULL z at ~1e38 rows is a loud enough flare that we
+    * keep non-ANSI mode rather than fail the whole job). tie3 is
+    * REPORTED as
     * one correctly-rounded DOUBLE from the exact decimal — it only
     * feeds the IEEE variance expression; z is ONE fixed-shape IEEE
     * double expression (q133 convention) and the common-language
@@ -1862,15 +1868,44 @@ object EventAnalytics {
 
   /** The q255 report tail over the cell relation (the distributed
     * rank + closed-form decile + 10-row table) — shared with the
-    * streaming twin so its answer is this exact code path. */
+    * streaming twin so its answer is this exact code path.
+    *
+    * MUST NOT cache `cells` itself (r13 ADVICE-high): when invoked
+    * from [[graft.streaming.StreamingUplift.report]] the cells are a
+    * path-based read of the MUTABLE state dir, and Spark's
+    * CacheManager canonicalizes parquet reads by root path — a
+    * persist here would serve a stale InMemoryRelation after the next
+    * TableSwap.publish, to later report() calls AND to processBatch's
+    * canonically-identical state read, silently folding batch N+1
+    * onto batch N−1 cells. Callers with an immutable cell relation
+    * (batch q255) persist OUTSIDE before passing it in. */
   private[graft] def upliftFinalize(cells: DataFrame): DataFrame = {
-    val u = cells.transform(graft.ops.SharedCache.persist)
-    // leg 1: users strictly above this score (score-domain cells)
-    val wScore = Window.orderBy(col("score").desc)
+    val u = cells
+    // leg 1: users strictly above this score. Scores are per-user
+    // cent SUMS — near-unique in practice — so the distinct-score
+    // relation can approach user cardinality and one unpartitioned
+    // prefix window over it would re-create the single-task sort this
+    // decomposition exists to retire (r13 ADVICE). Two levels, the
+    // same shape as the uid leg: score buckets of width 2²⁰ cents
+    // give an outer frequency relation bounded by score_domain/2²⁰
+    // (one tiny window) and inner per-bucket partitions of ≤2²⁰
+    // distinct scores by construction (`div` truncates toward zero,
+    // which is monotone in score, so bucket 0 spans (−2²⁰, 2²⁰) —
+    // ≤2²¹ distinct values — and the decomposition stays exact for
+    // negative scores too).
+    val wSb = Window.orderBy(col("sb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val scorePfx = u.groupBy("score").agg(count(lit(1)).as("sc_n"))
-      .withColumn("above", coalesce(sum(col("sc_n")).over(wScore), lit(0L)))
-      .select(col("score"), col("above"))
+    val sbTot = u.withColumn("sb", expr(s"score div ${RankIdBucket}L"))
+      .groupBy("sb").agg(count(lit(1)).as("sb_n"))
+      .withColumn("above_b", coalesce(sum(col("sb_n")).over(wSb), lit(0L)))
+      .select(col("sb"), col("above_b"))
+    val wInSb = Window.partitionBy("sb").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scorePfx = u.withColumn("sb", expr(s"score div ${RankIdBucket}L"))
+      .groupBy("sb", "score").agg(count(lit(1)).as("sc_n"))
+      .withColumn("above_in", coalesce(sum(col("sc_n")).over(wInSb), lit(0L)))
+      .join(sbTot, Seq("sb"))
+      .select(col("score"), (col("above_b") + col("above_in")).as("above"))
     // leg 2: same score, lower uid bucket (uid-bucket cells)
     val wBkt = Window.partitionBy("score").orderBy("ub")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1916,7 +1951,10 @@ object EventAnalytics {
   }
 
   val q255UpliftDeciles: Q = (s, d) =>
-    upliftFinalize(upliftCells(Tables.events(s, d)))
+    // persist HERE, on the immutable batch corpus — never inside the
+    // shared finalizer (see upliftFinalize's caching contract)
+    upliftFinalize(
+      upliftCells(Tables.events(s, d)).transform(graft.ops.SharedCache.persist))
 
   // -- q258: sample-ratio-mismatch guardrail -------------------------------
 

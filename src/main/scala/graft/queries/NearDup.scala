@@ -897,6 +897,36 @@ object NearDup {
   private def kmK(n: Long): Long =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** Loud-failure ceiling on the DRIVER-HOSTED centroid state (r13
+    * verdict watch-grade → r14): the Lloyd pipeline embeds all K
+    * centroids as ONE `typedlit` array (K·dim longs — data, not
+    * operators, the MLlib broadcast convention), so the data path is
+    * clean at any K, but past ~10⁶–10⁷ literal values the PLAN itself
+    * (serialization, analysis, codegen constant pool) becomes the
+    * binding resource. K = ⌈√N⌉ keeps K·dim ≈ √N·64 ≪ this cap until
+    * N ≈ 10⁹ vectors (true-100-TB vector counts) — at which point the
+    * engine must not degrade silently: [[kmCentroidBudget]] throws
+    * with the named remediation (re-express the assignment as a
+    * broadcast equi-join of a coarse-bucketed centroid RELATION — the
+    * q33 IVF cell-join shape — instead of a literal), the
+    * q138/BfsHorizon loud-cap discipline. 2²¹ values ≈ 16 MiB of
+    * literal array: comfortably inside plan budgets, ~32× the sf1.0
+    * point, and small enough that the failure fires before the driver
+    * heap does. */
+  private[graft] val KmCentroidLiteralCap: Long = 1L << 21
+
+  /** Guard: called with the derived K and vector dim before any
+    * centroid collect. Throws past [[KmCentroidLiteralCap]]. */
+  private[graft] def kmCentroidBudget(k: Long, dim: Long): Unit =
+    if (k * dim > KmCentroidLiteralCap)
+      throw new IllegalStateException(
+        s"k-means driver-hosted centroid literal K·dim = ${k}·${dim} = " +
+          s"${k * dim} exceeds KmCentroidLiteralCap=$KmCentroidLiteralCap. " +
+          "At this scale the centroid ARRAY must stop riding the plan: " +
+          "switch the Lloyd assignment to a broadcast equi-join against " +
+          "a coarse-bucketed centroid relation (the q33 IVF cell-join " +
+          "shape) rather than raising the cap.")
+
   /** The same K as a DuckDB scalar subquery (oracle side of kmK). */
   private val KmKSql =
     "(SELECT greatest(CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 1) FROM embeddings)"
@@ -972,6 +1002,10 @@ object NearDup {
     val e = graft.ops.SharedCache.persist(
       quantized(s, d).select(col("vec_id"), col("q")))
     val k = kmK(e.count())
+    // declared control-plane ceiling — fail loudly BEFORE the first
+    // K-row collect rather than degrading plan/driver silently
+    e.select(size(col("q")).cast("long").as("dim")).limit(1).collect()
+      .headOption.foreach(r => kmCentroidBudget(k, r.getLong(0)))
     var cents = e.filter(col("vec_id") < k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))

@@ -64,6 +64,32 @@ class CompressibilitySpec extends SparkSpec {
     }
   }
 
+  test("q119 matches the committed sf0.01 golden byte-for-byte") {
+    // r14 (r13 verdict item 4): q119 is the board's one `no_oracle`
+    // row (DuckDB has no deflate), so its gate must live IN THE TREE.
+    // The golden was generated from the q119 output at sf0.01 at the
+    // moment the independent Python-zlib cross-check
+    // (tools/local_verify.py py_oracle_q119 — a second zlib
+    // implementation, raw deflate level 6) was green over the same
+    // rows, so it pins the cross-validated answer, not merely the
+    // implementation's own echo. Any drift in the Deflater config,
+    // the byte counting, or the ratio math fails here loudly.
+    val sf001 = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf001/documents.parquet").exists(),
+      s"$sf001 not present")
+    val got = LlmPipeline.defs("q119_compressibility")(spark, sf001)
+      .orderBy("doc_id").collect()
+      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|" +
+        s"${r.getLong(3)}|${r.getBoolean(4)}")
+    val expected = scala.util.Using.resource(scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/q119_sf0.01.psv"), "UTF-8"))(
+      _.getLines().toIndexedSeq)
+    got.length shouldBe expected.length
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      withClue(s"golden line ${i + 1}: ") { g shouldBe e }
+    }
+  }
+
   test("q119 has no keyed shuffle — only the scan fan-out guard") {
     assume(haveData, s"$sfDir not present")
     val p = LlmPipeline.defs("q119_compressibility")(spark, sfDir)

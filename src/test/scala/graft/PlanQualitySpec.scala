@@ -376,16 +376,24 @@ class PlanQualitySpec extends SparkSpec {
     // r13 (r12 verdict watch-grade): the global ntile that funneled
     // the whole user dimension through one Window partition is
     // retired — the decile now comes from the three-leg distributed
-    // rank (score-cell prefix + uid-bucket prefix + ≤2²⁰-row inner
-    // row_number) and the closed-form ntile off the control-plane N.
-    // The user relation is never sorted in one task: the only
-    // SinglePartition windows walk the score-domain cell relation and
-    // the 10-row decile table.
+    // rank (two-level score prefix + uid-bucket prefix + ≤2²⁰-row
+    // inner row_number) and the closed-form ntile off the
+    // control-plane N. r14 (r13 ADVICE-low): scores are near-unique
+    // cent sums, so the score leg is itself two-level — the only
+    // SinglePartition windows walk the score-BUCKET total relation
+    // (≤ score_domain/2²⁰ rows) and the 10-row decile table; the
+    // per-score prefix window partitions by bucket.
     p should not include "ntile("
     p.linesIterator.filter(_.contains("row_number()")).foreach { l =>
       l should include("ub")   // partitioned — never a whole-user sort
     }
-    p.linesIterator.count(_.contains("Window [")) shouldBe 4
+    p.linesIterator.count(_.contains("Window [")) shouldBe 5
+    // every window whose spec leads with the raw score must carry a
+    // bucket partition column (sb for the score-prefix leg, ub for the
+    // inner row_number) — never a global sort over the near-unique
+    // score relation
+    p.linesIterator.filter(_.contains("windowspecdefinition(score"))
+      .foreach { l => assert(l.contains("sb") || l.contains("ub"), l) }
     p should not include "SortMergeJoin" // cell sides stay broadcast-able
     p should include("partial_sum")
   }

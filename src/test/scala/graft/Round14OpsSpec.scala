@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 operator pins (r13 verdict items). */
+class Round14OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sfDir/documents.parquet").exists()
+
+  test("kmCentroidBudget: exact boundary passes, one past it fails loudly") {
+    val cap = graft.queries.NearDup.KmCentroidLiteralCap
+    // the sf-scale working points are far inside the cap
+    noException should be thrownBy
+      graft.queries.NearDup.kmCentroidBudget(1000L, 64L)
+    // exact boundary is allowed (the cap is a ceiling, not a fence)
+    noException should be thrownBy
+      graft.queries.NearDup.kmCentroidBudget(cap / 64L, 64L)
+    // one centroid past it fails loudly and names the remediation
+    val e = the[IllegalStateException] thrownBy
+      graft.queries.NearDup.kmCentroidBudget(cap / 64L + 1L, 64L)
+    e.getMessage should include("KmCentroidLiteralCap")
+    e.getMessage should include("broadcast equi-join")
+  }
+
+  test("the cap sits far above every test-scale K·dim working point") {
+    // N = 10⁸ vectors (well past sf1.0) → K = ⌈√N⌉ = 10⁴, dim 64 →
+    // 6.4×10⁵ literal values: still under the 2²¹ cap. The ceiling
+    // binds only at true 100-TB vector counts, as declared.
+    val k = math.ceil(math.sqrt(1e8)).toLong
+    noException should be thrownBy
+      graft.queries.NearDup.kmCentroidBudget(k, 64L)
+    (k * 64L) should be < graft.queries.NearDup.KmCentroidLiteralCap
+  }
+
+  test("q265 migration manifest: conservation + lcm fan-out structure") {
+    assume(haveData, s"$sfDir not present")
+    val m = graft.queries.Curation.defs("q265_state_migration")(spark, sfDir)
+      .collect()
+    m should not be empty
+    val migrated = m.filter(_.getString(0) == "m")
+    val landed = m.filter(_.getString(0) == "i")
+    // entry-count conservation: the manifest's 'm' rows restate the
+    // old state exactly (recomputed independently here)
+    val stateN = Tables.documents(spark, sfDir)
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("ch"), substring(col("source"), 4, 10).cast("int").as("si"))
+      .filter(col("si") < 10).select("ch").distinct().count()
+    migrated.map(_.getLong(3)).sum shouldBe stateN
+    // landed rows are fresh inserts: bucket_old is NULL, buckets in range
+    landed.foreach { r =>
+      r.isNullAt(1) shouldBe true
+      r.getLong(2) should (be >= 0L and be < 24L)
+    }
+    // modular structure: h%16 and h%24 are both functions of h%48, so
+    // an old bucket ships to AT MOST lcm/16 = 3 new buckets and a new
+    // bucket receives from at most lcm/24 = 2 old ones
+    migrated.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      rows.map(_.getLong(2)).distinct.length should be <= 3
+    }
+    migrated.groupBy(_.getLong(2)).foreach { case (_, rows) =>
+      rows.map(_.getLong(1)).distinct.length should be <= 2
+    }
+    // fingerprint conservation: XOR over the 'm' cells equals the old
+    // state's root fingerprint (order-free, the q164 Merkle identity)
+    val root = Tables.documents(spark, sfDir)
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("ch"), substring(col("source"), 4, 10).cast("int").as("si"))
+      .filter(col("si") < 10).select("ch").distinct()
+      .select(conv(substring(col("ch"), 1, 12), 16, 10).cast("long").as("h48"))
+      .agg(expr("bit_xor(h48)")).head.getLong(0)
+    migrated.map(_.getLong(4)).reduce(_ ^ _) shouldBe root
+  }
+}
