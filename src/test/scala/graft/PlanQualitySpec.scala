@@ -1143,4 +1143,18 @@ class PlanQualitySpec extends SparkSpec {
     (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin")) shouldBe true
   }
+
+  test("q265 migration: anti-join on hashes, map-combined manifest, text pruned early") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q265_state_migration")
+    // the state/insert split is q48's own anti-join shape
+    p should include("LeftAnti")
+    // the ≤72-cell manifest aggregate map-combines before its shuffle
+    p should include("partial_count")
+    // document TEXT exists only inside the scan-side md5 projection —
+    // after the hash it never rides a shuffle (the q48 discipline);
+    // every exchange key is a bucket id or the content hash
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l => l should not include "text" }
+  }
 }
