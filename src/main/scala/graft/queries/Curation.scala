@@ -297,6 +297,95 @@ object Curation {
       .agg(count(lit(1)).as("n_entries"), expr("bit_xor(h48)").as("fp48"))
   }
 
+  // -- q266: re-shard policy comparison (modulo vs consistent ring) --
+
+  /** Virtual nodes per bucket on the consistent-hash ring. Small by
+    * production standards (real rings use 100s for balance); the
+    * policy COMPARISON only needs determinism, and V is the declared
+    * balance knob. */
+  private val RingVnodes = 8
+
+  /** 48-bit md5 ring point for (bucket, vnode) — the exact string
+    * DuckDB's md5 sees, so both engines place identical points. The
+    * salt encodes ONLY the bucket identity, never the ring SIZE:
+    * consistent hashing's minimal-movement property exists precisely
+    * because an existing node's points do not move when nodes are
+    * added — the N-bucket ring is the union of the first N buckets'
+    * fixed point sets. */
+  private def ringPoint(bkt: Long, v: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ring#$bkt#$v".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
+  /** The ring for `buckets` nodes, each point encoded pt·64 + bkt —
+    * ONE sorted long array, so assignment is a pure array expression
+    * and ties on pt break deterministically by bucket id in BOTH
+    * engines (bkt < 64 by construction). */
+  private def ringEncoded(buckets: Long): Seq[Long] =
+    (0L until buckets).flatMap(b =>
+      (0 until RingVnodes).map(v => ringPoint(b, v) * 64L + b)).sorted
+
+  /** RE-SHARD POLICY COMPARISON — the capacity-planning table behind
+    * q265's migration: when the dedup state grows from 16 buckets,
+    * how many keys MOVE under (a) modulo routing (q265's layout) vs
+    * (b) a consistent-hash ring (Karger et al. 1997), for a
+    * same-factor bump (16→24) and the pathological +1 bump (16→17)?
+    * Modulo re-keys ~1 − preserved-residue share (16→17 moves ~16/17
+    * of everything — the full-migration q265 manifests); the ring
+    * moves only the share the new nodes claim (~1/17) — THE reason
+    * consistent hashing exists, here measured on the engine's own
+    * state rather than asserted from the paper.
+    *
+    * Engine-exactness: ring points are 48-bit md5 slices of
+    * `salt#bkt#vnode` strings (identical bytes through DuckDB's md5),
+    * encoded pt·64+bkt so the clockwise-successor argmin is ONE
+    * integer array_min with deterministic tie-break; assignment =
+    * min point ≥ h·64, wrapping to the global min. The Spark side
+    * embeds each ring as a SORTED array literal (≤192 longs —
+    * control-plane data, the kmAssign convention) and evaluates
+    * assignment as a pure narrow map; the oracle re-derives the same
+    * points relationally and aggregates over a keys×ring cross join
+    * (bounded ×192, oracle-side only).
+    *
+    * Plan: one scan → distinct state hashes (q265's corpus state) →
+    * narrow per-key policy flags → one map-combined 4-row aggregate
+    * (policy × target size), unpivoted via stack. Zero joins. */
+  val q266ReshardPolicy: Q = (s, d) => {
+    val h = Tables.documents(s, d).select(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("content_hash"),
+      substring(col("source"), 4, 10).cast("int").as("si"))
+    val state = h.filter(col("si") < 10).select("content_hash").distinct()
+      .withColumn("h48",
+        conv(substring(col("content_hash"), 1, 12), 16, 10).cast("long"))
+
+    def ringAssign(buckets: Long): Column = {
+      val ring = typedlit(ringEncoded(buckets))
+      (coalesce(
+        array_min(filter(ring, e => e >= col("h48") * 64L)),
+        array_min(ring)) % 64L)
+    }
+    val moved = state
+      .withColumn("mod24", (col("h48") % 16L =!= col("h48") % 24L).cast("long"))
+      .withColumn("mod17", (col("h48") % 16L =!= col("h48") % 17L).cast("long"))
+      .withColumn("ring24", (ringAssign(16L) =!= ringAssign(24L)).cast("long"))
+      .withColumn("ring17", (ringAssign(16L) =!= ringAssign(17L)).cast("long"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("mod24")).as("m_mod24"), sum(col("mod17")).as("m_mod17"),
+        sum(col("ring24")).as("m_ring24"), sum(col("ring17")).as("m_ring17"))
+    moved.select(expr(
+      """stack(4,
+        |  'modulo', 24L, n_keys, m_mod24,
+        |  'modulo', 17L, n_keys, m_mod17,
+        |  'ring',   24L, n_keys, m_ring24,
+        |  'ring',   17L, n_keys, m_ring17
+        |) AS (policy, n_new_buckets, n_keys, n_moved)""".stripMargin))
+      .withColumn("moved_ppm",
+        expr("n_moved * 1000000 div greatest(n_keys, 1)"))
+  }
+
   // -- q49: deterministic stratified sampling ------------------------
 
   /** Corpus-mixing sample: language-stratified Bernoulli sampling at
@@ -1941,6 +2030,7 @@ object Curation {
     "q107_bloom_decontaminate" -> q107BloomDecontaminate,
     "q48_incremental_dedup" -> q48IncrementalDedup,
     "q265_state_migration" -> q265StateMigration,
+    "q266_reshard_policy" -> q266ReshardPolicy,
     "q49_stratified_sample" -> q49StratifiedSample,
     "q50_token_shards" -> q50TokenShards,
     "q227_shard_balance" -> q227ShardBalance,
@@ -2861,6 +2951,55 @@ object Curation {
          |  CAST(count(*) AS BIGINT) AS n_entries,
          |  CAST(bit_xor(h48) AS BIGINT) AS fp48
          |FROM routed GROUP BY 1, 2, 3""".stripMargin,
+    "q266_reshard_policy" ->
+      s"""WITH h AS (
+         |  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+         |    CAST(substr(source, 4) AS INT) AS si
+         |  FROM documents
+         |), keys AS (
+         |  SELECT content_hash,
+         |    CAST('0x' || substr(content_hash, 1, 12) AS BIGINT) AS h48
+         |  FROM (SELECT DISTINCT content_hash FROM h WHERE si < 10)
+         |), ringall AS (
+         |  SELECT CAST('0x' || substr(md5('ring#' || CAST(rb.range AS VARCHAR)
+         |    || '#' || CAST(rv.range AS VARCHAR)), 1, 12) AS BIGINT) * 64
+         |    + rb.range AS e
+         |  FROM range(24) rb, range($RingVnodes) rv
+         |), ring16 AS (SELECT e FROM ringall WHERE e % 64 < 16
+         |), ring24 AS (SELECT e FROM ringall
+         |), ring17 AS (SELECT e FROM ringall WHERE e % 64 < 17
+         |), a16 AS (
+         |  SELECT k.content_hash,
+         |    coalesce(min(e) FILTER (WHERE e >= k.h48 * 64), min(e)) % 64 AS b
+         |  FROM keys k CROSS JOIN ring16 GROUP BY 1, k.h48
+         |), a24 AS (
+         |  SELECT k.content_hash,
+         |    coalesce(min(e) FILTER (WHERE e >= k.h48 * 64), min(e)) % 64 AS b
+         |  FROM keys k CROSS JOIN ring24 GROUP BY 1, k.h48
+         |), a17 AS (
+         |  SELECT k.content_hash,
+         |    coalesce(min(e) FILTER (WHERE e >= k.h48 * 64), min(e)) % 64 AS b
+         |  FROM keys k CROSS JOIN ring17 GROUP BY 1, k.h48
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(CASE WHEN k.h48 % 16 <> k.h48 % 24 THEN 1 ELSE 0 END) AS BIGINT) AS m_mod24,
+         |    CAST(sum(CASE WHEN k.h48 % 16 <> k.h48 % 17 THEN 1 ELSE 0 END) AS BIGINT) AS m_mod17,
+         |    CAST(sum(CASE WHEN a16.b <> a24.b THEN 1 ELSE 0 END) AS BIGINT) AS m_ring24,
+         |    CAST(sum(CASE WHEN a16.b <> a17.b THEN 1 ELSE 0 END) AS BIGINT) AS m_ring17
+         |  FROM keys k
+         |  JOIN a16 USING (content_hash)
+         |  JOIN a24 USING (content_hash)
+         |  JOIN a17 USING (content_hash)
+         |), rows4 AS (
+         |  SELECT 'modulo' AS policy, CAST(24 AS BIGINT) AS n_new_buckets,
+         |    n_keys, m_mod24 AS n_moved FROM tot
+         |  UNION ALL SELECT 'modulo', 17, n_keys, m_mod17 FROM tot
+         |  UNION ALL SELECT 'ring', 24, n_keys, m_ring24 FROM tot
+         |  UNION ALL SELECT 'ring', 17, n_keys, m_ring17 FROM tot
+         |)
+         |SELECT policy, n_new_buckets, n_keys, n_moved,
+         |  CAST(n_moved * 1000000 // greatest(n_keys, 1) AS BIGINT) AS moved_ppm
+         |FROM rows4""".stripMargin,
     "q49_stratified_sample" ->
       s"""SELECT doc_id, lang,
          |  CAST(100000000 / (CASE WHEN lang = 'en' THEN 20 ELSE 50 END) AS BIGINT) AS weight_e6

@@ -71,4 +71,23 @@ class Round14OpsSpec extends SparkSpec {
       .agg(expr("bit_xor(h48)")).head.getLong(0)
     migrated.map(_.getLong(4)).reduce(_ ^ _) shouldBe root
   }
+
+  test("q266: consistent ring beats modulo exactly where the theory says") {
+    assume(haveData, s"$sfDir not present")
+    val rows = graft.queries.Curation.defs("q266_reshard_policy")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    rows should have size 4
+    // +1 node: modulo re-keys nearly everything (~16/17), the ring
+    // moves only the new node's share (~1/17). The measured gap is the
+    // whole reason consistent hashing exists.
+    rows(("modulo", 17L)) should be > 800000L
+    rows(("ring", 17L)) should be < 200000L
+    // same-factor bump 16→24: modulo moves the 2/3 of keys whose
+    // h mod 48 residue is not preserved; the ring moves ~8/24 = 1/3
+    rows(("modulo", 24L)) should (be > 550000L and be < 780000L)
+    rows(("ring", 24L)) should (be > 200000L and be < 470000L)
+    // and the ring never loses to modulo at either size
+    rows(("ring", 17L)) should be < rows(("modulo", 17L))
+    rows(("ring", 24L)) should be < rows(("modulo", 24L))
+  }
 }
