@@ -386,6 +386,83 @@ object Curation {
         expr("n_moved * 1000000 div greatest(n_keys, 1)"))
   }
 
+  // -- q267: ring balance audit (the vnode knob, measured) -----------
+
+  /** 2⁴⁸ div 10⁶ — the exact ppm divisor for arc shares (arcs sum to
+    * 2⁴⁸ per ring; share·10⁶ would overflow BIGINT, so divide the arc
+    * by this instead: ≤1 ppm floor loss, identical in both engines). */
+  private val ArcPpmDiv = (1L << 48) / 1000000L
+
+  /** RING BALANCE AUDIT — what the [[RingVnodes]] knob actually buys:
+    * per (vnode setting, bucket), the EXACT share of the 2⁴⁸ hash
+    * ring the bucket owns (a point owns the arc ENDING at it — the
+    * clockwise-successor rule q266 assigns by), plus the observed key
+    * count of the engine's dedup state routed by that ring. Karger's
+    * balance bound says max-share → 1/N as vnodes grow; this measures
+    * it for V=8 (q266's setting) vs V=64 on the IDENTICAL 24-bucket
+    * ring family — expected load is the arc share, so the audit is
+    * the capacity-planning companion to q266's movement table.
+    *
+    * Exactness: ring points are the same md5 family as q266, built
+    * RELATIONALLY in both engines (Spark md5 ≡ DuckDB md5 over
+    * identical strings); arcs come from one lag window over the
+    * ≤1536-row point relation (domain-bounded — the q87 frequency-
+    * relation allowance), the wrap arc closed by adding 2⁴⁸ − max(pt)
+    * to the first point; key routing reuses q266's encoded array-min
+    * (ring as a sorted literal, narrow map). Plan: points and arcs
+    * are control-plane-sized; the only data-scaled stage is the state
+    * distinct + one map-combined 48-cell aggregate. */
+  val q267RingBalance: Q = (s, d) => {
+    val h = Tables.documents(s, d).select(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("content_hash"),
+      substring(col("source"), 4, 10).cast("int").as("si"))
+    val state = h.filter(col("si") < 10).select("content_hash").distinct()
+      .withColumn("h48",
+        conv(substring(col("content_hash"), 1, 12), 16, 10).cast("long"))
+      .transform(graft.ops.SharedCache.persist) // probed once per cfg
+
+    // the two ring families, relationally (cfg = vnodes per bucket)
+    val pts = s.range(24L * 64L).select(
+      (col("id") % 24L).as("bkt"), expr("id div 24L").as("v"))
+      .withColumn("pt", conv(substring(md5(
+        concat(lit("ring#"), col("bkt").cast("string"), lit("#"),
+          col("v").cast("string"))), 1, 12), 16, 10).cast("long"))
+    val ring = pts.filter(col("v") < 8L).withColumn("cfg", lit(8L))
+      .unionByName(pts.withColumn("cfg", lit(64L)))
+
+    // arcs: point i owns (prev_pt, pt]; the first point also owns the
+    // wrap segment (max_pt, 2^48) ∪ [0, pt]
+    val wOrd = Window.partitionBy("cfg").orderBy("pt")
+    val wAll = Window.partitionBy("cfg")
+    val arcs = ring
+      .withColumn("arc",
+        when(lag(col("pt"), 1).over(wOrd).isNull,
+          col("pt") + lit(1L << 48) - max(col("pt")).over(wAll))
+          .otherwise(col("pt") - lag(col("pt"), 1).over(wOrd)))
+      .groupBy("cfg", "bkt")
+      .agg(count(lit(1)).as("n_points"), sum(col("arc")).as("arc_sum"))
+
+    // observed routing of the state keys under each cfg
+    def assign(vn: Int): Column = {
+      val r = typedlit((0L until 24L).flatMap(b =>
+        (0 until vn).map(v => ringPoint(b, v) * 64L + b)).sorted)
+      (coalesce(array_min(filter(r, e => e >= col("h48") * 64L)),
+        array_min(r)) % 64L)
+    }
+    val obs = state.select(
+      explode(array(
+        struct(lit(8L).as("cfg"), assign(8).as("bkt")),
+        struct(lit(64L).as("cfg"), assign(64).as("bkt")))).as("a"))
+      .select(col("a.cfg"), col("a.bkt"))
+      .groupBy("cfg", "bkt").agg(count(lit(1)).as("n_keys"))
+
+    arcs.join(obs, Seq("cfg", "bkt"), "left")
+      .select(col("cfg"), col("bkt"), col("n_points"),
+        expr(s"arc_sum div ${ArcPpmDiv}L").as("arc_ppm"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"))
+  }
+
   // -- q49: deterministic stratified sampling ------------------------
 
   /** Corpus-mixing sample: language-stratified Bernoulli sampling at
@@ -2031,6 +2108,7 @@ object Curation {
     "q48_incremental_dedup" -> q48IncrementalDedup,
     "q265_state_migration" -> q265StateMigration,
     "q266_reshard_policy" -> q266ReshardPolicy,
+    "q267_ring_balance" -> q267RingBalance,
     "q49_stratified_sample" -> q49StratifiedSample,
     "q50_token_shards" -> q50TokenShards,
     "q227_shard_balance" -> q227ShardBalance,
@@ -3000,6 +3078,48 @@ object Curation {
          |SELECT policy, n_new_buckets, n_keys, n_moved,
          |  CAST(n_moved * 1000000 // greatest(n_keys, 1) AS BIGINT) AS moved_ppm
          |FROM rows4""".stripMargin,
+    "q267_ring_balance" ->
+      s"""WITH h AS (
+         |  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+         |    CAST(substr(source, 4) AS INT) AS si
+         |  FROM documents
+         |), keys AS (
+         |  SELECT content_hash,
+         |    CAST('0x' || substr(content_hash, 1, 12) AS BIGINT) AS h48
+         |  FROM (SELECT DISTINCT content_hash FROM h WHERE si < 10)
+         |), pts AS (
+         |  SELECT rb.range AS bkt, rv.range AS v,
+         |    CAST('0x' || substr(md5('ring#' || CAST(rb.range AS VARCHAR)
+         |      || '#' || CAST(rv.range AS VARCHAR)), 1, 12) AS BIGINT) AS pt
+         |  FROM range(24) rb, range(64) rv
+         |), ring AS (
+         |  SELECT CAST(8 AS BIGINT) AS cfg, bkt, pt FROM pts WHERE v < 8
+         |  UNION ALL
+         |  SELECT CAST(64 AS BIGINT), bkt, pt FROM pts
+         |), arcs AS (
+         |  SELECT cfg, bkt,
+         |    CASE WHEN lag(pt) OVER w IS NULL
+         |      THEN pt + ${1L << 48} - max(pt) OVER (PARTITION BY cfg)
+         |      ELSE pt - lag(pt) OVER w END AS arc
+         |  FROM ring WINDOW w AS (PARTITION BY cfg ORDER BY pt)
+         |), arcagg AS (
+         |  SELECT cfg, bkt, CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(sum(arc) AS BIGINT) AS arc_sum
+         |  FROM arcs GROUP BY 1, 2
+         |), ring_e AS (
+         |  SELECT cfg, pt * 64 + bkt AS e FROM ring
+         |), asg AS (
+         |  SELECT r.cfg, k.content_hash,
+         |    coalesce(min(r.e) FILTER (WHERE r.e >= k.h48 * 64), min(r.e)) % 64 AS bkt
+         |  FROM keys k CROSS JOIN ring_e r GROUP BY 1, 2, k.h48
+         |), obs AS (
+         |  SELECT cfg, bkt, CAST(count(*) AS BIGINT) AS n_keys
+         |  FROM asg GROUP BY 1, 2
+         |)
+         |SELECT a.cfg, a.bkt, a.n_points,
+         |  CAST(a.arc_sum // $ArcPpmDiv AS BIGINT) AS arc_ppm,
+         |  CAST(coalesce(o.n_keys, 0) AS BIGINT) AS n_keys
+         |FROM arcagg a LEFT JOIN obs o ON a.cfg = o.cfg AND a.bkt = o.bkt""".stripMargin,
     "q49_stratified_sample" ->
       s"""SELECT doc_id, lang,
          |  CAST(100000000 / (CASE WHEN lang = 'en' THEN 20 ELSE 50 END) AS BIGINT) AS weight_e6

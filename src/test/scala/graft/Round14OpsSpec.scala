@@ -90,4 +90,27 @@ class Round14OpsSpec extends SparkSpec {
     rows(("ring", 17L)) should be < rows(("modulo", 17L))
     rows(("ring", 24L)) should be < rows(("modulo", 24L))
   }
+
+  test("q267: more vnodes tighten the arc-share distribution (Karger balance)") {
+    assume(haveData, s"$sfDir not present")
+    val rows = graft.queries.Curation.defs("q267_ring_balance")(spark, sfDir)
+      .collect()
+    rows should have size 48 // 24 buckets × {V=8, V=64}
+    def arcsOf(cfg: Long) = rows.filter(_.getLong(0) == cfg).map(_.getLong(3))
+    val (a8, a64) = (arcsOf(8L), arcsOf(64L))
+    // shares are exact ppm of the 2^48 ring: sum to 1e6 minus ≤1 ppm
+    // floor loss per bucket
+    a8.sum should (be > 999976L - 24L and be <= 1000000L)
+    a64.sum should (be > 999976L - 24L and be <= 1000000L)
+    // the balance theorem, measured: V=64's worst bucket owns LESS of
+    // the ring than V=8's worst, and its best owns more (tighter both
+    // ways around the ideal 1/24 ≈ 41667 ppm)
+    a64.max should be < a8.max
+    a64.min should be > a8.min
+    // every point set is complete and the observed keys all route
+    rows.filter(_.getLong(0) == 8L).foreach(_.getLong(2) shouldBe 8L)
+    rows.filter(_.getLong(0) == 64L).foreach(_.getLong(2) shouldBe 64L)
+    val keyTotals = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(4)).sum)
+    keyTotals(8L) shouldBe keyTotals(64L)
+  }
 }
