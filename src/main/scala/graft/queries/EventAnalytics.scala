@@ -700,6 +700,553 @@ object EventAnalytics {
         expr("num div den").as("ewma_e2"))
   }
 
+  // -- q268: Holt linear-trend forecast ---------------------------------
+
+  /** Holt smoothing constants as e1 integers: α = 0.2 (level), β = 0.1
+    * (trend) — the textbook defaults, declared rather than fitted. */
+  private val HoltAlphaNum = 2L  // α·10
+  private val HoltBetaNum = 1L   // β·10
+
+  /** Offsets that keep every `div` operand NON-NEGATIVE (the README
+    * integer-div convention: cross-engine floor/truncate agree only
+    * there). (x + 10·K) div 10 − K = floor(x/10) for any x ≥ −10·K,
+    * so the recursion is uniform FLOOR arithmetic in both engines.
+    * Magnitudes: |l|,|b| ≤ ~1e14 at 30× ≪ K = 1e15. */
+  private val HoltOff = 1000000000000000L        // 10^15 (for div 10)
+  private val HoltOffF = 1000000000000L          // 10^12 (for div 1e6)
+
+  /** q268's plain-Holt step from ONE template serving both engines
+    * (the [[hwStep]] discipline, used by q268 AND q270's backtest):
+    *   l' = α·y + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    * in e6 fixed-point FLOOR arithmetic via the [[HoltOff]] offset
+    * convention; l' inlined where referenced. */
+  private def holtStep(accL: String, accB: String, y6: String, div: String)
+      : (String, String) = {
+    val off = s"${10 * HoltOff}"
+    val lNew = s"(($HoltAlphaNum * ($y6) + ${10 - HoltAlphaNum} * " +
+      s"($accL + $accB) + $off) $div 10 - $HoltOff)"
+    val bNew = s"(($HoltBetaNum * ($lNew - $accL) + ${10 - HoltBetaNum} * " +
+      s"$accB + $off) $div 10 - $HoltOff)"
+    (lNew, bNew)
+  }
+
+  /** The (event_type, day, y-cents) daily relation every
+    * forecast-family member (q268–q273) folds — ADDITIVE under any
+    * chunking of the event stream (same-day partials merge by +),
+    * which is exactly what [[graft.streaming.StreamingForecast]]
+    * maintains continuously: batch queries and streaming reports
+    * share this relation and the finalizers verbatim, so the six
+    * DuckDB oracles transitively verify the streaming reports. */
+  private[graft] def forecastDaily(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("y"))
+
+  /** HOLT LINEAR-TREND FORECAST (Holt 1957) — the missing FORECASTING
+    * member of the time-series family: q122 smooths, q150/q160 fit a
+    * global slope, q253 tests for trend, but nothing answers "what do
+    * we expect NEXT week". Per event type, double exponential
+    * smoothing over the observed daily cents series (level l and
+    * trend b, α=0.2 / β=0.1) folded in day order, then the h-step
+    * forecasts ŷ(h) = l + h·b for h = 1..7 — the capacity-planning
+    * read next to q204's long-run mix.
+    *
+    * Exactness: the fold is pure e6 fixed-point integer arithmetic —
+    *   l_t = floor((α10·y_t·1e6 + (10−α10)·(l+b)) / 10)
+    *   b_t = floor((β10·(l_t − l) + (10−β10)·b) / 10)
+    * with every division made non-negative by the [[HoltOff]] shift
+    * (so both engines compute the identical FLOOR regardless of their
+    * negative-operand division convention), initialized l_0 = y_0·1e6,
+    * b_0 = 0. The oracle replays the identical recursion as a
+    * recursive CTE keyed by (type, rn). The series is the OBSERVED
+    * days in order (calendar gaps carry no zero-fill — the declared
+    * semantics; q79's spine is the gap-filling tool when a strictly
+    * daily cadence is wanted).
+    *
+    * Plan: one map-combined (type, day) collapse (the only row-scaled
+    * stage), then the fold runs as one in-row `aggregate` HOF over the
+    * day-ordered array per type (the q254 discipline — the array is
+    * calendar-bounded, ≤|days| entries), and h = 1..7 explodes off the
+    * |types|-row result. One shuffle, no windows over data-scaled
+    * relations, no driver loop. */
+  val q268HoltForecast: Q = (s, d) =>
+    holtForecastFinalize(forecastDaily(Tables.events(s, d)))
+
+  /** q268 off an existing daily relation (the streaming-shared form). */
+  private[graft] def holtForecastFinalize(daily: DataFrame): DataFrame = {
+    val (lN, bN) = holtStep("acc.l", "acc.b", "s.y * 1000000", "div")
+    val folded = daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("ys"))
+      .select(col("event_type"), col("n_days"),
+        expr(s"""aggregate(ys,
+               |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+               |               'n', CAST(0 AS BIGINT)),
+               |  (acc, s) -> CASE WHEN acc.n = 0
+               |    THEN named_struct('l', s.y * 1000000L,
+               |                      'b', CAST(0 AS BIGINT), 'n', 1L)
+               |    ELSE named_struct('l', $lN, 'b', $bN, 'n', acc.n + 1L)
+               |  END)""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_e6"), col("st.b").as("trend_e6"))
+    folded
+      .select(col("event_type"), col("n_days"), col("level_e6"),
+        col("trend_e6"), explode(expr("sequence(1L, 7L)")).as("h"))
+      .withColumn("forecast_cents",
+        expr(s"(level_e6 + h * trend_e6 + ${1000000L * HoltOffF}L) " +
+          s"div 1000000L - ${HoltOffF}L"))
+  }
+
+  // -- q269: Holt-Winters additive seasonal forecast --------------------
+
+  /** γ = 0.3 seasonal smoothing constant (e1 integer), joining q268's
+    * α = 0.2 / β = 0.1. Period is the week, slotted by CALENDAR
+    * day-of-week (epoch-day mod 7, identical arithmetic both engines)
+    * rather than position mod 7, so calendar gaps can never rotate the
+    * seasonal index. */
+  private val HwGammaNum = 3L
+
+  /** ONE string-builder serves both engines' Holt-Winters step — the
+    * Spark fold lambda and the DuckDB recursive-CTE arm are generated
+    * from the same template, so the two recursions cannot drift.
+    * `accL`/`accB`/`accS(i)` reference the prior state, `y6` the e6
+    * observation, `slot` the day-of-week slot, `div` the engine's
+    * integer division (both compute FLOOR here: every operand is
+    * offset non-negative per the [[HoltOff]] convention). Returns
+    * (l', b', s0'..s6') with the additive HW update
+    *   l' = α(y − s_w) + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    *   s_w' = γ(y − l') + (1−γ)s_w   (other slots unchanged)
+    * — l' inlined where referenced (neither engine's lambda/SELECT arm
+    * can bind intermediates). */
+  private def hwStep(accL: String, accB: String, accS: Int => String,
+      y6: String, slot: String, div: String)
+      : (String, String, IndexedSeq[String]) = {
+    val off = s"${10 * HoltOff}"
+    val sw = (0 to 6).map(i => s"WHEN $i THEN ${accS(i)}")
+      .mkString(s"(CASE $slot ", " ", " END)")
+    val lNew = s"(($HoltAlphaNum * (($y6) - $sw) + ${10 - HoltAlphaNum} * " +
+      s"($accL + $accB) + $off) $div 10 - $HoltOff)"
+    val bNew = s"(($HoltBetaNum * ($lNew - $accL) + ${10 - HoltBetaNum} * " +
+      s"$accB + $off) $div 10 - $HoltOff)"
+    val sNew = (0 to 6).map { i =>
+      s"(CASE WHEN $slot = $i THEN ($HwGammaNum * (($y6) - $lNew) + " +
+        s"${10 - HwGammaNum} * ${accS(i)} + $off) $div 10 - $HoltOff " +
+        s"ELSE ${accS(i)} END)"
+    }
+    (lNew, bNew, sNew)
+  }
+
+  /** HOLT-WINTERS ADDITIVE SEASONAL FORECAST (Winters 1960) — q268's
+    * Holt plus the seasonal term the daily-cents series visibly has
+    * (q135 measures hour-of-week seasonality; this LEARNS a day-of-week
+    * component and forecasts with it): per event type, triple
+    * exponential smoothing over the observed daily cents series with a
+    * 7-slot additive seasonal state indexed by calendar day-of-week,
+    * then ŷ(h) = l + h·b + s[slot(last_day + h)] for h = 1..7.
+    *
+    * Exactness: the identical e6 fixed-point FLOOR recursion on both
+    * engines — the step expressions are generated from ONE template
+    * ([[hwStep]]) with every division offset non-negative. Declared
+    * init (documented, not fitted): l_0 = y_0·1e6, b_0 = 0, all
+    * seasonal slots 0 — each slot's first visit then sets it to
+    * γ·(y − l), warming up over the first week. The series is the
+    * OBSERVED days in order (q268's gap semantics; slots are calendar
+    * dow, so gaps never rotate the season).
+    *
+    * Plan: identical shape to q268 — one map-combined (type, day)
+    * collapse, the fold is one in-row aggregate HOF over the
+    * calendar-bounded day array, horizons explode off the |types|-row
+    * result. One shuffle, no driver loop; the 7-slot state rides the
+    * fold struct, so the seasonal dimension adds zero plan nodes. */
+  val q269HoltWinters: Q = (s, d) =>
+    hwForecastFinalize(forecastDaily(Tables.events(s, d)))
+
+  /** q269 off an existing daily relation (the streaming-shared form). */
+  private[graft] def hwForecastFinalize(dailyRaw: DataFrame): DataFrame = {
+    val daily = dailyRaw
+      .withColumn("slot", expr("datediff(day, DATE '1970-01-01') % 7"))
+    val (lN, bN, sN) = hwStep("acc.l", "acc.b", i => s"acc.s$i",
+      "s.y * 1000000", "s.slot", "div")
+    val zeroS = (0 to 6).map(i => s"'s$i', CAST(0 AS BIGINT)").mkString(", ")
+    val stepS = (0 to 6).map(i => s"'s$i', ${sN(i)}").mkString(", ")
+    val folded = daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        sort_array(collect_list(struct(col("day"), col("slot"), col("y"))))
+          .as("ys"))
+      .select(col("event_type"), col("n_days"), col("last_day"),
+        expr(s"""aggregate(ys,
+               |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+               |               $zeroS, 'n', CAST(0 AS BIGINT)),
+               |  (acc, s) -> CASE WHEN acc.n = 0
+               |    THEN named_struct('l', s.y * 1000000, 'b', CAST(0 AS BIGINT),
+               |                      $zeroS, 'n', CAST(1 AS BIGINT))
+               |    ELSE named_struct('l', $lN, 'b', $bN, $stepS, 'n', acc.n + 1)
+               |  END)""".stripMargin).as("st"))
+    val sH = (0 to 6).map(i => s"WHEN $i THEN st.s$i")
+      .mkString("CASE slot_h ", " ", " END")
+    folded
+      .select(col("event_type"), col("n_days"), col("st"),
+        expr("datediff(last_day, DATE '1970-01-01')").as("last_idx"),
+        explode(expr("sequence(1L, 7L)")).as("h"))
+      .withColumn("slot_h", expr("(last_idx + h) % 7"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_e6"), col("st.b").as("trend_e6"), col("h"),
+        expr(sH).as("season_e6"),
+        expr(s"(st.l + h * st.b + ($sH) + ${1000000L * HoltOffF}) " +
+          s"div 1000000 - $HoltOffF").as("forecast_cents"))
+  }
+
+  // -- q270: rolling-origin forecast backtest ---------------------------
+
+  /** First usable backtest origin: the Holt state is two observations
+    * deep by rn = 3, so every evaluated forecast has seen level AND a
+    * fitted trend. Declared, mirrored by the oracle. */
+  private val BacktestMinOrigin = 3L
+
+  /** ROLLING-ORIGIN FORECAST BACKTEST (Tashman 2000's evaluation
+    * protocol; MASE per Hyndman & Koehler 2006) — the eval that tells
+    * you whether q268's forecaster EARNS its keep: for every origin
+    * rn ≥ 3 and horizon h = 1..7, forecast ŷ(rn+h) from the Holt state
+    * fitted on y_1..y_rn and from the naive last-value rule, score
+    * both against the actual, and report per (type, horizon, method)
+    * the eval count, summed absolute error (cents, exact), and MASE
+    * scaled e6 — |errors| normalized by the in-sample one-step naive
+    * error Σ|y_t − y_{t−1}|/(N−1), so MASE < 1e6 reads "beats naive".
+    *
+    * Exactness: the per-origin states are the SAME [[holtStep]]
+    * recursion (template-shared with q268 on both engines), the fold
+    * keeps the whole state HISTORY as an in-row array (one (l,b) per
+    * prefix — rolling-origin refits are array reads, not refits), and
+    * MASE is one integer division: (sae·(N−1)·1e6) div (n_evals·sad),
+    * NULL-guarded when the series is constant (sad = 0).
+    *
+    * Plan: q268's shape plus two in-row explodes — the fold array is
+    * calendar-bounded (≤|days| states/type), origins × horizons
+    * expand the |types|-row relation to ≤|types|·|days|·7 eval rows
+    * (control-plane-sized at any corpus scale), and the final
+    * aggregate groups a bounded relation. One data-scaled shuffle
+    * total (the (type, day) collapse); everything downstream is
+    * calendar-bounded. */
+  val q270ForecastBacktest: Q = (s, d) =>
+    backtestFinalize(forecastDaily(Tables.events(s, d)))
+
+  /** q270 off an existing daily relation (the streaming-shared form). */
+  private[graft] def backtestFinalize(daily: DataFrame): DataFrame = {
+    val (lN, bN) = holtStep("acc.l", "acc.b", "s.y * 1000000", "div")
+    val folded = daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("ys"))
+      .select(col("event_type"), col("n_days"), col("ys"),
+        expr(s"""aggregate(ys,
+               |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+               |    'n', CAST(0 AS BIGINT),
+               |    'hist', CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>)),
+               |  (acc, s) -> CASE WHEN acc.n = 0
+               |    THEN named_struct('l', s.y * 1000000L, 'b', CAST(0 AS BIGINT),
+               |      'n', 1L, 'hist', array(named_struct('l', s.y * 1000000L,
+               |                                          'b', CAST(0 AS BIGINT))))
+               |    ELSE named_struct('l', $lN, 'b', $bN, 'n', acc.n + 1L,
+               |      'hist', array_append(acc.hist,
+               |        named_struct('l', $lN, 'b', $bN)))
+               |  END)""".stripMargin).as("st"),
+        expr("""aggregate(sequence(2, CAST(size(ys) AS INT)), CAST(0 AS BIGINT),
+               |  (a, i) -> a + abs(element_at(ys, i).y
+               |                    - element_at(ys, i - 1).y))""".stripMargin)
+          .as("sad"))
+    val evals = folded
+      .select(col("event_type"), col("n_days"), col("ys"), col("st"),
+        col("sad"),
+        // guard: Spark's sequence() DESCENDS when stop < start, so a
+        // sub-4-day series must yield zero origins, not a reversed ramp
+        explode(expr(s"CASE WHEN n_days - 1 >= $BacktestMinOrigin THEN " +
+          s"sequence(${BacktestMinOrigin}L, n_days - 1) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("rn"))
+      .select(col("event_type"), col("n_days"), col("sad"), col("rn"),
+        expr("element_at(st.hist, CAST(rn AS INT))").as("so"),
+        expr("element_at(ys, CAST(rn AS INT)).y").as("y0"), col("ys"),
+        explode(expr("sequence(1L, least(7L, n_days - rn))")).as("h"))
+      .select(col("event_type"), col("n_days"), col("sad"), col("h"),
+        expr("element_at(ys, CAST(rn + h AS INT)).y").as("actual"),
+        expr(s"(so.l + h * so.b + ${1000000L * HoltOffF}) " +
+          s"div 1000000 - $HoltOffF").as("fc_holt"), col("y0"))
+    evals
+      .select(col("event_type"), col("n_days"), col("sad"), col("h"),
+        expr("""stack(2, 'holt', abs(fc_holt - actual),
+               |         'naive', abs(y0 - actual))""".stripMargin)
+          .as(Seq("method", "abs_err")))
+      .groupBy(col("event_type"), col("h"), col("method"))
+      .agg(count(lit(1)).as("n_evals"), sum(col("abs_err")).as("sae_cents"),
+        max(col("sad")).as("sad"), max(col("n_days")).as("nd"))
+      .select(col("event_type"), col("h"), col("method"), col("n_evals"),
+        col("sae_cents"),
+        expr("CASE WHEN sad > 0 THEN (sae_cents * (nd - 1) * 1000000) " +
+          "div (n_evals * sad) END").as("mase_e6"))
+  }
+
+  // -- q271: seasonal forecast backtest ---------------------------------
+
+  /** SEASONAL FORECAST BACKTEST — q270's rolling-origin protocol
+    * applied to the SEASONAL pair: the seasonal-naive rule (ŷ(rn+h) =
+    * y_{rn+h−7}, the no-skill baseline that "knows" the week; falls
+    * back to last-value when the series hasn't seen a full week) and
+    * the Holt-Winters model (q269's recursion, state history kept by
+    * the fold). Same origins, same in-sample naive MASE denominator,
+    * and the SAME output schema as q270 — UNION the two relations and
+    * you have the 4-method model-selection table (naive / snaive /
+    * holt / hw), each method's MASE on one comparable scale where
+    * < 1e6 reads "beats last-value". The HW forecast for origin rn,
+    * horizon h uses the seasonal slot of the ACTUAL target day
+    * (element rn+h of the observed series — known at eval time), so
+    * calendar gaps score against the right weekday slot.
+    *
+    * Exactness: the per-origin HW states are the SAME [[hwStep]]
+    * template recursion; the fold keeps the full 9-field state per
+    * prefix as an in-row array (prior state = the array's last
+    * element — no separate scalar copy to drift). All errors exact
+    * cents; MASE the same integer division as q270.
+    *
+    * Plan: q270's shape exactly — one data-scaled (type, day)
+    * collapse, a calendar-bounded fold, two in-row explodes, one
+    * bounded aggregate. The 7-slot seasonal state rides the fold
+    * array; no extra shuffle. */
+  val q271SeasonalBacktest: Q = (s, d) =>
+    seasonalBacktestFinalize(forecastDaily(Tables.events(s, d)))
+
+  /** q271 off an existing daily relation (the streaming-shared form). */
+  private[graft] def seasonalBacktestFinalize(dailyRaw: DataFrame): DataFrame = {
+    val daily = dailyRaw
+      .withColumn("slot", expr("datediff(day, DATE '1970-01-01') % 7"))
+    val prior = "element_at(acc.hist, size(acc.hist))"
+    val (lN, bN, sN) = hwStep(s"$prior.l", s"$prior.b",
+      i => s"$prior.s$i", "s.y * 1000000", "s.slot", "div")
+    val zeroS = (0 to 6).map(i => s"'s$i', CAST(0 AS BIGINT)").mkString(", ")
+    val stepS = (0 to 6).map(i => s"'s$i', ${sN(i)}").mkString(", ")
+    val histT = "ARRAY<STRUCT<l: BIGINT, b: BIGINT, " +
+      (0 to 6).map(i => s"s$i: BIGINT").mkString(", ") + ">>"
+    val folded = daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("slot"), col("y"))))
+          .as("ys"))
+      .select(col("event_type"), col("n_days"), col("ys"),
+        expr(s"""aggregate(ys,
+               |  named_struct('n', CAST(0 AS BIGINT),
+               |    'hist', CAST(array() AS $histT)),
+               |  (acc, s) -> CASE WHEN acc.n = 0
+               |    THEN named_struct('n', 1L, 'hist',
+               |      array(named_struct('l', s.y * 1000000L,
+               |        'b', CAST(0 AS BIGINT), $zeroS)))
+               |    ELSE named_struct('n', acc.n + 1L, 'hist',
+               |      array_append(acc.hist,
+               |        named_struct('l', $lN, 'b', $bN, $stepS)))
+               |  END).hist""".stripMargin).as("hist"),
+        expr("""aggregate(sequence(2, CAST(size(ys) AS INT)), CAST(0 AS BIGINT),
+               |  (a, i) -> a + abs(element_at(ys, i).y
+               |                    - element_at(ys, i - 1).y))""".stripMargin)
+          .as("sad"))
+    val sT = (0 to 6).map(i => s"WHEN $i THEN so.s$i")
+      .mkString("CASE tslot ", " ", " END")
+    val evals = folded
+      .select(col("event_type"), col("n_days"), col("ys"), col("hist"),
+        col("sad"),
+        explode(expr(s"CASE WHEN n_days - 1 >= $BacktestMinOrigin THEN " +
+          s"sequence(${BacktestMinOrigin}L, n_days - 1) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("rn"))
+      .select(col("event_type"), col("n_days"), col("sad"), col("rn"),
+        expr("element_at(hist, CAST(rn AS INT))").as("so"), col("ys"),
+        explode(expr("sequence(1L, least(7L, n_days - rn))")).as("h"))
+      .select(col("event_type"), col("n_days"), col("sad"), col("h"),
+        expr("element_at(ys, CAST(rn + h AS INT)).y").as("actual"),
+        expr("element_at(ys, CAST(rn + h AS INT)).slot").as("tslot"),
+        expr("CASE WHEN rn + h - 7 >= 1 THEN " +
+          "element_at(ys, CAST(rn + h - 7 AS INT)).y ELSE " +
+          "element_at(ys, CAST(rn AS INT)).y END").as("fc_snaive"),
+        col("so"))
+      .select(col("event_type"), col("n_days"), col("sad"), col("h"),
+        col("actual"), col("fc_snaive"),
+        expr(s"(so.l + h * so.b + ($sT) + ${1000000L * HoltOffF}) " +
+          s"div 1000000 - $HoltOffF").as("fc_hw"))
+    evals
+      .select(col("event_type"), col("n_days"), col("sad"), col("h"),
+        expr("""stack(2, 'hw', abs(fc_hw - actual),
+               |         'snaive', abs(fc_snaive - actual))""".stripMargin)
+          .as(Seq("method", "abs_err")))
+      .groupBy(col("event_type"), col("h"), col("method"))
+      .agg(count(lit(1)).as("n_evals"), sum(col("abs_err")).as("sae_cents"),
+        max(col("sad")).as("sad"), max(col("n_days")).as("nd"))
+      .select(col("event_type"), col("h"), col("method"), col("n_evals"),
+        col("sae_cents"),
+        expr("CASE WHEN sad > 0 THEN (sae_cents * (nd - 1) * 1000000) " +
+          "div (n_evals * sad) END").as("mase_e6"))
+  }
+
+  // -- q272: split-conformal forecast intervals -------------------------
+
+  /** Conformal miscoverage budget: 1 − α = 0.9 target coverage, as the
+    * e1 integer pair used in the exact rank k = ⌈0.9·(n_cal+1)⌉. */
+  private val ConformalCovNum = 9L
+
+  /** SPLIT-CONFORMAL FORECAST INTERVALS (Vovk et al. 2005; split
+    * conformal per Lei et al. 2018) — the distribution-free answer to
+    * "how wide must the error bars around q268's forecast be": take
+    * q270's rolling-origin Holt eval points, split origins
+    * CALIBRATION (odd rn) / TEST (even rn — interleaved, so both
+    * splits span the series), and per (type, horizon) report the
+    * conformal radius q̂ = the k-th smallest calibration |error| with
+    * k = ⌈0.9·(n_cal+1)⌉ (the finite-sample-valid rank, clamped to
+    * n_cal), plus the EMPIRICAL coverage of ŷ ± q̂ on the held-out
+    * test origins (e6 share). Conformal theory promises ≥90% coverage
+    * on exchangeable errors — the test column measures how close a
+    * trending series gets.
+    *
+    * Exactness: errors are exact cents off the shared [[holtStep]]
+    * history fold; q̂ is an integer ORDER STATISTIC (k-th smallest of
+    * a multiset — tie-order-free on both engines: Spark reads
+    * element k of the sorted calibration array, the oracle the
+    * row_number-k row of the sorted relation); coverage one integer
+    * division, NULL when a cell has no test origins.
+    *
+    * Plan: q270's shape plus one bounded (type, h) aggregate whose
+    * collect_list holds ≤|origins| integers per cell — calendar-
+    * bounded at any corpus scale; one data-scaled shuffle total. */
+  val q272ConformalIntervals: Q = (s, d) =>
+    conformalFinalize(forecastDaily(Tables.events(s, d)))
+
+  /** q272 off an existing daily relation (the streaming-shared form). */
+  private[graft] def conformalFinalize(daily: DataFrame): DataFrame = {
+    val (lN, bN) = holtStep("acc.l", "acc.b", "s.y * 1000000", "div")
+    val folded = daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("ys"))
+      .select(col("event_type"), col("n_days"), col("ys"),
+        expr(s"""aggregate(ys,
+               |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+               |    'n', CAST(0 AS BIGINT),
+               |    'hist', CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>)),
+               |  (acc, s) -> CASE WHEN acc.n = 0
+               |    THEN named_struct('l', s.y * 1000000L, 'b', CAST(0 AS BIGINT),
+               |      'n', 1L, 'hist', array(named_struct('l', s.y * 1000000L,
+               |                                          'b', CAST(0 AS BIGINT))))
+               |    ELSE named_struct('l', $lN, 'b', $bN, 'n', acc.n + 1L,
+               |      'hist', array_append(acc.hist,
+               |        named_struct('l', $lN, 'b', $bN)))
+               |  END).hist""".stripMargin).as("hist"))
+    val evals = folded
+      .select(col("event_type"), col("n_days"), col("ys"), col("hist"),
+        explode(expr(s"CASE WHEN n_days - 1 >= $BacktestMinOrigin THEN " +
+          s"sequence(${BacktestMinOrigin}L, n_days - 1) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("rn"))
+      .select(col("event_type"), col("rn"),
+        expr("element_at(hist, CAST(rn AS INT))").as("so"), col("ys"),
+        col("n_days"),
+        explode(expr("sequence(1L, least(7L, n_days - rn))")).as("h"))
+      .select(col("event_type"), col("h"), expr("rn % 2 = 1").as("is_cal"),
+        expr(s"abs((so.l + h * so.b + ${1000000L * HoltOffF}) " +
+          s"div 1000000 - $HoltOffF " +
+          "- element_at(ys, CAST(rn + h AS INT)).y)").as("abs_err"))
+    evals
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(expr("CASE WHEN is_cal THEN 1L ELSE 0L END")).as("n_cal"),
+        sum(expr("CASE WHEN is_cal THEN 0L ELSE 1L END")).as("n_test"),
+        sort_array(collect_list(expr("CASE WHEN is_cal THEN abs_err END")))
+          .as("cal_errs"),
+        collect_list(expr("CASE WHEN NOT is_cal THEN abs_err END"))
+          .as("test_errs"))
+      .select(col("event_type"), col("h"), col("n_cal"), col("n_test"),
+        expr(s"element_at(cal_errs, CAST(least(($ConformalCovNum * " +
+          s"(n_cal + 1) + 9) div 10, n_cal) AS INT))").as("qhat_cents"),
+        col("test_errs"))
+      .select(col("event_type"), col("h"), col("n_cal"), col("n_test"),
+        col("qhat_cents"),
+        expr("CASE WHEN n_test > 0 THEN (1000000 * CAST(size(filter(" +
+          "test_errs, e -> e <= qhat_cents)) AS BIGINT)) div n_test END")
+          .as("cover_e6"))
+  }
+
+  // -- q273: forecast-residual anomaly flags ----------------------------
+
+  /** FORECAST-RESIDUAL ANOMALY FLAGS — the monitoring composition the
+    * forecasting family exists for: a day is anomalous when it breaks
+    * from what the model EXPECTED given the whole history, not when it
+    * is merely extreme (q134's seasonal-baseline flags) or when the
+    * level has shifted (q132's CUSUM). Per (type, day ≥ 2): the
+    * one-step-ahead Holt forecast ŷ_t = ⌊(l_{t−1} + b_{t−1})/1e6⌋
+    * from the shared state-history fold, the residual r_t = y_t − ŷ_t,
+    * and the robust flag |r_t − median(r)| > 3·MAD(r) — median/MAD
+    * over the type's own residual series, declared as LOWER medians
+    * (k = (n+1) div 2-th smallest), so every statistic is an integer
+    * order statistic and the flag is bit-deterministic on both
+    * engines (no interpolated midpoints — q123's interpolating
+    * median is the unbounded-column tool; this series is
+    * calendar-bounded, so exact ranks are free). MAD = 0 (better
+    * than half the days forecast exactly) degenerates to flagging
+    * any nonzero deviation from the median residual — declared.
+    *
+    * Plan: q270's fold (one data-scaled shuffle), then residuals,
+    * medians, and flags are all in-row array reads on the |types|-row
+    * relation; the output explodes back to one row per (type, day) —
+    * calendar-bounded. */
+  val q273ResidualAnomalies: Q = (s, d) =>
+    anomalyFinalize(forecastDaily(Tables.events(s, d)))
+
+  /** q273 off an existing daily relation (the streaming-shared form). */
+  private[graft] def anomalyFinalize(daily: DataFrame): DataFrame = {
+    val (lN, bN) = holtStep("acc.l", "acc.b", "s.y * 1000000", "div")
+    val folded = daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("y")))).as("ys"))
+      .select(col("event_type"), col("ys"),
+        expr(s"""aggregate(ys,
+               |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+               |    'n', CAST(0 AS BIGINT),
+               |    'hist', CAST(array() AS ARRAY<STRUCT<l: BIGINT, b: BIGINT>>)),
+               |  (acc, s) -> CASE WHEN acc.n = 0
+               |    THEN named_struct('l', s.y * 1000000L, 'b', CAST(0 AS BIGINT),
+               |      'n', 1L, 'hist', array(named_struct('l', s.y * 1000000L,
+               |                                          'b', CAST(0 AS BIGINT))))
+               |    ELSE named_struct('l', $lN, 'b', $bN, 'n', acc.n + 1L,
+               |      'hist', array_append(acc.hist,
+               |        named_struct('l', $lN, 'b', $bN)))
+               |  END).hist""".stripMargin).as("hist"))
+      .select(col("event_type"), col("ys"),
+        // size guard: sequence() DESCENDS when size(ys) < 2
+        expr(s"""CASE WHEN size(ys) >= 2 THEN
+               |transform(sequence(2, CAST(size(ys) AS INT)),
+               |  t -> named_struct('t', t,
+               |    'r', element_at(ys, t).y
+               |         - ((element_at(hist, t - 1).l
+               |             + element_at(hist, t - 1).b
+               |             + ${1000000L * HoltOffF}) div 1000000
+               |            - $HoltOffF)))
+               |ELSE CAST(array() AS ARRAY<STRUCT<t: INT, r: BIGINT>>)
+               |END""".stripMargin).as("resid"))
+      .withColumn("med", expr("CASE WHEN size(resid) > 0 THEN element_at(" +
+        "sort_array(transform(resid, x -> x.r)), " +
+        "CAST((size(resid) + 1) div 2 AS INT)) END"))
+      .withColumn("mad", expr("CASE WHEN size(resid) > 0 THEN element_at(" +
+        "sort_array(transform(resid, x -> abs(x.r - med))), " +
+        "CAST((size(resid) + 1) div 2 AS INT)) END"))
+    folded
+      .select(col("event_type"), col("ys"), col("med"), col("mad"),
+        explode(col("resid")).as("rv"))
+      .select(col("event_type"),
+        expr("element_at(ys, rv.t).day").as("day"),
+        expr("element_at(ys, rv.t).y").as("y_cents"),
+        expr("element_at(ys, rv.t).y - rv.r").as("fc_cents"),
+        col("rv.r").as("resid_cents"),
+        col("med").as("med_cents"), col("mad").as("mad_cents"),
+        expr("abs(rv.r - med) > 3 * mad").as("flagged"))
+  }
+
   // -- q127: OHLC bars --------------------------------------------------
 
   /** OHLC BARS per (hour, event_type): open/high/low/close of the
@@ -2657,6 +3204,12 @@ object EventAnalytics {
     "q135_seasonal_baseline" -> q135SeasonalBaseline,
     "q127_ohlc_bars" -> q127OhlcBars,
     "q122_ewma_smooth" -> q122EwmaSmooth,
+    "q268_holt_forecast" -> q268HoltForecast,
+    "q269_holt_winters" -> q269HoltWinters,
+    "q270_forecast_backtest" -> q270ForecastBacktest,
+    "q271_seasonal_backtest" -> q271SeasonalBacktest,
+    "q272_conformal_intervals" -> q272ConformalIntervals,
+    "q273_residual_anomalies" -> q273ResidualAnomalies,
     "q83_trailing_distinct" -> q83TrailingDistinct,
     "q84_transition_matrix" -> q84TransitionMatrix,
     "q204_stationary_mix" -> q204StationaryMix,
@@ -3895,6 +4448,301 @@ object EventAnalytics {
         |  CAST(max(CASE WHEN rn_d = 1 THEN v_e2 END) AS BIGINT) AS close_e2,
         |  count(*) AS n_events
         |FROM r GROUP BY 1, 2""".stripMargin,
+    // The identical Holt recursion replayed as a recursive CTE keyed
+    // by (type, rn); every division shifted non-negative by the same
+    // offsets, so both engines compute the identical FLOOR.
+    "q268_holt_forecast" -> {
+      val (lN, bN) = holtStep("h.l", "h.b", "s.y * 1000000", "//")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily
+         |), holt AS (
+         |  SELECT event_type, rn, n_days,
+         |    y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn, s.n_days, $lN AS l, $bN AS b
+         |  FROM holt h JOIN seq s
+         |    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+         |), fin AS (
+         |  SELECT event_type, n_days, l AS level_e6, b AS trend_e6
+         |  FROM holt WHERE rn = n_days
+         |)
+         |SELECT f.event_type, f.n_days, f.level_e6, f.trend_e6,
+         |  CAST(hh.range AS BIGINT) AS h,
+         |  CAST((f.level_e6 + hh.range * f.trend_e6
+         |    + ${1000000L * HoltOffF}) // 1000000 - ${HoltOffF} AS BIGINT)
+         |    AS forecast_cents
+         |FROM fin f CROSS JOIN range(1, 8) hh""".stripMargin
+    },
+    // The identical Holt-Winters recursion from the SAME hwStep
+    // template (l/b plus seven explicit seasonal columns), replayed as
+    // a recursive CTE keyed by (type, rn); `//` floor = Spark's `div`
+    // on the offset-non-negative operands.
+    "q269_holt_winters" -> {
+      val (lN, bN, sN) = hwStep("h.l", "h.b", i => s"h.s$i",
+        "s.y * 1000000", "s.slot", "//")
+      val zeroS = (0 to 6).map(i => s"CAST(0 AS BIGINT) AS s$i")
+        .mkString(", ")
+      val stepS = (0 to 6).map(i => s"${sN(i)} AS s$i").mkString(", ")
+      val sH = (0 to 6).map(i => s"WHEN $i THEN f.s$i")
+        .mkString(s"(CASE (CAST(f.last_day AS DATE) - DATE '1970-01-01' " +
+          s"+ hh.range) % 7 ", " ", " END)")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT event_type, y,
+         |    (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS slot,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days,
+         |    max(day) OVER (PARTITION BY event_type) AS last_day
+         |  FROM daily
+         |), hw AS (
+         |  SELECT event_type, rn, n_days, last_day,
+         |    y * 1000000 AS l, CAST(0 AS BIGINT) AS b, $zeroS
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn, s.n_days, s.last_day,
+         |    $lN AS l, $bN AS b, $stepS
+         |  FROM hw h JOIN seq s
+         |    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+         |), fin AS (SELECT * FROM hw WHERE rn = n_days)
+         |SELECT f.event_type, f.n_days, f.l AS level_e6, f.b AS trend_e6,
+         |  CAST(hh.range AS BIGINT) AS h,
+         |  CAST($sH AS BIGINT) AS season_e6,
+         |  CAST((f.l + hh.range * f.b + $sH + ${1000000L * HoltOffF})
+         |    // 1000000 - $HoltOffF AS BIGINT) AS forecast_cents
+         |FROM fin f CROSS JOIN range(1, 8) hh""".stripMargin
+    },
+    // The SAME holtStep recursion kept at EVERY rn (the rolling-origin
+    // states), actuals joined at rn + h, in-sample naive denominator
+    // via one lag window; integer MASE identical to the Spark side.
+    "q270_forecast_backtest" -> {
+      val (lN, bN) = holtStep("h.l", "h.b", "s.y * 1000000", "//")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily
+         |), holt AS (
+         |  SELECT event_type, rn, n_days, y, y * 1000000 AS l,
+         |    CAST(0 AS BIGINT) AS b
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn, s.n_days, s.y, $lN AS l, $bN AS b
+         |  FROM holt h JOIN seq s
+         |    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+         |), sad AS (
+         |  SELECT event_type, CAST(sum(abs(y - py)) AS BIGINT) AS sad
+         |  FROM (SELECT event_type, y,
+         |          lag(y) OVER (PARTITION BY event_type ORDER BY rn) AS py
+         |        FROM seq)
+         |  WHERE py IS NOT NULL GROUP BY 1
+         |), evals AS (
+         |  SELECT o.event_type, a.rn - o.rn AS h, o.n_days,
+         |    abs(CAST((o.l + (a.rn - o.rn) * o.b + ${1000000L * HoltOffF})
+         |        // 1000000 - $HoltOffF AS BIGINT) - a.y) AS err_holt,
+         |    abs(o.y - a.y) AS err_naive
+         |  FROM holt o JOIN seq a
+         |    ON a.event_type = o.event_type
+         |    AND a.rn > o.rn AND a.rn <= o.rn + 7
+         |  WHERE o.rn >= $BacktestMinOrigin AND o.rn < o.n_days
+         |), sel AS (
+         |  SELECT event_type, h, n_days, 'holt' AS method,
+         |    err_holt AS abs_err FROM evals
+         |  UNION ALL
+         |  SELECT event_type, h, n_days, 'naive', err_naive FROM evals
+         |)
+         |SELECT s.event_type, CAST(s.h AS BIGINT) AS h, s.method,
+         |  count(*) AS n_evals, CAST(sum(s.abs_err) AS BIGINT) AS sae_cents,
+         |  CASE WHEN d.sad > 0 THEN
+         |    CAST((CAST(sum(s.abs_err) AS BIGINT) * (max(s.n_days) - 1)
+         |      * 1000000) // (count(*) * d.sad) AS BIGINT) END AS mase_e6
+         |FROM sel s JOIN sad d ON d.event_type = s.event_type
+         |GROUP BY s.event_type, s.h, s.method, d.sad""".stripMargin
+    },
+    // q269's hw recursion kept at EVERY rn; actuals joined at rn + h
+    // with their calendar slot selecting the seasonal term; snaive via
+    // a rn−7 self-join with last-value fallback; q270's integer MASE.
+    "q271_seasonal_backtest" -> {
+      val (lN, bN, sN) = hwStep("h.l", "h.b", i => s"h.s$i",
+        "s.y * 1000000", "s.slot", "//")
+      val zeroS = (0 to 6).map(i => s"CAST(0 AS BIGINT) AS s$i")
+        .mkString(", ")
+      val stepS = (0 to 6).map(i => s"${sN(i)} AS s$i").mkString(", ")
+      val sT = (0 to 6).map(i => s"WHEN $i THEN o.s$i")
+        .mkString("(CASE a.slot ", " ", " END)")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT event_type, y,
+         |    (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS slot,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily
+         |), hw AS (
+         |  SELECT event_type, rn, n_days, y,
+         |    y * 1000000 AS l, CAST(0 AS BIGINT) AS b, $zeroS
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn, s.n_days, s.y,
+         |    $lN AS l, $bN AS b, $stepS
+         |  FROM hw h JOIN seq s
+         |    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+         |), sad AS (
+         |  SELECT event_type, CAST(sum(abs(y - py)) AS BIGINT) AS sad
+         |  FROM (SELECT event_type, y,
+         |          lag(y) OVER (PARTITION BY event_type ORDER BY rn) AS py
+         |        FROM seq)
+         |  WHERE py IS NOT NULL GROUP BY 1
+         |), evals AS (
+         |  SELECT o.event_type, a.rn - o.rn AS h, o.n_days,
+         |    abs(CAST((o.l + (a.rn - o.rn) * o.b + $sT
+         |        + ${1000000L * HoltOffF})
+         |        // 1000000 - $HoltOffF AS BIGINT) - a.y) AS err_hw,
+         |    abs(coalesce(p.y, o.y) - a.y) AS err_snaive
+         |  FROM hw o JOIN seq a
+         |    ON a.event_type = o.event_type
+         |    AND a.rn > o.rn AND a.rn <= o.rn + 7
+         |  LEFT JOIN seq p
+         |    ON p.event_type = a.event_type AND p.rn = a.rn - 7
+         |  WHERE o.rn >= $BacktestMinOrigin AND o.rn < o.n_days
+         |), sel AS (
+         |  SELECT event_type, h, n_days, 'hw' AS method,
+         |    err_hw AS abs_err FROM evals
+         |  UNION ALL
+         |  SELECT event_type, h, n_days, 'snaive', err_snaive FROM evals
+         |)
+         |SELECT s.event_type, CAST(s.h AS BIGINT) AS h, s.method,
+         |  count(*) AS n_evals, CAST(sum(s.abs_err) AS BIGINT) AS sae_cents,
+         |  CASE WHEN d.sad > 0 THEN
+         |    CAST((CAST(sum(s.abs_err) AS BIGINT) * (max(s.n_days) - 1)
+         |      * 1000000) // (count(*) * d.sad) AS BIGINT) END AS mase_e6
+         |FROM sel s JOIN sad d ON d.event_type = s.event_type
+         |GROUP BY s.event_type, s.h, s.method, d.sad""".stripMargin
+    },
+    // The same holtStep eval relation; q̂ as the row_number-k row of
+    // the sorted calibration errors (value-deterministic under ties),
+    // coverage joined from the held-out split.
+    "q272_conformal_intervals" -> {
+      val (lN, bN) = holtStep("h.l", "h.b", "s.y * 1000000", "//")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily
+         |), holt AS (
+         |  SELECT event_type, rn, n_days, y * 1000000 AS l,
+         |    CAST(0 AS BIGINT) AS b
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn, s.n_days, $lN AS l, $bN AS b
+         |  FROM holt h JOIN seq s
+         |    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+         |), evals AS (
+         |  SELECT o.event_type, a.rn - o.rn AS h, o.rn % 2 = 1 AS is_cal,
+         |    abs(CAST((o.l + (a.rn - o.rn) * o.b + ${1000000L * HoltOffF})
+         |        // 1000000 - $HoltOffF AS BIGINT) - a.y) AS abs_err
+         |  FROM holt o JOIN seq a
+         |    ON a.event_type = o.event_type
+         |    AND a.rn > o.rn AND a.rn <= o.rn + 7
+         |  WHERE o.rn >= $BacktestMinOrigin AND o.rn < o.n_days
+         |), cal AS (
+         |  SELECT event_type, h, abs_err,
+         |    row_number() OVER (PARTITION BY event_type, h
+         |                       ORDER BY abs_err) AS rk,
+         |    count(*) OVER (PARTITION BY event_type, h) AS n_cal
+         |  FROM evals WHERE is_cal
+         |), qh AS (
+         |  SELECT event_type, h, CAST(n_cal AS BIGINT) AS n_cal,
+         |    abs_err AS qhat_cents
+         |  FROM cal
+         |  WHERE rk = least(($ConformalCovNum * (n_cal + 1) + 9) // 10, n_cal)
+         |), t AS (
+         |  SELECT e.event_type, e.h, count(*) AS n_test,
+         |    CAST(sum(CASE WHEN e.abs_err <= q.qhat_cents THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in
+         |  FROM evals e JOIN qh q
+         |    ON q.event_type = e.event_type AND q.h = e.h
+         |  WHERE NOT e.is_cal GROUP BY 1, 2
+         |)
+         |SELECT q.event_type, CAST(q.h AS BIGINT) AS h, q.n_cal,
+         |  CAST(coalesce(t.n_test, 0) AS BIGINT) AS n_test, q.qhat_cents,
+         |  CASE WHEN t.n_test > 0 THEN
+         |    CAST((1000000 * t.n_in) // t.n_test AS BIGINT) END AS cover_e6
+         |FROM qh q LEFT JOIN t
+         |  ON t.event_type = q.event_type AND t.h = q.h""".stripMargin
+    },
+    // One-step-ahead forecasts from the rn−1 state row, lower medians
+    // as row_number order statistics — every flag an integer compare.
+    "q273_residual_anomalies" -> {
+      val (lN, bN) = holtStep("h.l", "h.b", "s.y * 1000000", "//")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |), seq AS (
+         |  SELECT event_type, day, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily
+         |), holt AS (
+         |  SELECT event_type, rn, n_days, y * 1000000 AS l,
+         |    CAST(0 AS BIGINT) AS b
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.rn, s.n_days, $lN AS l, $bN AS b
+         |  FROM holt h JOIN seq s
+         |    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+         |), res AS (
+         |  SELECT a.event_type, a.day, a.y,
+         |    CAST((o.l + o.b + ${1000000L * HoltOffF}) // 1000000
+         |      - $HoltOffF AS BIGINT) AS fc
+         |  FROM holt o JOIN seq a
+         |    ON a.event_type = o.event_type AND a.rn = o.rn + 1
+         |), med AS (
+         |  SELECT event_type, r AS med FROM (
+         |    SELECT event_type, y - fc AS r,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY y - fc)
+         |        AS rk,
+         |      count(*) OVER (PARTITION BY event_type) AS n
+         |    FROM res)
+         |  WHERE rk = (n + 1) // 2
+         |), mad AS (
+         |  SELECT event_type, adev AS mad FROM (
+         |    SELECT r.event_type, abs(r.y - r.fc - m.med) AS adev,
+         |      row_number() OVER (PARTITION BY r.event_type
+         |                         ORDER BY abs(r.y - r.fc - m.med)) AS rk,
+         |      count(*) OVER (PARTITION BY r.event_type) AS n
+         |    FROM res r JOIN med m ON m.event_type = r.event_type)
+         |  WHERE rk = (n + 1) // 2
+         |)
+         |SELECT r.event_type, CAST(r.day AS DATE) AS day, r.y AS y_cents,
+         |  r.fc AS fc_cents, r.y - r.fc AS resid_cents,
+         |  m.med AS med_cents, d.mad AS mad_cents,
+         |  abs(r.y - r.fc - m.med) > 3 * d.mad AS flagged
+         |FROM res r
+         |JOIN med m ON m.event_type = r.event_type
+         |JOIN mad d ON d.event_type = r.event_type""".stripMargin
+    },
     // Same 8-tap integer formula; `//` floor = Spark's `div` truncate
     // on the non-negative operands (README div contract).
     "q122_ewma_smooth" -> {

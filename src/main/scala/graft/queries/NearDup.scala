@@ -405,6 +405,89 @@ object NearDup {
         expr("n_within30 * 1000000 div greatest(n_pairs - n_degenerate, 1)"))
   }
 
+  // -- q274: prefix-truncation retrieval audit --------------------------
+
+  /** Truncation points: full width (the sanity row — recall must be
+    * exactly 1e6 by construction), half, quarter. */
+  private val TruncDims = Seq(64, 32, 16)
+  private val TruncQueryCount = 16
+  private val TruncK = 10
+
+  /** PREFIX-TRUNCATION RETRIEVAL AUDIT (the Matryoshka question —
+    * Kusupati et al. 2022: embeddings whose PREFIX is itself a usable
+    * embedding) — the fourth point on the vector-compression audit
+    * square: q228 measures what int8 PRECISION costs, q230 what a JL
+    * PROJECTION costs, q114 what product quantization costs; this
+    * measures what simply DROPPING trailing dimensions costs in
+    * retrieval terms, the knob every embedding-store bill is
+    * ultimately negotiated with. A deterministic 16-query panel (the
+    * smallest (48-bit md5 of vec_id, vec_id) — hash-scattered, not
+    * id-prefix-biased) retrieves its top-10 neighbors by exact
+    * quantized cosine over the first m ∈ {64, 32, 16} dims (prefix
+    * dots AND prefix norms — the truncated vector is renormalized by
+    * construction of cosine), and per m the audit reports mean and
+    * min recall@10 against the full-width truth.
+    *
+    * Determinism: the panel is hash-ordered with id tiebreak; scores
+    * are the established cosE6 contract (integer e4 dot, IEEE-exact
+    * double sqrt/round — identical in both engines); rankings break
+    * ties by vec_id; zero-norm prefixes yield NULL scores and are
+    * declared unrankable (the TopK null contract). Recall's
+    * denominator is the fixed k = 10.
+    *
+    * Plan: the 16-row panel BROADCASTS against the corpus — one
+    * linear scan computing all three prefix cosines in-row, then
+    * [[graft.functions.TopK]] map-side buffers (shuffle ≤ k rows per
+    * query per partition per truncation; the cross product never
+    * shuffles). At 100 TB this is the q23 brute-force shape with the
+    * constant panel, the audit's declared scale: linear scan,
+    * bounded state, 3·|panel| output rows upstream of a 3-row
+    * aggregate. */
+  val q274TruncationAudit: Q = (s, d) => {
+    val e = quantized(s, d)
+    val probes = e
+      .withColumn("hsel",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .orderBy(col("hsel"), col("vec_id")).limit(TruncQueryCount)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val scored = TruncDims.foldLeft(
+      e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("q_id"))) {
+      (df, m) =>
+        df.withColumn(s"cos_$m", cosE6(
+          aggregate(zip_with(slice(col("qq"), 1, m), slice(col("q"), 1, m),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x),
+          aggregate(slice(col("qq"), 1, m), lit(0L),
+            (acc, x) => acc + x * x),
+          aggregate(slice(col("q"), 1, m), lit(0L),
+            (acc, x) => acc + x * x)))
+    }
+      // project the arrays AWAY before the cache: what is kept for the
+      // three TopK consumers is 5 integers per (query, candidate), not
+      // the 16×-corpus of embedding copies the cross join carries
+      .select(col("q_id") +: col("vec_id") +:
+        TruncDims.map(m => col(s"cos_$m")): _*)
+      .transform(graft.ops.SharedCache.persist) // one scan, three TopKs
+    val tops = TruncDims.map { m =>
+      graft.functions.TopK.topKPerGroup(
+        scored.select(col("q_id"), col("vec_id"), col(s"cos_$m")),
+        "q_id", "vec_id", s"cos_$m", TruncK)
+        .groupBy("q_id")
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .withColumn("trunc_dim", lit(m.toLong))
+    }
+    val base = tops.head.select(col("q_id"), col("ids").as("base_ids"))
+    tops.reduce(_ unionByName _)
+      .join(broadcast(base), "q_id")
+      .withColumn("recall_e6",
+        expr(s"CAST(size(array_intersect(ids, base_ids)) AS BIGINT) " +
+          s"* 1000000 div $TruncK"))
+      .groupBy("trunc_dim")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(recall_e6) div count(1)").as("mean_recall_e6"),
+        min(col("recall_e6")).as("min_recall_e6"))
+  }
+
   // -- q32: embedding-cosine near-dup (sign-LSH blocked) -------------
 
   private val SignBands = 4
@@ -1745,6 +1828,7 @@ object NearDup {
     "q226_threshold_sweep" -> q226ThresholdSweep,
     "q228_sq_audit" -> q228SqAudit,
     "q230_jl_distortion" -> q230JlDistortion,
+    "q274_truncation_audit" -> q274TruncationAudit,
     "q231_two_stage" -> q231TwoStageRetrieval,
     "q232_split_shift" -> q232SplitShift,
     "q235_weighted_jaccard" -> q235WeightedJaccard,
@@ -2383,6 +2467,56 @@ object NearDup {
          |  CAST(CAST(count(CASE WHEN abs(ratio_e3 - 1000) <= 300 THEN 1 END) AS BIGINT) * 1000000
          |    // greatest(count(*) - sum(CASE WHEN dx2 = 0 THEN 1 ELSE 0 END), 1) AS BIGINT) AS within30_ppm
          |FROM r""".stripMargin
+    },
+    // Same hash-ordered panel, same prefix dots/norms through cosSql,
+    // same (cos DESC, vec_id) tiebreak; per-m top CTEs generated from
+    // the same TruncDims list (the q241 pattern), recall vs the
+    // full-width CTE.
+    "q274_truncation_audit" -> {
+      def pdot(m: Int) =
+        s"CAST(list_sum(list_transform(generate_series(1, $m), " +
+          s"i -> s.qq[i] * e.q[i])) AS DOUBLE)"
+      def pnorm(v: String, m: Int) =
+        s"CAST(list_sum(list_transform(generate_series(1, $m), " +
+          s"i -> $v[i] * $v[i])) AS BIGINT)"
+      val cosCols = TruncDims.map(m =>
+        s"${cosSql(pdot(m), pnorm("s.qq", m), pnorm("e.q", m))} AS cos_$m")
+        .mkString(",\n    ")
+      val topCtes = TruncDims.map { m =>
+        s"""top$m AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id
+           |                         ORDER BY cos_$m DESC, vec_id) AS rk
+           |    FROM scored WHERE cos_$m IS NOT NULL
+           |  ) WHERE rk <= $TruncK
+           |)""".stripMargin
+      }.mkString(", ")
+      val ovArms = TruncDims.map { m =>
+        s"""SELECT $m AS trunc_dim, t.q_id, count(b.vec_id) AS ov
+           |  FROM top$m t LEFT JOIN top${TruncDims.head} b
+           |    ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+           |  GROUP BY 1, 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $quantCte, sel AS (
+         |  SELECT vec_id AS q_id, q AS qq FROM ev
+         |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
+         |    AS BIGINT), vec_id
+         |  LIMIT $TruncQueryCount
+         |), scored AS (
+         |  SELECT s.q_id, e.vec_id,
+         |    $cosCols
+         |  FROM ev e CROSS JOIN sel s
+         |  WHERE e.vec_id <> s.q_id
+         |), $topCtes, ov AS (
+         |$ovArms
+         |)
+         |SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+         |  count(*) AS n_queries,
+         |  CAST(sum(ov * 1000000 // $TruncK) // count(*) AS BIGINT)
+         |    AS mean_recall_e6,
+         |  CAST(min(ov * 1000000 // $TruncK) AS BIGINT) AS min_recall_e6
+         |FROM ov GROUP BY 1""".stripMargin
     },
     // Same e4 quantization, same per-dim min/max, same truncating
     // code/reconstruction arithmetic (1-based dims via generate_series).

@@ -36,7 +36,11 @@ class PlanQualitySpec extends SparkSpec {
       "q231_two_stage",
       // q241 sweeps q33's probe count — same bounded centroid join,
       // same q23 baseline consumption
-      "q241_probe_sweep")
+      "q241_probe_sweep",
+      // q274 scores the corpus against its broadcast 16-row query
+      // panel — the q23 brute-force shape with a constant build side
+      // (the audit's declared scale; TopK bounds every shuffle)
+      "q274_truncation_audit")
 
   test("no cartesian products anywhere; nested-loop joins only where declared") {
     assume(haveData, s"$sfDir not present")
@@ -1156,5 +1160,19 @@ class PlanQualitySpec extends SparkSpec {
     // every exchange key is a bucket id or the content hash
     p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
       .foreach { l => l should not include "text" }
+  }
+
+  test("q270 backtest: recursion fully in-row — no windows, no joins") {
+    assume(haveData, s"$sfDir not present")
+    val p = plan("q270_forecast_backtest")
+    // the state fold, rolling origins, and eval expansion are all
+    // array HOFs on the |types|-row relation: the plan must contain
+    // no Window (no per-row sort over data-scaled relations) and no
+    // join (the oracle's rn+h join is an in-row element_at here)
+    p should not include "Window"
+    p should not include "Join"
+    // the single data-scaled stage (the (type, day) collapse)
+    // map-combines before its exchange
+    p should include("partial_sum")
   }
 }
