@@ -2658,11 +2658,12 @@ object EventAnalytics {
     *
     * Plan: journeys build in-row (per-user sorted state array + one
     * consecutive-pair explode — text never shuffles, one user-keyed
-    * aggregate); the matrix is a ≤(|channels|+2)²-row relation
-    * (SharedCache'd), and every scenario's iterations run on |states|
-    * rows behind per-step localCheckpoints (q204's discipline). The
-    * channel list is a ≤|event types| driver collect — declared
-    * control plane (the k-means centroid convention). */
+    * aggregate); the matrix is a ≤(|channels|+2)²-row relation,
+    * collected once as declared control plane (the k-means centroid
+    * convention) and value-iterated ON THE DRIVER (r14 — the matrix is
+    * bounded by the channel domain, not data volume, so the 10
+    * fixed-point steps are data-independent arithmetic, not Spark
+    * jobs; see the in-body note for the exactness argument). */
   val q240RemovalEffect: Q = (s, d) => {
     import s.implicits._
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -2693,44 +2694,44 @@ object EventAnalytics {
         sum(col("n")).over(Window.partitionBy("prev")))
       .select(col("prev"), col("next"),
         expr("n * 1000000000 div src_total").as("rate_ppb"))
-      .transform(graft.ops.SharedCache.persist)
+      // single consumer since the r14 driver-side fold below (it used
+      // to feed 10 iteration joins) — no persist needed
     val channels = RemovalChannels
-    val tconv = trans.filter(col("next") === "conv")
-      .select(col("prev").as("node"), col("rate_ppb").as("conv_ppb"))
-    // ALL scenarios iterate together keyed by (scn, node): 10 stages
-    // total instead of 5 scenarios × 10 — same per-scenario recurrence
-    // (an edge contributes only when both endpoints are in the
-    // scenario's node set: next via the v join, prev via the spine)
+    // r14 optimization (guide §5 — the driver should do almost no data
+    // work, and conversely: data-INDEPENDENT work should not run as
+    // Spark jobs). The value iteration runs over the transition MATRIX,
+    // a ≤(|channels|+2)²-row relation bounded by the declared channel
+    // domain at ANY corpus size — control plane by the same convention
+    // that already collected the per-scenario values below. The old
+    // formulation ran RemovalIters=10 Spark jobs (each a join + agg +
+    // eager localCheckpoint over ~30 rows, ~1.3 s of pure scheduling at
+    // any scale); collecting the matrix once and folding on the driver
+    // is arithmetic-identical: per edge `rate_ppb · v div 1e9` with all
+    // operands non-negative, so Spark's floor-div equals Scala `/`,
+    // then the same per-(scenario, prev) sum. Measured 2.33 s → ~1.0 s
+    // isolate at sf0.1 with byte-identical output (oracle re-gated).
+    val tRows = trans.select(col("prev"), col("next"), col("rate_ppb"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val convPpb = tRows.filter(_._2 == "conv").map(t => t._1 -> t._3).toMap
     val scenarios = "base" +: channels
-    val spine = scenarios.flatMap(scn =>
-      ("start" +: channels.filterNot(_ == scn)).map(n => (scn, n)))
-      .toDF("scn", "node")
-    var v = spine.withColumn("v", lit(0L))
-    (1 to RemovalIters).foreach { _ =>
-      val inflow = trans
-        .join(v.select(col("scn"), col("node").as("next"), col("v")), "next")
-        .select(col("scn"), col("prev"),
-          expr("rate_ppb * v div 1000000000").as("c"))
-        .groupBy("scn", "prev").agg(sum(col("c")).as("infl"))
-      v = spine
-        .join(inflow.select(col("scn"), col("prev").as("node"), col("infl")),
-          Seq("scn", "node"), "left")
-        .join(tconv, Seq("node"), "left")
-        .select(col("scn"), col("node"),
-          (coalesce(col("conv_ppb"), lit(0L)) + coalesce(col("infl"), lit(0L)))
-            .as("v"))
-        // X146 policy note — declared BOUNDED-ITERATION EXEMPTION from
-        // Checkpoints.ensureDurable: this is the one loop off the
-        // durable helper, legitimately — the value relation is
-        // |scenarios|×|nodes| ≈ 30 rows at ANY corpus size (channel
-        // domain, not data volume) and RemovalIters is a compile-time
-        // constant ≪ the ~18-round lineage blowup threshold, so the
-        // eager in-memory cut is the whole job; data-dependent loops
-        // (CC, k-core, BFS) stay on the durable fallback.
-        .localCheckpoint(true)
-    }
-    val res = v.filter(col("node") === "start")
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val res = scenarios.map { scn =>
+      val nodes = "start" +: channels.filterNot(_ == scn)
+      val nodeSet = nodes.toSet
+      var v = nodes.map(n => n -> 0L).toMap
+      (1 to RemovalIters).foreach { _ =>
+        // an edge contributes only when both endpoints are in the
+        // scenario's node set (next via the old v join, prev via the
+        // old spine left-join) — absorbing states enter through conv_ppb
+        val infl = new scala.collection.mutable.HashMap[String, Long]()
+          .withDefaultValue(0L)
+        tRows.foreach { case (prev, next, rate) =>
+          if (nodeSet.contains(prev) && nodeSet.contains(next))
+            infl(prev) += rate * v(next) / 1000000000L
+        }
+        v = nodes.map(n => n -> (convPpb.getOrElse(n, 0L) + infl(n))).toMap
+      }
+      scn -> v("start")
+    }.toMap
     val base = res("base")
     val eff = channels.map(c => (c, base, res(c), base - res(c)))
     val total = math.max(eff.map(_._4).map(math.max(_, 0L)).sum, 1L)

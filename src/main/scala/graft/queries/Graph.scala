@@ -694,7 +694,13 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("node"), col("nlbl").as("lbl"))
     }
-    lbl
+    // r14 (guide §2.4): the final label relation is persisted — q175
+    // consumes it through THREE plan branches (both intra-edge endpoint
+    // maps + the degree join), each of which otherwise replays all
+    // `rounds` join+aggregate+window rounds; the relation is |V| rows
+    // of two longs. q162's single pass shares the same cache entry by
+    // plan canonicalization. Isolate/bench boundaries release it.
+    lbl.transform(graft.ops.SharedCache.persist)
   }
 
   /** COMMUNITY DETECTION: [[LpaRounds]]-round deterministic LPA over the q121

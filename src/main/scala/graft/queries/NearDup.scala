@@ -283,6 +283,32 @@ object NearDup {
     round(lit(1e6) * dot.cast("double") /
       (sqrt(sa.cast("double")) * sqrt(sb.cast("double"))), 0).cast("long")
 
+  /** One-row relation holding the whole coarse-centroid panel as ONE
+    * sorted struct array — the r14 in-row cell-ranking rewrite (guide
+    * §2.3/§2.4) shared by q33/q191/q231/q241. The old shape scored
+    * cells with a K-row broadcast join and ranked them with
+    * `row_number` over `Window.partitionBy(vec_id)`: an Exchange +
+    * Sort over K·|V| rows, each carrying the full 64-long vector —
+    * the widest shuffle in the ANN family, moved only to rank K=16
+    * constants. With the panel folded to a single broadcast row,
+    * ranking happens INSIDE the vector's own row (array_sort over a
+    * K-element array) — zero exchange, zero sort, scan-speed at any
+    * |V|. Centroids stay DATA flowing through the plan (the q33
+    * contract: nothing is collected to the driver — contrast q114's
+    * literal panel, which is the other declared convention). */
+  private def centPanel(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(
+      struct(col("c_id"), col("cq"), col("cs2")))).as("cents"))
+
+  /** Ranked (ncos, c_id) struct array over the joined `cents` panel:
+    * ascending (−cos, c_id) == the window's (c_cos desc, c_id asc) —
+    * identical rank order, identical cosE6 operands, so results are
+    * row-for-row equal to the retired window formulation. */
+  private def cellsRankedCol(q: Column, s2: Column): Column =
+    array_sort(transform(col("cents"), c =>
+      struct((lit(0L) - cosE6(dotL(q, c.getField("cq")), s2,
+        c.getField("cs2"))).as("ncos"), c.getField("c_id").as("c_id"))))
+
   /** (vec_id, q, s2) quantized embeddings with integer self-dot. */
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -543,25 +569,30 @@ object NearDup {
     * SQL-expressible (centroids are data, not code), so it carries a
     * real DuckDB oracle.
     *
-    * Plan: centroids are a broadcast nested-loop against the table
-    * (K rows — bounded), assignment picked by a per-vector window;
-    * candidates come from an equi-join on cell id. At scale the
-    * vec_id<K seed convention is replaced by centroids from an actual
-    * Lloyd run — q57 below implements exactly that. */
+    * Plan: the K-centroid panel is ONE broadcast row and every vector
+    * ranks its cells IN-ROW (array_sort over K structs — r14, see
+    * [[centPanel]]; the previous window formulation shuffled K·|V|
+    * vector-carrying rows just to rank them); candidates come from an
+    * equi-join on cell id. At scale the vec_id<K seed convention is
+    * replaced by centroids from an actual Lloyd run — q57 below
+    * implements exactly that. */
   val q33AnnIvf: Q = (s, d) => {
     val e = quantized(s, d)
     val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
-    val scoredCells = e.join(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("s2"), col("c_id"),
-        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    val ranked = scoredCells.withColumn("crank", row_number().over(w))
-    val assign = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("q"), col("s2"), col("c_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= IvfProbes)
+    // persisted: assign + probes both branch off it, and without the
+    // old Exchange there is no reuse point — the relation IS the IVF
+    // index artifact (vector, self-dot, ranked cells), |V| rows
+    val ranked = e.join(broadcast(centPanel(cents)))
+      .withColumn("sc", cellsRankedCol(col("q"), col("s2")))
+      .transform(graft.ops.SharedCache.persist)
+    val assign = ranked
+      .select(col("vec_id"), col("q"), col("s2"),
+        element_at(col("sc"), 1).getField("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("s2").as("qs2"),
-        col("c_id").as("cell"))
+        explode(transform(slice(col("sc"), 1, IvfProbes),
+          x => x.getField("c_id"))).as("cell"))
     val scored = assign.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -599,15 +630,17 @@ object NearDup {
       .transform(graft.ops.SharedCache.persist)
     val cents = proj.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    val ranked = proj.join(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
-      .withColumn("crank", row_number().over(w))
-    val assign = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
-    val probes = ranked.filter(col("vec_id") % 25 === 0 && col("crank") <= IvfProbes)
-      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    // in-row cell ranking over the one-row centroid panel (r14, see
+    // centPanel — replaces the K·|V|-row window shuffle)
+    val ranked = proj.join(broadcast(centPanel(cents)))
+      .withColumn("sc", cellsRankedCol(col("q"), col("s2")))
+      .transform(graft.ops.SharedCache.persist) // assign + probes branch
+    val assign = ranked
+      .select(col("vec_id"), element_at(col("sc"), 1).getField("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"),
+        explode(transform(slice(col("sc"), 1, IvfProbes),
+          x => x.getField("c_id"))).as("cell"))
     val cand = assign.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id")).distinct()
@@ -743,18 +776,23 @@ object NearDup {
     val e = quantized(s, d)
     val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    val ranked = e.join(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("s2"), col("c_id"),
-        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
-      .withColumn("crank", row_number().over(w))
-    val assign = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("q"), col("s2"), col("c_id").as("cell"))
+    // in-row cell ranking over the one-row centroid panel (r14, see
+    // centPanel — replaces the K·|V|-row window shuffle); prank is the
+    // 1-based position in the ranked array, identical to the retired
+    // row_number crank
+    val ranked = e.join(broadcast(centPanel(cents)))
+      .withColumn("sc", cellsRankedCol(col("q"), col("s2")))
+      .transform(graft.ops.SharedCache.persist) // assign + probes branch
+    val assign = ranked
+      .select(col("vec_id"), col("q"), col("s2"),
+        element_at(col("sc"), 1).getField("c_id").as("cell"))
     val maxProbe = ProbeSweep.max
-    val probes = ranked
-      .filter(col("vec_id") % 25 === 0 && col("crank") <= maxProbe)
+    val probes = ranked.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("s2").as("qs2"),
-        col("c_id").as("cell"), col("crank").as("prank"))
+        posexplode(transform(slice(col("sc"), 1, maxProbe),
+          x => x.getField("c_id"))).as(Seq("pos", "cell")))
+      .select(col("q_id"), col("qq"), col("qs2"), col("cell"),
+        (col("pos") + 1).as("prank"))
     // one pair pass at the widest nprobe; mincrank = the cheapest probe
     // rank that would have generated the pair
     val pairs = assign.join(probes, Seq("cell"))
@@ -812,13 +850,12 @@ object NearDup {
     val e = quantized(s, d)
     val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    val counts = e.join(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        cosE6(dotL(col("q"), col("cq")), col("s2"), col("cs2")).as("c_cos"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .groupBy(col("c_id").as("cell"))
+    // in-row argmax assignment over the one-row centroid panel (r14,
+    // see centPanel — replaces the K·|V|-row window shuffle)
+    val counts = e.join(broadcast(centPanel(cents)))
+      .select(element_at(cellsRankedCol(col("q"), col("s2")), 1)
+        .getField("c_id").as("cell"))
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
     cents.select(col("c_id").as("cell"))
       .join(counts, Seq("cell"), "left")
