@@ -1134,19 +1134,18 @@ object Analytics {
   val q152AssociationRules: Q = (s, d) => {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .transform(graft.ops.SharedCache.persist) // N scalar + supports + pairs
+      .transform(graft.ops.SharedCache.persist) // N scalar + supports
     val nOrders = items.select(col("l_orderkey")).distinct().count()
     val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairs = items
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("its"))
-      .filter(size(col("its")) >= 2)
-      .select(explode(flatten(transform(col("its"), (x, i) =>
-        transform(slice(col("its"), i + lit(2), size(col("its"))), y =>
-          struct(x.as("x"), y.as("y")))))).as("p"))
-      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= RuleMinSupport)
+    // r14: the symmetric pair counts ARE the graph family's shared
+    // copurchase relation (collect_set dedupes identically whether fed
+    // raw lineitem or the distinct items; each order contributes one
+    // row per pair either way) — riding it drops q152's private pair
+    // build and shares ONE materialization with q121/q136/q138/q162/
+    // q175/q248 in shared mode
+    val pairs = graft.queries.Graph.copurchasePairCounts(s, d)
+      .filter(col("n_orders") >= RuleMinSupport)
+      .select(col("x"), col("y"), col("n_orders").as("n_ab"))
     val directed = pairs.select(col("x").as("a"), col("y").as("b"), col("n_ab"))
       .unionByName(pairs.select(col("y").as("a"), col("x").as("b"), col("n_ab")))
     directed

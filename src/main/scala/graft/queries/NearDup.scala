@@ -86,7 +86,12 @@ object NearDup {
     * same-key docs, expand i<j pairs in-row (the q21 pattern), verify
     * with bit_count(xor). Lossless by pigeonhole — see object doc. */
   val q31DedupSimhash: Q = (s, d) => {
-    val sim = simhash60(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // persisted (r14, the q21 sig discipline): sim is referenced three
+    // times (buckets, a-side, b-side) and each reference otherwise
+    // replays the whole simhash60 pipeline — tokenize + (doc, token)
+    // aggregate + the 60-way bit-vote aggregate, two shuffles each
+    val sim = graft.ops.SharedCache.persist(
+      simhash60(Tables.documents(s, d).select(col("doc_id"), col("text"))))
     val bandKeys = array((0 until SimBands).map(b =>
       concat_ws("|", lit(b),
         shiftright(col("simhash"), b * BandBits).bitwiseAND(lit((1L << BandBits) - 1)))): _*)
@@ -170,8 +175,14 @@ object NearDup {
       .select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
       .distinct()
-    val freq = exh.groupBy("h").agg(count(lit(1)).as("df"))
-    exh.join(freq, "h")
+    // df via ONE window over the h partition (r14, guide §2.4): the
+    // former groupBy(h)+equi-join-back shuffled the full (doc, h)
+    // relation by h for the join AND paid the frequency aggregate's
+    // own exchange + the join itself; the window needs just the one
+    // h-shuffle and a partition count — identical df values, one
+    // fewer pass of the shingle relation through an exchange
+    exh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("h")))
       .select(col("doc_id"),
         (least(col("df"), lit(32767L)) * lit(1L << 48) + col("h")).as("k"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
