@@ -37,6 +37,34 @@ object Checkpoints {
   /** Session conf key; when set, [[cut]] checkpoints durably here. */
   val DirKey = "spark.graft.checkpointDir"
 
+  // Intra-run memo for driver-loop fixpoint PRODUCTS (the CC
+  // labelings): SharedCache's plan canonicalization cannot share them
+  // across invocations because every run cuts to FRESH checkpoint
+  // files (a new LogicalRDD is never canonically equal to the last
+  // one), so without a memo every consumer query re-runs the whole
+  // driver recursion — even in shared mode, where the pair relation
+  // underneath is already cached. Session-scoped (weak keys: a stopped
+  // session takes its memo with it), key = caller-chosen
+  // (operator, input dir); cleared by [[releaseAll]] — the SAME
+  // boundary that deletes the files a memoized plan reads, so a stale
+  // entry can never serve deleted files and isolate-mode per-query
+  // attribution stays honest (graft.Bench calls releaseAll between
+  // queries in isolate mode).
+  private val memos = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /** Memoize an expensive fixpoint product for the life of the run
+    * (until [[releaseAll]]). `build` runs at most once per (session,
+    * key); the result MUST be an eagerly materialized (cut) relation
+    * whose files only [[releaseAll]] reclaims — never one the caller
+    * later [[drop]]s. */
+  def memo(spark: org.apache.spark.sql.SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    memos.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(key, _ => build)
+
   /** Route this session's cuts through reliable file-backed
     * checkpoints, defaulting the directory to a per-session temp path
     * when the owner has not set one. UNBOUNDED iterative loops MUST
@@ -124,7 +152,9 @@ object Checkpoints {
     * files; this is the owner-drawn end-of-stage boundary, exactly
     * like [[SharedCache.releaseAll]]. No-op when [[DirKey]] is unset
     * or the directory does not exist. */
-  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // memo entries read the files deleted below — drop them FIRST
+    memos.remove(spark)
     spark.conf.getOption(DirKey).filter(_.nonEmpty).foreach { dir =>
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,4 +162,5 @@ object Checkpoints {
         fs.listStatus(path).foreach(st => fs.delete(st.getPath, true))
       }
     }
+  }
 }

@@ -174,7 +174,14 @@ object Graph {
   val q55DupClusters: Q = (s, d) => {
     val pairs = LlmPipeline.q21DedupMinhashLsh(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val lbl = connectedComponents(pairs)
+    // memoized (r14): the contraction's checkpoint-cut output can't be
+    // shared by plan canonicalization (fresh files per run), so the
+    // ~9 consumer queries each re-ran the whole driver recursion even
+    // in shared mode; the memo serves one labeling per (session, dir)
+    // until the Checkpoints.releaseAll boundary
+    val lbl = graft.ops.Checkpoints.memo(s, s"cc:q21pairs:$d") {
+      connectedComponents(pairs)
+    }
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     lbl.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
@@ -856,9 +863,10 @@ object Graph {
     val pairs = LlmPipeline.q21DedupMinhashLsh(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .transform(graft.ops.SharedCache.persist)
-    val baseLbl = connectedComponents(
-      pairs.filter(!isDelta(col("a")) && !isDelta(col("b"))))
-      .transform(graft.ops.SharedCache.persist)
+    val baseLbl = graft.ops.Checkpoints.memo(s, s"cc:q217base:$d") {
+      connectedComponents(
+        pairs.filter(!isDelta(col("a")) && !isDelta(col("b"))))
+    }.transform(graft.ops.SharedCache.persist)
     val contracted = pairs
       .filter(isDelta(col("a")) || isDelta(col("b")))
       .join(baseLbl.select(col("id").as("a"), col("lbl").as("la")),

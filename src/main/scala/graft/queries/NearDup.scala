@@ -1777,9 +1777,11 @@ object NearDup {
   val q194ClusterAgreement: Q = (s, d) => {
     val lshLbl = Graph.q55DupClusters(s, d)
       .select(col("doc_id"), col("cluster_id").as("ca"))
-    val exLbl = Graph.connectedComponents(
-        q39Truth(s, d)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val exLbl = graft.ops.Checkpoints.memo(s, s"cc:q39truth:$d") {
+        Graph.connectedComponents(
+          q39Truth(s, d)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      }
       .select(col("id").as("doc_id"), col("lbl").as("cb"))
     val cells = lshLbl.join(exLbl, Seq("doc_id"), "full_outer")
       .select(coalesce(col("ca"), col("doc_id")).as("ca"),

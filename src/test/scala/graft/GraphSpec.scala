@@ -113,4 +113,23 @@ class GraphSpec extends SparkSpec {
       files() shouldBe 0L
     } finally spark.conf.unset(graft.ops.Checkpoints.DirKey)
   }
+
+  test("Checkpoints.memo builds once per (session, key) and resets at releaseAll") {
+    var builds = 0
+    def build() = {
+      builds += 1
+      Graph.connectedComponents(Seq((1L, 2L)).toDF("a", "b"))
+    }
+    val a = graft.ops.Checkpoints.memo(spark, "memo-spec-key")(build())
+    val b = graft.ops.Checkpoints.memo(spark, "memo-spec-key")(build())
+    builds shouldBe 1 // second call served from the memo, no rebuild
+    (a eq b) shouldBe true
+    a.as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
+    // the releaseAll boundary clears the memo BEFORE deleting files, so
+    // a later call rebuilds instead of serving a plan over dead files
+    graft.ops.Checkpoints.releaseAll(spark)
+    val c = graft.ops.Checkpoints.memo(spark, "memo-spec-key")(build())
+    builds shouldBe 2
+    c.as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 2L -> 1L)
+  }
 }
