@@ -300,10 +300,18 @@ object Bench {
         System.err.println(s"[bench] write $p: ${e.getMessage}")
       }
     }
-    println(json)
-    // compact summary LAST: survives any tail-truncated log capture
+    // r15 (r14 verdict item 5): the FULL metric line is now the LAST
+    // stdout line. The r13 round artifact was tail-captured down to
+    // the compact summary alone — the summary printed after the metric
+    // line, so a tail parser kept totals and lost every per-query
+    // number, which zeroed PERF_r14's round-over-round comparison
+    // (n_common: 0). Order swapped, nothing else: both lines still
+    // print, the file copies still carry the full JSON, and any
+    // tail-truncated capture now degrades to the RICH line instead of
+    // the poor one.
     val allFailed = (failed ++ isolatePass.map(_._2).getOrElse(Nil)).distinct
     println(s"""{"total":${f"$total%.3f"},"n":${timings.size},"failed":${allFailed.size},"mode":"$mode"}""")
+    println(json)
     spark.stop()
     if (allFailed.nonEmpty) sys.exit(1)
   }

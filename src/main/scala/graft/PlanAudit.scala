@@ -16,6 +16,11 @@ object PlanAudit {
     val wanted = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[4]")
+      // r15: audit the SAME session shape Bench/Verify run — without
+      // the extensions the dumped plans silently miss the engine's
+      // optimizer rule (DotProductRewrite) and so can't evidence
+      // rewrites that fire in every measured session
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

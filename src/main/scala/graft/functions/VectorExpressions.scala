@@ -142,7 +142,15 @@ object VectorFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_long" -> (es => DotProductLong(es(0), es(1))),
-    "graft_dot_double" -> (es => DotProductDouble(es(0), es(1))))
+    "graft_dot_double" -> (es => DotProductDouble(es(0), es(1))),
+    // r15 fused ANN kernels — see graft.functions.AnnKernels
+    "graft_quant_e4" -> (es => QuantE4(es(0))),
+    "graft_rank_cells_cos" -> (es => RankCellsCos(es(0), es(1), es(2))),
+    "graft_jl_proj" -> (es => JlProject(es(0), es(1))),
+    "graft_rank_cells_l2" -> (es => RankCellsL2(es(0), es(1))),
+    "graft_pq_encode" -> (es => PqEncode(es(0), es(1), es(2), es(3))),
+    "graft_pq_lut" -> (es => PqLut(es(0), es(1), es(2), es(3))),
+    "graft_pq_adc" -> (es => PqAdc(es(0), es(1))))
 
   /** Idempotently register the functions on an existing session
     * (createOrReplace); callers that build their own session can use
@@ -159,6 +167,22 @@ object VectorFunctions {
 
   /** Fused double dot product (codegen'd; see [[DotProductDouble]]). */
   def dotDouble(a: Column, b: Column): Column = call_function("graft_dot_double", a, b)
+
+  // r15 fused ANN kernels (codegen'd; see graft.functions.AnnKernels) —
+  // same registration requirement as dotLong/dotDouble.
+  def quantE4(v: Column): Column = call_function("graft_quant_e4", v)
+  def rankCellsCos(q: Column, s2: Column, cents: Column): Column =
+    call_function("graft_rank_cells_cos", q, s2, cents)
+  def jlProj(q: Column, signs: Column): Column =
+    call_function("graft_jl_proj", q, signs)
+  def rankCellsL2(q: Column, cents: Column): Column =
+    call_function("graft_rank_cells_l2", q, cents)
+  def pqEncode(q: Column, cell: Column, cents: Column, cb: Column): Column =
+    call_function("graft_pq_encode", q, cell, cents, cb)
+  def pqLut(q: Column, cell: Column, cents: Column, cb: Column): Column =
+    call_function("graft_pq_lut", q, cell, cents, cb)
+  def pqAdc(lut: Column, codes: Column): Column =
+    call_function("graft_pq_adc", lut, codes)
 }
 
 /** Optimizer rule: rewrite the DECLARATIVE dot-product idiom
@@ -253,6 +277,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_double"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_double"),
       (es: Seq[Expression]) => DotProductDouble(es(0), es(1))))
+    // r15 fused ANN kernels — see graft.functions.AnnKernels
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quant_e4"),
+      new ExpressionInfo(classOf[QuantE4].getName, "graft_quant_e4"),
+      (es: Seq[Expression]) => QuantE4(es(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rank_cells_cos"),
+      new ExpressionInfo(classOf[RankCellsCos].getName, "graft_rank_cells_cos"),
+      (es: Seq[Expression]) => RankCellsCos(es(0), es(1), es(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jl_proj"),
+      new ExpressionInfo(classOf[JlProject].getName, "graft_jl_proj"),
+      (es: Seq[Expression]) => JlProject(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rank_cells_l2"),
+      new ExpressionInfo(classOf[RankCellsL2].getName, "graft_rank_cells_l2"),
+      (es: Seq[Expression]) => RankCellsL2(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+      (es: Seq[Expression]) => PqLut(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (es: Seq[Expression]) => PqAdc(es(0), es(1))))
     GearFunctions.inject(ext)
     StringSimFunctions.inject(ext)
     ext.injectOptimizerRule(_ => DotProductRewrite)

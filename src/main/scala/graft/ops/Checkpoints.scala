@@ -43,8 +43,13 @@ object Checkpoints {
   // files (a new LogicalRDD is never canonically equal to the last
   // one), so without a memo every consumer query re-runs the whole
   // driver recursion — even in shared mode, where the pair relation
-  // underneath is already cached. Session-scoped (weak keys: a stopped
-  // session takes its memo with it), key = caller-chosen
+  // underneath is already cached. Session-scoped; the map's weak keys
+  // can never actually collect (r14 verdict item: each memoized
+  // DataFrame strongly references its SparkSession through
+  // queryExecution, so every key is reachable from its own value) —
+  // entries die ONLY via [[releaseAll]] or process exit, and a
+  // long-lived multi-session driver MUST releaseAll a session before
+  // abandoning it. Key = caller-chosen
   // (operator, input dir); cleared by [[releaseAll]] — the SAME
   // boundary that deletes the files a memoized plan reads, so a stale
   // entry can never serve deleted files and isolate-mode per-query

@@ -337,8 +337,8 @@ object LlmPipeline {
   /** e4-quantized integer copy of a float embedding: makes dot/norm
     * sums exact integers — order-independent, hence identical across
     * engines and shuffle schedules. */
-  private def quant(c: Column): Column =
-    transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
+  private def quant(c: Column): Column = // r15: fused kernel, see QuantE4
+    graft.functions.VectorFunctions.quantE4(c)
 
   /** Fused codegen'd integer dot (graft.functions.DotProductLong) —
     * same value as the aggregate(zip_with(...)) composition it

@@ -282,8 +282,13 @@ object NearDup {
 
   // -- shared quantized-embedding primitives (q23/q24 conventions) ---
 
+  /** e4 fixed-point quantization — r15: the fused codegen'd
+    * [[graft.functions.QuantE4]] kernel (same multiply/round/cast per
+    * element as the retired transform lambda, which ran interpreted at
+    * the head of every vector scan); callers must
+    * VectorFunctions.register the session first. */
   private def quant(c: Column): Column =
-    transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
+    graft.functions.VectorFunctions.quantE4(c)
 
   /** Fused codegen'd integer dot — see graft.functions.DotProductLong;
     * callers must VectorFunctions.register the session first. */
@@ -314,11 +319,13 @@ object NearDup {
   /** Ranked (ncos, c_id) struct array over the joined `cents` panel:
     * ascending (−cos, c_id) == the window's (c_cos desc, c_id asc) —
     * identical rank order, identical cosE6 operands, so results are
-    * row-for-row equal to the retired window formulation. */
+    * row-for-row equal to the retired window formulation. r15: the
+    * array_sort∘transform HOF pair (interpreted lambda bodies — never
+    * codegen'd) is fused into the [[graft.functions.RankCellsCos]]
+    * kernel: one JIT'd loop per row, same (−cos, c_id) order, same
+    * round/cast semantics, inside WholeStageCodegen. */
   private def cellsRankedCol(q: Column, s2: Column): Column =
-    array_sort(transform(col("cents"), c =>
-      struct((lit(0L) - cosE6(dotL(q, c.getField("cq")), s2,
-        c.getField("cs2"))).as("ncos"), c.getField("c_id").as("c_id"))))
+    graft.functions.VectorFunctions.rankCellsCos(q, s2, col("cents"))
 
   /** (vec_id, q, s2) quantized embeddings with integer self-dot. */
   private def quantized(s: SparkSession, d: String): DataFrame = {
@@ -350,6 +357,7 @@ object NearDup {
     * map-combined error aggregate; nothing after the explode exceeds
     * 64 rows. */
   val q228SqAudit: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s) // quant kernel (r15)
     val dims = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(quant(col("embedding"))).as(Seq("p", "v")))
       .select((col("p") + 1).cast("long").as("dim"), col("v"))
@@ -404,13 +412,18 @@ object NearDup {
       ((md(0) & 1) * 2 - 1).toLong
     }
 
-  /** The 16-long JL projection of an e4 vector column — one zip_with
-    * fold per output dim over the plan-time sign literals; shared by
-    * q230 (the distortion audit) and q231 (the coarse re-rank stage). */
+  /** The 16-long JL projection of an e4 vector column — shared by
+    * q230 (the distortion audit) and q231 (the coarse re-rank stage).
+    * r15: was 16 separate zip_with+aggregate folds, which stayed
+    * INTERPRETED (DotProductRewrite requires containsNull = false and
+    * the quantized array type carries the parquet schema's nullable
+    * elements); now one [[graft.functions.JlProject]] kernel pass over
+    * the same sign literals — and its output IS dense, so the
+    * downstream coarse dot in q231 fuses to graft_dot_long via the
+    * optimizer rule as well. */
   private def jlProjArr(q: Column): Column =
-    array((0 until JlDims).map(j =>
-      aggregate(zip_with(q, typedLit(jlSigns(j)), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)): _*)
+    graft.functions.VectorFunctions.jlProj(q,
+      typedLit((0 until JlDims).map(jlSigns)))
 
   val q230JlDistortion: Q = (s, d) => {
     val proj = quantized(s, d)
@@ -733,6 +746,7 @@ object NearDup {
     * from the split cells, no second scan); everything after is
     * arithmetic over ≤192 rows. */
   val q232SplitShift: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s) // quant kernel (r15)
     val signedDiv = (sv: String, n: String) =>
       s"CASE WHEN $sv >= 0 THEN $sv div $n ELSE -((-$sv) div $n) END"
     val cells = Tables.embeddings(s, d)
@@ -956,40 +970,22 @@ object NearDup {
     // a nested literal trips Spark 4's lambda-variable resolution)
     val flatCb = typedlit(for { m <- 0 until PqM; (_, sub) <- cbs(m) }
       yield (m.toLong * PqDsub, sub))
-    def subL2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    // coarse cells ranked per vector: array_sort over (d2, c_id) structs —
-    // in-row argmin/arg-top2, ties to the lowest c_id
-    val cellsRanked = array_sort(transform(centsLit, c =>
-      struct(subL2(col("q"), c.getField("_2")).as("d2"), c.getField("_1").as("c_id"))))
-    // centroid vector of a cell id: cents are sorted ids 0..15, so the
-    // literal array doubles as an O(1) in-row lookup table
-    def centVec(cell: Column): Column =
-      element_at(centsLit, (cell + 1).cast("int")).getField("_2")
-    def residual(v: Column, cell: Column): Column =
-      zip_with(v, centVec(cell), (a, b) => a - b)
-    // all 8×K subspace distances of a residual in ONE flat pass: the
-    // PQ encoder's argmin input and the query-side ADC lookup table
-    // are the same numbers, computed once per row
-    def dflatOn(v: Column): Column = transform(flatCb, en =>
-      subL2(slice(v, en.getField("_1") + 1, lit(PqDsub)), en.getField("_2")))
-    // PQ encode: argmin position within each K-slot subspace block
-    // (array_position finds the FIRST minimum — ties resolve to the
-    // lowest code id); 1-based → −1
-    def codeOf(m: Column): Column = {
-      val block = slice(col("df"), m * PqK + 1, lit(PqK))
-      array_position(block, array_min(block)).cast("int") - 1
-    }
-    val codes = transform(sequence(lit(0), lit(PqM - 1)), codeOf(_))
-    // the residual is materialized as its own projection step: a
-    // zip_with INSIDE the dflatOn transform lambda would nest lambdas
-    // three deep, which trips Spark 4's lambda-variable resolution
+    // r15: the whole per-row PQ pipeline — cell ranking, residual,
+    // the 16×64 subspace-distance sweep, per-block argmin encode, and
+    // the 16-lookup ADC fold — ran through INTERPRETED HOF lambdas
+    // (1024 zip_with+aggregate folds and ~2k transient arrays per
+    // row; ArrayTransform/ArrayAggregate bodies never whole-stage-
+    // codegen). Each stage is now a fused codegen'd kernel over the
+    // SAME literals with bit-identical integer math and the same
+    // first-minimum tie rule — see graft.functions.{RankCellsL2,
+    // PqEncode, PqLut, PqAdc}; AnnKernelsSpec pins kernel ≡ HOF on real
+    // vectors and the DuckDB oracle re-gates the query end to end.
+    val cellsRanked = graft.functions.VectorFunctions.rankCellsL2(col("q"), centsLit)
     val idx = e
       .select(col("vec_id"), col("q"),
         element_at(cellsRanked, 1).getField("c_id").as("cell"))
-      .select(col("vec_id"), col("cell"), residual(col("q"), col("cell")).as("r"))
-      .select(col("vec_id"), col("cell"), dflatOn(col("r")).as("df"))
-      .select(col("vec_id"), col("cell"), codes.as("codes"))
+      .select(col("vec_id"), col("cell"), graft.functions.VectorFunctions
+        .pqEncode(col("q"), col("cell"), centsLit, flatCb).as("codes"))
     // queries: 4% sample over a SEPARATE scan (no self-join lineage),
     // 2 nearest cells; the LUT is per probed cell (residuals are
     // relative to THAT cell's centroid — the IVF-PQ identity that
@@ -998,16 +994,14 @@ object NearDup {
       .select(col("vec_id").as("q_id"), col("q"),
         explode(transform(slice(cellsRanked, 1, IvfProbes),
           x => x.getField("c_id"))).as("cell"))
-      .select(col("q_id"), col("cell"), residual(col("q"), col("cell")).as("r"))
-      .select(col("q_id"), col("cell"), dflatOn(col("r")).as("lut"))
+      .select(col("q_id"), col("cell"), graft.functions.VectorFunctions
+        .pqLut(col("q"), col("cell"), centsLit, flatCb).as("lut"))
     // probe: equi-join on cell; ADC = Σ_m lut[m·K + code_m] — 8 lookups
     val adc = idx.join(qs, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          transform(sequence(lit(0), lit(PqM - 1)), m =>
-            element_at(col("lut"), m * PqK + element_at(col("codes"), m + 1) + 1)),
-          lit(0L), (acc, x) => acc + x).as("adc_d2"))
+        graft.functions.VectorFunctions
+          .pqAdc(col("lut"), col("codes")).as("adc_d2"))
     graft.functions.TopK
       .topKPerGroup(adc.withColumn("neg_d2", -col("adc_d2")), "q_id", "neighbor_id", "neg_d2", 5)
       .select(col("q_id"), col("neighbor_id"), (-col("neg_d2")).as("adc_d2"), col("rank"))

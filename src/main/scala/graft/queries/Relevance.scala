@@ -170,9 +170,11 @@ object Relevance {
   private val RrfTopN = 20
 
   /** e4-quantized integer embedding (q23 convention — exact integer
-    * dots, order- and engine-independent). */
+    * dots, order- and engine-independent). r15: the fused codegen'd
+    * [[graft.functions.QuantE4]] kernel; callers must
+    * VectorFunctions.register the session first. */
   private def quantE(c: Column): Column =
-    transform(c, x => round(x.cast("double") * lit(10000.0), 0).cast("long"))
+    graft.functions.VectorFunctions.quantE4(c)
 
   /** The fusion step alone, spec-testable on hand-built rank lists:
     * RRF(d) = Σ_legs 1e6 div (k + rank_leg(d)), absent legs contribute
