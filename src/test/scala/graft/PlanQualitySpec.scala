@@ -1175,4 +1175,21 @@ class PlanQualitySpec extends SparkSpec {
     // map-combines before its exchange
     p should include("partial_sum")
   }
+
+  test("ANN hot loops run the r15 fused kernels, not interpreted HOFs") {
+    assume(haveData, s"$sfDir not present")
+    // a regression back to the array_sort/transform/aggregate
+    // compositions would re-interpret the per-row arithmetic (HOF
+    // lambda bodies never whole-stage-codegen) — pin the kernels'
+    // presence in the real query plans (AnnKernelsSpec pins their
+    // values and codegen placement)
+    val p114 = plan("q114_ann_ivf_pq")
+    Seq("graft_rank_cells_l2", "graft_pq_encode", "graft_pq_lut",
+      "graft_pq_adc").foreach(k => p114 should include(k))
+    val p33 = plan("q33_ann_ivf")
+    p33 should include("graft_rank_cells_cos")
+    p33 should include("graft_quant_e4")
+    val p231 = plan("q231_two_stage")
+    p231 should include("graft_jl_proj")
+  }
 }
