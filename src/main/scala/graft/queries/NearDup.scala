@@ -649,16 +649,23 @@ object NearDup {
     * re-rank touches R·|queries| rows no matter how hot the cells
     * get — the whole point of the pattern at 100 TB. */
   val q231TwoStageRetrieval: Q = (s, d) => {
-    val proj = quantized(s, d)
-      .select(col("vec_id"), col("q"), col("s2"), jlProjArr(col("q")).as("y"))
-      .transform(graft.ops.SharedCache.persist)
-    val cents = proj.filter(col("vec_id") < IvfCells)
+    val e = quantized(s, d)
+    // r15 (guide §2.4 intra-run sharing): `ranked` is built EXACTLY as
+    // q33/q241 build theirs — from the bare quantized relation, cents
+    // included — so CacheManager plan-canonicalization lands all three
+    // (plus the q33 run this audit itself triggers below for ivfTop)
+    // on ONE cache entry. The r14 shape threaded the JL column through
+    // the ranking relation, which made q231's ranked a PRIVATE cache
+    // that rebuilt the whole ranking pass q33 had already paid; the JL
+    // projection now rides its own slim (vec_id, y) relation, which is
+    // all the coarse legs ever read.
+    val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("c_id"), col("q").as("cq"), col("s2").as("cs2"))
-    // in-row cell ranking over the one-row centroid panel (r14, see
-    // centPanel — replaces the K·|V|-row window shuffle)
-    val ranked = proj.join(broadcast(centPanel(cents)))
+    val ranked = e.join(broadcast(centPanel(cents)))
       .withColumn("sc", cellsRankedCol(col("q"), col("s2")))
       .transform(graft.ops.SharedCache.persist) // assign + probes branch
+    val proj = e.select(col("vec_id"), jlProjArr(col("q")).as("y"))
+      .transform(graft.ops.SharedCache.persist) // both coarse legs
     val assign = ranked
       .select(col("vec_id"), element_at(col("sc"), 1).getField("c_id").as("cell"))
     val probes = ranked.filter(col("vec_id") % 25 === 0)
@@ -681,9 +688,9 @@ object NearDup {
       .select(col("q_id"), col("neighbor_id"))
       .transform(graft.ops.SharedCache.persist)
     val rerank = survivors
-      .join(proj.select(col("vec_id").as("neighbor_id"), col("q").as("qn"),
+      .join(ranked.select(col("vec_id").as("neighbor_id"), col("q").as("qn"),
         col("s2").as("sn")), "neighbor_id")
-      .join(proj.select(col("vec_id").as("q_id"), col("q").as("qq"),
+      .join(ranked.select(col("vec_id").as("q_id"), col("q").as("qq"),
         col("s2").as("sq")), "q_id")
       .select(col("q_id"), col("neighbor_id"),
         cosE6(dotL(col("qn"), col("qq")), col("sn"), col("sq")).as("cos_e6"))
